@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import graft.sketch.{HdrSketchAgg, HdrSummaryExpr}
+
+/** Column-level API for the engine's custom Catalyst functions.
+  *
+  * Functions are registered into a session's FunctionRegistry (idempotent)
+  * and invoked via `call_function`, which keeps us on the public Column
+  * API across Spark 4's sql-api split.
+  */
+package object functions {
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Idempotently register graft functions into this session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val key = spark.sessionState.hashCode().toString
+    if (registered.add(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "hdr_sketch", exprs => HdrSketchAgg(exprs.head, fromSketches = false)
+          .toAggregateExpression(), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "hdr_merge", exprs => HdrSketchAgg(exprs.head, fromSketches = true)
+          .toAggregateExpression(), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "hdr_summary", exprs => HdrSummaryExpr(exprs.head), "scala_udf")
+    }
+  }
+
+  /** Aggregate raw non-negative Longs into a serialized HDR sketch. */
+  def hdr_sketch(c: Column): Column = call_function("hdr_sketch", c)
+
+  /** Merge serialized HDR sketches (rollup tier k-1 → tier k). */
+  def hdr_merge(c: Column): Column = call_function("hdr_merge", c)
+
+  /** Unpack a sketch into the summary struct (count..p999). */
+  def hdr_summary(c: Column): Column = call_function("hdr_summary", c)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.rollup.Rollup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Khronus-semantics queries over the `events` table: each event is a
+  * measurement of metric `event_type` with value `floor(value)` (the
+  * reference coerces measured values to Long on ingest).
+  *
+  * The histogram summaries run through the FULL rollup cascade
+  * (5 s raw → 30 s → 1 m → 5 m …), so the oracle checks don't just test
+  * one groupBy — they pin the merge-associativity thesis: summaries of
+  * merged sketches must equal summaries computed directly from raw data.
+  */
+object MetricsQueries {
+
+  private def measurements(spark: SparkSession, dir: String): DataFrame =
+    Rollup.eventsAsMeasurements(Tables.events(spark, dir))
+
+  /** Counter path through two cascade steps: per-metric event counts at
+    * 1 m resolution, built 5 s → 30 s → 1 m. */
+  def counterRollup1m(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir).select(
+      col("event_type").as("metric"), col("ts_ms"), lit(1L).as("value"))
+    val t5s  = Rollup.counterTier(counts, Rollup.RawGroupMs)
+    val t30s = Rollup.counterTierUp(t5s, 30000L)
+    val t1m  = Rollup.counterTierUp(t30s, 60000L)
+    t1m.orderBy("metric", "bucket_start")
+  }
+
+  /** Histogram summary at 5 m via the full cascade (4 merge stages). */
+  def hdrSummary5m(spark: SparkSession, dir: String): DataFrame = {
+    val raw  = Rollup.rawHistogramTier(measurements(spark, dir))
+    val t30s = Rollup.histogramTierUp(raw, 30000L)
+    val t1m  = Rollup.histogramTierUp(t30s, 60000L)
+    val t5m  = Rollup.histogramTierUp(t1m, 300000L)
+    Rollup.histogramSummaries(t5m).orderBy("metric", "bucket_start")
+  }
+
+  /** Histogram summary at 1 h via the full standard cascade — the
+    * coarsest tier, equivalent to computing directly from raw data. */
+  def hdrSummary1h(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Rollup.rawHistogramTier(measurements(spark, dir))
+    val top = Rollup.histogramCascade(raw)(3600000L)
+    Rollup.histogramSummaries(top).orderBy("metric", "bucket_start")
+  }
+
+  /** DuckDB oracle for a histogram-summary tier: percentiles via the
+    * cumulative-count rule the sketch implements — smallest value whose
+    * cumulative count reaches max(1, floor(p/100*total + 0.5)).
+    * (Values in this dataset are < 2048 where the sketch has unit
+    * resolution, so sketch quantization is the identity and the oracle
+    * can work on exact values.)
+    */
+  private def summaryOracle(durMs: Long): String = {
+    val ps = Seq("50.0" -> "p50", "80.0" -> "p80", "90.0" -> "p90",
+                 "95.0" -> "p95", "99.0" -> "p99", "99.9" -> "p999")
+    val pCols = ps.map { case (p, name) =>
+      s"  MIN(v) FILTER (WHERE cum >= GREATEST(1, CAST(floor(($p/100.0)*tot + 0.5) AS BIGINT)))" +
+        s" AS $name"
+    }.mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT event_type AS metric,
+       |         epoch_ms(ts) - epoch_ms(ts) % $durMs AS bucket_start,
+       |         CAST(floor(value) AS BIGINT) AS v
+       |  FROM events WHERE value >= 0),
+       |g AS (SELECT metric, bucket_start, v, COUNT(*) AS c FROM m GROUP BY 1,2,3),
+       |w AS (SELECT metric, bucket_start, v, c,
+       |        SUM(c) OVER (PARTITION BY metric, bucket_start ORDER BY v) AS cum,
+       |        SUM(c) OVER (PARTITION BY metric, bucket_start) AS tot
+       |      FROM g)
+       |SELECT metric, bucket_start,
+       |  MAX(tot) AS count,
+       |  MIN(v) AS min, MAX(v) AS max,
+       |  (2*SUM(v*c) + MAX(tot)) // (2*MAX(tot)) AS mean,
+       |$pCols
+       |FROM w GROUP BY metric, bucket_start
+       |ORDER BY metric, bucket_start""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_counter_rollup_1m" -> (counterRollup1m _),
+    "k_hdr_summary_5m"    -> (hdrSummary5m _),
+    "k_hdr_summary_1h"    -> (hdrSummary1h _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k_counter_rollup_1m" ->
+      """SELECT event_type AS metric,
+        |       epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_start,
+        |       COUNT(*) AS count
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "k_hdr_summary_5m" -> summaryOracle(300000L),
+    "k_hdr_summary_1h" -> summaryOracle(3600000L),
+  )
+}

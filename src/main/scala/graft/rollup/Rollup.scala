@@ -1,0 +1,97 @@
+package graft.rollup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{ensureRegistered, hdr_merge, hdr_sketch, hdr_summary}
+
+/** The rollup cascade: raw measurements → per-resolution bucket tiers →
+  * summary tables (reference: model/TimeWindow.scala:34-172,
+  * model/TimeWindowChain.scala:25-68).
+  *
+  * Tier k is always built from tier k-1, never from raw data — each
+  * step merges pre-aggregated sketches, so percentiles compose exactly
+  * ("percentiles are computed by merging histograms, never by averaging
+  * percentiles", reference README.md:23).
+  *
+  * Scale design: every stage is one `groupBy(metric, bucket)` over data
+  * already collapsed to one row per (metric, finer-bucket) — after the
+  * 5 s pre-aggregation the data volume is bounded by
+  * (#metrics × time/5 s) rows of a few hundred bytes, independent of raw
+  * event count. Map-side partial merge means the shuffle carries one
+  * sketch per (metric, bucket, partition). Re-keying to a coarser bucket
+  * is pure integer arithmetic on the partition key's companion column.
+  */
+object Rollup {
+
+  /** Standard tier durations, smallest→largest (reference:
+    * reference.conf:11). Milliseconds. */
+  val StandardTiers: Seq[Long] =
+    Seq(30000L, 60000L, 300000L, 600000L, 1800000L, 3600000L)
+
+  /** Raw ingest pre-aggregation group: 5 s wall-clock aligned
+    * (reference: store/MetricMeasurementStore.scala:24-25). */
+  val RawGroupMs: Long = 5000L
+
+  def bucketOf(tsMs: Column, durationMs: Long): Column =
+    (tsMs - pmod(tsMs, lit(durationMs))).cast("long")
+
+  /** Measurements (metric, ts_ms, value:Long) → raw 5 s histogram tier
+    * (metric, bucket_start, sketch). */
+  def rawHistogramTier(measurements: DataFrame): DataFrame = {
+    ensureRegistered(measurements.sparkSession)
+    measurements
+      .where(col("value") >= 0) // reference skips negatives on ingest
+      .groupBy(col("metric"), bucketOf(col("ts_ms"), RawGroupMs).as("bucket_start"))
+      .agg(hdr_sketch(col("value")).as("sketch"))
+  }
+
+  /** One cascade step: histogram tier at a finer resolution → tier at
+    * `durationMs` (merge sketches under the coarser bucket). */
+  def histogramTierUp(prev: DataFrame, durationMs: Long): DataFrame = {
+    ensureRegistered(prev.sparkSession)
+    prev.groupBy(col("metric"), bucketOf(col("bucket_start"), durationMs).as("bucket_start"))
+      .agg(hdr_merge(col("sketch")).as("sketch"))
+  }
+
+  /** Full cascade from the raw tier: returns tiers keyed by duration. */
+  def histogramCascade(raw: DataFrame,
+                       tiers: Seq[Long] = StandardTiers): Map[Long, DataFrame] = {
+    val out = scala.collection.mutable.LinkedHashMap[Long, DataFrame]()
+    var prev = raw
+    tiers.foreach { d =>
+      val t = histogramTierUp(prev, d)
+      out(d) = t
+      prev = t
+    }
+    out.toMap
+  }
+
+  /** Bucket tier → summary table: one wide row per (metric, bucket)
+    * (reference: model/HistogramSummary.scala:21). */
+  def histogramSummaries(tier: DataFrame): DataFrame = {
+    ensureRegistered(tier.sparkSession)
+    tier.select(col("metric"), col("bucket_start"), hdr_summary(col("sketch")).as("s"))
+      .select(col("metric"), col("bucket_start"), col("s.*"))
+  }
+
+  /** Counter path: measurements (metric, ts_ms, value) → counts per
+    * bucket (reference: model/CounterBucket.scala). value is the count
+    * increment; a bare event row counts 1. */
+  def counterTier(measurements: DataFrame, durationMs: Long): DataFrame =
+    measurements
+      .groupBy(col("metric"), bucketOf(col("ts_ms"), durationMs).as("bucket_start"))
+      .agg(sum(col("value")).as("count"))
+
+  /** Counter tier k-1 → tier k: counts just add. */
+  def counterTierUp(prev: DataFrame, durationMs: Long): DataFrame =
+    prev.groupBy(col("metric"), bucketOf(col("bucket_start"), durationMs).as("bucket_start"))
+      .agg(sum(col("count")).as("count"))
+
+  /** Events table → timer-style measurements: metric = event_type,
+    * value = floor(value) as Long (reference coerces to Long on ingest). */
+  def eventsAsMeasurements(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("metric"),
+      col("ts_ms"),
+      floor(col("value")).cast("long").as("value"))
+}
