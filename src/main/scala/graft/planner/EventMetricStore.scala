@@ -1,0 +1,64 @@
+package graft.planner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.rollup.Rollup
+
+/** SummaryProvider backed by the `events` table: each event_type is a
+  * timer metric (value = floor(value)) and `<event_type>_count` is a
+  * counter metric (1 per event).
+  *
+  * Tier frames are built once via the rollup cascade and cached —
+  * queries then only filter (metric, bucket_start), which at scale maps
+  * to partition-pruned reads of materialized tier tables.
+  */
+object EventMetricStore {
+  private val instances =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), EventMetricStore]
+
+  /** Reuse one store (and its cached tiers) per (session, dir). */
+  def forSession(spark: SparkSession, dir: String): EventMetricStore =
+    instances.getOrElseUpdate((System.identityHashCode(spark), dir),
+      new EventMetricStore(spark, dir))
+}
+
+class EventMetricStore(spark: SparkSession, dir: String) extends SummaryProvider {
+
+  private lazy val events = Tables.events(spark, dir)
+
+  private lazy val eventTypes: Seq[String] =
+    events.select("event_type").distinct().collect().map(_.getString(0)).sorted
+
+  override lazy val catalog: MetricCatalog = MetricCatalog(
+    eventTypes.map(Metric(_, "timer")) ++
+      eventTypes.map(t => Metric(s"${t}_count", "counter")))
+
+  private lazy val rawTier: DataFrame =
+    Rollup.rawHistogramTier(Rollup.eventsAsMeasurements(events)).cache()
+
+  private lazy val histTiers: Map[Long, DataFrame] = {
+    val cascade = Rollup.histogramCascade(rawTier)
+    cascade.map { case (w, tier) => w -> Rollup.histogramSummaries(tier).cache() }
+  }
+
+  private lazy val counterTiers: Map[Long, DataFrame] = {
+    val counts = events.select(
+      concat(col("event_type"), lit("_count")).as("metric"),
+      col("ts_ms"), lit(1L).as("value"))
+    val raw = Rollup.counterTier(counts, Rollup.RawGroupMs)
+    val out = scala.collection.mutable.LinkedHashMap[Long, DataFrame]()
+    var prev = raw
+    Rollup.StandardTiers.foreach { w =>
+      val t = Rollup.counterTierUp(prev, w)
+      out(w) = t.cache()
+      prev = t
+    }
+    out.toMap
+  }
+
+  override def summaries(metric: Metric, windowMs: Long): DataFrame = {
+    val tiers = if (metric.isHistogram) histTiers else counterTiers
+    tiers(windowMs).where(col("metric") === metric.name).drop("metric")
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.planner._
+import graft.ql.InfluxAst._
+import org.apache.spark.sql.DataFrame
+
+class InfluxPlannerSpec extends SparkSpec {
+
+  private val NOW = 1704067200000L
+
+  /** Planner with a stub provider; resolution bounds overridden to the
+    * reference resolver spec's 700..1000 so its boundary cases port
+    * verbatim (reference: InfluxQueryResolverSpec.scala:341-381). */
+  private def plannerWith(metrics: Seq[Metric], min: Int = 700, max: Int = 1000) =
+    new InfluxPlanner(new SummaryProvider {
+      val catalog = MetricCatalog(metrics)
+      def summaries(m: Metric, w: Long): DataFrame = spark.emptyDataFrame
+    }, () => NOW, min, max)
+
+  private val p = plannerWith(Seq(Metric("metricA", "timer"), Metric("counterB", "counter")))
+
+  private def adjust(spanMs: Long, requestedMs: Long, force: Boolean = false): Long =
+    p.adjustResolution(0, spanMs, GroupBy(force, requestedMs))
+
+  val H = 3600000L
+
+  test("configured resolution inside limits is kept") {
+    assert(adjust(80 * H, 5 * 60000L) == 5 * 60000L) // 960 points
+  }
+
+  test("unconfigured window snaps to nearest") {
+    assert(adjust(8 * H, 10000L) == 30000L)
+    assert(adjust(80 * H, 6 * 60000L) == 5 * 60000L)
+    assert(adjust(500 * H, 5 * H) == 30 * 60000L)
+  }
+
+  test("too-coarse resolution adjusts to a window within bounds") {
+    assert(adjust(80 * H, 30 * 60000L) == 5 * 60000L) // 160 → 960 points
+  }
+
+  test("too-fine resolution adjusts to a window within bounds") {
+    assert(adjust(80 * H, 30000L) == 5 * 60000L) // 9600 → 960 points
+  }
+
+  test("forced resolution bypasses adjustment") {
+    assert(adjust(80 * H, 30000L, force = true) == 30000L)
+  }
+
+  test("oversized span falls back to coarsest even outside bounds") {
+    assert(adjust(1000 * H, 5 * 60000L) == H) // 1000 points at 1h
+  }
+
+  test("tiny span falls back to finest even outside bounds") {
+    assert(adjust(1 * H, 5 * 60000L) == 30000L) // 120 points at 30s
+  }
+
+  test("slice folding: exclusive bounds become ±1ms; from required") {
+    assert(p.buildSlice(Seq(TimeFilter(">", 100L), TimeFilter("<", 200L))) == (101L, 199L))
+    assert(p.buildSlice(Seq(TimeFilter(">=", 100L))) == (100L, NOW))
+    intercept[UnsupportedOperationException] { p.buildSlice(Seq(TimeFilter("<", 200L))) }
+  }
+
+  test("bind rejects duplicate table aliases") {
+    intercept[UnsupportedOperationException] {
+      p.bind(Query(Seq(Field("count", None, None)),
+        Seq(TableRef("metricA", Some("x")), TableRef("counterB", Some("x"))),
+        Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    }
+  }
+
+  test("bind rejects invalid projection alias") {
+    intercept[UnsupportedOperationException] {
+      p.bind(Query(Seq(Field("count", None, Some("nope"))),
+        Seq(TableRef("metricA", Some("x"))),
+        Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    }
+  }
+
+  test("bind rejects histogram function on a counter") {
+    intercept[UnsupportedOperationException] {
+      p.bind(Query(Seq(Field("p99", None, None)),
+        Seq(TableRef("counterB", None)),
+        Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    }
+  }
+
+  test("bind rejects regex matching nothing, and >1 match with alias") {
+    intercept[UnsupportedOperationException] {
+      p.bind(Query(Seq(Field("count", None, None)), Seq(TableRef("zzz.*", None)),
+        Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    }
+    intercept[UnsupportedOperationException] {
+      p.bind(Query(Seq(Field("count", None, None)), Seq(TableRef(".*", Some("x"))),
+        Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    }
+  }
+
+  test("star expansion per metric type") {
+    val (bound, _) = p.bind(Query(Seq(AllFields(None)),
+      Seq(TableRef("counterB", None)),
+      Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    assert(bound.collect { case Field(n, _, _) => n } == Seq("count", "cpm"))
+  }
+
+  test("case-insensitive regex source matching fans out") {
+    val (bound, srcs) = p.bind(Query(Seq(Field("count", None, None)),
+      Seq(TableRef("METRICA", None)),
+      Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    assert(srcs.keySet == Set("metricA"))
+    assert(bound == Seq(Field("count", None, Some("metricA"))))
+  }
+
+  // ---- end-to-end over the events-backed store -------------------------
+
+  private lazy val store = EventMetricStore.forSession(spark, sf)
+  private lazy val eplanner = new InfluxPlanner(store, () => 1706745600000L)
+
+  test("end-to-end: hourly counts match a direct aggregation") {
+    val res = eplanner.execute(spark,
+      """select count from "purchase" where time between 1704067200000 and 1704153599999 force group by time(1h)""")
+    assert(res.size == 1)
+    val got = res.head.df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import org.apache.spark.sql.functions._
+    val expect = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase" && floor(col("value")) >= 0 &&
+        col("ts_ms").between(1704067200000L, 1704153599999L))
+      .groupBy(((col("ts_ms") - pmod(col("ts_ms"), lit(3600000L)))).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(got == expect)
+  }
+
+  test("end-to-end: division by zero fails the query") {
+    val res = eplanner.execute(spark,
+      """select e.count / 0 as boom from "error" as e where time between 1704067200000 and 1704153599999 force group by time(1h)""")
+    intercept[Exception] { res.head.df.collect() }
+  }
+
+  test("list series returns catalog matches") {
+    val res = eplanner.execute(spark, "list series /count/")
+    val names = res.head.df.collect().map(_.getString(1)).toSeq
+    assert(names.nonEmpty && names.forall(_.endsWith("_count")))
+  }
+}
