@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.MetricsQueries.queries ++
-    graft.queries.InfluxQueries.queries
+    graft.queries.InfluxQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
     graft.queries.MetricsQueries.oracleSql ++
-    graft.queries.InfluxQueries.oracleSql
+    graft.queries.InfluxQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql
 }

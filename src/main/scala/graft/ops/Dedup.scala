@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Scale notes: every operator here is one-or-two shuffle jobs with
+  * map-side reduction; nothing collects to the driver.
+  *  - exact: groupBy(text-hash) — shuffle carries (hash, id) pairs only.
+  *  - jaccard: inverted-index join on shingles — the only pairs that
+  *    materialize are those sharing ≥1 shingle; with stopword-light
+  *    shingles this is near-linear in corpus size, not O(n²).
+  *  - minhash LSH: fixed-width signatures (one row per doc) then
+  *    band-bucket join — at 100 TB the candidate set is bounded by
+  *    bucket collision counts, independent of corpus pair count.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, collapsed whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def tokens(text: Column): Column =
+    filter(split(normText(text), " "), t => length(t) > 0)
+
+  /** Word k-shingles via higher-order functions (codegen'd, no UDF). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Exact dedup: one surviving (min) id per distinct normalized text.
+    * Returns (keep_id, n_dups). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(normText(col(textCol)).as("norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .drop("norm")
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * explode shingles → join docs sharing a shingle → |A∩B| per pair →
+    * jaccard from precomputed set sizes. Exact for all pairs with
+    * jaccard > 0 (pairs sharing no shingle can't pass any threshold). */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz")) // shingles are distinct already
+    val pairs = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes permutations approximated by seeded
+    * xxhash64; one aggregation pass (explode shingles → min per seed). */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join per
+    * band, then verify candidates with exact Jaccard ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, k, numHashes, idCol, textCol)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify candidates exactly (join back the shingle sets)
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("s", "sb"), "id_b")
+      .where(col("sa") === col("sb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sign-sum of token hash
+    * bits; assembled with bit arithmetic — all built-in expressions. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    summed.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-marker heuristics, and document
+  * fingerprinting — all built-in expressions (whole-stage codegen),
+  * no UDFs, one scan per call.
+  */
+object TextAnalysis {
+
+  import Dedup.{normText, tokens}
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-marker stopword ratio — a deterministic stand-in for
+    * n-gram language ID, SQL-reproducible for the oracle. */
+  val EnglishMarkers: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  def stopwordRatio(text: Column, markers: Seq[String] = EnglishMarkers): Column = {
+    val toks = tokens(text)
+    val matches = size(filter(toks, t => t.isInCollection(markers)))
+    when(size(toks) === 0, 0.0)
+      .otherwise(matches.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Non-word (punctuation/symbol) character ratio over non-space
+    * characters. */
+  def punctRatio(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[\\w\\s]", ""))
+    when(chars === 0, 0.0).otherwise(punct.cast("double") / chars.cast("double"))
+  }
+
+  /** Mean token length (characters), 0 for blank docs. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length component + stopword
+    * component − punctuation penalty (simple, deterministic, and
+    * monotone in the usual quality signals). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 2.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0), lenScore * 0.5 + swScore * 0.5 - punctPenalty * 0.25))
+  }
+
+  /** Polynomial rolling hash over characters, mod 1e9+7, seeded 7 —
+    * a cheap stable document fingerprint. Left-to-right fold via
+    * `aggregate`, reproducible in any engine with the same arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(normText(text), ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Per-document text stats frame. */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      round(meanTokenLen(col(textCol)), 4).as("mean_token_len"),
+      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

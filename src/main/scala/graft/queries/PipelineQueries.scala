@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators exposed as driver queries over
+  * `documents` and `embeddings`. Oracle SQL mirrors each formula with
+  * DuckDB list lambdas; float-sensitive outputs (cosine) compare ranks
+  * or ids only, never raw similarity values.
+  */
+object PipelineQueries {
+
+  /** Normalized-text shingle set and token pipeline shared with the
+    * oracle SQL below. */
+  private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val ToksSql = s"list_filter(string_split($NormSql, ' '), x -> len(x) > 0)"
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir))
+      .orderBy("id_a", "id_b")
+
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir)).orderBy("id")
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), k = 5, bits = 8, dims = 64)
+      .orderBy("q_id", "rank")
+  }
+
+  def embNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  def hllUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_exact"     -> (dedupExact _),
+    "d_jaccard_pairs"   -> (jaccardPairs _),
+    "d_minhash_lsh"     -> (minhashLsh _),
+    "d_simhash"         -> (simhashSigs _),
+    "d_text_stats"      -> (textStats _),
+    "d_quality"         -> (qualityScores _),
+    "e_cosine_topk"     -> (cosineTopK _),
+    "e_lsh_topk"        -> (lshTopK _),
+    "e_near_dup_pairs"  -> (embNearDups _),
+    "d_multimodal_meta" -> (multimodalMeta _),
+    "d_hll_users"       -> (hllUsers _),
+  )
+
+  // d_minhash_lsh / d_simhash / e_lsh_topk / d_hll_users are
+  // implementation-defined (hash-seeded) → rows-only checks, no oracle.
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY $NormSql
+         |ORDER BY keep_id""".stripMargin,
+    "d_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+         |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w, $NormSql AS norm FROM documents)
+         |SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  round(CASE WHEN len(w) = 0 THEN 0.0
+         |        ELSE CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END, 4) AS mean_token_len,
+         |  round(CASE WHEN len(w) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END, 4) AS stopword_ratio,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |    list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "d_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t)
+         |SELECT doc_id,
+         |  round(GREATEST(0.0, LEAST(1.0,
+         |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "e_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "e_near_dup_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) % 640) + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) % 480) + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |       ELSE list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 2147483647 END AS BIGINT) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("exact dedup partitions ids: sum of group sizes = corpus size") {
+    val d = Dedup.exact(docs).agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(d == docs.count())
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs (verified)") {
+    val exact = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-verified pairs: ${lsh -- exact}")
+    // recall on this corpus should be high (bands=8, rows=4 → ~99% at j=0.5)
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical texts share signatures; hamming is sane") {
+    val sig = Dedup.simhash(docs)
+    assert(sig.count() == docs.count())
+    // join doc 0's signature against itself → hamming 0
+    val s0 = sig.where(col("id") === 0).collect()(0).getLong(1)
+    val h = sig.where(col("id") === 0)
+      .select(Dedup.hamming(col("simhash"), lit(s0)).cast("long")).collect()(0).getLong(0)
+    assert(h == 0)
+  }
+
+  test("LSH top-k achieves decent recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 8, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    // unclustered random embeddings are LSH's worst case; just require
+    // the candidate machinery to beat noise
+    assert(recall >= 0.2, s"ANN recall too low: $recall")
+  }
+
+  test("multimodal feature extraction is deterministic and typed") {
+    val media = Multimodal.syntheticMedia(docs)
+    assert(media.schema == Multimodal.mediaSchema ||
+      media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(_.getInt(3) >= 0))
+  }
+
+  test("frame sampling produces bounded frame vectors") {
+    val media = Multimodal.syntheticMedia(docs)
+    val frames = Multimodal.frameSample(media, stride = 16)
+      .select(size(col("frame_bytes"))).collect().map(_.getInt(0))
+    assert(frames.forall(_ >= 1))
+  }
+
+  test("fingerprint is stable under whitespace normalization") {
+    import spark.implicits._
+    val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
