@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.ingest.MetricBatchIngest
+import graft.streaming.StreamingIngest
+import graft.functions.hdr_merge
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val T0 = 1704067200000L
+
+  private def line(metric: String, mtype: String, ts: Long, vs: Seq[Double]): String =
+    s"""{"metrics":[{"name":"$metric","mtype":"$mtype","measurements":[{"ts":$ts,"values":[${vs.mkString(",")}]}]}]}"""
+
+  test("batch parse: negatives skipped, unknown mtype dropped, fractional floored, missing ts defaulted") {
+    import spark.implicits._
+    val lines = Seq(
+      line("a", "timer", T0, Seq(-9, -8, 133, -1, 150)),      // 2 survive
+      line("b", "weird", T0, Seq(1, 2, 3)),                   // dropped
+      line("c", "counter", T0, Seq(112.00000000000001)),      // floored to 112
+      s"""{"metrics":[{"name":"d","mtype":"gauge","measurements":[{"values":[5]}]}]}""" // no ts
+    ).toDF("value")
+    val parsed = MetricBatchIngest.parse(lines, defaultTs = () => 777L).collect()
+    val byMetric = parsed.groupBy(_.getString(0))
+    assert(byMetric("a").length == 2)
+    assert(!byMetric.contains("b"))
+    assert(byMetric("c").head.getLong(3) == 112L)
+    assert(byMetric("d").head.getLong(2) == 777L)
+  }
+
+  test("streaming raw tier: watermark closes 5s buckets, late rows dropped; cascade increments") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+
+    val si = new StreamingIngest(spark, base)
+    val q = si.startRawTier(si.readJsonStream(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // batch 1: two 5s groups + a watermark pusher at +120s
+      Files.write(Paths.get(s"$in/b1.json"), Seq(
+        line("lat", "timer", T0, Seq(100)),
+        line("lat", "timer", T0 + 1000, Seq(200)),
+        line("lat", "timer", T0 + 7000, Seq(300)),
+        line("lat", "timer", T0 + 120000, Seq(1))).mkString("\n").getBytes)
+      q.processAllAvailable()
+
+      // batch 2: a late row (before watermark T0+90s → dropped) and a
+      // fresh row + pusher to flush it
+      Files.write(Paths.get(s"$in/b2.json"), Seq(
+        line("lat", "timer", T0 + 20000, Seq(999)),
+        line("lat", "timer", T0 + 115000, Seq(400)),
+        line("lat", "timer", T0 + 300000, Seq(1))).mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val raw = spark.read.parquet(si.rawTierPath)
+    val buckets = raw.select("bucket_start").collect().map(_.getLong(0)).toSet
+    assert(buckets.contains(T0))          // [T0, T0+5s) closed by pusher
+    assert(buckets.contains(T0 + 5000))   // second group
+    assert(buckets.contains(T0 + 115000)) // flushed by second pusher
+    assert(!buckets.contains(T0 + 20000), "late row must be dropped by watermark")
+
+    // cascade: 30s tier must equal a direct regroup of the closed raw buckets
+    si.runCascadeIncrement(Seq(30000L))
+    val tier30 = si.tier(30000L)
+    val expected = raw.where(col("bucket_start") <= (raw.agg(max("bucket_start"))
+        .collect()(0).getLong(0) / 30000L) * 30000L - 1)
+      .groupBy(col("metric"), graft.rollup.Rollup.bucketOf(col("bucket_start"), 30000L).as("bucket_start"))
+      .agg(hdr_merge(col("sketch")).as("sketch"))
+    assert(tier30.count() == expected.count())
+    val got = tier30.orderBy("metric", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+    val want = expected.orderBy("metric", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(got.toSeq == want.toSeq)
+
+    // idempotent: a second increment with no new data adds nothing
+    val before = tier30.count()
+    si.runCascadeIncrement(Seq(30000L))
+    assert(si.tier(30000L).count() == before)
+  }
+}
