@@ -18,6 +18,14 @@ object GraftSession {
       // events.parquet stores INT64 TIMESTAMP(NANOS); Spark reads it as
       // Long only with this flag (Tables.events normalizes back).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // hdr_sketch/hdr_merge run as ObjectHashAggregate; the default
+      // 128-group fallback to sort-based aggregation cripples the
+      // rollup cascade (one sketch per metric×bucket = many small
+      // groups, each buffer only a few hundred bytes)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // cached tier frames carry binary sketch blobs; trying column
+      // compression schemes on them dominates cache build time
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = 32): SparkSession = {

@@ -28,6 +28,11 @@ package object functions {
           .toAggregateExpression(), "scala_udf")
       reg.createOrReplaceTempFunction(
         "hdr_summary", exprs => HdrSummaryExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "word_shingles", exprs => WordShingles(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -39,4 +44,11 @@ package object functions {
 
   /** Unpack a sketch into the summary struct (count..p999). */
   def hdr_summary(c: Column): Column = call_function("hdr_summary", c)
+
+  /** Codegen'd double-precision dot product of two numeric arrays. */
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Distinct word k-shingles of normalized text, single pass. */
+  def word_shingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
 }

@@ -24,14 +24,12 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(normText(text), " "), t => length(t) > 0)
 
-  /** Word k-shingles via higher-order functions (codegen'd, no UDF). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  /** Distinct word k-shingles via the single-pass custom expression
+    * (the equivalent split/transform/slice higher-order chain evaluates
+    * lambdas interpretively and was the dedup pipeline's bottleneck).
+    * Callers must have graft functions registered on the session. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.word_shingles(text, k)
 
   /** Exact dedup: one surviving (min) id per distinct normalized text.
     * Returns (keep_id, n_dups). */
@@ -46,7 +44,11 @@ object Dedup {
     * jaccard > 0 (pairs sharing no shingle can't pass any threshold). */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    // persisted: both sides of the self-join and the size lookup reuse
+    // this frame — without it the shingle expansion runs 4×
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz")) // shingles are distinct already
     val pairs = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -60,10 +62,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact Jaccard pairs with prefix filtering (PPJoin-style): sort each
+    * doc's shingles by global rarity; a pair with J ≥ t must share a
+    * shingle within each side's first |s| − ceil(t·|s|) + 1 shingles, so
+    * only prefixes are joined. On hot-shingle corpora this removes the
+    * quadratic blowup of the plain inverted-index join (hot shingles are
+    * frequent, hence sorted out of prefixes). Candidates are then
+    * verified with the full intersection count — results are identical
+    * to [[jaccardPairs]].
+    */
+  def jaccardPairsPrefix(docs: DataFrame, k: Int, threshold: Double,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+      .persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = sh.join(freq, "s")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, "id")
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("s"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash signatures: numHashes permutations approximated by seeded
     * xxhash64; one aggregation pass (explode shingles → min per seed). */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
     val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -74,6 +116,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, k, numHashes, idCol, textCol)
@@ -91,6 +134,7 @@ object Dedup {
       .distinct()
     // verify candidates exactly (join back the shingle sets)
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")

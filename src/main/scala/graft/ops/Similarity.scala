@@ -15,39 +15,48 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double via higher-order functions —
-    * codegen'd, deterministic (left-to-right) accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd double-precision dot product (custom Catalyst
+    * expression — the higher-order `aggregate(zip_with(...))` fallback
+    * evaluates lambdas interpretively and dominated pairwise scans). */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: every corpus vector scored against every
-    * query vector (queries broadcast), ranked per query. Exact — the
-    * baseline the ANN path is measured against. */
+    * query vector (queries broadcast), ranked per query. Norms are
+    * computed once per vector, not once per pair. Exact — the baseline
+    * the ANN path is measured against. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
     val scored = q.crossJoin(c)
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
   /** All pairs with cosine ≥ threshold (near-duplicate detection),
-    * brute force; ids only so the result is float-robust. */
+    * brute force; ids only so the result is float-robust. The threshold
+    * test is dot ≥ t·‖a‖·‖b‖ — one dot product per pair, norms
+    * precomputed per vector. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .where(cosine(col("va"), col("vb")) >= threshold)
+      .where(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"))
   }
 
@@ -61,8 +70,7 @@ object Similarity {
     val planes: Seq[Seq[Double]] =
       Seq.fill(bits)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val bitVals = transform(typedlit(planes), plane =>
-      when(aggregate(zip_with(vec, plane, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
+      when(dot(vec, plane) >= 0, 1L).otherwise(0L))
     aggregate(bitVals, lit(0L), (acc, b) => acc * 2 + b)
   }
 
@@ -75,6 +83,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dims: Int,
               tables: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
     def buckets(df: DataFrame, id: String, vec: String): DataFrame = {
       val sigs = (0 until tables).map(t =>
         struct(lit(t).as("t"), lshSignature(col(vec), bits, dims, seed = 42 + t).as("sig")))

@@ -20,6 +20,9 @@ object PipelineQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
 
+  // plain inverted-index join: this corpus has low shingle collision
+  // (max df 25), where the PPJoin prefix machinery costs more than it
+  // saves; jaccardPairsPrefix is the hot-shingle-corpus alternative
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")

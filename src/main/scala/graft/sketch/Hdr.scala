@@ -30,7 +30,7 @@ final class Hdr private (
     var maxValue: Long,   // exact; -1 when empty
     var sum: Long) extends Serializable {
 
-  def this() = this(new Array[Long](Hdr.SubBucketCount), 0L, Long.MaxValue, -1L, 0L)
+  def this() = this(Array.emptyLongArray, 0L, Long.MaxValue, -1L, 0L)
 
   import Hdr._
 
@@ -66,9 +66,10 @@ final class Hdr private (
   }
 
   private def grow(needed: Int): Unit = {
-    // grow in whole power-of-two bucket tiers
-    var len = counts.length
-    while (len < needed) len += SubBucketHalfCount
+    // 256-slot granularity: a typical 5 s ingest bucket holds a handful
+    // of small values, so right-sizing (vs a fixed 2048-slot array)
+    // cuts per-group allocation ~8x in the rollup cascade
+    val len = ((needed + 255) >> 8) << 8
     counts = java.util.Arrays.copyOf(counts, len)
   }
 
@@ -169,7 +170,7 @@ object Hdr {
     val mx = in.readVarLong()
     val sm = in.readVarLong()
     val n = in.readVarLong().toInt
-    val h = new Hdr(new Array[Long](SubBucketCount), 0L, Long.MaxValue, -1L, 0L)
+    val h = new Hdr(Array.emptyLongArray, 0L, Long.MaxValue, -1L, 0L)
     var idx = 0
     var k = 0
     while (k < n) {

@@ -13,6 +13,14 @@ class OpsSpec extends SparkSpec {
     assert(d == docs.count())
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index join") {
+    val naive = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == naive)
+  }
+
   test("minhash LSH pairs are a subset of exact jaccard pairs (verified)") {
     val exact = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
