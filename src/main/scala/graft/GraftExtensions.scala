@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.sketch.{HdrSketchAgg, HdrSummaryExpr}
+import graft.functions.{VecDot, WordShingles}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * functions cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions` — the deployment-grade
+  * alternative to per-session `graft.functions.ensureRegistered`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo("graft", name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("hdr_sketch"), info("hdr_sketch"),
+      (exprs: Seq[Expression]) => HdrSketchAgg(exprs.head, fromSketches = false).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hdr_merge"), info("hdr_merge"),
+      (exprs: Seq[Expression]) => HdrSketchAgg(exprs.head, fromSketches = true).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hdr_summary"), info("hdr_summary"),
+      (exprs: Seq[Expression]) => HdrSummaryExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -80,10 +80,22 @@ object MetricsQueries {
        |ORDER BY metric, bucket_start""".stripMargin
   }
 
+  /** JSON payload extraction (the ingest envelope is JSON in the
+    * reference; here the events.props column): json path → typed
+    * column, aggregated per metric. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_counter_rollup_1m" -> (counterRollup1m _),
     "k_hdr_summary_5m"    -> (hdrSummary5m _),
     "k_hdr_summary_1h"    -> (hdrSummary1h _),
+    "k_json_props"        -> (jsonProps _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,5 +106,11 @@ object MetricsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "k_hdr_summary_5m" -> summaryOracle(300000L),
     "k_hdr_summary_1h" -> summaryOracle(3600000L),
+    "k_json_props" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent tier storage: one parquet table per (kind, resolution),
+  * date-partitioned on the bucket's UTC day (reference keeps one
+  * Cassandra table per kind×resolution with metric as partition key —
+  * store/BucketStore.scala:66-71, store/SummaryStore.scala:73).
+  *
+  * Scale design:
+  *  - `bucket_date` partitioning → time-range predicates prune whole
+  *    partitions at the file listing, before any I/O; within a
+  *    partition, parquet row-group stats on `bucket_start` skip pages.
+  *  - retention = partition drops (the reference's per-tier TTL —
+  *    reference.conf:22-47): deleting a day directory is O(1) metadata,
+  *    no compaction or tombstones at any scale.
+  *  - writes append per closed bucket window, so files arrive in
+  *    date-partition order and never rewrite old partitions.
+  */
+class TierStore(spark: SparkSession, baseDir: String) {
+
+  def path(kind: String, durationMs: Long): String = s"$baseDir/${kind}_$durationMs"
+
+  private def withDate(df: DataFrame): DataFrame =
+    df.withColumn("bucket_date",
+      to_date(timestamp_millis(col("bucket_start"))))
+
+  /** Append tier rows (metric, bucket_start, payload…) date-partitioned. */
+  def append(kind: String, durationMs: Long, tier: DataFrame): Unit =
+    withDate(tier).write
+      .mode(SaveMode.Append)
+      .partitionBy("bucket_date")
+      .parquet(path(kind, durationMs))
+
+  /** Read a slice; the date filter is derived from the time range so
+    * partition pruning applies (visible as PartitionFilters in the
+    * scan). */
+  def slice(kind: String, durationMs: Long, fromMs: Long, toMs: Long,
+            metric: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(path(kind, durationMs))
+      .where(col("bucket_date").between(
+        to_date(timestamp_millis(lit(fromMs))), to_date(timestamp_millis(lit(toMs)))))
+      .where(col("bucket_start").between(fromMs, toMs))
+    metric.fold(df)(m => df.where(col("metric") === m)).drop("bucket_date")
+  }
+
+  /** Retention: drop partitions older than ttl (reference applies TTL
+    * per tier — buckets 6h, summaries 15d/30d/90d). Returns dropped
+    * partition dirs. */
+  def enforceRetention(kind: String, durationMs: Long, ttlMs: Long,
+                       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(nowMs - ttlMs), java.time.ZoneOffset.UTC)
+    val dir = new java.io.File(path(kind, durationMs))
+    if (!dir.exists()) return Nil
+    val dropped = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
+      .filter { f =>
+        val d = java.time.LocalDate.parse(f.getName.stripPrefix("bucket_date="))
+        d.isBefore(cutoff)
+      }
+    dropped.foreach(deleteRecursively)
+    dropped.map(_.getName)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}

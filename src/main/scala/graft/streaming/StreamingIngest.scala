@@ -68,6 +68,53 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       .start()
   }
 
+  /** Counter path: counts per 5 s bucket (reference:
+    * model/CounterBucket.scala — the measured value IS the increment). */
+  def startCounterTier(measurements: DataFrame,
+                       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
+    val withTs = measurements
+      .where(col("mtype") === "counter")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+    val agg = withTs
+      .groupBy(col("metric"), window(col("ts"), "5 seconds"))
+      .agg(sum(col("value")).as("count"))
+      .select(col("metric"),
+        unix_millis(col("window.start")).as("bucket_start"), col("count"))
+    agg.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$baseDir/_checkpoint_counter_raw")
+      .format("parquet")
+      .option("path", counterRawTierPath)
+      .start()
+  }
+
+  def counterRawTierPath = s"$baseDir/counter_tier_raw"
+  def counterTierPath(d: Long) = s"$baseDir/counter_tier_$d"
+
+  /** Counter cascade increment: counts just add. */
+  def runCounterCascadeIncrement(tiers: Seq[Long] = Rollup.StandardTiers): Unit = {
+    var sourcePath = counterRawTierPath
+    tiers.foreach { d =>
+      val cursorKey = d + 1 // distinct cursor namespace from histogram tiers
+      val cursor = readCursor(cursorKey)
+      val source = spark.read.parquet(sourcePath)
+      val maxSource = source.agg(max(col("bucket_start"))).collect()(0)
+      if (!maxSource.isNullAt(0)) {
+        val closedUpTo = (maxSource.getLong(0) / d) * d - 1
+        if (closedUpTo > cursor) {
+          source.where(col("bucket_start") > cursor && col("bucket_start") <= closedUpTo)
+            .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), d).as("bucket_start"))
+            .agg(sum(col("count")).as("count"))
+            .write.mode("append").parquet(counterTierPath(d))
+          writeCursor(cursorKey, closedUpTo)
+        }
+      }
+      sourcePath = counterTierPath(d)
+    }
+  }
+
   /** One incremental cascade pass: for each tier (smallest→largest),
     * roll fully-closed source buckets past the tier's cursor into the
     * tier table, then advance the cursor — the reference's

@@ -13,6 +13,16 @@ class StreamingSpec extends SparkSpec {
   private def line(metric: String, mtype: String, ts: Long, vs: Seq[Double]): String =
     s"""{"metrics":[{"name":"$metric","mtype":"$mtype","measurements":[{"ts":$ts,"values":[${vs.mkString(",")}]}]}]}"""
 
+  /** Atomic drop into a file-source watched dir: write elsewhere, then
+    * move — the source can list a file mid-write otherwise and the
+    * remainder of its lines is silently lost. */
+  private def dropFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val tmp = Files.createTempFile("graft_drop", ".json")
+    Files.write(tmp, lines.mkString("\n").getBytes)
+    Files.move(tmp, Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("batch parse: negatives skipped, unknown mtype dropped, fractional floored, missing ts defaulted") {
     import spark.implicits._
     val lines = Seq(
@@ -29,6 +39,48 @@ class StreamingSpec extends SparkSpec {
     assert(byMetric("d").head.getLong(2) == 777L)
   }
 
+  test("counter streaming path: 5s sums, cascade adds") {
+    val base = Files.createTempDirectory("graft_cstream").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val si = new StreamingIngest(spark, base)
+    val q = si.startCounterTier(si.readJsonStream(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      dropFile(in, "c1.json", Seq(
+        line("reqs", "counter", T0, Seq(1, 1, 3)),
+        line("reqs", "counter", T0 + 2000, Seq(2)),
+        line("reqs", "counter", T0 + 31000, Seq(5)),
+        line("reqs", "counter", T0 + 120000, Seq(1))))
+      q.processAllAvailable()
+      // the watermark-advance no-data batch that flushes closed windows
+      // can land just after processAllAvailable — poll briefly
+      // a live sink's file listing is cached per path in the session;
+      // refresh before each poll or the first (racy) listing sticks
+      val deadline = System.currentTimeMillis() + 15000
+      def sinkCount(): Long = {
+        spark.catalog.refreshByPath(si.counterRawTierPath)
+        spark.read.parquet(si.counterRawTierPath).count()
+      }
+      while (System.currentTimeMillis() < deadline && sinkCount() < 2) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+
+    } finally q.stop()
+    spark.catalog.refreshByPath(si.counterRawTierPath)
+    val raw = spark.read.parquet(si.counterRawTierPath)
+    val byBucket = raw.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byBucket(T0) == 7L)        // 1+1+3+2 in the same 5s group
+    assert(byBucket(T0 + 30000) == 5L)
+    si.runCounterCascadeIncrement(Seq(30000L))
+    val t30 = spark.read.parquet(si.counterTierPath(30000L))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // only fully-closed tier buckets roll up: the newest source bucket
+    // (T0+30s) sits in a 30s tier bucket that is still open
+    assert(t30 == Map(T0 -> 7L))
+  }
+
   test("streaming raw tier: watermark closes 5s buckets, late rows dropped; cascade increments") {
     val base = Files.createTempDirectory("graft_stream").toString
     val in = s"$base/in"
@@ -39,19 +91,19 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
     try {
       // batch 1: two 5s groups + a watermark pusher at +120s
-      Files.write(Paths.get(s"$in/b1.json"), Seq(
+      dropFile(in, "b1.json", Seq(
         line("lat", "timer", T0, Seq(100)),
         line("lat", "timer", T0 + 1000, Seq(200)),
         line("lat", "timer", T0 + 7000, Seq(300)),
-        line("lat", "timer", T0 + 120000, Seq(1))).mkString("\n").getBytes)
+        line("lat", "timer", T0 + 120000, Seq(1))))
       q.processAllAvailable()
 
       // batch 2: a late row (before watermark T0+90s → dropped) and a
       // fresh row + pusher to flush it
-      Files.write(Paths.get(s"$in/b2.json"), Seq(
+      dropFile(in, "b2.json", Seq(
         line("lat", "timer", T0 + 20000, Seq(999)),
         line("lat", "timer", T0 + 115000, Seq(400)),
-        line("lat", "timer", T0 + 300000, Seq(1))).mkString("\n").getBytes)
+        line("lat", "timer", T0 + 300000, Seq(1))))
       q.processAllAvailable()
     } finally q.stop()
 
