@@ -55,6 +55,25 @@ object InfluxQueries {
     run(s"""select percentiles(50 99) 10.5 as base from "purchase" """ +
         s"where time between $F and $T force group by time(1h) order asc")(spark, dir)
 
+  /** All four math operators in one query (field⊕field and field⊕const;
+    * division is exercised by influx_ratio_1h). */
+  def mathOps(spark: SparkSession, dir: String): DataFrame =
+    run(s"""select e.max - e.min as spread, e.max + e.min as span, e.mean * 2 as dbl """ +
+        s"""from "error" as e where time between $F and $T force group by time(1h) order asc""")(spark, dir)
+
+  /** Regex source fan-out: one series per matched metric, unprefixed
+    * function applied to each (reference: InfluxCriteriaBuilder.scala:58-82). */
+  def multiSource(spark: SparkSession, dir: String): DataFrame =
+    run(s"""select count from "(view|click)" where time between $F and $T """ +
+        "force group by time(1h) order asc")(spark, dir)
+
+  /** Non-forced resolution adjustment: 10-day slice requesting 1m
+    * (14400 points) auto-widens to the tier landing in [100,700]
+    * points → 30m (480 points). The oracle pins the routing decision. */
+  def autoResolution(spark: SparkSession, dir: String): DataFrame =
+    run(s"""select count from "purchase" where time between $F and $T """ +
+        "group by time(1m) order asc")(spark, dir)
+
   def listSeries(spark: SparkSession, dir: String): DataFrame = {
     val planner = new InfluxPlanner(EventMetricStore.forSession(spark, dir))
     planner.execute(spark, "list series /count/").head.df
@@ -99,6 +118,9 @@ object InfluxQueries {
     "influx_star_desc_limit" -> (starDescLimit _),
     "influx_const_pct"       -> (constAndPercentiles _),
     "influx_list_series"     -> (listSeries _),
+    "influx_math_ops"        -> (mathOps _),
+    "influx_multi_source"    -> (multiSource _),
+    "influx_auto_resolution" -> (autoResolution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,6 +186,36 @@ object InfluxQueries {
          |  UNION ALL
          |  SELECT 'purchase.p99', b, CAST(p99 AS DOUBLE) FROM stats)
          |ORDER BY series, time""".stripMargin,
+    "influx_math_ops" ->
+      s"""WITH m AS (
+         |  SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
+         |         CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'error' AND floor(value) >= 0
+         |    AND epoch_ms(ts) BETWEEN $F AND $T),
+         |st AS (SELECT b, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS cnt, SUM(v) AS sm
+         |       FROM m GROUP BY b),
+         |s2 AS (SELECT b, mn, mx, (2*sm + cnt) // (2*cnt) AS mean FROM st)
+         |SELECT series, time, value FROM (
+         |  SELECT 'dbl' AS series, b AS time, CAST(mean * 2 AS DOUBLE) AS value FROM s2
+         |  UNION ALL SELECT 'span', b, CAST(mx + mn AS DOUBLE) FROM s2
+         |  UNION ALL SELECT 'spread', b, CAST(mx - mn AS DOUBLE) FROM s2)
+         |ORDER BY series, time""".stripMargin,
+    "influx_multi_source" ->
+      s"""WITH m AS (
+         |  SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b
+         |  FROM events WHERE event_type IN ('view', 'click') AND floor(value) >= 0
+         |    AND epoch_ms(ts) BETWEEN $F AND $T)
+         |SELECT event_type || '.count' AS series, b AS time,
+         |       CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM m GROUP BY 1, 2 ORDER BY series, time""".stripMargin,
+    "influx_auto_resolution" ->
+      s"""WITH m AS (
+         |  SELECT epoch_ms(ts) - epoch_ms(ts) % 1800000 AS b
+         |  FROM events WHERE event_type = 'purchase' AND floor(value) >= 0
+         |    AND epoch_ms(ts) BETWEEN $F AND $T)
+         |SELECT 'purchase.count' AS series, b AS time,
+         |       CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM m GROUP BY b ORDER BY time""".stripMargin,
     "influx_list_series" ->
       """SELECT CAST(0 AS BIGINT) AS time, event_type || '_count' AS name
         |FROM (SELECT DISTINCT event_type FROM events)

@@ -45,6 +45,10 @@ class TierStore(spark: SparkSession, baseDir: String) {
     metric.fold(df)(m => df.where(col("metric") === m)).drop("bucket_date")
   }
 
+  /** Full-table read (cascade builds; queries should use [[slice]]). */
+  def readAll(kind: String, durationMs: Long): DataFrame =
+    spark.read.parquet(path(kind, durationMs)).drop("bucket_date")
+
   /** Retention: drop partitions older than ttl (reference applies TTL
     * per tier — buckets 6h, summaries 15d/30d/90d). Returns dropped
     * partition dirs. */

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.Skew
+import graft.sketch.{Hdr, HdrAggregator}
+import graft.rollup.RollupJob
+import graft.sources.TierStore
+import org.apache.spark.sql.functions._
+
+class MiscOpsSpec extends SparkSpec {
+
+  test("typed HdrAggregator matches the Catalyst aggregate") {
+    import spark.implicits._
+    val values = Seq(5L, 9L, 13L, 22603L, 150L, 150L, 7L)
+    val typed = values.toDS().groupByKey(_ => 0)
+      .agg(HdrAggregator.sketch.toColumn).collect()(0)._2
+    graft.functions.ensureRegistered(spark)
+    val untyped = values.toDF("v").agg(graft.functions.hdr_sketch(col("v")))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(typed, untyped))
+    val h = Hdr.deserialize(typed)
+    assert(h.totalCount == 7 && h.min == 5 && h.max == 22603)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = li.join(o, "k").agg(count(lit(1)), sum("l_quantity").cast("decimal(20,2)"))
+      .collect()(0)
+    val salted = Skew.saltedJoin(li, o, "k", salt = 8)
+      .agg(count(lit(1)), sum("l_quantity").cast("decimal(20,2)")).collect()(0)
+    assert(plain == salted)
+    val hh = Skew.heavyHitters(li, "k", 3).collect()
+    assert(hh.length == 3 && hh(0).getLong(1) >= hh(2).getLong(1))
+  }
+
+  test("batch RollupJob materializes coherent tier and summary tables") {
+    val out = Files.createTempDirectory("graft_rollupjob").toString
+    RollupJob.run(spark, sf, out)
+    val store = new TierStore(spark, out)
+    // 1h summaries from the job == direct cascade in memory
+    val fromJob = store.readAll("hist_summary", 3600000L)
+      .orderBy("metric", "bucket_start").collect().toSeq
+    val meas = graft.rollup.Rollup.eventsAsMeasurements(Tables.events(spark, sf))
+    val direct = graft.rollup.Rollup.histogramSummaries(
+      graft.rollup.Rollup.histogramCascade(
+        graft.rollup.Rollup.rawHistogramTier(meas))(3600000L))
+      .orderBy("metric", "bucket_start").collect().toSeq
+    assert(fromJob == direct)
+    // counter tiers conserve total count
+    val total = store.readAll("counter", 3600000L).agg(sum("count")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("version payload") {
+    assert(Version.json.contains("graft") && Version.json.contains("0.1.0"))
+  }
+}
