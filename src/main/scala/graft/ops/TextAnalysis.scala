@@ -53,6 +53,41 @@ object TextAnalysis {
     greatest(lit(0.0), least(lit(1.0), lenScore * 0.5 + swScore * 0.5 - punctPenalty * 0.25))
   }
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * non-alphanumeric symbols — the pre-tokenizer split most BPE vocabs
+    * start from, kept RE2-safe (no lookaheads) so any engine reproduces
+    * it. */
+  val BpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Stopword-marker language ID: score each language by its marker-set
+    * hit count over the doc's tokens; predict the argmax (ties break by
+    * language order), 'und' when nothing matches. Deterministic and
+    * SQL-reproducible — the shape of an n-gram language classifier with
+    * a trivially small profile table. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isInCollection(markers))))
+    }
+    // argmax with first-wins tie-break, 'und' if best score is 0
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 === 0, "und").otherwise(best._1)
+  }
+
   /** Polynomial rolling hash over characters, mod 1e9+7, seeded 7 —
     * a cheap stable document fingerprint. Left-to-right fold via
     * `aggregate`, reproducible in any engine with the same arithmetic. */

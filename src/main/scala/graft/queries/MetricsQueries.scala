@@ -80,6 +80,22 @@ object MetricsQueries {
        |ORDER BY metric, bucket_start""".stripMargin
   }
 
+  /** Values scaled ×100 so they exceed the sketch's 2048-unit zone and
+    * percentiles exercise the real HDR quantization (power-of-two
+    * buckets, 1024 sub-buckets, highest-equivalent-value reporting).
+    * The oracle reproduces the exact bucket math in SQL — this is the
+    * query that pins the sketch's 3-significant-digit contract. */
+  def hdrQuantized1h(spark: SparkSession, dir: String): DataFrame = {
+    val meas = Tables.events(spark, dir).select(
+      col("event_type").as("metric"), col("ts_ms"),
+      floor(col("value") * 100).cast("long").as("value"))
+    val raw = Rollup.rawHistogramTier(meas)
+    val top = Rollup.histogramCascade(raw)(3600000L)
+    Rollup.histogramSummaries(top)
+      .select("metric", "bucket_start", "count", "min", "max", "p50", "p99")
+      .orderBy("metric", "bucket_start")
+  }
+
   /** JSON payload extraction (the ingest envelope is JSON in the
     * reference; here the events.props column): json path → typed
     * column, aggregated per metric. */
@@ -95,6 +111,7 @@ object MetricsQueries {
     "k_counter_rollup_1m" -> (counterRollup1m _),
     "k_hdr_summary_5m"    -> (hdrSummary5m _),
     "k_hdr_summary_1h"    -> (hdrSummary1h _),
+    "k_hdr_quantized_1h"  -> (hdrQuantized1h _),
     "k_json_props"        -> (jsonProps _),
   )
 
@@ -106,6 +123,30 @@ object MetricsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "k_hdr_summary_5m" -> summaryOracle(300000L),
     "k_hdr_summary_1h" -> summaryOracle(3600000L),
+    "k_hdr_quantized_1h" ->
+      """WITH m AS (
+        |  SELECT event_type AS metric,
+        |         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE floor(value * 100) >= 0),
+        |q AS (SELECT metric, b, v,
+        |        CASE WHEN v < 2048 THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(floor(log2(v)) AS BIGINT) - 10 END AS bi
+        |      FROM m),
+        |q2 AS (SELECT metric, b, v, bi, (v >> bi) << bi AS qv FROM q),
+        |g AS (SELECT metric, b, qv, bi, COUNT(*) AS c,
+        |        MIN(v) AS mnv, MAX(v) AS mxv
+        |      FROM q2 GROUP BY 1, 2, 3, 4),
+        |w AS (SELECT *, SUM(c) OVER (PARTITION BY metric, b ORDER BY qv) AS cum,
+        |        SUM(c) OVER (PARTITION BY metric, b) AS tot FROM g)
+        |SELECT metric, b AS bucket_start,
+        |  MAX(tot) AS count, MIN(mnv) AS min, MAX(mxv) AS max,
+        |  MIN(qv + (CAST(1 AS BIGINT) << bi) - 1)
+        |    FILTER (WHERE cum >= GREATEST(1, CAST(floor((50.0/100.0)*tot + 0.5) AS BIGINT))) AS p50,
+        |  MIN(qv + (CAST(1 AS BIGINT) << bi) - 1)
+        |    FILTER (WHERE cum >= GREATEST(1, CAST(floor((99.0/100.0)*tot + 0.5) AS BIGINT))) AS p99
+        |FROM w GROUP BY metric, b
+        |ORDER BY metric, bucket_start""".stripMargin,
     "k_json_props" ->
       """SELECT event_type,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -64,6 +64,20 @@ object PipelineQueries {
       Multimodal.syntheticMedia(Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_bpe_distinct"))
+      .orderBy("doc_id")
+
+  def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("predicted"),
+      (TextAnalysis.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
+      .orderBy("doc_id")
+
   def hllUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
@@ -82,6 +96,8 @@ object PipelineQueries {
     "e_near_dup_pairs"  -> (embNearDups _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_hll_users"       -> (hllUsers _),
+    "d_bpe_tokens"      -> (bpeTokenStats _),
+    "d_langid"          -> (langIdPredictions _),
   )
 
   // d_minhash_lsh / d_simhash / e_lsh_topk / d_hll_users are
@@ -149,6 +165,29 @@ object PipelineQueries {
         |FROM v a, v b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+        |  len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_bpe_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS w FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('el','la','de','y','que','en','un'))) AS s_es,
+         |  len(list_filter(w, x -> x IN ('le','la','de','et','que','en','un'))) AS s_fr,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und','zu','den','ist'))) AS s_de
+         |  FROM t),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |       WHEN s_de > GREATEST(s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_fr > GREATEST(s_en, s_es) THEN 'fr'
+         |       WHEN s_es > s_en THEN 'es'
+         |       ELSE 'en' END AS predicted
+         |  FROM sc)
+         |SELECT doc_id, predicted,
+         |       CAST(predicted = lang AS INT) AS matches_label
+         |FROM p ORDER BY doc_id""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
