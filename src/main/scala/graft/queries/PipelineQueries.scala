@@ -78,6 +78,21 @@ object PipelineQueries {
       (TextAnalysis.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
       .orderBy("doc_id")
 
+  /** As-of join on the events stream: each error event paired with the
+    * same user's most recent purchase at-or-before it. */
+  def asofPurchaseGap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id").as("purchase_id"))
+    graft.ops.AsOf.asofJoin(errors, purchases, "user_id", "ts_ms", Seq("purchase_id"))
+      .where(col("ts_ms_asof").isNotNull)
+      .select(col("event_id"), col("purchase_id_asof").as("purchase_id"),
+        (col("ts_ms") - col("ts_ms_asof")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   def hllUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
@@ -98,6 +113,7 @@ object PipelineQueries {
     "d_hll_users"       -> (hllUsers _),
     "d_bpe_tokens"      -> (bpeTokenStats _),
     "d_langid"          -> (langIdPredictions _),
+    "e_asof_join"       -> (asofPurchaseGap _),
   )
 
   // d_minhash_lsh / d_simhash / e_lsh_topk / d_hll_users are
@@ -188,6 +204,14 @@ object PipelineQueries {
          |SELECT doc_id, predicted,
          |       CAST(predicted = lang AS INT) AS matches_label
          |FROM p ORDER BY doc_id""".stripMargin,
+    "e_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events
+        |           WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, p.purchase_id, e.ts - p.ts AS gap_ms
+        |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,

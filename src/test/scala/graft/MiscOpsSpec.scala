@@ -52,6 +52,25 @@ class MiscOpsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("as-of join matches a window-function oracle") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id").as("purchase_id"))
+    val got = graft.ops.AsOf.asofJoin(errors, purchases, "user_id", "ts_ms", Seq("purchase_id"))
+      .where(col("ts_ms_asof").isNotNull)
+      .select("event_id", "ts_ms_asof")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: per error, max purchase ts <= error ts via plain join+group
+    val expect = errors.as("e").join(purchases.as("p"),
+        col("e.user_id") === col("p.user_id") && col("e.ts_ms") >= col("p.ts_ms"))
+      .groupBy(col("e.event_id")).agg(max(col("p.ts_ms")).as("pts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("version payload") {
     assert(Version.json.contains("graft") && Version.json.contains("0.1.0"))
   }
