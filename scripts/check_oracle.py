@@ -48,6 +48,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         if ok:
             for c in got.columns:
                 a, b = got[c], want[c]
+                if str(a.dtype) != str(b.dtype):
+                    detail = f"col {c} dtype: spark={a.dtype} duck={b.dtype}"
+                    ok = False
+                    break
                 try:
                     same = (a.values == b.values) | (a.isna().values & b.isna().values)
                 except Exception:

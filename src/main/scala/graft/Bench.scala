@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{name:sec,...}}.
@@ -8,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * 32 shuffle partitions, AQE on.
   */
 object Bench {
+
+  /** Force full evaluation of every output column (a bare .count() lets
+    * Catalyst prune computed columns, so select-only queries would
+    * measure a pruned scan instead of the operator). Hashing the whole
+    * row and summing keeps the result tiny while making every column
+    * load-bearing. */
+  def force(df: DataFrame): Unit = {
+    val h = xxhash64(df.columns.map(col): _*)
+    df.agg(sum(h)).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,10 +29,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen once so per-query numbers measure the engine,
     // not classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,6 +33,12 @@ package object functions {
       reg.createOrReplaceTempFunction(
         "word_shingles", exprs => WordShingles(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "lsh_sigs", exprs => LshSigs(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue(),
+          exprs(4).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -51,4 +57,11 @@ package object functions {
   /** Distinct word k-shingles of normalized text, single pass. */
   def word_shingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
+
+  /** All multi-table random-hyperplane LSH signatures of a vector
+    * (tables × bits, planes seeded per table), one codegen'd pass. */
+  def lsh_sigs(vec: Column, dims: Int, bits: Int, tables: Int, seed: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("lsh_sigs", vec, lit(dims), lit(bits), lit(tables), lit(seed))
+  }
 }

@@ -32,11 +32,14 @@ object Dedup {
     graft.functions.word_shingles(text, k)
 
   /** Exact dedup: one surviving (min) id per distinct normalized text.
-    * Returns (keep_id, n_dups). */
+    * Returns (keep_id, n_dups). The shuffle key is a 256-bit digest of
+    * the normalized text, not the text itself — at 100 TB the exchange
+    * carries (digest, id) pairs (~72 B/row) instead of full documents. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(normText(col(textCol)).as("norm"))
+    docs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
+      .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .drop("norm")
+      .drop("digest")
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
     * explode shingles → join docs sharing a shingle → |A∩B| per pair →

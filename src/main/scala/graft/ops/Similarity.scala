@@ -41,38 +41,72 @@ object Similarity {
         (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
 
-  /** All pairs with cosine ≥ threshold (near-duplicate detection),
-    * brute force; ids only so the result is float-robust. The threshold
-    * test is dot ≥ t·‖a‖·‖b‖ — one dot product per pair, norms
-    * precomputed per vector. */
+  /** LSH (bits, tables) sized for a cosine threshold: per-hyperplane
+    * agreement probability for a pair at exactly the threshold is
+    * p = 1 − acos(t)/π; bits chosen so a table retains ≥ ~15% of
+    * threshold pairs, tables so the residual miss probability per true
+    * pair is ≤ targetMiss ((1−p^bits)^tables). Low thresholds (far
+    * pairs) auto-degrade to few bits / many tables — the honest cost of
+    * exactness near the all-pairs regime; high thresholds (true
+    * near-dups) get many bits / few tables and sub-quadratic behavior. */
+  def lshParamsFor(threshold: Double, targetMiss: Double = 1e-5): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val bits = math.max(1, math.floor(math.log(0.07) / math.log(p)).toInt)
+    val pb = math.pow(p, bits)
+    val tables = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pb)).toInt)
+    (bits, tables)
+  }
+
+  /** All pairs with cosine ≥ threshold (near-duplicate detection).
+    * Candidates come from multi-table random-hyperplane LSH buckets —
+    * only same-bucket pairs are ever materialized, so the plan has no
+    * CartesianProduct node and at scale the pair volume is bounded by
+    * bucket collisions, not n². Candidates are then exact-verified with
+    * one codegen'd dot product (dot ≥ t·‖a‖·‖b‖, norms precomputed per
+    * vector); ids only so the result is float-robust. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   dims: Int = 64): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+    val (bits, tables) = lshParamsFor(threshold)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val buckets = lshBuckets(base, "id", "v", bits, dims, tables)
+    // Candidates are NOT deduped before verification: the verify dot is
+    // one codegen'd multiply-add loop per row, far cheaper than the
+    // wide-row distinct shuffle it would take to dedup millions of
+    // (id_a, id_b) candidates. Dedup happens after the threshold test,
+    // on the (tiny) surviving pair set.
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .where(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
-  /** Random-hyperplane LSH signature: `bits` seeded ±1 hyperplanes as a
-    * literal matrix; sign of each projection becomes a signature bit.
-    * Built from three nested higher-order folds so the expression tree
-    * stays constant-size regardless of bits × dims (a per-term column
-    * expansion blows up codegen at dims=64). */
-  def lshSignature(vec: Column, bits: Int, dims: Int, seed: Int = 42): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bits)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    val bitVals = transform(typedlit(planes), plane =>
-      when(dot(vec, plane) >= 0, 1L).otherwise(0L))
-    aggregate(bitVals, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  /** Random-hyperplane LSH signature: `bits` seeded ±1 hyperplanes;
+    * sign of each projection becomes a signature bit. Delegates to the
+    * codegen'd multi-table [[graft.functions.LshSigs]] expression with
+    * one table (identical planes and bit order). */
+  def lshSignature(vec: Column, bits: Int, dims: Int, seed: Int = 42): Column =
+    element_at(graft.functions.lsh_sigs(vec, dims, bits, 1, seed), 1)
+
+  /** (table, signature) bucket rows for every vector: one codegen'd
+    * signature pass, then posexplode. Table t's planes are seeded
+    * `seed + t`, matching per-table [[lshSignature]] calls. */
+  private def lshBuckets(df: DataFrame, idName: String, vecName: String,
+                         bits: Int, dims: Int, tables: Int, seed: Int = 42): DataFrame =
+    df.select(col(idName), posexplode(
+        graft.functions.lsh_sigs(col(vecName), dims, bits, tables, seed)).as(Seq("t", "sig")))
 
   /** ANN top-k via multi-table LSH: `tables` independent signatures of
     * `bits` hyperplanes each (distinct seeds); candidates = union over
@@ -84,14 +118,11 @@ object Similarity {
               tables: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    def buckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sigs = (0 until tables).map(t =>
-        struct(lit(t).as("t"), lshSignature(col(vec), bits, dims, seed = 42 + t).as("sig")))
-      df.select(col(id), col(vec), explode(array(sigs: _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.t").as("t"), col("bk.sig").as("sig"))
-    }
-    val sigCorpus = buckets(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
-    val sigQ = buckets(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec), posexplode(
+          graft.functions.lsh_sigs(col(vec), dims, bits, tables, 42)).as(Seq("t", "sig")))
+    val sigCorpus = withBuckets(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
+    val sigQ = withBuckets(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
     val cands = sigQ.join(sigCorpus, Seq("t", "sig"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")).distinct()
@@ -99,6 +130,6 @@ object Similarity {
       cosine(col("q_vec"), col("n_vec")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
 }

@@ -101,7 +101,7 @@ object TextAnalysis {
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
       round(meanTokenLen(col(textCol)), 4).as("mean_token_len"),
       round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
       fingerprint(col(textCol)).as("fingerprint"))

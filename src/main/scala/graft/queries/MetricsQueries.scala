@@ -72,9 +72,9 @@ object MetricsQueries {
        |        SUM(c) OVER (PARTITION BY metric, bucket_start) AS tot
        |      FROM g)
        |SELECT metric, bucket_start,
-       |  MAX(tot) AS count,
+       |  CAST(MAX(tot) AS BIGINT) AS count,
        |  MIN(v) AS min, MAX(v) AS max,
-       |  (2*SUM(v*c) + MAX(tot)) // (2*MAX(tot)) AS mean,
+       |  CAST((2*SUM(v*c) + MAX(tot)) // (2*MAX(tot)) AS BIGINT) AS mean,
        |$pCols
        |FROM w GROUP BY metric, bucket_start
        |ORDER BY metric, bucket_start""".stripMargin
@@ -140,7 +140,7 @@ object MetricsQueries {
         |w AS (SELECT *, SUM(c) OVER (PARTITION BY metric, b ORDER BY qv) AS cum,
         |        SUM(c) OVER (PARTITION BY metric, b) AS tot FROM g)
         |SELECT metric, b AS bucket_start,
-        |  MAX(tot) AS count, MIN(mnv) AS min, MAX(mxv) AS max,
+        |  CAST(MAX(tot) AS BIGINT) AS count, MIN(mnv) AS min, MAX(mxv) AS max,
         |  MIN(qv + (CAST(1 AS BIGINT) << bi) - 1)
         |    FILTER (WHERE cum >= GREATEST(1, CAST(floor((50.0/100.0)*tot + 0.5) AS BIGINT))) AS p50,
         |  MIN(qv + (CAST(1 AS BIGINT) << bi) - 1)
@@ -149,7 +149,7 @@ object MetricsQueries {
         |ORDER BY metric, bucket_start""".stripMargin,
     "k_json_props" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

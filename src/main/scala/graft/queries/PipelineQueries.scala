@@ -67,8 +67,8 @@ object PipelineQueries {
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
-      size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_bpe_distinct"))
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      size(array_distinct(TextAnalysis.bpeTokens(col("text")))).cast("long").as("n_bpe_distinct"))
       .orderBy("doc_id")
 
   def langIdPredictions(spark: SparkSession, dir: String): DataFrame =

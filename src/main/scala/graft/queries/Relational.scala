@@ -111,7 +111,7 @@ object Relational {
     Tables.part(spark, dir)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 2)
-      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+      .select(col("p_brand"), col("rk").cast("long").as("rk"), col("p_partkey"), col("p_retailprice"))
       .orderBy("p_brand", "rk")
   }
 
