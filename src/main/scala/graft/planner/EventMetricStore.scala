@@ -57,8 +57,11 @@ class EventMetricStore(spark: SparkSession, dir: String) extends SummaryProvider
     out.toMap
   }
 
-  override def summaries(metric: Metric, windowMs: Long): DataFrame = {
+  override def summaries(metric: Metric, windowMs: Long,
+                         fromMs: Long, toMs: Long): DataFrame = {
     val tiers = if (metric.isHistogram) histTiers else counterTiers
-    tiers(windowMs).where(col("metric") === metric.name).drop("metric")
+    tiers(windowMs).where(col("metric") === metric.name)
+      .where(col("bucket_start").between(fromMs, toMs))
+      .drop("metric")
   }
 }

@@ -13,7 +13,11 @@ import graft.ql.InfluxParser
   */
 trait SummaryProvider {
   def catalog: MetricCatalog
-  def summaries(metric: Metric, windowMs: Long): DataFrame
+  /** Summary rows for one metric at one resolution, restricted to
+    * [fromMs, toMs]. Implementations push the range into partition
+    * pruning (the reference pushes it into CQL —
+    * store/SummaryStore.scala:108-117). */
+  def summaries(metric: Metric, windowMs: Long, fromMs: Long, toMs: Long): DataFrame
   /** Resolutions available, ascending (reference: reference.conf:11). */
   def windows: Seq[Long] = graft.rollup.Rollup.StandardTiers
 }
@@ -173,7 +177,7 @@ class InfluxPlanner(provider: SummaryProvider,
     // once: InfluxQueryResolver.scala:135-142); limit rides the time
     // order so it's a top-k pushed below the grid join
     val reads: Map[String, DataFrame] = sourceMap.map { case (tid, m) =>
-      val base = provider.summaries(m, windowMs)
+      val base = provider.summaries(m, windowMs, from, to)
         .where(col("bucket_start").between(from, to))
       val ordered =
         if (q.orderAsc) base.orderBy(col("bucket_start").asc)

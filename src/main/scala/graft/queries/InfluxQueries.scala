@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.planner.{EventMetricStore, InfluxPlanner}
+import graft.planner.{InfluxPlanner, MaterializedTiers}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +21,7 @@ object InfluxQueries {
 
   private def run(query: String, asc: Boolean = true)
                  (spark: SparkSession, dir: String): DataFrame = {
-    val planner = new InfluxPlanner(EventMetricStore.forSession(spark, dir))
+    val planner = new InfluxPlanner(MaterializedTiers.provider(spark, dir))
     val long = planner.executeLong(spark, query)
     if (asc) long.orderBy(col("series"), col("time").asc)
     else long.orderBy(col("series"), col("time").desc)
@@ -75,7 +75,7 @@ object InfluxQueries {
         "group by time(1m) order asc")(spark, dir)
 
   def listSeries(spark: SparkSession, dir: String): DataFrame = {
-    val planner = new InfluxPlanner(EventMetricStore.forSession(spark, dir))
+    val planner = new InfluxPlanner(MaterializedTiers.provider(spark, dir))
     planner.execute(spark, "list series /count/").head.df
       .select(col("time"), col("value").as("name")).orderBy("name")
   }

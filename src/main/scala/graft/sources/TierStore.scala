@@ -26,9 +26,16 @@ class TierStore(spark: SparkSession, baseDir: String) {
     df.withColumn("bucket_date",
       to_date(timestamp_millis(col("bucket_start"))))
 
-  /** Append tier rows (metric, bucket_start, payload…) date-partitioned. */
+  /** Append tier rows (metric, bucket_start, payload…) date-partitioned.
+    * Rows are shuffled onto their date before the write so each date
+    * directory gets one file per shuffle partition that actually holds
+    * that date (for tier tables — post-aggregation rows of a few hundred
+    * bytes — that is one file), instead of every write task spraying a
+    * sliver into every date. Small-file counts are what kill both this
+    * write and every later read's file listing; at larger volumes the
+    * shuffle partition count bounds per-task file size as usual. */
   def append(kind: String, durationMs: Long, tier: DataFrame): Unit =
-    withDate(tier).write
+    withDate(tier).repartition(col("bucket_date")).write
       .mode(SaveMode.Append)
       .partitionBy("bucket_date")
       .parquet(path(kind, durationMs))

@@ -14,7 +14,8 @@ class InfluxPlannerSpec extends SparkSpec {
   private def plannerWith(metrics: Seq[Metric], min: Int = 700, max: Int = 1000) =
     new InfluxPlanner(new SummaryProvider {
       val catalog = MetricCatalog(metrics)
-      def summaries(m: Metric, w: Long): DataFrame = spark.emptyDataFrame
+      def summaries(m: Metric, w: Long, fromMs: Long, toMs: Long): DataFrame =
+        spark.emptyDataFrame
     }, () => NOW, min, max)
 
   private val p = plannerWith(Seq(Metric("metricA", "timer"), Metric("counterB", "counter")))

@@ -14,8 +14,8 @@ object ProfileInflux {
       println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val store = EventMetricStore.forSession(spark, dir)
-    t("raw tier count") { store.summaries(Metric("view", "timer"), 30000L).count() }
-    t("1h summaries")   { store.summaries(Metric("view", "timer"), 3600000L).count() }
+    t("raw tier count") { store.summaries(Metric("view", "timer"), 30000L, 0L, Long.MaxValue).count() }
+    t("1h summaries")   { store.summaries(Metric("view", "timer"), 3600000L, 0L, Long.MaxValue).count() }
     t("const_pct cold (cached tiers)") { InfluxQueries.constAndPercentiles(spark, dir).count() }
     t("const_pct warm") { InfluxQueries.constAndPercentiles(spark, dir).count() }
     t("cpm30m")         { InfluxQueries.cpm30m(spark, dir).count() }
