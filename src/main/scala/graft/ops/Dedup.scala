@@ -153,16 +153,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes: per bit, sign-sum of token hash
-    * bits; assembled with bit arithmetic — all built-in expressions. */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** SimHash over token hashes: per bit, sign-sum of token hash bits;
+    * assembled with bit arithmetic — all built-in expressions. Default
+    * is 64-bit xxhash64; pass `tokenHash = TextAnalysis.polyHash` with
+    * `bits = 30` for a signature any SQL engine can replicate exactly
+    * (the driver-oracle configuration). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("t")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val summed = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until bits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
     summed.select(col("id"), sig.as("simhash"))

@@ -89,13 +89,18 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling hash over characters, mod 1e9+7, seeded 7 —
-    * a cheap stable document fingerprint. Left-to-right fold via
-    * `aggregate`, reproducible in any engine with the same arithmetic. */
-  def fingerprint(text: Column): Column =
+    * cheap, stable, and reproducible in any engine with 64-bit integer
+    * arithmetic (unlike xxhash64, whose exact constants SQL engines
+    * don't expose). Values are < 2^30, so bits 0..29 are usable as
+    * independent-ish hash bits. */
+  def polyHash(s: Column): Column =
     aggregate(
-      transform(split(normText(text), ""), c => ascii(c).cast("long")),
+      transform(split(s, ""), c => ascii(c).cast("long")),
       lit(7L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Document fingerprint: [[polyHash]] of the normalized text. */
+  def fingerprint(text: Column): Column = polyHash(normText(text))
 
   /** Per-document text stats frame. */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

