@@ -41,28 +41,65 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("digest")
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
-    * explode shingles → join docs sharing a shingle → |A∩B| per pair →
-    * jaccard from precomputed set sizes. Exact for all pairs with
-    * jaccard > 0 (pairs sharing no shingle can't pass any threshold). */
-  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (id, shingle) exploded frame, persisted — both sides of the
+    * self-join and the size lookup reuse it. */
+  private def shingleFrame(docs: DataFrame, k: Int,
+                           idCol: String, textCol: String): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
-    // persisted: both sides of the self-join and the size lookup reuse
-    // this frame — without it the shingle expansion runs 4×
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
       .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz")) // shingles are distinct already
-    val pairs = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+  }
+
+  /** jaccard-filtered output from per-pair intersection counts. */
+  private def finishPairs(inter: DataFrame, sizes: DataFrame,
+                          threshold: Double): DataFrame =
+    inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * explode shingles → join docs sharing a shingle → |A∩B| per pair →
+    * jaccard from precomputed set sizes. Exact for all pairs with
+    * jaccard > 0 (pairs sharing no shingle can't pass any threshold). */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleFrame(docs, k, idCol, textCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz")) // shingles are distinct already
+    val pairs = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    finishPairs(pairs, sizes, threshold)
+  }
+
+  /** Adaptive variant (the one pipelines should call): measures the
+    * inverted index's candidate-pair volume Σ_s C(df_s, 2) — the exact
+    * row count the plain join would materialize — with one tiny
+    * aggregate over the shingle-frequency frame, then picks the plain
+    * join (low-collision corpora: near-linear, no ranking overhead) or
+    * the PPJoin prefix filter (hot-shingle corpora: removes the
+    * quadratic hot-shingle blowup). The driver-side decision scalar is
+    * the same pattern AQE uses: plan from measured stats, not hopes.
+    * Output is identical either way.
+    *
+    * `maxCandidatePairs` default: 100M candidate rows ≈ a few GB of
+    * shuffle — comfortably under a single stage's budget; beyond it the
+    * prefix filter's extra passes pay for themselves. */
+  def jaccardPairsAdaptive(docs: DataFrame, k: Int, threshold: Double,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           maxCandidatePairs: Long = 100000000L): DataFrame = {
+    val sh = shingleFrame(docs, k, idCol, textCol)
+    val candVolume = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2)).head.getAs[Any](0) match {
+        case null          => 0L
+        case d: java.math.BigDecimal => d.longValue()
+        case n: Number     => n.longValue()
+      }
+    if (candVolume <= maxCandidatePairs) jaccardPairs(docs, k, threshold, idCol, textCol)
+    else jaccardPairsPrefix(docs, k, threshold, idCol, textCol)
   }
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin-style): sort each

@@ -39,7 +39,7 @@ object MaterializedTiers {
 
   /** Bump when the sketch/rollup on-disk format or semantics change —
     * stale tier directories from older code are rebuilt, not trusted. */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   private val providers =
     scala.collection.concurrent.TrieMap.empty[(Int, String), TierSummaryProvider]

@@ -74,6 +74,13 @@ object InfluxQueries {
     run(s"""select count from "purchase" where time between $F and $T """ +
         "group by time(1m) order asc")(spark, dir)
 
+  /** Gauge-typed metric end-to-end: gauges accept the full histogram
+    * function set (reference treats timer and gauge identically —
+    * model/HistogramSummary.scala:112-113). */
+  def gaugeP95(spark: SparkSession, dir: String): DataFrame =
+    run(s"""select p95, min from "view_gauge" where time between $F and $T """ +
+        "force group by time(1h) order asc")(spark, dir)
+
   def listSeries(spark: SparkSession, dir: String): DataFrame = {
     val planner = new InfluxPlanner(MaterializedTiers.provider(spark, dir))
     planner.execute(spark, "list series /count/").head.df
@@ -121,6 +128,7 @@ object InfluxQueries {
     "influx_math_ops"        -> (mathOps _),
     "influx_multi_source"    -> (multiSource _),
     "influx_auto_resolution" -> (autoResolution _),
+    "influx_gauge_p95"       -> (gaugeP95 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,5 +228,24 @@ object InfluxQueries {
       """SELECT CAST(0 AS BIGINT) AS time, event_type || '_count' AS name
         |FROM (SELECT DISTINCT event_type FROM events)
         |ORDER BY name""".stripMargin,
+    "influx_gauge_p95" ->
+      s"""WITH m AS (
+         |  SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
+         |         CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'view' AND floor(value) >= 0
+         |    AND epoch_ms(ts) BETWEEN $F AND $T),
+         |g AS (SELECT b, v, COUNT(*) AS c FROM m GROUP BY 1, 2),
+         |w AS (SELECT b, v, c,
+         |        SUM(c) OVER (PARTITION BY b ORDER BY v) AS cum,
+         |        SUM(c) OVER (PARTITION BY b) AS tot FROM g),
+         |stats AS (
+         |  SELECT b, MIN(v) AS mnv,
+         |    MIN(v) FILTER (WHERE cum >= GREATEST(1, CAST(floor((95.0/100.0)*tot + 0.5) AS BIGINT))) AS p95
+         |  FROM w GROUP BY b)
+         |SELECT series, time, value FROM (
+         |  SELECT 'view_gauge.min' AS series, b AS time, CAST(mnv AS DOUBLE) AS value FROM stats
+         |  UNION ALL
+         |  SELECT 'view_gauge.p95', b, CAST(p95 AS DOUBLE) FROM stats)
+         |ORDER BY series, time""".stripMargin,
   )
 }

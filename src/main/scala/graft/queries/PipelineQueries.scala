@@ -20,11 +20,11 @@ object PipelineQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
 
-  // plain inverted-index join: this corpus has low shingle collision
-  // (max df 25), where the PPJoin prefix machinery costs more than it
-  // saves; jaccardPairsPrefix is the hot-shingle-corpus alternative
+  // adaptive: measures the inverted index's candidate volume and picks
+  // plain join (this corpus: low collision, max df 25) or the PPJoin
+  // prefix filter (hot-shingle corpora) — identical output either way
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.5)
+    Dedup.jaccardPairsAdaptive(Tables.documents(spark, dir), k = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** LSH-accelerated near-dup pairs, exact-verified. Bands sized so a

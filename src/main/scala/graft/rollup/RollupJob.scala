@@ -47,8 +47,15 @@ object RollupJob {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
 
-    // histogram cascade: raw 5s + standard tiers, each persisted
-    val raw = keep(Rollup.rawHistogramTier(meas))
+    // histogram cascade: raw 5s + standard tiers, each persisted.
+    // view_gauge is a gauge-typed metric (reference treats gauges and
+    // timers identically in the rollup — model/HistogramBucket.scala);
+    // it rides the same cascade and pins the gauge path end-to-end.
+    val gauges = Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .selectExpr("'view_gauge' AS metric", "ts_ms",
+        "CAST(floor(value) AS BIGINT) AS value")
+    val raw = keep(Rollup.rawHistogramTier(meas.unionAll(gauges)))
     val rawWrite = Future(store.append("hist", Rollup.RawGroupMs, raw))
     var prev = raw
     val histWrites = Rollup.StandardTiers.map { d =>
@@ -79,6 +86,7 @@ object RollupJob {
         .selectExpr("event_type AS name", "'timer' AS mtype")
         .unionAll(Tables.events(spark, sfDir).select(col("event_type")).distinct()
           .selectExpr("event_type || '_count' AS name", "'counter' AS mtype"))
+        .unionAll(spark.sql("SELECT 'view_gauge' AS name, 'gauge' AS mtype"))
       meta.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/meta")
     }

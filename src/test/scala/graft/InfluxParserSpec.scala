@@ -153,4 +153,49 @@ class InfluxParserSpec extends AnyFunSuite {
     val q = parse("""select max(value) from "m" where time >= 1 group by time(1m)""")
     assert(q.projections == Seq(Field("max", None, None)))
   }
+
+  // ---- rejection corpus (reference: InfluxQueryParserSpec.scala:667-729) ----
+
+  private def rejects(q: String): Unit =
+    intercept[UnsupportedOperationException] { parse(q) }
+
+  test("query without projection fails") {
+    rejects("""select from "m" where time >= 1 group by time(30s)""")
+  }
+
+  test("query without from clause fails") {
+    rejects("select max(value) ")
+  }
+
+  test("query without table fails") {
+    rejects("select max(value) from")
+  }
+
+  test("unclosed string literal fails") {
+    rejects("""select max(value) from "m" where host = 'host""")
+  }
+
+  test("unclosed parenthesis fails") {
+    rejects("""select max(value) from "m" where time >= 1 group by time(30s""")
+  }
+
+  test("invalid now-offset suffix fails") {
+    rejects("""select max(value) from "m" where time > now() - 1j group by time(30s)""")
+  }
+
+  test("star mixed with another projection fails") {
+    rejects("""select * max from "m" where time >= 1 group by time(30s)""")
+  }
+
+  test("invalid operator fails") {
+    rejects("""select max(value) & 3 from "m" where time >= 1 group by time(30s)""")
+  }
+
+  test("operation without operator fails") {
+    rejects("""select max 3 from "m" where time >= 1 group by time(30s)""")
+  }
+
+  test("unknown order keyword fails") {
+    rejects("""select * from "m" where time >= 1 group by time(30s) order inexistentOrder""")
+  }
 }

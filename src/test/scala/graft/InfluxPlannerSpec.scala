@@ -96,6 +96,18 @@ class InfluxPlannerSpec extends SparkSpec {
     }
   }
 
+  test("bind rejects binary ops referencing an inexistent table alias") {
+    // reference: InfluxQueryParserSpec.scala:727-729 (either operand)
+    for ((l, r) <- Seq(("y", "x"), ("x", "y"))) {
+      intercept[UnsupportedOperationException] {
+        p.bind(Query(Seq(BinaryOp(Field("count", None, Some(l)),
+            Field("max", None, Some(r)), "+", "operation")),
+          Seq(TableRef("metricA", Some("x"))),
+          Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+      }
+    }
+  }
+
   test("star expansion per metric type") {
     val (bound, _) = p.bind(Query(Seq(AllFields(None)),
       Seq(TableRef("counterB", None)),

@@ -38,8 +38,12 @@ class MiscOpsSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_rollupjob").toString
     RollupJob.run(spark, sf, out)
     val store = new TierStore(spark, out)
-    // 1h summaries from the job == direct cascade in memory
+    // 1h summaries from the job == direct cascade in memory (view_gauge
+    // is the job's extra gauge-typed metric — present, compared apart)
+    assert(store.readAll("hist_summary", 3600000L)
+      .where(col("metric") === "view_gauge").count() > 0)
     val fromJob = store.readAll("hist_summary", 3600000L)
+      .where(col("metric") =!= "view_gauge")
       .orderBy("metric", "bucket_start").collect().toSeq
     val meas = graft.rollup.Rollup.eventsAsMeasurements(Tables.events(spark, sf))
     val direct = graft.rollup.Rollup.histogramSummaries(

@@ -21,6 +21,27 @@ class OpsSpec extends SparkSpec {
     assert(pref == naive)
   }
 
+  test("adaptive jaccard matches on both corpus shapes and flips its plan") {
+    import spark.implicits._
+    // hot-shingle corpus: every doc shares one dominant phrase, so the
+    // plain inverted-index join would materialize ~n²/2 candidates
+    val hot = (0L until 60L).map(i => (i, s"the quick brown fox jumps over dog number $i end"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // forced-low cap → prefix path; forced-high cap → plain path
+    val viaPrefix = pairSet(Dedup.jaccardPairsAdaptive(hot, k = 3, threshold = 0.5,
+      maxCandidatePairs = 10L))
+    val viaPlain = pairSet(Dedup.jaccardPairsAdaptive(hot, k = 3, threshold = 0.5,
+      maxCandidatePairs = Long.MaxValue))
+    assert(viaPrefix == viaPlain)
+    // low-collision corpus (testdata): default cap picks the plain join
+    // and matches the explicit plain result
+    val adaptive = pairSet(Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5))
+    val plain = pairSet(Dedup.jaccardPairs(docs, k = 3, threshold = 0.5))
+    assert(adaptive == plain)
+  }
+
   test("minhash LSH pairs are a subset of exact jaccard pairs (verified)") {
     val exact = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
