@@ -17,7 +17,11 @@ object Monitoring {
 
   private case class Sample(metric: String, tsMs: Long, value: Long)
   private val samples = new ConcurrentLinkedQueue[Sample]()
-  @volatile private var listenerRegistered = false
+  // per-session registration: a listener binds one session's
+  // listenerManager, so a JVM-global flag would leave every session
+  // after the first silently uninstrumented
+  private val instrumented = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]())
 
   def recordTimer(name: String, millis: Long,
                   now: Long = System.currentTimeMillis()): Unit =
@@ -27,9 +31,9 @@ object Monitoring {
                        now: Long = System.currentTimeMillis()): Unit =
     samples.add(Sample(s"~system.$name", now, n))
 
-  /** Attach Spark query instrumentation (idempotent per JVM). */
-  def instrument(spark: SparkSession): Unit = synchronized {
-    if (!listenerRegistered) {
+  /** Attach Spark query instrumentation (idempotent per session). */
+  def instrument(spark: SparkSession): Unit = {
+    if (instrumented.add(System.identityHashCode(spark.sessionState))) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =
@@ -38,7 +42,6 @@ object Monitoring {
                                exception: Exception): Unit =
           incrementCounter("query.failures")
       })
-      listenerRegistered = true
     }
   }
 

@@ -148,6 +148,18 @@ class InfluxPlannerSpec extends SparkSpec {
     intercept[Exception] { res.head.df.collect() }
   }
 
+  test("influx series JSON envelope: (name, columns, points), time first") {
+    val res = eplanner.execute(spark,
+      """select count from "purchase" where time between 1704067200000 and 1704153599999 force group by time(1h)""")
+    val series = InfluxProtocol.toInfluxSeries(res)
+    assert(series.head.name == "purchase")
+    assert(series.head.columns == Vector("time", "count"))
+    assert(series.head.points.nonEmpty &&
+      series.head.points.forall(p => p.length == 2 && p.head.isInstanceOf[Long]))
+    val json = InfluxProtocol.toJson(res)
+    assert(json.startsWith("""[{"name":"purchase","columns":["time","count"],"points":[["""))
+  }
+
   test("list series returns catalog matches") {
     val res = eplanner.execute(spark, "list series /count/")
     val names = res.head.df.collect().map(_.getString(1)).toSeq
