@@ -16,7 +16,9 @@ object Bench {
     * row and summing keeps the result tiny while making every column
     * load-bearing. */
   def force(df: DataFrame): Unit = {
-    val h = xxhash64(df.columns.map(col): _*)
+    // modular sum: a straight sum of 64-bit hashes overflows (ANSI mode
+    // raises) after a handful of rows
+    val h = xxhash64(df.columns.map(col): _*) % 1000000007L
     df.agg(sum(h)).collect()
     ()
   }
