@@ -41,12 +41,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("digest")
 
-  /** (id, shingle) exploded frame, persisted — both sides of the
-    * self-join and the size lookup reuse it. */
+  /** (id, shingle-hash) exploded frame, persisted — both sides of the
+    * self-join and the size lookup reuse it. Shingles are joined by
+    * xxhash64, not by string: the shuffle then carries 8-byte keys
+    * instead of k-word text, and the join compares longs. A 64-bit
+    * collision (p ≈ n²/2^65 over distinct shingles) could only merge two
+    * shingles into one inverted-index posting — negligible, and the
+    * exact intersection verify still bounds the damage to one count. */
   private def shingleFrame(docs: DataFrame, k: Int,
                            idCol: String, textCol: String): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
       .persist()
   }
 
@@ -113,10 +120,8 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, k: Int, threshold: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.functions.ensureRegistered(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-      .persist()
+    val sh = shingleFrame(docs, k, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
@@ -142,11 +147,11 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64; one aggregation pass (explode shingles → min per seed). */
+    * xxhash64 over the shingle hash; one aggregation pass (explode
+    * shingles → min per seed). */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.functions.ensureRegistered(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+    val sh = shingleFrame(docs, k, idCol, textCol)
     val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -172,9 +177,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates exactly (join back the shingle sets)
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-      .persist()
+    // verify candidates exactly (join back the shingle-hash sets)
+    val sh = shingleFrame(docs, k, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")

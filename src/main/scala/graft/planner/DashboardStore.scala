@@ -1,0 +1,67 @@
+package graft.planner
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+/** Grafana dashboard key-value store with the reference's query-string
+  * routing (reference: influx/finder/InfluxDashboardResolver.scala:44-118):
+  * the Grafana Influx driver issues get/list/drop as pseudo-queries whose
+  * shape encodes the operation — base64 dashboard name inside a
+  * `"grafana.dashboard_<b64>"` table for get/drop, a regex for list.
+  *
+  * Storage is one file per dashboard (name base64url-encoded in the
+  * filename, content = the opaque dashboard blob). Dashboards are a
+  * driver-side dimension-store concern — a handful of KB, mutated by
+  * humans — so a Spark job or distributed table would be the wrong tool;
+  * on a cluster this directory lives on shared storage.
+  */
+class DashboardStore(dir: String) {
+
+  // reference: InfluxDashboardResolver.scala:46-54
+  private val GetDashboardPattern = "select.*_(.*)\".*".r
+  private val ListDashboardsPattern = "select.*/(.*)/..*".r
+  private val DropDashboardPattern = "drop.*_(.*)\".*".r
+
+  new File(dir).mkdirs()
+
+  case class Dashboard(name: String, content: Array[Byte])
+
+  private def fileFor(name: String): File =
+    new File(dir, Base64.getUrlEncoder.withoutPadding.encodeToString(
+      name.getBytes("UTF-8")) + ".dash")
+
+  private def nameOf(f: File): String =
+    new String(Base64.getUrlDecoder.decode(f.getName.stripSuffix(".dash")), "UTF-8")
+
+  def store(name: String, content: Array[Byte]): String = {
+    Files.write(Paths.get(fileFor(name).getPath), content)
+    name
+  }
+
+  def lookup(nameRegex: String): Seq[Dashboard] = {
+    val p = java.util.regex.Pattern.compile(nameRegex)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".dash"))
+      .map(f => f -> nameOf(f))
+      .filter { case (_, n) => p.matcher(n).matches() }
+      .sortBy(_._2)
+      .map { case (f, n) => Dashboard(n, Files.readAllBytes(f.toPath)) }
+  }
+
+  def drop(name: String): Unit = { fileFor(name).delete(); () }
+
+  /** Route a Grafana pseudo-query (reference semantics: get decodes the
+    * base64 name; list matches a case-insensitive regex; drop deletes;
+    * anything else is unsupported). */
+  def operation(expression: String): Seq[Dashboard] = expression match {
+    case GetDashboardPattern(b64)  => lookup(java.util.regex.Pattern.quote(decode(b64)))
+    case ListDashboardsPattern(re) => lookup(s"(?i)$re")
+    case DropDashboardPattern(b64) => drop(decode(b64)); Seq.empty
+    case other =>
+      throw new UnsupportedOperationException(s"Unsupported grafana expression [$other]")
+  }
+
+  private def decode(b64: String): String =
+    new String(Base64.getDecoder.decode(b64), "UTF-8")
+}

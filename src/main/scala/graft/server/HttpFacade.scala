@@ -1,0 +1,119 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.zip.GZIPInputStream
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Version
+import graft.ingest.MetricBatchIngest
+import graft.planner.{DashboardStore, InfluxPlanner, InfluxProtocol}
+
+/** Thin HTTP facade over the engine — the reference's spray endpoints
+  * re-expressed on the JDK's built-in server (no extra dependencies):
+  *
+  *  - `GET  /khronus/version`                → version JSON
+  *    (reference: service/VersionService.scala:37-47)
+  *  - `GET  /khronus/db/influx/series?q=…`   → InfluxSeries JSON envelope;
+  *    Grafana dashboard pseudo-queries route to the dashboard store
+  *    (reference: influx/service/InfluxService.scala:46-66)
+  *  - `POST /khronus/metrics`                → gzip-or-plain JSON
+  *    MetricBatch; parsed and handed to the ingest sink asynchronously,
+  *    200 returned immediately — at-most-once, errors logged, matching
+  *    the reference's fire-and-forget ingest
+  *    (reference: service/KhronusEnpoint.scala:34-46)
+  *
+  * The facade is driver-side plumbing: every byte of real work happens
+  * in the planner/ingest DataFrames it delegates to.
+  */
+class HttpFacade(spark: SparkSession,
+                 planner: InfluxPlanner,
+                 dashboards: DashboardStore,
+                 ingestSink: DataFrame => Unit = _ => (),
+                 port: Int = 0) {
+
+  private var server: HttpServer = _
+  private val ingestPool = Executors.newSingleThreadExecutor()
+
+  /** Start listening; returns the bound port (ephemeral when port=0). */
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/khronus/version", (ex: HttpExchange) =>
+      respond(ex, 200, Version.json))
+    server.createContext("/khronus/db/influx/series", (ex: HttpExchange) =>
+      try {
+        val q = queryParam(ex, "q").getOrElse(
+          throw new UnsupportedOperationException("missing q parameter"))
+        val json =
+          if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop")) {
+            dashboards.operation(q).map { d =>
+              s"""{"name":${jsonStr(d.name)},"columns":["dashboard"],""" +
+                s""""points":[[${jsonStr(new String(d.content, UTF_8))}]]}"""
+            }.mkString("[", ",", "]")
+          } else InfluxProtocol.toJson(planner.execute(spark, q))
+        respond(ex, 200, json)
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+      })
+    server.createContext("/khronus/metrics", (ex: HttpExchange) => {
+      val body = new String(readBody(ex), UTF_8)
+      // 200 first, parse/ingest after — the reference acks before work
+      respond(ex, 200, "")
+      ingestPool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            import spark.implicits._
+            ingestSink(MetricBatchIngest.parse(Seq(body).toDF("value")))
+          } catch { case e: Exception => System.err.println(s"[graft] ingest failed: $e") }
+      })
+      ()
+    })
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    ingestPool.shutdown()
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.takeWhile(_ != '=') == name =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    })
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val raw = ex.getRequestBody
+    val in =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.equalsIgnoreCase("gzip"))) new GZIPInputStream(raw)
+      else raw
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+}

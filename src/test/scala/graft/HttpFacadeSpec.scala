@@ -1,0 +1,75 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.planner.{DashboardStore, InfluxPlanner, MaterializedTiers}
+import graft.server.HttpFacade
+
+class HttpFacadeSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Option(stream).map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def post(url: String, payload: String): Int = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(payload.getBytes(UTF_8))
+    val code = conn.getResponseCode
+    conn.disconnect()
+    code
+  }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("facade serves version, influx series, ingest, and dashboards") {
+    val dashDir = java.nio.file.Files.createTempDirectory("graft_dash").toString
+    val ingested = new java.util.concurrent.LinkedBlockingQueue[Long]()
+    val facade = new HttpFacade(spark,
+      new InfluxPlanner(MaterializedTiers.provider(spark, sf)),
+      new DashboardStore(dashDir),
+      df => ingested.put(df.count()))
+    val port = facade.start()
+    try {
+      val base = s"http://localhost:$port"
+
+      val (vc, vb) = get(s"$base/khronus/version")
+      assert(vc == 200 && vb == Version.json)
+
+      val q = """select count from "purchase" where time between 1704067200000 and 1704153599999 force group by time(1h)"""
+      val (sc, sb) = get(s"$base/khronus/db/influx/series?q=${enc(q)}")
+      assert(sc == 200 && sb.startsWith("""[{"name":"purchase","columns":["time","count"]"""))
+
+      val (lc, lb) = get(s"$base/khronus/db/influx/series?q=${enc("list series /count/")}")
+      assert(lc == 200 && lb.contains("purchase_count"))
+
+      val (bc, bb) = get(s"$base/khronus/db/influx/series?q=${enc("select banana from")}")
+      assert(bc == 400 && bb.contains("error"))
+
+      // ingest: fire-and-forget 200, parsed rows arrive at the sink
+      val batch = """{"metrics":[{"name":"m1","mtype":"timer","measurements":[{"ts":1704067200000,"values":[5, 7]}]}]}"""
+      assert(post(s"$base/khronus/metrics", batch) == 200)
+      val n = ingested.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(n == 2L)
+
+      // dashboards: store, grafana-style get / list / drop
+      val store = new DashboardStore(dashDir)
+      store.store("mydash", """{"title":"mydash"}""".getBytes(UTF_8))
+      val b64 = java.util.Base64.getEncoder.encodeToString("mydash".getBytes(UTF_8))
+      val (gc, gb) = get(s"$base/khronus/db/influx/series?q=${enc(s"""select dashboard from "grafana.dashboard_$b64"&time_precision=s""")}")
+      assert(gc == 200 && gb.contains("mydash"))
+      val (xc, xb) = get(s"$base/khronus/db/influx/series?q=${enc("""select * from /grafana.dashboard_.*/ where title =~ /.*mydash.*/i&time_precision=s""")}")
+      assert(xc == 200 && xb.contains("mydash"))
+      val (dc, _) = get(s"$base/khronus/db/influx/series?q=${enc(s"""drop series "grafana.dashboard_$b64"""")}")
+      assert(dc == 200)
+      assert(new DashboardStore(dashDir).lookup(".*").isEmpty)
+    } finally facade.stop()
+  }
+}
