@@ -119,15 +119,20 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), col(vec), posexplode(
+      df.select(col(id), posexplode(
           graft.functions.lsh_sigs(col(vec), dims, bits, tables, 42)).as(Seq("t", "sig")))
     val sigCorpus = withBuckets(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
     val sigQ = withBuckets(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
+    // dedup on bare (q_id, n_id) — running distinct over rows that carry
+    // the vectors would shuffle ~dims×4 bytes per candidate copy; the
+    // vectors join back once per unique candidate instead
     val cands = sigQ.join(sigCorpus, Seq("t", "sig"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")).distinct()
-    val scored = cands.select(col("q_id"), col("n_id"),
-      cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), "q_id")
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
