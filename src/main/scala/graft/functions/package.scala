@@ -39,6 +39,17 @@ package object functions {
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue(),
           exprs(4).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "ivf_probe", exprs => IvfProbe(exprs.head,
+          {
+            val arr = exprs(1).eval()
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until arr.numElements()).map { i =>
+              val row = arr.getArray(i)
+              (0 until row.numElements()).map(row.getDouble).toSeq
+            }.toSeq
+          },
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -63,5 +74,11 @@ package object functions {
   def lsh_sigs(vec: Column, dims: Int, bits: Int, tables: Int, seed: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_sigs", vec, lit(dims), lit(bits), lit(tables), lit(seed))
+  }
+
+  /** The nprobe nearest IVF centroid ids by cosine, nearest first. */
+  def ivf_probe(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("ivf_probe", vec, typedlit(centroids), lit(nprobe))
   }
 }

@@ -137,4 +137,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
+
+  /** Deterministic IVF coarse quantizer: init = the nlist lowest-id
+    * vectors, then `iters` Lloyd steps with cosine assignment (the
+    * per-cell mean, renormalized; empty cells keep their centroid).
+    * Centroid count is tiny, so the per-step reduce is one
+    * groupBy(cell, dim) over posexploded vectors and a driver-side
+    * collect of nlist×dims doubles — the k-means pattern at any scale. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    def normalized(v: Seq[Double]): Seq[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
+      v.map(_ / nrm)
+    }
+    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble))).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      val means = assigned.groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0)))
+          normalized(old.indices.map(d => means((c, d))))
+        else old
+      }
+    }
+    cents
+  }
+
+  /** ANN top-k via IVF: corpus vectors live in their nearest-centroid
+    * cell; each query probes its `nprobe` nearest cells and ranks
+    * exactly within them. Cells partition the corpus, so candidates
+    * need no dedup. `nprobe = nlist` degenerates to an exact full scan
+    * (the oracle configuration on this unclustered corpus — see
+    * lshTopK's note: random embeddings are the worst case for any
+    * partition-pruned ANN; clustered real corpora are the win case). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+    val scored = broadcast(probed).join(assigned, "cell")
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+  }
 }

@@ -69,6 +69,18 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF ANN in its exactness configuration (nprobe = nlist): the
+    * cell-partition/probe/join plumbing is the 100 TB-shaped plan; on
+    * this unclustered corpus any pruned probe loses borderline
+    * neighbors (see Similarity.ivfTopK), so the oracle-checked query
+    * probes every cell and must equal brute force. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      nlist = 16, nprobe = 16)
+      .orderBy("q_id", "rank")
+  }
+
   def embNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("id_a", "id_b")
@@ -122,6 +134,7 @@ object PipelineQueries {
     "d_quality"         -> (qualityScores _),
     "e_cosine_topk"     -> (cosineTopK _),
     "e_lsh_topk"        -> (lshTopK _),
+    "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_hll_users"       -> (hllUsers _),
@@ -175,6 +188,16 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" -> SimhashOracle,
+    "e_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "e_lsh_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),

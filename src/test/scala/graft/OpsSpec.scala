@@ -75,6 +75,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall too low: $recall")
   }
 
+  test("IVF top-k: full probe equals brute force; pruned probe retains recall") {
+    val queries = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf)
+    val prunedPairs = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val recall = (bfPairs intersect prunedPairs).size.toDouble / bfPairs.size
+    // unclustered random embeddings are the worst case for cell pruning
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema == Multimodal.mediaSchema ||
