@@ -132,5 +132,23 @@ class StreamingSpec extends SparkSpec {
     val before = tier30.count()
     si.runCascadeIncrement(Seq(30000L))
     assert(si.tier(30000L).count() == before)
+
+    // query side: influx queries served from the live streaming tiers
+    val provider = new graft.streaming.StreamingTierProvider(spark, si,
+      Seq(graft.planner.Metric("lat", "timer")))
+    val planner = new graft.planner.InfluxPlanner(provider)
+    val res = planner.execute(spark,
+      s"""select count, max from "lat" where time between $T0 and ${T0 + 200000} force group by time(30s)""")
+    val series = res.map(r => r.id -> r.df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap).toMap
+    val direct = raw.where(col("bucket_start") < T0 + 90000) // closed 30s buckets only
+      .groupBy(graft.rollup.Rollup.bucketOf(col("bucket_start"), 30000L).as("b"))
+      .agg(graft.functions.hdr_summary(hdr_merge(col("sketch"))).as("s"))
+      .select(col("b"), col("s.count"), col("s.max")).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+    assert(direct.nonEmpty)
+    direct.foreach { case (b, cnt, mx) =>
+      assert(series("lat.count")(b) == cnt)
+      assert(series("lat.max")(b) == mx)
+    }
   }
 }
