@@ -90,6 +90,15 @@ object PipelineQueries {
       Multimodal.syntheticMedia(Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  /** Real codec round trip: encode each doc as an actual PNG/BMP (JDK
+    * ImageIO) or RIFF/PCM16 WAV, then fully decode the bytes and emit
+    * pixel/sample statistics. Content derives from the text's char
+    * length, so the oracle recomputes the decoded stats in SQL. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.realMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -137,6 +146,7 @@ object PipelineQueries {
     "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "d_multimodal_meta" -> (multimodalMeta _),
+    "d_multimodal_decode" -> (multimodalDecode _),
     "d_hll_users"       -> (hllUsers _),
     "d_bpe_tokens"      -> (bpeTokenStats _),
     "d_langid"          -> (langIdPredictions _),
@@ -301,6 +311,22 @@ object PipelineQueries {
         |SELECT e.event_id, p.purchase_id, e.ts - p.ts AS gap_ms
         |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+    "d_multimodal_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(len(text) AS INT) AS l, CAST(len(text) % 256 AS INT) AS seed,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format
+        |  FROM documents)
+        |SELECT media_id, format,
+        |  CAST(CASE WHEN format = 'wav' THEN (l % 32) + 1 ELSE (l % 16) + 1 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN format = 'wav' THEN 1 ELSE (l % 12) + 1 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN format = 'wav'
+        |    THEN list_sum(list_transform(range(0, (l % 32) + 1),
+        |           i -> abs((seed + 7*i) % 2001 - 1000)))
+        |    ELSE list_sum(flatten(list_transform(range(0, (l % 16) + 1),
+        |           x -> list_transform(range(0, (l % 12) + 1),
+        |                  y -> (seed + 31*x + 17*y) % 256))))
+        |  END AS BIGINT) AS content_sum
+        |FROM p ORDER BY media_id""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
