@@ -122,9 +122,19 @@ object Multimodal {
   def realMedia(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val enc = RowEncoder.encoderFor(realMediaSchema)
+    // the encode input is (id, len) — a few bytes per row — so a
+    // repartition costs nothing and spreads the CPU-bound codec work
+    // across every core (a small parquet otherwise reads as ONE
+    // partition and encodes single-threaded)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).cast("long").as("media_id"),
         length(col(textCol)).cast("int").as("len"))
+      .repartition(par)
       .mapPartitions { rows =>
+        // per-partition decoder/encoder init: ImageIO's default
+        // disk-backed stream cache turns every encode into temp-file
+        // I/O — keep it in memory
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val len = r.getInt(1)
@@ -166,6 +176,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("media_id", "format", "media")
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val fmt = r.getString(1)
