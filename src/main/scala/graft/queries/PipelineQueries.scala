@@ -113,6 +113,37 @@ object PipelineQueries {
       (TextAnalysis.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary: the 100 most frequent normalized tokens with a
+    * deterministic tie-break — the frequency table a BPE/vocab build
+    * starts from. One explode + one count shuffle carrying (token hash,
+    * count) partials; top-k is a driver-size result. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(100)
+  }
+
+  /** Sessionization: split each user's event stream on >30 min gaps —
+    * the canonical behavioral-data prep step. One shuffle (window by
+    * user), session id = cumulative gap-break count; emits per-session
+    * bounds and size. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(byUser))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session", sum("brk").over(byUser))
+      .groupBy("user_id", "session")
+      .agg(min("ts_ms").as("session_start"), max("ts_ms").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session")
+  }
+
   /** As-of join on the events stream: each error event paired with the
     * same user's most recent purchase at-or-before it. */
   def asofPurchaseGap(spark: SparkSession, dir: String): DataFrame = {
@@ -151,6 +182,8 @@ object PipelineQueries {
     "d_bpe_tokens"      -> (bpeTokenStats _),
     "d_langid"          -> (langIdPredictions _),
     "e_asof_join"       -> (asofPurchaseGap _),
+    "d_vocab_topk"      -> (vocabTopK _),
+    "e_user_sessions"   -> (userSessions _),
   )
 
   /** Token-level polynomial hash (seed 7, ×31, mod 1e9+7) — mirrors
@@ -303,6 +336,25 @@ object PipelineQueries {
          |SELECT doc_id, predicted,
          |       CAST(predicted = lang AS INT) AS matches_label
          |FROM p ORDER BY doc_id""".stripMargin,
+    "d_vocab_topk" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS token FROM documents),
+         |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY 1)
+         |SELECT token, freq FROM f
+         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "e_user_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT user_id, event_id, ts_ms,
+        |        ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+        |      FROM e),
+        |s AS (SELECT user_id, ts_ms,
+        |        SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM g)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |  MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin,
     "e_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events
         |           WHERE event_type = 'error'),
