@@ -50,15 +50,24 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a throwing query must stay visible: record it in `failed` (and
+      // as -1) rather than letting a crash masquerade as a fast run
+      try { force(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+      }
+      name -> (if (failed.lastOption.contains(name)) -1.0
+               else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tier_build_sec":$tierBuild,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, sec) if sec >= 0 => sec }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"tier_build_sec":$tierBuild,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

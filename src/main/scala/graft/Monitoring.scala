@@ -19,9 +19,12 @@ object Monitoring {
   private val samples = new ConcurrentLinkedQueue[Sample]()
   // per-session registration: a listener binds one session's
   // listenerManager, so a JVM-global flag would leave every session
-  // after the first silently uninstrumented
+  // after the first silently uninstrumented. Keyed by the session-state
+  // OBJECT (weakly, so stopped sessions drop out) — an identity-hash
+  // key could collide across a long-lived JVM's session churn.
   private val instrumented = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
 
   def recordTimer(name: String, millis: Long,
                   now: Long = System.currentTimeMillis()): Unit =
@@ -33,7 +36,7 @@ object Monitoring {
 
   /** Attach Spark query instrumentation (idempotent per session). */
   def instrument(spark: SparkSession): Unit = {
-    if (instrumented.add(System.identityHashCode(spark.sessionState))) {
+    if (instrumented.add(spark.sessionState)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =

@@ -52,7 +52,10 @@ case class IvfProbe(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"ivf_probe: vector has ${v.numElements()} dims, expected $dims")
+    val n = dims
     val fl = isFloat
     val dots = new Array[Double](nlist)
     var c = 0
@@ -71,11 +74,13 @@ case class IvfProbe(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     val used = new Array[Boolean](nlist)
     var k = 0
     while (k < nprobe) {
+      // seed with the first unused id so NaN dots (a NaN component in
+      // the vector) degrade to index order instead of crashing
       var best = -1
       var bestDot = Double.NegativeInfinity
       c = 0
       while (c < nlist) {
-        if (!used(c) && dots(c) > bestDot) { best = c; bestDot = dots(c) }
+        if (!used(c) && (best == -1 || dots(c) > bestDot)) { best = c; bestDot = dots(c) }
         c += 1
       }
       used(best) = true
@@ -90,7 +95,11 @@ case class IvfProbe(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     val centRef = ctx.addReferenceObj("centroids", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int n = java.lang.Math.min($v.numElements(), $dims);
+         |if ($v.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_probe: vector has " + $v.numElements() + " dims, expected $dims");
+         |}
+         |int n = $dims;
          |double[] dots = new double[$nlist];
          |for (int c = 0; c < $nlist; c++) {
          |  double s = 0.0;
@@ -106,7 +115,7 @@ case class IvfProbe(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
          |  int best = -1;
          |  double bestDot = Double.NEGATIVE_INFINITY;
          |  for (int c = 0; c < $nlist; c++) {
-         |    if (!used[c] && dots[c] > bestDot) { best = c; bestDot = dots[c]; }
+         |    if (!used[c] && (best == -1 || dots[c] > bestDot)) { best = c; bestDot = dots[c]; }
          |  }
          |  used[best] = true;
          |  sel[k] = best;

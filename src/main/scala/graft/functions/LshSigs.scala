@@ -54,7 +54,12 @@ case class LshSigs(child: Expression, dims: Int, bits: Int, tables: Int, seed: I
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    // fail loudly on a dims mismatch — silently truncating the vector
+    // would void every recall bound derived from the plane count
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"lsh_sigs: vector has ${v.numElements()} dims, expected $dims")
+    val n = dims
     val fl = isFloat
     val out = new Array[Long](tables)
     var off = 0
@@ -85,7 +90,11 @@ case class LshSigs(child: Expression, dims: Int, bits: Int, tables: Int, seed: I
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int n = java.lang.Math.min($v.numElements(), $dims);
+         |if ($v.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_sigs: vector has " + $v.numElements() + " dims, expected $dims");
+         |}
+         |int n = $dims;
          |long[] sigs = new long[$tables];
          |int off = 0;
          |for (int t = 0; t < $tables; t++) {

@@ -118,19 +118,22 @@ object Similarity {
               tables: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), posexplode(
-          graft.functions.lsh_sigs(col(vec), dims, bits, tables, 42)).as(Seq("t", "sig")))
-    val sigCorpus = withBuckets(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
-    val sigQ = withBuckets(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
+    val sigCorpus = lshBuckets(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec",
+      bits, dims, tables)
+    val sigQ = lshBuckets(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec",
+      bits, dims, tables)
     // dedup on bare (q_id, n_id) — running distinct over rows that carry
     // the vectors would shuffle ~dims×4 bytes per candidate copy; the
-    // vectors join back once per unique candidate instead
+    // vectors join back once per unique candidate. Join strategy is left
+    // to the planner: a small query table auto-broadcasts from stats, a
+    // huge one degrades to a shuffle join instead of OOMing the driver.
     val cands = sigQ.join(sigCorpus, Seq("t", "sig"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
     val scored = cands
-      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), "q_id")
+      .join(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id")
       .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
@@ -153,7 +156,7 @@ object Similarity {
     }
     var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
-      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble))).toSeq
+      .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
@@ -185,7 +188,8 @@ object Similarity {
       element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
-    val scored = broadcast(probed).join(assigned, "cell")
+    // join strategy left to the planner (small probe sets auto-broadcast)
+    val scored = probed.join(assigned, "cell")
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("sim"))

@@ -33,8 +33,10 @@ object InfluxProtocol {
       s"""{"name":${jsonString(s.name)},"columns":$cols,"points":$pts}"""
     }.mkString("[", ",", "]")
 
-  private def jsonString(s: String): String =
-    "\"" + s.flatMap {
+  /** JSON string literal with quote/backslash/control escaping — shared
+    * by every facade route so escaping can't diverge. */
+  def jsonString(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"

@@ -41,8 +41,12 @@ object MaterializedTiers {
     * stale tier directories from older code are rebuilt, not trusted. */
   val FormatVersion = 2
 
-  private val providers =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), TierSummaryProvider]
+  // keyed weakly by the session OBJECT (not an identity hash, which can
+  // collide across session churn and would hand a new session a provider
+  // bound to a stopped one); stopped sessions' entries drop with the GC
+  private val providers = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, TierSummaryProvider]]())
 
   def tierDir(sfDir: String): String =
     "target/tiers/v" + FormatVersion + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -70,7 +74,16 @@ object MaterializedTiers {
   }
 
   /** Provider over the (ensured) materialized tiers. */
-  def provider(spark: SparkSession, sfDir: String): TierSummaryProvider =
-    providers.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+  def provider(spark: SparkSession, sfDir: String): TierSummaryProvider = {
+    val perSession = providers.synchronized {
+      var m = providers.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, TierSummaryProvider]
+        providers.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(sfDir,
       new TierSummaryProvider(spark, ensure(spark, sfDir)))
+  }
 }

@@ -51,13 +51,13 @@ class HttpFacade(spark: SparkSession,
         val json =
           if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop")) {
             dashboards.operation(q).map { d =>
-              s"""{"name":${jsonStr(d.name)},"columns":["dashboard"],""" +
-                s""""points":[[${jsonStr(new String(d.content, UTF_8))}]]}"""
+              s"""{"name":${InfluxProtocol.jsonString(d.name)},"columns":["dashboard"],""" +
+                s""""points":[[${InfluxProtocol.jsonString(new String(d.content, UTF_8))}]]}"""
             }.mkString("[", ",", "]")
           } else InfluxProtocol.toJson(planner.execute(spark, q))
         respond(ex, 200, json)
       } catch {
-        case e: Exception => respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+        case e: Exception => respond(ex, 400, s"""{"error":${InfluxProtocol.jsonString(e.getMessage)}}""")
       })
     server.createContext("/khronus/metrics", (ex: HttpExchange) => {
       val body = new String(readBody(ex), UTF_8)
@@ -109,11 +109,4 @@ class HttpFacade(spark: SparkSession,
     ex.close()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + Option(s).getOrElse("").flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    } + "\""
 }
