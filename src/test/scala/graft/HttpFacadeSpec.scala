@@ -59,6 +59,23 @@ class HttpFacadeSpec extends SparkSpec {
       val n = ingested.poll(30, java.util.concurrent.TimeUnit.SECONDS)
       assert(n == 2L)
 
+      // gzip body with Content-Encoding: gzip decodes identically
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(batch.getBytes(UTF_8)); z.close()
+        bos.toByteArray
+      }
+      val conn = new URL(s"$base/khronus/metrics").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Encoding", "gzip")
+      conn.getOutputStream.write(gz)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      assert(ingested.poll(30, java.util.concurrent.TimeUnit.SECONDS) == 2L)
+
       // dashboards: store, grafana-style get / list / drop
       val store = new DashboardStore(dashDir)
       store.store("mydash", """{"title":"mydash"}""".getBytes(UTF_8))
