@@ -67,11 +67,17 @@ object Rollup {
   }
 
   /** Bucket tier → summary table: one wide row per (metric, bucket)
-    * (reference: model/HistogramSummary.scala:21). */
+    * (reference: model/HistogramSummary.scala:21).
+    *
+    * The struct expands through `inline(array(...))`, not
+    * `.select("s.*")`: star-expanding a projected struct collapses into
+    * one projection where the summary expression re-evaluates PER FIELD
+    * — ten sketch deserializations per row. The Generate node evaluates
+    * it once. */
   def histogramSummaries(tier: DataFrame): DataFrame = {
     ensureRegistered(tier.sparkSession)
-    tier.select(col("metric"), col("bucket_start"), hdr_summary(col("sketch")).as("s"))
-      .select(col("metric"), col("bucket_start"), col("s.*"))
+    tier.select(col("metric"), col("bucket_start"),
+      inline(array(hdr_summary(col("sketch")))))
   }
 
   /** Counter path: measurements (metric, ts_ms, value) → counts per
