@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.sketch.{HdrSketchAgg, HdrSummaryExpr}
-import graft.functions.{VecDot, WordShingles}
+import graft.functions.{IvfProbe, LshSigs, VecDot, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -28,5 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("lsh_sigs"), info("lsh_sigs"),
+      (exprs: Seq[Expression]) => LshSigs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue(),
+        exprs(4).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("ivf_probe"), info("ivf_probe"),
+      (exprs: Seq[Expression]) => IvfProbe(exprs.head,
+        {
+          val arr = exprs(1).eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until arr.numElements()).map { i =>
+            val row = arr.getArray(i)
+            (0 until row.numElements()).map(row.getDouble).toSeq
+          }.toSeq
+        },
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -21,4 +21,17 @@ class ExtensionsSpec extends SparkSpec {
         |FROM VALUES (1L), (2L), (3L), (4L), (100L) AS t(v)""".stripMargin).collect()(0)
     assert(agg.getLong(0) == 3L)
   }
+
+  test("lsh_sigs and ivf_probe are callable from SQL") {
+    graft.functions.ensureRegistered(spark)
+    val sigs = spark.sql(
+      "SELECT lsh_sigs(array(1.0D, -2.0D, 0.5D, 3.0D), 4, 2, 3, 42) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sigs.length == 3 && sigs.forall(s => s >= 0 && s < 4))
+    val probe = spark.sql(
+      """SELECT ivf_probe(array(1.0D, 0.0D),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D), array(-1.0D, 0.0D)), 2) AS p""".stripMargin)
+      .collect()(0).getSeq[Int](0)
+    assert(probe == Seq(0, 1)) // nearest centroid first
+  }
 }
