@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.{ensureRegistered, hdr_merge, hdr_sketch}
 import graft.ingest.MetricBatchIngest
 import graft.rollup.Rollup
+import graft.sources.TierStore
 
 /** Streaming ingest + incremental rollup cascade on Structured
   * Streaming, mirroring the reference's tick pipeline (SURVEY §2.9):
@@ -21,6 +22,15 @@ import graft.rollup.Rollup
   *    is restricted in Spark, and the cursor design is what the
   *    reference does anyway.
   *
+  * All sinks — the streaming raw tiers and the cascade tier tables —
+  * are `bucket_date`-partitioned parquet (the raw sinks via
+  * `DataStreamWriter.partitionBy`, the cascade via [[TierStore]]), so
+  * on a long-running deployment queries prune by date at the file
+  * listing and retention ([[TierStore.enforceRetention]]) drops whole
+  * day partitions, matching the reference's per-resolution range reads
+  * with TTL'd storage (store/SummaryStore.scala:108-117,
+  * reference.conf:22-47).
+  *
   * Known delta vs the reference (documented in SURVEY §7.4): rows later
   * than the watermark are dropped; the reference silently stores them
   * in the raw tier but never rolls them up. Observable summaries match.
@@ -30,9 +40,14 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
 
   ensureRegistered(spark)
 
+  /** Cascade tier tables live in the [[TierStore]] layout:
+    * `TierStore.path("tier", d)` == the historical `tier_<d>` dirs. */
+  val store = new TierStore(spark, baseDir)
+
   def rawTierPath = s"$baseDir/tier_raw"
-  def tierPath(d: Long) = s"$baseDir/tier_$d"
-  private def cursorPath(d: Long) = s"$baseDir/cursor_$d"
+  def tierPath(d: Long) = store.path(StreamingIngest.HistKind, d)
+  import StreamingIngest.{CounterKind, HistKind}
+  private def cursorPath(kind: String, d: Long) = s"$baseDir/cursor_${kind}_$d"
 
   /** JSON-lines file stream → parsed measurements stream. */
   def readJsonStream(inputDir: String,
@@ -59,13 +74,7 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       .agg(hdr_sketch(col("value")).as("sketch"))
       .select(col("metric"),
         unix_millis(col("window.start")).as("bucket_start"), col("sketch"))
-    agg.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .option("checkpointLocation", s"$baseDir/_checkpoint_raw")
-      .format("parquet")
-      .option("path", rawTierPath)
-      .start()
+    startTierSink(agg, trigger, s"$baseDir/_checkpoint_raw", rawTierPath)
   }
 
   /** Counter path: counts per 5 s bucket (reference:
@@ -81,80 +90,104 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       .agg(sum(col("value")).as("count"))
       .select(col("metric"),
         unix_millis(col("window.start")).as("bucket_start"), col("count"))
-    agg.writeStream
+    startTierSink(agg, trigger, s"$baseDir/_checkpoint_counter_raw", counterRawTierPath)
+  }
+
+  /** Date-partitioned streaming parquet sink (same layout TierStore
+    * writes, so retention and pruned reads apply to live sinks too). */
+  private def startTierSink(agg: DataFrame, trigger: Trigger,
+                            checkpoint: String, path: String): StreamingQuery =
+    agg
+      .withColumn("bucket_date", to_date(timestamp_millis(col("bucket_start"))))
+      .writeStream
       .outputMode("append")
       .trigger(trigger)
-      .option("checkpointLocation", s"$baseDir/_checkpoint_counter_raw")
+      .option("checkpointLocation", checkpoint)
       .format("parquet")
-      .option("path", counterRawTierPath)
+      .option("path", path)
+      .partitionBy("bucket_date")
       .start()
-  }
 
   def counterRawTierPath = s"$baseDir/counter_tier_raw"
-  def counterTierPath(d: Long) = s"$baseDir/counter_tier_$d"
+  def counterTierPath(d: Long) = store.path(CounterKind, d)
 
   /** Counter cascade increment: counts just add. */
-  def runCounterCascadeIncrement(tiers: Seq[Long] = Rollup.StandardTiers): Unit = {
-    var sourcePath = counterRawTierPath
-    tiers.foreach { d =>
-      val cursorKey = d + 1 // distinct cursor namespace from histogram tiers
-      val cursor = readCursor(cursorKey)
-      val source = spark.read.parquet(sourcePath)
-      val maxSource = source.agg(max(col("bucket_start"))).collect()(0)
-      if (!maxSource.isNullAt(0)) {
-        val closedUpTo = (maxSource.getLong(0) / d) * d - 1
-        if (closedUpTo > cursor) {
-          source.where(col("bucket_start") > cursor && col("bucket_start") <= closedUpTo)
-            .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), d).as("bucket_start"))
-            .agg(sum(col("count")).as("count"))
-            .write.mode("append").parquet(counterTierPath(d))
-          writeCursor(cursorKey, closedUpTo)
-        }
-      }
-      sourcePath = counterTierPath(d)
+  def runCounterCascadeIncrement(tiers: Seq[Long] = Rollup.StandardTiers): Unit =
+    cascade(CounterKind, counterRawTierPath, counterTierPath, tiers) { slice =>
+      slice.agg(sum(col("count")).as("count"))
     }
-  }
 
   /** One incremental cascade pass: for each tier (smallest→largest),
     * roll fully-closed source buckets past the tier's cursor into the
     * tier table, then advance the cursor — the reference's
     * TimeWindowChain, as idempotent batch increments over parquet. */
-  def runCascadeIncrement(tiers: Seq[Long] = Rollup.StandardTiers): Unit = {
-    var sourcePath = rawTierPath
+  def runCascadeIncrement(tiers: Seq[Long] = Rollup.StandardTiers): Unit =
+    cascade(HistKind, rawTierPath, tierPath, tiers) { slice =>
+      slice.agg(hdr_merge(col("sketch")).as("sketch"))
+    }
+
+  private def cascade(kind: String, rawPath: String, tierOf: Long => String,
+                      tiers: Seq[Long])
+                     (agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): Unit = {
+    var sourcePath = rawPath
     tiers.foreach { d =>
-      val cursor = readCursor(d)
-      val source = spark.read.parquet(sourcePath)
+      val cursor = readCursor(kind, d)
+      spark.catalog.refreshByPath(sourcePath)
       // a bucket of duration d is closed once the source tier holds
       // nothing before its end; process (cursor, maxClosed]
-      val maxSource = source.agg(max(col("bucket_start"))).collect()(0)
+      val maxSource = spark.read.parquet(sourcePath)
+        .agg(max(col("bucket_start"))).collect()(0)
       if (!maxSource.isNullAt(0)) {
         val closedUpTo = (maxSource.getLong(0) / d) * d - 1 // last fully closed bucket end
         if (closedUpTo > cursor) {
-          val increment = source
-            .where(col("bucket_start") > cursor && col("bucket_start") <= closedUpTo)
-            .groupBy(col("metric"),
-              Rollup.bucketOf(col("bucket_start"), d).as("bucket_start"))
-            .agg(hdr_merge(col("sketch")).as("sketch"))
-          increment.write.mode("append").parquet(tierPath(d))
-          writeCursor(d, closedUpTo)
+          val increment = agg(
+            readSlice(sourcePath, cursor, closedUpTo)
+              .groupBy(col("metric"),
+                Rollup.bucketOf(col("bucket_start"), d).as("bucket_start")))
+          store.append(kind, d, increment)
+          writeCursor(kind, d, closedUpTo)
         }
       }
-      sourcePath = tierPath(d)
+      sourcePath = tierOf(d)
     }
   }
 
-  def tier(d: Long): DataFrame = spark.read.parquet(tierPath(d))
+  /** Incremental slice (fromExclusive, toInclusive] with the date
+    * partition filter derived from the bounds, so a cascade pass over a
+    * long-lived tier lists only the partitions near its cursor instead
+    * of every file ever written. */
+  private def readSlice(path: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val upTo = spark.read.parquet(path)
+      .where(col("bucket_date") <= to_date(timestamp_millis(lit(toInclusive))))
+    // the first pass has cursor = Long.MinValue — no finite lower date
+    val pruned =
+      if (fromExclusive >= 0L)
+        upTo.where(col("bucket_date") >= to_date(timestamp_millis(lit(fromExclusive))))
+      else upTo
+    pruned.where(col("bucket_start") > fromExclusive && col("bucket_start") <= toInclusive)
+      .drop("bucket_date")
+  }
 
-  private def readCursor(d: Long): Long = {
-    val p = java.nio.file.Paths.get(cursorPath(d))
+  def tier(d: Long): DataFrame = store.readAll(HistKind, d)
+
+  private def readCursor(kind: String, d: Long): Long = {
+    val p = java.nio.file.Paths.get(cursorPath(kind, d))
     if (java.nio.file.Files.exists(p))
       new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
     else Long.MinValue
   }
 
-  private def writeCursor(d: Long, v: Long): Unit = {
-    val p = java.nio.file.Paths.get(cursorPath(d))
+  private def writeCursor(kind: String, d: Long, v: Long): Unit = {
+    val p = java.nio.file.Paths.get(cursorPath(kind, d))
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, v.toString.getBytes)
   }
+}
+
+object StreamingIngest {
+  /** TierStore `kind` names for the streaming cascade's tier tables
+    * (chosen to match the pre-TierStore directory names, so existing
+    * deployments keep their paths). */
+  val HistKind = "tier"
+  val CounterKind = "counter_tier"
 }

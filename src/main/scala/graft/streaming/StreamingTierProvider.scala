@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.planner.{Metric, MetricCatalog, SummaryProvider}
 import graft.rollup.Rollup
@@ -11,6 +10,12 @@ import graft.rollup.Rollup
   * streaming cascade's parquet sinks while ingestion keeps running.
   * Histogram summaries derive on read (`hdr_summary` over the few rows
   * surviving the time filter); counters read their tier directly.
+  *
+  * Reads go through [[graft.sources.TierStore.slice]], so the query's
+  * time range prunes `bucket_date` partitions at the file listing
+  * (PartitionFilters in the scan) — the reference's per-resolution
+  * range read (store/SummaryStore.scala:108-117) — instead of listing
+  * every file the stream ever wrote.
   *
   * Each read refreshes the path's cached file listing first — a live
   * streaming sink otherwise serves the snapshot from whenever the
@@ -23,13 +28,11 @@ class StreamingTierProvider(spark: SparkSession, ingest: StreamingIngest,
 
   override def summaries(metric: Metric, windowMs: Long,
                          fromMs: Long, toMs: Long): DataFrame = {
-    val path =
-      if (metric.isHistogram) ingest.tierPath(windowMs)
-      else ingest.counterTierPath(windowMs)
+    val (kind, path) =
+      if (metric.isHistogram) (StreamingIngest.HistKind, ingest.tierPath(windowMs))
+      else (StreamingIngest.CounterKind, ingest.counterTierPath(windowMs))
     spark.catalog.refreshByPath(path)
-    val tier = spark.read.parquet(path)
-      .where(col("metric") === metric.name &&
-        col("bucket_start").between(fromMs, toMs))
+    val tier = ingest.store.slice(kind, windowMs, fromMs, toMs, Some(metric.name))
     (if (metric.isHistogram) Rollup.histogramSummaries(tier) else tier)
       .drop("metric")
   }

@@ -150,5 +150,24 @@ class StreamingSpec extends SparkSpec {
       assert(series("lat.count")(b) == cnt)
       assert(series("lat.max")(b) == mx)
     }
+
+    // the streaming-built tier is date-partitioned and the influx read
+    // prunes it: PartitionFilters on bucket_date in the physical plan
+    val tierDirs = new java.io.File(si.tierPath(30000L)).listFiles()
+      .filter(_.getName.startsWith("bucket_date=")).map(_.getName)
+    assert(tierDirs.nonEmpty, "streaming tier must be bucket_date-partitioned")
+    val plan = res.head.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket_date"),
+      s"streaming-served influx plan must prune partitions:\n$plan")
+
+    // retention works on the streaming tier dir (reference TTL story):
+    // everything is older than a 1-day TTL measured 40 days later
+    val dropped = si.store.enforceRetention(
+      graft.streaming.StreamingIngest.HistKind, 30000L,
+      ttlMs = 86400000L, nowMs = T0 + 40L * 86400000L)
+    assert(dropped.nonEmpty, "retention must drop closed streaming partitions")
+    spark.catalog.refreshByPath(si.tierPath(30000L))
+    assert(new java.io.File(si.tierPath(30000L)).listFiles()
+      .count(_.getName.startsWith("bucket_date=")) == 0)
   }
 }
