@@ -41,20 +41,31 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("digest")
 
-  /** (id, shingle-hash) exploded frame, persisted — both sides of the
-    * self-join and the size lookup reuse it. Shingles are joined by
+  /** (id, shingle-hash) exploded frame, materialized once per operator
+    * call graph — both sides of the self-join, the size lookup, and the
+    * candidate-verify join all reuse it. Shingles are joined by
     * xxhash64, not by string: the shuffle then carries 8-byte keys
     * instead of k-word text, and the join compares longs. A 64-bit
     * collision (p ≈ n²/2^65 over distinct shingles) could only merge two
     * shingles into one inverted-index posting — negligible, and the
-    * exact intersection verify still bounds the damage to one count. */
+    * exact intersection verify still bounds the damage to one count.
+    *
+    * Materialization is `localCheckpoint`, not `persist`: a CacheManager
+    * entry lives until someone explicitly unpersists it (nobody can —
+    * the frame is internal), so repeated dedup calls in a long session
+    * would pin storage without bound (and re-persisting the same
+    * lineage logs `Asked to cache already cached data`). Checkpoint
+    * blocks are reference-tracked — the ContextCleaner frees them when
+    * the result DataFrame is garbage-collected. AQE supplies the
+    * runtime stats the truncated lineage no longer carries.
+    */
   private def shingleFrame(docs: DataFrame, k: Int,
                            idCol: String, textCol: String): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-      .persist()
+      .localCheckpoint()
   }
 
   /** jaccard-filtered output from per-pair intersection counts. */
@@ -68,13 +79,27 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Exact |A∩B| per candidate (id_a, id_b) pair, then jaccard filter —
+    * the shared verify tail of the prefix and LSH paths. */
+  private def verifyExact(candidates: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    finishPairs(inter, sizes, threshold)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
     * explode shingles → join docs sharing a shingle → |A∩B| per pair →
     * jaccard from precomputed set sizes. Exact for all pairs with
     * jaccard > 0 (pairs sharing no shingle can't pass any threshold). */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleFrame(docs, k, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairsFrom(shingleFrame(docs, k, idCol, textCol), threshold)
+
+  private def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz")) // shingles are distinct already
     val pairs = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -90,7 +115,8 @@ object Dedup {
     * the PPJoin prefix filter (hot-shingle corpora: removes the
     * quadratic hot-shingle blowup). The driver-side decision scalar is
     * the same pattern AQE uses: plan from measured stats, not hopes.
-    * Output is identical either way.
+    * Output is identical either way. The shingle frame is materialized
+    * once and shared by the measurement and whichever plan wins.
     *
     * `maxCandidatePairs` default: 100M candidate rows ≈ a few GB of
     * shuffle — comfortably under a single stage's budget; beyond it the
@@ -105,8 +131,8 @@ object Dedup {
         case d: java.math.BigDecimal => d.longValue()
         case n: Number     => n.longValue()
       }
-    if (candVolume <= maxCandidatePairs) jaccardPairs(docs, k, threshold, idCol, textCol)
-    else jaccardPairsPrefix(docs, k, threshold, idCol, textCol)
+    if (candVolume <= maxCandidatePairs) jaccardPairsFrom(sh, threshold)
+    else jaccardPairsPrefixFrom(sh, threshold)
   }
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin-style): sort each
@@ -119,9 +145,11 @@ object Dedup {
     * to [[jaccardPairs]].
     */
   def jaccardPairsPrefix(docs: DataFrame, k: Int, threshold: Double,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairsPrefixFrom(shingleFrame(docs, k, idCol, textCol), threshold)
+
+  private def jaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleFrame(docs, k, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
@@ -133,38 +161,32 @@ object Dedup {
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val inter = cands
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyExact(cands, sh, threshold)
   }
 
   /** MinHash signatures: numHashes permutations approximated by seeded
     * xxhash64 over the shingle hash; one aggregation pass (explode
     * shingles → min per seed). */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleFrame(docs, k, idCol, textCol)
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashSignaturesFrom(shingleFrame(docs, k, idCol, textCol), numHashes)
+
+  private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join per
-    * band, then verify candidates with exact Jaccard ≥ threshold. */
+    * band, then verify candidates with exact Jaccard ≥ threshold. The
+    * signature build and the verify join share one shingle frame. */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, k, numHashes, idCol, textCol)
+    val sh = shingleFrame(docs, k, idCol, textCol)
+    val sig = minhashSignaturesFrom(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), hash(cols: _*).as("bh"))
@@ -177,21 +199,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates exactly (join back the shingle-hash sets)
-    val sh = shingleFrame(docs, k, idCol, textCol)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("s", "sb"), "id_b")
-      .where(col("sa") === col("sb"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyExact(candidates, sh, threshold)
   }
 
   /** SimHash over token hashes: per bit, sign-sum of token hash bits;
