@@ -34,7 +34,19 @@ case class SeriesResult(id: String, label: String, metricName: String, df: DataF
 class InfluxPlanner(provider: SummaryProvider,
                     now: () => Long = () => System.currentTimeMillis(),
                     minResolution: Int = 100,   // reference.conf:62
-                    maxResolution: Int = 700) { // reference.conf:63
+                    maxResolution: Int = 700,   // reference.conf:63
+                    // per-source summary read cap (reference.conf:32
+                    // summary-limit). NOTE on fidelity: the reference's
+                    // query path is effectively UNCAPPED — summary-limit
+                    // is only readAll's default count
+                    // (store/SummaryStore.scala:108), and the resolver
+                    // overrides it with the user limit, default
+                    // Int.MaxValue (InfluxQueryResolver.scala:138,
+                    // InfluxAst.scala:30) — so the parity default here is
+                    // Int.MaxValue too. Deployments wanting the
+                    // reference.conf *intent* (bound the damage of a
+                    // buggy/malicious wide-range force query) set 1000.
+                    maxSummariesPerSource: Int = Int.MaxValue) {
 
   private val parser = new InfluxParser(now)
 
@@ -66,18 +78,18 @@ class InfluxPlanner(provider: SummaryProvider,
     * by ±1 ms; missing from-bound is an error (reference:
     * InfluxQueryResolver.scala:67-85). */
   private[graft] def buildSlice(filters: Seq[Filter]): (Long, Long) = {
-    var from = 1L
+    var from: Option[Long] = None
     var to = now()
     filters.foreach {
-      case TimeFilter(">", v)  => from = v + 1
-      case TimeFilter(">=", v) => from = v
+      case TimeFilter(">", v)  => from = Some(v + 1)
+      case TimeFilter(">=", v) => from = Some(v)
       case TimeFilter("<", v)  => to = v - 1
       case TimeFilter("<=", v) => to = v
       case _: TimeFilter       => ()
       case _: StringFilter     => () // parsed, ignored (reference parity)
     }
-    if (from == 1L) throw new UnsupportedOperationException("From clause required")
-    (from, to)
+    (from.getOrElse(
+      throw new UnsupportedOperationException("From clause required")), to)
   }
 
   /** Tier routing: nearest configured window to the requested one, then
@@ -182,8 +194,8 @@ class InfluxPlanner(provider: SummaryProvider,
       val ordered =
         if (q.orderAsc) base.orderBy(col("bucket_start").asc)
         else base.orderBy(col("bucket_start").desc)
-      val limited = if (q.limit != Int.MaxValue) ordered.limit(q.limit) else ordered
-      tid -> limited
+      val cap = math.min(q.limit, maxSummariesPerSource)
+      tid -> (if (cap != Int.MaxValue) ordered.limit(cap) else ordered)
     }
 
     val spine: DataFrame =

@@ -157,15 +157,20 @@ class InfluxParser(now: () => Long = () => System.currentTimeMillis()) extends R
     }
 
   private def windowDuration: Parser[Long] =
-    intLit ~ opt("." ~ intLit) ~ "(?i)(ms|s|m|h)".r ^^ {
-      case n ~ _ ~ suffix =>
+    intLit ~ opt("." ~ intLit) ~ "(?i)(ms|s|m|h)".r >> {
+      // a fractional duration has no tier semantics; reject loudly
+      // instead of silently truncating 1.5h to 1h (reference grammar
+      // only admits integers: InfluxQueryParser.scala:209-221)
+      case _ ~ Some(_) ~ _ =>
+        err("fractional durations are not supported in group by time")
+      case n ~ None ~ suffix =>
         val v = n.toLong
-        suffix.toLowerCase match {
+        success(suffix.toLowerCase match {
           case "ms" => v
           case "s"  => v * 1000L
           case "m"  => v * 60000L
           case "h"  => v * 3600000L
-        }
+        })
     }
 
   private def fillClause: Parser[Double] =

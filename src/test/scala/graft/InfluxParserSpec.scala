@@ -144,6 +144,16 @@ class InfluxParserSpec extends AnyFunSuite {
     }
   }
 
+  test("fractional group by duration rejected loudly, not truncated") {
+    val e = intercept[UnsupportedOperationException] {
+      parse("""select count from "m" where time >= 1 group by time(1.5h)""")
+    }
+    assert(e.getMessage.contains("fractional"))
+    // integer durations still parse
+    assert(parse("""select count from "m" where time >= 1 group by time(2h)""")
+      .groupBy.durationMs == 7200000L)
+  }
+
   test("list series meta query") {
     assert(parser.parseListSeries("list series /cpu.*/").contains(ListSeries(".*cpu.*.*")))
     assert(parser.parseListSeries("""select count from "m"""").isEmpty)

@@ -58,6 +58,9 @@ class InfluxPlannerSpec extends SparkSpec {
   test("slice folding: exclusive bounds become ±1ms; from required") {
     assert(p.buildSlice(Seq(TimeFilter(">", 100L), TimeFilter("<", 200L))) == (101L, 199L))
     assert(p.buildSlice(Seq(TimeFilter(">=", 100L))) == (100L, NOW))
+    // an explicit from of exactly 1 ms is a real bound, not "missing"
+    assert(p.buildSlice(Seq(TimeFilter(">=", 1L))) == (1L, NOW))
+    assert(p.buildSlice(Seq(TimeFilter(">", 0L))) == (1L, NOW))
     intercept[UnsupportedOperationException] { p.buildSlice(Seq(TimeFilter("<", 200L))) }
   }
 
@@ -158,6 +161,29 @@ class InfluxPlannerSpec extends SparkSpec {
       series.head.points.forall(p => p.length == 2 && p.head.isInstanceOf[Long]))
     val json = InfluxProtocol.toJson(res)
     assert(json.startsWith("""[{"name":"purchase","columns":["time","count"],"points":[["""))
+  }
+
+  test("maxSummariesPerSource caps a wide-range read independent of user limit") {
+    import org.apache.spark.sql.functions._
+    // 3000 summary buckets at 30s; a capped planner must read only the
+    // first `cap` in time order (reference.conf:32 summary-limit intent)
+    val provider = new SummaryProvider {
+      val catalog = MetricCatalog(Seq(Metric("jobs", "counter")))
+      def summaries(m: Metric, w: Long, fromMs: Long, toMs: Long): DataFrame =
+        spark.range(3000).select((col("id") * 30000L).as("bucket_start"),
+          lit(7L).as("count"))
+    }
+    val q = """select count from "jobs" where time between 0 and 89999999 force group by time(30s)"""
+    val capped = new InfluxPlanner(provider, () => NOW, maxSummariesPerSource = 500)
+    val res = capped.execute(spark, q)
+    assert(res.head.df.count() == 500)
+    assert(res.head.df.queryExecution.executedPlan.toString.contains("500"),
+      "plan must carry the read cap")
+    // the parity default is uncapped, like the reference's query path
+    // (readAll count is overridden by the criteria limit =
+    // Int.MaxValue — InfluxQueryResolver.scala:138, InfluxAst.scala:30)
+    val uncapped = new InfluxPlanner(provider, () => NOW)
+    assert(uncapped.execute(spark, q).head.df.count() == 3000)
   }
 
   test("list series returns catalog matches") {
