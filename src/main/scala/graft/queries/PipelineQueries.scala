@@ -159,10 +159,27 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** HLL distinct with an oracle-checkable invariant: emits the exact
+    * count plus a boolean asserting the HLL++ estimate lands within 5%
+    * of it. DuckDB cannot reproduce Spark's HLL bytes, but it CAN
+    * assert the invariant — the oracle emits the exact count and a
+    * literal TRUE, so any estimator drift beyond the advertised error
+    * hash-mismatches. rsd = 0.01 makes the 5% check a 5-sigma bound
+    * (the default 0.05 is a 1-sigma sketch and fails it ~1/3 of the
+    * time — observed at sf0.1); the cost is a ~16 KiB register array
+    * per group, flat in row count. The estimate itself is excluded
+    * from the output on purpose (it is implementation-defined). */
   def hllUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -209,11 +226,11 @@ object PipelineQueries {
        |FROM b ORDER BY id""".stripMargin
   }
 
-  // d_hll_users stays rows-only (hash-seeded HLL; its exact twin
-  // q7_distinct_users is oracle-checked). The other formerly-seeded ops
-  // now have exact oracles: the LSH layers only generate candidates and
-  // are sized for recall ≈ 1, so verified outputs equal the exact SQL.
   val oracleSql: Map[String, String] = Map(
+    "d_hll_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id,

@@ -75,6 +75,16 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("hllUsers invariant holds at every local SF") {
+    // the driver hash-compares within_5pct against a literal TRUE, so
+    // pin it here at each scale the driver/bench actually runs
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = graft.queries.PipelineQueries.hllUsers(spark, dir).collect()
+      assert(rows.nonEmpty, dir)
+      assert(rows.forall(_.getBoolean(2)), s"HLL estimate drifted >5% in $dir")
+    }
+  }
+
   test("version payload") {
     assert(Version.json.contains("graft") && Version.json.contains("0.1.0"))
   }
