@@ -60,18 +60,52 @@ object Similarity {
     (bits, tables)
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Below this signature width the LSH buckets stop pruning: per-table
+    * candidate volume is ~ C(n,2)/2^bits, so at ≤ 8 bits a table retains
+    * ≥ ~0.4% of ALL pairs and the job is effectively quadratic. */
+  val DegenerateLshBits = 8
+
+  /** Projected LSH candidate volume when the (bits, tables) sizing has
+    * degraded to the near-all-pairs regime; None when the parameters
+    * are genuinely sub-quadratic. Pure function of (n, bits, tables) so
+    * callers (and specs) can evaluate the envelope without running the
+    * join. */
+  def degenerateLshDiagnostic(n: Long, bits: Int, tables: Int): Option[String] =
+    if (bits > DegenerateLshBits) None
+    else {
+      val perTable = n.toDouble * (n.toDouble - 1) / 2.0 / math.pow(2.0, bits.toDouble)
+      val total = perTable * tables
+      Some(f"nearDupPairs is in the degenerate LSH regime: bits=$bits ≤ $DegenerateLshBits, " +
+        f"tables=$tables, n=$n ⇒ projected candidate volume ≈ $total%.3g pairs " +
+        f"(~${100.0 * tables / math.pow(2.0, bits.toDouble)}%.1f%% of all pairs incl. " +
+        "cross-table repeats) — effectively quadratic. This is the honest cost of " +
+        "exactness at a low cosine threshold; at real near-dup thresholds (≥ ~0.7) " +
+        "the same operator is sub-quadratic. Raise the threshold or pre-cluster.")
+    }
+
   /** All pairs with cosine ≥ threshold (near-duplicate detection).
     * Candidates come from multi-table random-hyperplane LSH buckets —
     * only same-bucket pairs are ever materialized, so the plan has no
     * CartesianProduct node and at scale the pair volume is bounded by
     * bucket collisions, not n². Candidates are then exact-verified with
     * one codegen'd dot product (dot ≥ t·‖a‖·‖b‖, norms precomputed per
-    * vector); ids only so the result is float-robust. */
+    * vector); ids only so the result is float-robust.
+    *
+    * Guardrail: when the recall sizing degrades below
+    * [[DegenerateLshBits]] signature bits (low thresholds), the call
+    * counts the corpus (a metadata-cheap count-star, only in this
+    * regime) and WARNs with the projected candidate volume so a
+    * quadratic 10⁹-vector job never launches silently. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    dims: Int = 64): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val (bits, tables) = lshParamsFor(threshold)
+    if (bits <= DegenerateLshBits)
+      degenerateLshDiagnostic(corpus.select(col(idCol)).count(), bits, tables)
+        .foreach(log.warn)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val buckets = lshBuckets(base, "id", "v", bits, dims, tables)

@@ -14,13 +14,25 @@ import graft.rollup.Rollup
   * to partition-pruned reads of materialized tier tables.
   */
 object EventMetricStore {
-  private val instances =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), EventMetricStore]
+  // keyed weakly by the session OBJECT (same pattern as
+  // MaterializedTiers.providers): an identity hash can collide across
+  // session churn and the entry would outlive a stopped session
+  private val instances = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, EventMetricStore]]())
 
   /** Reuse one store (and its cached tiers) per (session, dir). */
-  def forSession(spark: SparkSession, dir: String): EventMetricStore =
-    instances.getOrElseUpdate((System.identityHashCode(spark), dir),
-      new EventMetricStore(spark, dir))
+  def forSession(spark: SparkSession, dir: String): EventMetricStore = {
+    val perSession = instances.synchronized {
+      var m = instances.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, EventMetricStore]
+        instances.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, new EventMetricStore(spark, dir))
+  }
 }
 
 class EventMetricStore(spark: SparkSession, dir: String) extends SummaryProvider {

@@ -48,21 +48,40 @@ object MaterializedTiers {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, TierSummaryProvider]]())
 
+  val TiersRoot = "target/tiers"
+
   def tierDir(sfDir: String): String =
-    "target/tiers/v" + FormatVersion + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    TiersRoot + "/v" + FormatVersion + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
+  /** Drop tier trees written by an older FormatVersion: they are never
+    * read again (tierDir embeds the current version) and would otherwise
+    * accumulate one full tier copy per format bump. */
+  private def sweepStaleVersions(): Unit = {
+    val root = new File(TiersRoot)
+    if (root.isDirectory) {
+      val keep = "v" + FormatVersion + "_"
+      root.listFiles().filter(d => !d.getName.startsWith(keep)).foreach { d =>
+        println(s"[graft] removing stale tier dir (format != v$FormatVersion): $d")
+        rmTree(d)
+      }
+    }
+  }
 
   /** Materialize tiers for sfDir if absent; idempotent and synchronized
     * per JVM. Returns the tier dir. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    sweepStaleVersions()
     val dir = tierDir(sfDir)
     val marker = new File(dir, "_GRAFT_TIERS_OK")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
       val root = new File(dir)
-      if (root.exists()) { // partial build from a killed run: start clean
-        def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-        rm(root)
-      }
+      if (root.exists()) rmTree(root) // partial build from a killed run: start clean
       RollupJob.run(spark, sfDir, dir)
       marker.getParentFile.mkdirs()
       marker.createNewFile()

@@ -63,6 +63,21 @@ class OpsSpec extends SparkSpec {
     assert(h == 0)
   }
 
+  test("degenerate-LSH guardrail fires at low thresholds, not at real near-dup ones") {
+    // threshold 0.45 degrades to few bits / many tables → diagnostic
+    val (loBits, loTables) = Similarity.lshParamsFor(0.45)
+    assert(loBits <= Similarity.DegenerateLshBits)
+    val diag = Similarity.degenerateLshDiagnostic(1000000L, loBits, loTables)
+    assert(diag.exists(m => m.contains("degenerate") && m.contains("n=1000000")))
+    // threshold 0.85 stays sub-quadratic → silent
+    val (hiBits, hiTables) = Similarity.lshParamsFor(0.85)
+    assert(hiBits > Similarity.DegenerateLshBits)
+    assert(Similarity.degenerateLshDiagnostic(1000000L, hiBits, hiTables).isEmpty)
+    // and the guarded operator's output is unchanged by the guardrail
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.45).collect()
+    assert(pairs.nonEmpty)
+  }
+
   test("LSH top-k achieves decent recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5)

@@ -45,6 +45,17 @@ class TierStoreSpec extends SparkSpec {
     assert(store.slice("hist", 5000L, now - 4 * DAY, now).count() >= 0)
   }
 
+  test("MaterializedTiers.ensure sweeps stale-format tier dirs, keeps current") {
+    import graft.planner.MaterializedTiers
+    val staleName = "v" + (MaterializedTiers.FormatVersion - 1) + "_spec_stale"
+    val stale = new java.io.File(MaterializedTiers.TiersRoot, staleName)
+    new java.io.File(stale, "sub").mkdirs()
+    Files.write(new java.io.File(stale, "sub/part.parquet").toPath, Array[Byte](1, 2))
+    val current = MaterializedTiers.ensure(spark, sf)
+    assert(!stale.exists(), "stale-format tier dir survived the sweep")
+    assert(new java.io.File(current, "_GRAFT_TIERS_OK").exists())
+  }
+
   test("meta store lifecycle: register, deactivate on empty slice, reactivate") {
     val meta = new MetaStore
     meta.track(Metric("api.latency", "timer"), 1000L)
