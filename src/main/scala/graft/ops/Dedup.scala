@@ -58,6 +58,15 @@ object Dedup {
     * blocks are reference-tracked — the ContextCleaner frees them when
     * the result DataFrame is garbage-collected. AQE supplies the
     * runtime stats the truncated lineage no longer carries.
+    *
+    * `eager = false` keeps the public operators lazy (building a dedup
+    * plan runs no job until the caller acts on it); the first action
+    * materializes the blocks. Caveat, inherent to localCheckpoint:
+    * blocks are stored non-replicated on executors with lineage
+    * truncated, so losing an executor mid-query (spot nodes, dynamic
+    * allocation) fails the query instead of recomputing — on such
+    * clusters prefer reliable `checkpoint()` by setting a checkpoint
+    * dir, trading a distributed-FS write per dedup call.
     */
   private def shingleFrame(docs: DataFrame, k: Int,
                            idCol: String, textCol: String): DataFrame = {
@@ -65,7 +74,7 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** jaccard-filtered output from per-pair intersection counts. */

@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.Executors
-import java.util.zip.GZIPInputStream
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +21,13 @@ import graft.planner.{DashboardStore, InfluxPlanner, InfluxProtocol}
   *  - `GET  /khronus/db/influx/series?q=…`   → InfluxSeries JSON envelope;
   *    Grafana dashboard pseudo-queries route to the dashboard store
   *    (reference: influx/service/InfluxService.scala:46-66)
+  * Response parity with the reference: every response carries the CORS
+  * headers (util/CORSDirective.scala:37-41), OPTIONS preflights get a
+  * bare 200, and a client sending `Accept-Encoding: gzip` gets a
+  * gzipped body with `Content-Encoding: gzip` — spray's
+  * `compressResponse(NoEncoding, Gzip)` re-expressed
+  * (influx/service/InfluxService.scala:45-47).
+  *
   *  - `POST /khronus/metrics`                → gzip-or-plain JSON
   *    MetricBatch; parsed and handed to the ingest sink asynchronously,
   *    200 returned immediately — at-most-once, errors logged, matching
@@ -102,11 +109,40 @@ class HttpFacade(spark: SparkSession,
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    val h = ex.getResponseHeaders
+    HttpFacade.CorsHeaders.foreach { case (k, v) => h.set(k, v) }
+    if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) { // CORS preflight
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+      return
+    }
+    val plain = body.getBytes(UTF_8)
+    val wantsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.split(",").map(_.trim.takeWhile(_ != ';')).contains("gzip"))
+    val bytes =
+      if (wantsGzip && plain.nonEmpty) {
+        h.set("Content-Encoding", "gzip")
+        val bos = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        bos.toByteArray
+      } else plain
+    h.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
   }
+
+}
+
+object HttpFacade {
+  /** Reference CORS surface (util/CORSDirective.scala:37-41). */
+  val CorsHeaders: Seq[(String, String)] = Seq(
+    "Access-Control-Allow-Methods" -> "GET, POST, PUT, DELETE, OPTIONS",
+    "Access-Control-Allow-Headers" ->
+      ("Origin, X-Requested-With, Content-Type, Accept, Accept-Encoding, " +
+        "Accept-Language, Host, Referer, User-Agent"),
+    "Access-Control-Allow-Credentials" -> "true",
+    "Access-Control-Allow-Origin" -> "*")
 
 }

@@ -23,8 +23,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
   def path(kind: String, durationMs: Long): String = s"$baseDir/${kind}_$durationMs"
 
   private def withDate(df: DataFrame): DataFrame =
-    df.withColumn("bucket_date",
-      to_date(timestamp_millis(col("bucket_start"))))
+    df.withColumn("bucket_date", TierStore.utcDate(col("bucket_start")))
 
   /** Append tier rows (metric, bucket_start, payload…) date-partitioned.
     * Rows are shuffled onto their date before the write so each date
@@ -33,12 +32,45 @@ class TierStore(spark: SparkSession, baseDir: String) {
     * bytes — that is one file), instead of every write task spraying a
     * sliver into every date. Small-file counts are what kill both this
     * write and every later read's file listing; at larger volumes the
-    * shuffle partition count bounds per-task file size as usual. */
-  def append(kind: String, durationMs: Long, tier: DataFrame): Unit =
+    * shuffle partition count bounds per-task file size as usual.
+    *
+    * A table written by a pre-partitioning version of this store (flat
+    * parquet files at the directory top level) is migrated in place on
+    * first append: appending partitioned files next to flat ones would
+    * break partition discovery for every subsequent reader. */
+  def append(kind: String, durationMs: Long, tier: DataFrame): Unit = {
+    migrateFlatLayout(kind, durationMs)
     withDate(tier).repartition(col("bucket_date")).write
       .mode(SaveMode.Append)
       .partitionBy("bucket_date")
       .parquet(path(kind, durationMs))
+  }
+
+  /** One-time upgrade of a legacy flat tier table (no bucket_date
+    * partitions) to the date-partitioned layout: rewrite into a sibling
+    * dir, then atomically-enough swap. No-op when the dir is absent or
+    * already partitioned. Returns true when a migration ran. */
+  def migrateFlatLayout(kind: String, durationMs: Long): Boolean = {
+    val p = path(kind, durationMs)
+    val dir = new java.io.File(p)
+    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val flat = files.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (flat.isEmpty) return false
+    val partitioned = files.exists(f => f.isDirectory && f.getName.startsWith("bucket_date="))
+    require(!partitioned,
+      s"$p mixes flat parquet files with bucket_date= partitions; " +
+        "refusing to proceed — remove or migrate the flat files")
+    val tmp = p + "__migrating"
+    deleteRecursively(new java.io.File(tmp))
+    withDate(spark.read.parquet(flat.map(_.getPath): _*))
+      .repartition(col("bucket_date")).write
+      .partitionBy("bucket_date").parquet(tmp)
+    deleteRecursively(dir)
+    new java.io.File(tmp).renameTo(dir)
+    spark.catalog.refreshByPath(p)
+    println(s"[graft] migrated flat tier table to date partitions: $p (${flat.size} files)")
+    true
+  }
 
   /** Read a slice; the date filter is derived from the time range so
     * partition pruning applies (visible as PartitionFilters in the
@@ -47,7 +79,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
             metric: Option[String] = None): DataFrame = {
     val df = spark.read.parquet(path(kind, durationMs))
       .where(col("bucket_date").between(
-        to_date(timestamp_millis(lit(fromMs))), to_date(timestamp_millis(lit(toMs)))))
+        lit(TierStore.utcDateOf(fromMs)), lit(TierStore.utcDateOf(toMs))))
       .where(col("bucket_start").between(fromMs, toMs))
     metric.fold(df)(m => df.where(col("metric") === m)).drop("bucket_date")
   }
@@ -79,4 +111,21 @@ class TierStore(spark: SparkSession, baseDir: String) {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+}
+
+object TierStore {
+  /** The bucket's UTC day as pure epoch-day arithmetic — deliberately
+    * NOT `to_date(timestamp_millis(...))`, which renders in the session
+    * time zone: a non-UTC session would shift rows across partition
+    * boundaries and disagree with [[TierStore.enforceRetention]]'s UTC
+    * cutoff (and with readers running in yet another zone). */
+  def utcDate(bucketStartMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+      floor(bucketStartMs / lit(86400000L)).cast("int"))
+
+  /** Driver-side twin of [[utcDate]] for literal filter bounds. */
+  def utcDateOf(ms: Long): java.sql.Date =
+    java.sql.Date.valueOf(
+      java.time.LocalDate.ofInstant(java.time.Instant.ofEpochMilli(ms),
+        java.time.ZoneOffset.UTC))
 }

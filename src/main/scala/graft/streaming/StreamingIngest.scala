@@ -96,9 +96,10 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
   /** Date-partitioned streaming parquet sink (same layout TierStore
     * writes, so retention and pruned reads apply to live sinks too). */
   private def startTierSink(agg: DataFrame, trigger: Trigger,
-                            checkpoint: String, path: String): StreamingQuery =
+                            checkpoint: String, path: String): StreamingQuery = {
+    requirePartitionedLayout(path)
     agg
-      .withColumn("bucket_date", to_date(timestamp_millis(col("bucket_start"))))
+      .withColumn("bucket_date", TierStore.utcDate(col("bucket_start")))
       .writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -107,6 +108,23 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       .option("path", path)
       .partitionBy("bucket_date")
       .start()
+  }
+
+  /** A raw sink dir written by a pre-partitioning version holds flat
+    * parquet files tracked by the sink's `_spark_metadata` log; resuming
+    * a partitioned writer on it would mix layouts in one log and break
+    * every subsequent read (partition discovery sees conflicting
+    * structures; old rows lack `bucket_date`). A streaming sink can't be
+    * rewritten in place without checkpoint surgery, so refuse loudly. */
+  private[graft] def requirePartitionedLayout(path: String): Unit = {
+    val files = Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Nil)
+    val flat = files.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (flat) throw new IllegalStateException(
+      s"$path contains flat (unpartitioned) streaming sink output from an older " +
+        "version; starting a date-partitioned writer on it would corrupt the sink. " +
+        "Re-ingest into a fresh dir (with its checkpoint) or roll the old raw tier " +
+        "forward with the cascade and retire the dir.")
+  }
 
   def counterRawTierPath = s"$baseDir/counter_tier_raw"
   def counterTierPath(d: Long) = store.path(CounterKind, d)
@@ -158,11 +176,11 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
     * of every file ever written. */
   private def readSlice(path: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
     val upTo = spark.read.parquet(path)
-      .where(col("bucket_date") <= to_date(timestamp_millis(lit(toInclusive))))
+      .where(col("bucket_date") <= lit(TierStore.utcDateOf(toInclusive)))
     // the first pass has cursor = Long.MinValue — no finite lower date
     val pruned =
       if (fromExclusive >= 0L)
-        upTo.where(col("bucket_date") >= to_date(timestamp_millis(lit(fromExclusive))))
+        upTo.where(col("bucket_date") >= lit(TierStore.utcDateOf(fromExclusive)))
       else upTo
     pruned.where(col("bucket_start") > fromExclusive && col("bucket_start") <= toInclusive)
       .drop("bucket_date")
@@ -170,11 +188,27 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
 
   def tier(d: Long): DataFrame = store.readAll(HistKind, d)
 
-  private def readCursor(kind: String, d: Long): Long = {
-    val p = java.nio.file.Paths.get(cursorPath(kind, d))
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
-    else Long.MinValue
+  /** Pre-kind-namespace cursor files: histogram tiers wrote `cursor_$d`,
+    * counter tiers disambiguated as `cursor_${d+1}` (tier durations are
+    * round seconds, so d+1 never collides with another tier). */
+  private def legacyCursorPath(kind: String, d: Long): String =
+    if (kind == CounterKind) s"$baseDir/cursor_${d + 1}" else s"$baseDir/cursor_$d"
+
+  /** Read the tier cursor; falls back to the legacy (un-namespaced) file
+    * so an upgraded deployment resumes where it left off instead of
+    * re-rolling the whole raw tier into existing tier tables (which
+    * would silently double counts and sketches). The next write lands on
+    * the new path; the legacy file is left behind, inert. */
+  private[graft] def readCursor(kind: String, d: Long): Long = {
+    def read(path: String): Option[Long] = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+      else None
+    }
+    read(cursorPath(kind, d))
+      .orElse(read(legacyCursorPath(kind, d)))
+      .getOrElse(Long.MinValue)
   }
 
   private def writeCursor(kind: String, d: Long, v: Long): Unit = {
@@ -187,7 +221,8 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
 object StreamingIngest {
   /** TierStore `kind` names for the streaming cascade's tier tables
     * (chosen to match the pre-TierStore directory names, so existing
-    * deployments keep their paths). */
+    * deployments keep their paths; cursors additionally fall back to
+    * the legacy un-namespaced files — see `readCursor`). */
   val HistKind = "tier"
   val CounterKind = "counter_tier"
 }

@@ -76,6 +76,39 @@ class HttpFacadeSpec extends SparkSpec {
       conn.disconnect()
       assert(ingested.poll(30, java.util.concurrent.TimeUnit.SECONDS) == 2L)
 
+      // response parity: CORS headers on every response; Accept-Encoding:
+      // gzip gets a gzipped body; OPTIONS preflight returns bare 200
+      locally {
+        val conn = new URL(s"$base/khronus/db/influx/series?q=${enc("list series /count/")}")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestProperty("Accept-Encoding", "gzip")
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Encoding") == "gzip")
+        assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+        assert(conn.getHeaderField("Access-Control-Allow-Credentials") == "true")
+        assert(Option(conn.getHeaderField("Access-Control-Allow-Methods")).exists(_.contains("OPTIONS")))
+        val body = new String(
+          new java.util.zip.GZIPInputStream(conn.getInputStream).readAllBytes(), UTF_8)
+        assert(body.contains("purchase_count"))
+        conn.disconnect()
+      }
+      locally { // no Accept-Encoding → identity body, CORS still present
+        val conn = new URL(s"$base/khronus/version").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Encoding") == null)
+        assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+        conn.disconnect()
+      }
+      locally { // preflight
+        val conn = new URL(s"$base/khronus/db/influx/series").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("OPTIONS")
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+        conn.disconnect()
+      }
+
       // dashboards: store, grafana-style get / list / drop
       val store = new DashboardStore(dashDir)
       store.store("mydash", """{"title":"mydash"}""".getBytes(UTF_8))

@@ -45,6 +45,77 @@ class TierStoreSpec extends SparkSpec {
     assert(store.slice("hist", 5000L, now - 4 * DAY, now).count() >= 0)
   }
 
+  test("bucket_date is the UTC day regardless of session time zone") {
+    val base = Files.createTempDirectory("graft_tiers_tz").toString
+    val store = new TierStore(spark, base)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // 2024-01-01 23:30 UTC = 2024-01-02 10:30 in Sydney — a session-TZ
+      // derivation would put this bucket in the wrong day partition
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      val lateUtc = 1704151800000L
+      val rows = spark.range(1).select(
+        org.apache.spark.sql.functions.lit("m").as("metric"),
+        org.apache.spark.sql.functions.lit(lateUtc).as("bucket_start"),
+        org.apache.spark.sql.functions.lit(1L).as("count"))
+      store.append("tz", 5000L, rows)
+      val dirs = new java.io.File(store.path("tz", 5000L)).listFiles()
+        .filter(_.getName.startsWith("bucket_date=")).map(_.getName)
+      assert(dirs.toSeq == Seq("bucket_date=2024-01-01"), dirs.mkString(","))
+      // slice bounds use the same UTC derivation
+      assert(store.slice("tz", 5000L, lateUtc - 1000, lateUtc + 1000).count() == 1)
+      // retention cutoff (already UTC) agrees: a cutoff at 2024-01-02 UTC
+      // drops the partition
+      val dropped = store.enforceRetention("tz", 5000L, ttlMs = DAY,
+        nowMs = lateUtc + DAY + 3600000L)
+      assert(dropped == Seq("bucket_date=2024-01-01"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("flat legacy tier table migrates to date partitions on first append") {
+    val base = Files.createTempDirectory("graft_tiers_mig").toString
+    val store = new TierStore(spark, base)
+    val p = store.path("hist", 5000L)
+    // legacy layout: flat parquet files, no bucket_date
+    val old = spark.range(2).selectExpr("'m' AS metric",
+      "1704067200000 + id * 86400000 AS bucket_start", "id AS count")
+    old.coalesce(1).write.parquet(p)
+    assert(new java.io.File(p).listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // appending new rows triggers the in-place migration
+    val fresh = spark.range(1).selectExpr("'m' AS metric",
+      "1704240000000 AS bucket_start", "9 AS count")
+    store.append("hist", 5000L, fresh)
+    val names = new java.io.File(p).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".parquet")), names.mkString(","))
+    assert(names.count(_.startsWith("bucket_date=")) == 3)
+    assert(store.readAll("hist", 5000L).count() == 3)
+    assert(store.slice("hist", 5000L, 1704067200000L, 1704067200000L).count() == 1)
+  }
+
+  test("streaming sink refuses a legacy flat raw tier dir") {
+    val base = Files.createTempDirectory("graft_stream_flat").toString
+    val ing = new graft.streaming.StreamingIngest(spark, base)
+    new java.io.File(ing.rawTierPath).mkdirs()
+    Files.write(new java.io.File(ing.rawTierPath, "part-000.parquet").toPath, Array[Byte](1))
+    intercept[IllegalStateException] { ing.requirePartitionedLayout(ing.rawTierPath) }
+  }
+
+  test("tier cursor falls back to the legacy un-namespaced file") {
+    import graft.streaming.StreamingIngest
+    val base = Files.createTempDirectory("graft_cursor_mig").toString
+    val ing = new StreamingIngest(spark, base)
+    // no cursor at all → sentinel
+    assert(ing.readCursor(StreamingIngest.HistKind, 60000L) == Long.MinValue)
+    // legacy hist cursor: cursor_$d; legacy counter cursor: cursor_${d+1}
+    Files.write(new java.io.File(base, "cursor_60000").toPath, "1111".getBytes)
+    Files.write(new java.io.File(base, "cursor_60001").toPath, "2222".getBytes)
+    assert(ing.readCursor(StreamingIngest.HistKind, 60000L) == 1111L)
+    assert(ing.readCursor(StreamingIngest.CounterKind, 60000L) == 2222L)
+    // a kind-namespaced cursor wins over the legacy one
+    Files.write(new java.io.File(base, "cursor_tier_60000").toPath, "3333".getBytes)
+    assert(ing.readCursor(StreamingIngest.HistKind, 60000L) == 3333L)
+  }
+
   test("MaterializedTiers.ensure sweeps stale-format tier dirs, keeps current") {
     import graft.planner.MaterializedTiers
     val staleName = "v" + (MaterializedTiers.FormatVersion - 1) + "_spec_stale"
