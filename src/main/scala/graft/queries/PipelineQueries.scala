@@ -170,11 +170,17 @@ object PipelineQueries {
     * per group, flat in row count. The estimate itself is excluded
     * from the output on purpose (it is implementation-defined). */
   def hllUsers(spark: SparkSession, dir: String): DataFrame =
+    // dedupe (event_type, user_id) first, then count + sketch the
+    // distinct frame: HLL insertion is idempotent, so the estimate is
+    // identical to sketching the raw stream, and the plan avoids the
+    // Expand (row-doubling) a mixed exact+approx distinct agg needs —
+    // map-side partial dedupe does the heavy lifting at scale
     Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+        count(lit(1)).as("exact_users"))
       .select(
         col("event_type"),
         col("exact_users"),

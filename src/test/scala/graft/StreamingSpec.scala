@@ -170,4 +170,83 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(si.tierPath(30000L)).listFiles()
       .count(_.getName.startsWith("bucket_date=")) == 0)
   }
+
+  test("multi-day soak: ingest → cascade → query → retention; cursors survive restarts") {
+    val DAY = 86400000L
+    val base = Files.createTempDirectory("graft_soak").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    import graft.streaming.StreamingIngest
+    val Counter = StreamingIngest.CounterKind
+
+    val si = new StreamingIngest(spark, base)
+    val q = si.startCounterTier(si.readJsonStream(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // three simulated days; each day: two closed 30s buckets of "reqs"
+      // (sums 3 and d+1) plus a same-day "push" row advancing the
+      // watermark far enough to flush and close them
+      for (d <- 0 to 2) {
+        val dayT = T0 + d * DAY
+        dropFile(in, s"day$d.json", Seq(
+          line("reqs", "counter", dayT, Seq(1, 2)),
+          line("reqs", "counter", dayT + 30000, Seq(d + 1.0)),
+          line("push", "counter", dayT + 120000, Seq(1))))
+        q.processAllAvailable()
+        // each day's cascade runs in a FRESH instance — a restarted
+        // process must pick up the on-disk cursors, not re-roll
+        new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
+      }
+      // day-3 pusher: advances the watermark so day 2's second bucket
+      // flushes and its 30s tier bucket closes for the final cascade
+      dropFile(in, "day3.json", Seq(line("push", "counter", T0 + 3 * DAY, Seq(1))))
+      q.processAllAvailable()
+      new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
+    } finally q.stop()
+
+    def tierCount(): Long = {
+      spark.catalog.refreshByPath(si.counterTierPath(30000L))
+      si.store.readAll(Counter, 30000L).where(col("metric") === "reqs").count()
+    }
+    // 2 closed reqs buckets per day × 3 days, no duplicates from the
+    // per-day restarts
+    assert(tierCount() == 6L, s"expected 6 tier rows, got ${tierCount()}")
+
+    // an idempotent re-run on yet another fresh instance adds nothing
+    new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
+    assert(tierCount() == 6L, "cursor did not survive the restart: cascade re-rolled")
+
+    // query across the whole span from the live tiers
+    val provider = new graft.streaming.StreamingTierProvider(spark, si,
+      Seq(graft.planner.Metric("reqs", "counter")))
+    val planner = new graft.planner.InfluxPlanner(provider)
+    def points(): Map[Long, Double] = planner.execute(spark,
+      s"""select count from "reqs" where time between $T0 and ${T0 + 3 * DAY} force group by time(30s)""")
+      .head.df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = points()
+    for (d <- 0 to 2) {
+      assert(full(T0 + d * DAY) == 3.0)
+      assert(full(T0 + d * DAY + 30000) == (d + 1).toDouble)
+    }
+
+    // retention at now = T0+3d with a 1-day TTL keeps only day 2
+    val dropped = si.store.enforceRetention(Counter, 30000L,
+      ttlMs = DAY, nowMs = T0 + 3 * DAY)
+    assert(dropped.sorted ==
+      Seq(graft.sources.TierStore.utcDateOf(T0),
+        graft.sources.TierStore.utcDateOf(T0 + DAY)).map("bucket_date=" + _))
+    spark.catalog.refreshByPath(si.counterTierPath(30000L))
+
+    // dropped partitions never serve again: day-0/1 points vanish from
+    // the same query; day-2 points are intact
+    val after = points()
+    assert(!after.contains(T0) && !after.contains(T0 + DAY),
+      s"dropped partitions still serve: $after")
+    assert(after(T0 + 2 * DAY) == 3.0 && after(T0 + 2 * DAY + 30000) == 3.0)
+
+    // and cursors still survive retention: no re-roll of the raw tier
+    // (which retention did NOT touch) into the now-shorter tier table
+    new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
+    assert(tierCount() == 2L, "cascade re-rolled dropped days after retention")
+  }
 }
