@@ -107,6 +107,33 @@ class TierStore(spark: SparkSession, baseDir: String) {
     dropped.map(_.getName)
   }
 
+  /** Compact date partitions that have accumulated many small files —
+    * the streaming cascade appends one file per increment per date, so
+    * a 30 s-cadence deployment writes ~2880 slivers into each day's
+    * partition; file listings (and open() counts) are what degrade
+    * first at scale. Partitions with more than `maxFiles` data files
+    * are rewritten to one file (tier rows are a few hundred bytes
+    * post-aggregation — a compacted day is well under one HDFS block;
+    * adjust upstream if a kind ever outgrows that). Maintenance-window
+    * op like [[enforceRetention]]: the per-partition swap is not atomic
+    * for concurrent readers. Returns the compacted partition names. */
+  def compact(kind: String, durationMs: Long, maxFiles: Int = 4): Seq[String] = {
+    val root = new java.io.File(path(kind, durationMs))
+    if (!root.exists()) return Nil
+    val todo = root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
+      .filter(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFiles)
+    todo.foreach { p =>
+      val tmp = new java.io.File(p.getPath + "__compacting")
+      deleteRecursively(tmp)
+      spark.read.parquet(p.getPath).coalesce(1).write.parquet(tmp.getPath)
+      deleteRecursively(p)
+      tmp.renameTo(p)
+    }
+    if (todo.nonEmpty) spark.catalog.refreshByPath(path(kind, durationMs))
+    todo.map(_.getName)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()

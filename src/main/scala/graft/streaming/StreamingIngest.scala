@@ -46,7 +46,7 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
 
   def rawTierPath = s"$baseDir/tier_raw"
   def tierPath(d: Long) = store.path(StreamingIngest.HistKind, d)
-  import StreamingIngest.{CounterKind, HistKind}
+  import StreamingIngest.{CounterKind, HistKind, SchemaSidecar}
   private def cursorPath(kind: String, d: Long) = s"$baseDir/cursor_${kind}_$d"
 
   /** JSON-lines file stream → parsed measurements stream. */
@@ -98,8 +98,10 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
   private def startTierSink(agg: DataFrame, trigger: Trigger,
                             checkpoint: String, path: String): StreamingQuery = {
     requirePartitionedLayout(path)
-    agg
+    val partitioned = agg
       .withColumn("bucket_date", TierStore.utcDate(col("bucket_start")))
+    writeSchemaSidecar(path, partitioned.schema)
+    partitioned
       .writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -152,8 +154,12 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       val cursor = readCursor(kind, d)
       spark.catalog.refreshByPath(sourcePath)
       // a bucket of duration d is closed once the source tier holds
-      // nothing before its end; process (cursor, maxClosed]
-      val maxSource = spark.read.parquet(sourcePath)
+      // nothing before its end; process (cursor, maxClosed]. The probe
+      // is cursor-date-pruned like the increment read: on a long-lived
+      // tier it lists only partitions near the cursor, and partitions
+      // older than the cursor day may legitimately no longer exist
+      // (enforceRawRetention)
+      val maxSource = readSliceFrom(sourcePath, cursor)
         .agg(max(col("bucket_start"))).collect()(0)
       if (!maxSource.isNullAt(0)) {
         val closedUpTo = (maxSource.getLong(0) / d) * d - 1 // last fully closed bucket end
@@ -174,19 +180,88 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
     * partition filter derived from the bounds, so a cascade pass over a
     * long-lived tier lists only the partitions near its cursor instead
     * of every file ever written. */
-  private def readSlice(path: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val upTo = spark.read.parquet(path)
+  private def readSlice(path: String, fromExclusive: Long, toInclusive: Long): DataFrame =
+    readSliceFrom(path, fromExclusive)
       .where(col("bucket_date") <= lit(TierStore.utcDateOf(toInclusive)))
-    // the first pass has cursor = Long.MinValue — no finite lower date
+      .where(col("bucket_start") <= toInclusive)
+      .drop("bucket_date")
+
+  /** Lower-bounded slice, `bucket_date` retained for further pruning.
+    * The first pass has cursor = Long.MinValue — no finite lower date. */
+  private def readSliceFrom(path: String, fromExclusive: Long): DataFrame = {
+    val all = readWithSidecarSchema(path)
     val pruned =
       if (fromExclusive >= 0L)
-        upTo.where(col("bucket_date") >= lit(TierStore.utcDateOf(fromExclusive)))
-      else upTo
-    pruned.where(col("bucket_start") > fromExclusive && col("bucket_start") <= toInclusive)
-      .drop("bucket_date")
+        all.where(col("bucket_date") >= lit(TierStore.utcDateOf(fromExclusive)))
+      else all
+    pruned.where(col("bucket_start") > fromExclusive)
+  }
+
+  /** A streaming sink's file listing comes from its `_spark_metadata`
+    * log, which keeps naming partitions that [[enforceRawRetention]]
+    * has dropped. Date pruning excludes those paths from the scan, but
+    * parquet SCHEMA INFERENCE runs before any filter and may open a
+    * deleted file — so every sink records its schema in a sidecar at
+    * start, and reads supply it explicitly, skipping inference. */
+  private def writeSchemaSidecar(path: String,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = new java.io.File(path, SchemaSidecar)
+    if (!f.exists()) {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, schema.json.getBytes)
+    }
+  }
+
+  private def readWithSidecarSchema(path: String): DataFrame = {
+    val f = new java.io.File(path, SchemaSidecar)
+    if (f.exists()) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(path)
+    } else spark.read.parquet(path)
   }
 
   def tier(d: Long): DataFrame = store.readAll(HistKind, d)
+
+  /** Retention for the RAW streaming sinks (reference TTLs raw buckets
+    * at hours, not days — reference.conf:22-47): drops whole
+    * `bucket_date` partition dirs that are BOTH past the ttl and
+    * strictly older than the first tier's cursor day. The cursor bound
+    * makes the drop safe-by-construction: only the first tier ever
+    * reads a raw sink, and every one of its reads — probe and
+    * increment — prunes to `bucket_date >= day(cursor)` before any file
+    * is opened, so a dropped partition is unreachable even through the
+    * sink's `_spark_metadata` listing. Data not yet rolled up is never
+    * dropped, whatever the ttl says. Returns dropped dirs per kind. */
+  def enforceRawRetention(ttlMs: Long,
+                          nowMs: Long = System.currentTimeMillis(),
+                          firstTier: Long = Rollup.StandardTiers.head): Map[String, Seq[String]] = {
+    def dropFor(kind: String, rawDir: String): Seq[String] = {
+      val cursor = readCursor(kind, firstTier)
+      if (cursor == Long.MinValue) return Nil // nothing rolled up yet
+      val cursorDay = TierStore.utcDateOf(cursor).toLocalDate
+      val ttlDay = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochMilli(nowMs - ttlMs), java.time.ZoneOffset.UTC)
+      val cutoff = if (cursorDay.isBefore(ttlDay)) cursorDay else ttlDay
+      val dir = new java.io.File(rawDir)
+      if (!dir.exists()) return Nil
+      val dropped = dir.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
+        .filter(f => java.time.LocalDate
+          .parse(f.getName.stripPrefix("bucket_date=")).isBefore(cutoff))
+      dropped.foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+        }
+        rm(f)
+      }
+      if (dropped.nonEmpty) spark.catalog.refreshByPath(rawDir)
+      dropped.map(_.getName)
+    }
+    Map(HistKind -> dropFor(HistKind, rawTierPath),
+      CounterKind -> dropFor(CounterKind, counterRawTierPath))
+  }
 
   /** Pre-kind-namespace cursor files: histogram tiers wrote `cursor_$d`,
     * counter tiers disambiguated as `cursor_${d+1}` (tier durations are
@@ -225,4 +300,7 @@ object StreamingIngest {
     * the legacy un-namespaced files — see `readCursor`). */
   val HistKind = "tier"
   val CounterKind = "counter_tier"
+
+  /** Underscore prefix keeps it out of parquet file listings. */
+  val SchemaSidecar = "_graft_schema.json"
 }

@@ -248,5 +248,20 @@ class StreamingSpec extends SparkSpec {
     // (which retention did NOT touch) into the now-shorter tier table
     new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
     assert(tierCount() == 2L, "cascade re-rolled dropped days after retention")
+
+    // raw-sink retention: a zero ttl wants every raw partition gone,
+    // but the cursor guard keeps the cursor's own day (its tail isn't
+    // fully rolled) — only days strictly before it drop
+    def rawDate(ms: Long) = "bucket_date=" + graft.sources.TierStore.utcDateOf(ms)
+    val rawDropped = si.enforceRawRetention(ttlMs = 0L, nowMs = T0 + 3 * DAY,
+      firstTier = 30000L)
+    assert(rawDropped(Counter).sorted == Seq(rawDate(T0), rawDate(T0 + DAY)))
+    val rawLeft = new java.io.File(si.counterRawTierPath).listFiles().map(_.getName)
+    assert(rawLeft.contains(rawDate(T0 + 2 * DAY)),
+      "cursor-day raw partition must survive retention")
+    // the cascade probe and increments prune to >= the cursor day, so
+    // the shortened sink still reads cleanly and nothing re-rolls
+    new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
+    assert(tierCount() == 2L)
   }
 }

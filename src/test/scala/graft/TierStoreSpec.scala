@@ -116,6 +116,33 @@ class TierStoreSpec extends SparkSpec {
     assert(ing.readCursor(StreamingIngest.HistKind, 60000L) == 3333L)
   }
 
+  test("compaction collapses small-file partitions; data and pruning intact") {
+    val base = Files.createTempDirectory("graft_tiers_compact").toString
+    val store = new TierStore(spark, base)
+    // 6 tiny appends into the same day = 6 files (streaming-cadence shape)
+    for (i <- 0 until 6)
+      store.append("c", 30000L, spark.range(1).selectExpr("'m' AS metric",
+        s"1704067200000 + $i * 30000 AS bucket_start", s"CAST($i AS BIGINT) AS count"))
+    val part = new java.io.File(store.path("c", 30000L), "bucket_date=2024-01-01")
+    def dataFiles() = part.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 6)
+    val before = store.readAll("c", 30000L).orderBy("bucket_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    val compacted = store.compact("c", 30000L)
+    assert(compacted == Seq("bucket_date=2024-01-01"))
+    assert(dataFiles() == 1)
+    val after = store.readAll("c", 30000L).orderBy("bucket_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(after == before)
+    // below the threshold → untouched on a second pass
+    assert(store.compact("c", 30000L).isEmpty)
+    // pruned reads still carry the partition filter
+    val plan = store.slice("c", 30000L, 1704067200000L, 1704067260000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket_date"))
+  }
+
   test("MaterializedTiers.ensure sweeps stale-format tier dirs, keeps current") {
     import graft.planner.MaterializedTiers
     val staleName = "v" + (MaterializedTiers.FormatVersion - 1) + "_spec_stale"
