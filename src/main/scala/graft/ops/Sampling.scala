@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. Reproducibility
+  * beats entropy here: a corpus sampled by content/id hash yields the
+  * same subset on every engine, every rerun, every cluster size — which
+  * is what makes ablations and incremental rebuilds comparable. (Spark's
+  * `df.sample` is seed-stable only per partitioning; a hash predicate is
+  * stable, full stop.)
+  *
+  * Scale: [[hashSample]] is a pure predicate — no shuffle, no state;
+  * Catalyst pushes it to the scan. [[stratifiedSample]] is one window
+  * shuffle on the stratum key.
+  */
+object Sampling {
+
+  /** Sampling buckets: a prime so bucket occupancy is unbiased even
+    * when ids share a stride (sequential ids, sharded ids). */
+  val Buckets = 97
+
+  /** Deterministic hash of a non-negative id into [0, [[Buckets]]):
+    * Knuth multiplicative hashing in plain 64-bit integer arithmetic —
+    * no engine-specific hash function, so any SQL engine reproduces the
+    * selection bit-for-bit. The pre-mod keeps the product inside Int64
+    * for ids up to 9.2e18 (ANSI-safe). */
+  def detHash(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(Buckets.toLong))
+
+  /** Keep rows whose id hashes into the first `keepBuckets` of
+    * [[Buckets]] (keepBuckets/97 ≈ the sampling rate). Deterministic,
+    * shuffle-free, pushdown-friendly. */
+  def hashSample(df: DataFrame, keepBuckets: Int, idCol: String = "doc_id"): DataFrame =
+    df.where(detHash(col(idCol)) < keepBuckets)
+
+  /** Up to `k` rows per stratum, chosen pseudo-randomly but
+    * deterministically: rank within the stratum by (hash, id) and keep
+    * the first k. The id tie-break makes the selection total-order
+    * stable. Emits the stratum rank as `rk`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(detHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+}

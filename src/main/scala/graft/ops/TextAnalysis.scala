@@ -110,4 +110,55 @@ object TextAnalysis {
       round(meanTokenLen(col(textCol)), 4).as("mean_token_len"),
       round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Word n-grams WITH repetitions (unlike [[Dedup.shingles]], which is
+    * the distinct set for Jaccard): the multiset a repetition detector
+    * needs. Docs shorter than n collapse to one whole-doc gram. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < n, array(array_join(w, " ")))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** Repetition score per document: frequency of the most repeated word
+    * n-gram over the total n-gram count — the standard boilerplate /
+    * degenerate-generation signal (a looping doc scores → 1, clean prose
+    * → 1/n_grams). One explode + one count shuffle; grams travel as
+    * xxhash64 keys (8 B) rather than strings, like the dedup paths. */
+  def ngramRepetition(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(ngramsAll(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"), max("c").as("max_gram_freq"))
+      .select(col(idCol), col("n_grams"), col("max_gram_freq"),
+        round(col("max_gram_freq").cast("double") / col("n_grams").cast("double"), 4)
+          .as("repetition"))
+
+  /** Redaction patterns, applied in this order (URLs first so their
+    * query strings can't later match as emails/numbers). RE2-safe and
+    * identical under Java regex, so any engine reproduces the output. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunPattern = "[0-9]{6,}"
+
+  /** PII/noise scrub for training corpora: URLs, emails, and long digit
+    * runs (ids, phone-ish numbers) replaced by typed placeholders, with
+    * per-kind match counts. Counts are taken on the text each pattern
+    * actually saw (post-prior-redactions), so they equal the number of
+    * placeholders inserted. Pure per-row expressions — no shuffle. */
+  def redact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, UrlPattern, "<URL>")
+    val t2 = regexp_replace(t1, EmailPattern, "<EMAIL>")
+    val t3 = regexp_replace(t2, DigitRunPattern, "<NUM>")
+    docs.select(
+      col(idCol),
+      t3.as("redacted"),
+      size(regexp_extract_all(t0, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t1, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t2, lit(DigitRunPattern), lit(0))).cast("long").as("n_digit_runs"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,7 +188,29 @@ object PipelineQueries {
           col("exact_users").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
 
+  /** ~10% deterministic id-hash sample (10 of 97 buckets). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(spark, dir), keepBuckets = 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Up to 5 docs per language, deterministically pseudo-random. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir), "lang", k = 5)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def redactDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Tables.documents(spark, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_hash_sample"       -> (hashSample _),
+    "d_stratified_sample" -> (stratifiedSample _),
+    "d_repetition"        -> (repetition _),
+    "d_redact"            -> (redactDocs _),
     "d_dedup_exact"     -> (dedupExact _),
     "d_jaccard_pairs"   -> (jaccardPairs _),
     "d_minhash_lsh"     -> (minhashLsh _),
@@ -233,6 +255,46 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "d_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 97 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "d_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             ((doc_id % 1000000007) * 2654435761) % 97 AS hv
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "d_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(g) AS s FROM s),
+         |c AS (SELECT doc_id, s, COUNT(*) AS c FROM e GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |       CAST(MAX(c) AS BIGINT) AS max_gram_freq,
+         |       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS repetition
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_redact" ->
+      """WITH t1 AS (SELECT doc_id, text AS orig,
+        |              regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS a
+        |            FROM documents),
+        |t2 AS (SELECT *, regexp_replace(a,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS b
+        |       FROM t1),
+        |t3 AS (SELECT *, regexp_replace(b, '[0-9]{6,}', '<NUM>', 'g') AS c FROM t2)
+        |SELECT doc_id, c AS redacted,
+        |  CAST(len(regexp_extract_all(orig, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(b, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+        |FROM t3 ORDER BY doc_id""".stripMargin,
     "d_hll_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct

@@ -63,6 +63,38 @@ class OpsSpec extends SparkSpec {
     assert(h == 0)
   }
 
+  test("redaction scrubs urls, emails, digit runs with per-kind counts") {
+    import graft.ops.{Sampling, TextAnalysis}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://example.com/x?u=a@b.com and mail me at jo.doe+x@corp.io or call 12345678"),
+      (2L, "short 12345 is kept, 123456 is not"),
+      (3L, "clean prose with nothing to hide")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "see <URL> and mail me at <EMAIL> or call <NUM>")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((1L, 1L, 1L)))
+    assert(out(1).getString(1) == "short 12345 is kept, <NUM> is not")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) == ((0L, 0L, 1L)))
+    assert(out(2).getString(1) == "clean prose with nothing to hide")
+
+    // sampling: deterministic, stable across reruns, stratified caps hold
+    val d = Tables.documents(spark, sf)
+    val s1 = Sampling.hashSample(d, 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(d, 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < d.count())
+    val strat = Sampling.stratifiedSample(d, "lang", 5)
+    val perLang = strat.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perLang.nonEmpty && perLang.forall(_._2 <= 5))
+
+    // repetition: a looping doc scores 1.0, distinct prose 1/n_grams
+    val rep = TextAnalysis.ngramRepetition(Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rep(0).getDouble(3) == 1.0)
+    assert(rep(1).getLong(1) == 4L && rep(1).getLong(2) == 1L && rep(1).getDouble(3) == 0.25)
+  }
+
   test("degenerate-LSH guardrail fires at low thresholds, not at real near-dup ones") {
     // threshold 0.45 degrades to few bits / many tables → diagnostic
     val (loBits, loTables) = Similarity.lshParamsFor(0.45)
