@@ -12,6 +12,13 @@ object TextAnalysis {
 
   import Dedup.{normText, tokens}
 
+  // NOTE on the `...Of(toks)` variants: Spark does not common-
+  // subexpression-eliminate higher-order-function subtrees, so a column
+  // that references an inline `tokens(text)` k times re-runs the
+  // tokenizer k times per row. Every multi-use call path here projects
+  // the token array ONCE and computes from the bound attribute; the
+  // text-based overloads remain for single-use convenience.
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -20,12 +27,14 @@ object TextAnalysis {
   val EnglishMarkers: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
-  def stopwordRatio(text: Column, markers: Seq[String] = EnglishMarkers): Column = {
-    val toks = tokens(text)
+  def stopwordRatioOf(toks: Column, markers: Seq[String] = EnglishMarkers): Column = {
     val matches = size(filter(toks, t => t.isInCollection(markers)))
     when(size(toks) === 0, 0.0)
       .otherwise(matches.cast("double") / size(toks).cast("double"))
   }
+
+  def stopwordRatio(text: Column, markers: Seq[String] = EnglishMarkers): Column =
+    stopwordRatioOf(tokens(text), markers)
 
   /** Non-word (punctuation/symbol) character ratio over non-space
     * characters. */
@@ -36,22 +45,24 @@ object TextAnalysis {
   }
 
   /** Mean token length (characters), 0 for blank docs. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLenOf(toks: Column): Column =
     when(size(toks) === 0, 0.0)
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
-  }
+
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
 
   /** Composite quality score in [0,1]: length component + stopword
     * component − punctuation penalty (simple, deterministic, and
     * monotone in the usual quality signals). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+  def qualityScoreOf(toks: Column, text: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatioOf(toks) * 5.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 2.0, lit(1.0))
     greatest(lit(0.0), least(lit(1.0), lenScore * 0.5 + swScore * 0.5 - punctPenalty * 0.25))
   }
+
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text), text)
 
   /** BPE-ish regex tokenization: letter runs, digit runs, and single
     * non-alphanumeric symbols — the pre-tokenizer split most BPE vocabs
@@ -75,8 +86,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "que", "en", "un"),
     "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdOf(toks: Column): Column = {
     val scores = LangMarkers.map { case (lang, markers) =>
       (lang, size(filter(toks, t => t.isInCollection(markers))))
     }
@@ -87,6 +97,8 @@ object TextAnalysis {
     }
     when(best._2 === 0, "und").otherwise(best._1)
   }
+
+  def langId(text: Column): Column = langIdOf(tokens(text))
 
   /** Polynomial rolling hash over characters, mod 1e9+7, seeded 7 —
     * cheap, stable, and reproducible in any engine with 64-bit integer
@@ -102,14 +114,16 @@ object TextAnalysis {
   /** Document fingerprint: [[polyHash]] of the normalized text. */
   def fingerprint(text: Column): Column = polyHash(normText(text))
 
-  /** Per-document text stats frame. */
+  /** Per-document text stats frame: one tokenizer pass feeds all three
+    * token-derived stats (see the CSE note at the top). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      round(meanTokenLen(col(textCol)), 4).as("mean_token_len"),
-      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
-      fingerprint(col(textCol)).as("fingerprint"))
+    docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("w"))
+      .select(
+        col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(meanTokenLenOf(col("w")), 4).as("mean_token_len"),
+        round(stopwordRatioOf(col("w")), 4).as("stopword_ratio"),
+        fingerprint(col(textCol)).as("fingerprint"))
 
   /** Word n-grams WITH repetitions (unlike [[Dedup.shingles]], which is
     * the distinct set for Jaccard): the multiset a repetition detector

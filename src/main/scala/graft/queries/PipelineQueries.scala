@@ -45,9 +45,11 @@ object PipelineQueries {
     TextAnalysis.stats(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("quality"))
       .orderBy("doc_id")
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -100,17 +102,22 @@ object PipelineQueries {
       .orderBy("media_id")
 
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-      size(array_distinct(TextAnalysis.bpeTokens(col("text")))).cast("long").as("n_bpe_distinct"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("b"))
+      .select(
+        col("doc_id"),
+        size(col("b")).cast("long").as("n_bpe"),
+        size(array_distinct(col("b"))).cast("long").as("n_bpe_distinct"))
       .orderBy("doc_id")
 
   def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.langId(col("text")).as("predicted"),
-      (TextAnalysis.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdOf(Dedup.tokens(col("text"))).as("predicted"))
+      .select(
+        col("doc_id"),
+        col("predicted"),
+        (col("predicted") === col("lang")).cast("int").as("matches_label"))
       .orderBy("doc_id")
 
   /** Corpus vocabulary: the 100 most frequent normalized tokens with a
