@@ -115,6 +115,54 @@ object Multimodal {
   /** Deterministic PCM sample i for a given seed (range [-1000, 1000]). */
   @inline private def pcm(seed: Int, i: Int): Int = (seed + 7 * i) % 2001 - 1000
 
+  /** Nearest-neighbor resize over REAL decoded media, fused with
+    * feature extraction: images are decoded (ImageIO), sampled onto a
+    * `targetW`×`targetH` grid (source pixel `(x·w/W', y·h/H')` — the
+    * standard NN mapping), and summarized; wav decodes and resamples to
+    * `targetSamples`. Sampling the source raster directly IS the
+    * resize+extract fusion — no resized image is materialized, media
+    * bytes never shuffle, codecs init once per partition. Emits the
+    * [[decodedSchema]] columns computed over the resized content. */
+  def resizeFeatures(media: DataFrame, targetW: Int, targetH: Int,
+                     targetSamples: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "format", "media")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          fmt match {
+            case "wav" =>
+              val s = readWav(bytes)
+              var acc = 0L
+              var i = 0
+              while (i < targetSamples) {
+                acc += math.abs(s((i * s.length) / targetSamples).toLong)
+                i += 1
+              }
+              Row(id, fmt, targetSamples.toLong, 1L, acc)
+            case _ =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              val raster = img.getRaster
+              val (w, h) = (img.getWidth, img.getHeight)
+              var acc = 0L
+              var y = 0
+              while (y < targetH) {
+                var x = 0
+                while (x < targetW) {
+                  acc += raster.getSample((x * w) / targetW, (y * h) / targetH, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, fmt, targetW.toLong, targetH.toLong, acc)
+          }
+        }
+      }(enc)
+  }
+
   /** Encode REAL media bytes per document: a w×h grayscale png/bmp
     * (ImageIO) or an n-sample PCM16 wav (RIFF writer), with
     * dimensions/content derived from the text's char length. Encoders

@@ -101,6 +101,15 @@ object PipelineQueries {
       Multimodal.realMedia(Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  /** Decode → nearest-neighbor resize (8×6 images, 16-sample audio) →
+    * features, over the real codec bytes; the oracle replays the NN
+    * source-index arithmetic on the synthetic pixel/sample formulas. */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeFeatures(
+      Multimodal.realMedia(Tables.documents(spark, dir)),
+      targetW = 8, targetH = 6, targetSamples = 16)
+      .orderBy("media_id")
+
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("b"))
@@ -230,6 +239,7 @@ object PipelineQueries {
     "e_near_dup_pairs"  -> (embNearDups _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
+    "d_multimodal_resize" -> (multimodalResize _),
     "d_hll_users"       -> (hllUsers _),
     "d_bpe_tokens"      -> (bpeTokenStats _),
     "d_langid"          -> (langIdPredictions _),
@@ -469,6 +479,23 @@ object PipelineQueries {
         |    ELSE list_sum(flatten(list_transform(range(0, (l % 16) + 1),
         |           x -> list_transform(range(0, (l % 12) + 1),
         |                  y -> (seed + 31*x + 17*y) % 256))))
+        |  END AS BIGINT) AS content_sum
+        |FROM p ORDER BY media_id""".stripMargin,
+    "d_multimodal_resize" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(len(text) AS INT) AS l, CAST(len(text) % 256 AS INT) AS seed,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format
+        |  FROM documents)
+        |SELECT media_id, format,
+        |  CAST(CASE WHEN format = 'wav' THEN 16 ELSE 8 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN format = 'wav' THEN 1 ELSE 6 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN format = 'wav'
+        |    THEN list_sum(list_transform(range(0, 16),
+        |           i -> abs((seed + 7 * ((i * ((l % 32) + 1)) // 16)) % 2001 - 1000)))
+        |    ELSE list_sum(flatten(list_transform(range(0, 8),
+        |           x -> list_transform(range(0, 6),
+        |                  y -> (seed + 31 * ((x * ((l % 16) + 1)) // 8)
+        |                             + 17 * ((y * ((l % 12) + 1)) // 6)) % 256))))
         |  END AS BIGINT) AS content_sum
         |FROM p ORDER BY media_id""".stripMargin,
     "d_multimodal_meta" ->

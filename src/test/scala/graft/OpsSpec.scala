@@ -147,6 +147,18 @@ class OpsSpec extends SparkSpec {
     assert(f1.forall(_.getInt(3) >= 0))
   }
 
+  test("resize features: fixed target dims; sums bounded by target grid") {
+    import graft.ops.Multimodal
+    val media = Multimodal.realMedia(Tables.documents(spark, sf).limit(30))
+    val out = Multimodal.resizeFeatures(media, 8, 6, 16).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (fmt, w, h, sum) = (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (fmt == "wav") { assert(w == 16 && h == 1); assert(sum <= 16L * 1000) }
+      else { assert(w == 8 && h == 6); assert(sum <= 8L * 6 * 255) }
+    }
+  }
+
   test("frame sampling produces bounded frame vectors") {
     val media = Multimodal.syntheticMedia(docs)
     val frames = Multimodal.frameSample(media, stride = 16)
