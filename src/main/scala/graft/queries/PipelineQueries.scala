@@ -83,6 +83,9 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  def quantizeEmb(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
+
   def embNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("id_a", "id_b")
@@ -237,6 +240,7 @@ object PipelineQueries {
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
+    "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
     "d_multimodal_resize" -> (multimodalResize _),
@@ -409,6 +413,20 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "e_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        |q AS (SELECT vec_id, m,
+        |        list_transform(v, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT) END) AS q
+        |      FROM m)
+        |SELECT vec_id,
+        |  CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(127.0 / m * 10000.0 + 0.5) AS BIGINT) END AS scale_e4,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min,
+        |  list_max(q) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "e_near_dup_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
