@@ -95,17 +95,24 @@ object Similarity {
     *
     * Guardrail: when the recall sizing degrades below
     * [[DegenerateLshBits]] signature bits (low thresholds), the call
-    * counts the corpus (a metadata-cheap count-star, only in this
-    * regime) and WARNs with the projected candidate volume so a
-    * quadratic 10⁹-vector job never launches silently. */
+    * WARNs with the retained-pair FRACTION (tables/2^bits — scale-free,
+    * so no job runs at plan-build time and the operator stays lazy);
+    * [[degenerateLshDiagnostic]] turns a corpus size into the absolute
+    * projected candidate volume for callers that want the number before
+    * launching a 10⁹-vector job. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    dims: Int = 64): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val (bits, tables) = lshParamsFor(threshold)
     if (bits <= DegenerateLshBits)
-      degenerateLshDiagnostic(corpus.select(col(idCol)).count(), bits, tables)
-        .foreach(log.warn)
+      log.warn(f"nearDupPairs is in the degenerate LSH regime at threshold $threshold: " +
+        f"bits=$bits ≤ $DegenerateLshBits, tables=$tables ⇒ buckets retain " +
+        f"~${100.0 * tables / math.pow(2.0, bits.toDouble)}%.1f%% of all pairs (incl. " +
+        "cross-table repeats) — effectively quadratic in corpus size. This is the " +
+        "honest cost of exactness at a low cosine threshold; at real near-dup " +
+        "thresholds (≥ ~0.7) the same operator is sub-quadratic. " +
+        "Use Similarity.degenerateLshDiagnostic(n, bits, tables) for projected volume.")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val buckets = lshBuckets(base, "id", "v", bits, dims, tables)

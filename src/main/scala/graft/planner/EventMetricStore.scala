@@ -14,12 +14,19 @@ import graft.rollup.Rollup
   * to partition-pruned reads of materialized tier tables.
   */
 object EventMetricStore {
-  // keyed weakly by the session OBJECT (same pattern as
-  // MaterializedTiers.providers): an identity hash can collide across
-  // session churn and the entry would outlive a stopped session
+  // Keyed by the session OBJECT (identity hashes can collide across
+  // session churn). NOTE the weak keying alone cannot reclaim entries:
+  // the stores' cached DataFrames strongly reference their session, so
+  // the value pins the key (a WeakHashMap rule). Lifecycle is therefore
+  // explicit — a context-end hook clears the map, and [[invalidate]]
+  // releases a session that is being retired early.
   private val instances = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, EventMetricStore]]())
+
+  /** Drop a session's stores (call when retiring a session mid-JVM). */
+  def invalidate(spark: SparkSession): Unit =
+    instances.synchronized { instances.remove(spark); () }
 
   /** Reuse one store (and its cached tiers) per (session, dir). */
   def forSession(spark: SparkSession, dir: String): EventMetricStore = {
@@ -28,6 +35,11 @@ object EventMetricStore {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, EventMetricStore]
         instances.put(spark, m)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            invalidate(spark)
+        })
       }
       m
     }

@@ -41,33 +41,45 @@ object MaterializedTiers {
     * stale tier directories from older code are rebuilt, not trusted. */
   val FormatVersion = 2
 
-  // keyed weakly by the session OBJECT (not an identity hash, which can
-  // collide across session churn and would hand a new session a provider
-  // bound to a stopped one); stopped sessions' entries drop with the GC
+  // Keyed by the session OBJECT (not an identity hash, which can
+  // collide across session churn and would hand a new session a
+  // provider bound to a stopped one). As in EventMetricStore, weak
+  // keying alone cannot reclaim entries — providers reference their
+  // session, pinning the key — so lifecycle is explicit: a context-end
+  // hook clears the map and [[invalidate]] retires a session early.
   private val providers = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, TierSummaryProvider]]())
+
+  /** Drop a session's providers (call when retiring a session mid-JVM). */
+  def invalidate(spark: SparkSession): Unit =
+    providers.synchronized { providers.remove(spark); () }
 
   val TiersRoot = "target/tiers"
 
   def tierDir(sfDir: String): String =
     TiersRoot + "/v" + FormatVersion + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete()
-  }
+  private def rmTree(f: File): Unit = graft.sources.TierStore.deleteTree(f)
 
-  /** Drop tier trees written by an older FormatVersion: they are never
-    * read again (tierDir embeds the current version) and would otherwise
-    * accumulate one full tier copy per format bump. */
+  /** Drop tier trees written by a STRICTLY OLDER FormatVersion: this
+    * binary will never read them again (tierDir embeds the current
+    * version) and they'd otherwise accumulate one full tier copy per
+    * bump. Newer-version trees (a rollback scenario — some v(n+1)
+    * binary built them and may still be in use) and anything not
+    * matching the `v<digits>_` naming are left alone. */
+  private val VersionedDir = "^v(\\d+)_.*".r
+
   private def sweepStaleVersions(): Unit = {
     val root = new File(TiersRoot)
     if (root.isDirectory) {
-      val keep = "v" + FormatVersion + "_"
-      root.listFiles().filter(d => !d.getName.startsWith(keep)).foreach { d =>
-        println(s"[graft] removing stale tier dir (format != v$FormatVersion): $d")
-        rmTree(d)
+      root.listFiles().foreach { d =>
+        d.getName match {
+          case VersionedDir(v) if v.toInt < FormatVersion =>
+            println(s"[graft] removing stale tier dir (format v$v < v$FormatVersion): $d")
+            rmTree(d)
+          case _ => ()
+        }
       }
     }
   }
@@ -99,6 +111,11 @@ object MaterializedTiers {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, TierSummaryProvider]
         providers.put(spark, m)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            invalidate(spark)
+        })
       }
       m
     }

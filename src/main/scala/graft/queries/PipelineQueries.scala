@@ -195,7 +195,12 @@ object PipelineQueries {
     // Expand (row-doubling) a mixed exact+approx distinct agg needs —
     // map-side partial dedupe does the heavy lifting at scale
     Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
+      // drop NULL users before counting: count(*) over the distinct
+      // frame would count a (type, NULL) row that both the HLL sketch
+      // and the oracle's COUNT(DISTINCT) ignore
+      .select(col("event_type"), col("user_id"))
+      .where(col("user_id").isNotNull)
+      .distinct()
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),

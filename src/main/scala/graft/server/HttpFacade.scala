@@ -44,15 +44,16 @@ class HttpFacade(spark: SparkSession,
                  port: Int = 0) {
 
   private var server: HttpServer = _
+  private var serverPool: java.util.concurrent.ExecutorService = _
   private val ingestPool = Executors.newSingleThreadExecutor()
 
   /** Start listening; returns the bound port (ephemeral when port=0). */
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/khronus/version", (ex: HttpExchange) =>
-      respond(ex, 200, Version.json))
+      if (!preflight(ex)) respond(ex, 200, Version.json))
     server.createContext("/khronus/db/influx/series", (ex: HttpExchange) =>
-      try {
+      if (!preflight(ex)) try {
         val q = queryParam(ex, "q").getOrElse(
           throw new UnsupportedOperationException("missing q parameter"))
         val json =
@@ -66,7 +67,7 @@ class HttpFacade(spark: SparkSession,
       } catch {
         case e: Exception => respond(ex, 400, s"""{"error":${InfluxProtocol.jsonString(e.getMessage)}}""")
       })
-    server.createContext("/khronus/metrics", (ex: HttpExchange) => {
+    server.createContext("/khronus/metrics", (ex: HttpExchange) => if (!preflight(ex)) {
       val body = new String(readBody(ex), UTF_8)
       // 200 first, parse/ingest after — the reference acks before work
       respond(ex, 200, "")
@@ -79,13 +80,17 @@ class HttpFacade(spark: SparkSession,
       })
       ()
     })
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    serverPool = Executors.newFixedThreadPool(4)
+    server.setExecutor(serverPool)
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
     if (server != null) server.stop(0)
+    // HttpServer.stop does NOT shut down a user-supplied executor; its
+    // non-daemon threads would keep the JVM alive after stop()
+    if (serverPool != null) serverPool.shutdown()
     ingestPool.shutdown()
   }
 
@@ -108,17 +113,35 @@ class HttpFacade(spark: SparkSession,
     out.toByteArray
   }
 
+  /** Answer a CORS preflight before the handler does any work (the
+    * spray routing's `options { complete(OK) }` sits outside the
+    * resource routes for the same reason); returns true when the
+    * request was an OPTIONS and has been fully answered. */
+  private def preflight(ex: HttpExchange): Boolean =
+    ex.getRequestMethod.equalsIgnoreCase("OPTIONS") && {
+      HttpFacade.CorsHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+      true
+    }
+
+  /** gzip acceptable per RFC 9110 §12.5.3: a `gzip` (or `*`) member
+    * whose qvalue is not 0 — `gzip;q=0` is an explicit refusal. */
+  private def acceptsGzip(header: String): Boolean =
+    header.toLowerCase.split(",").exists { entry =>
+      val parts = entry.split(";").map(_.trim)
+      val q = parts.tail.collectFirst { case p if p.startsWith("q=") =>
+        try p.drop(2).toDouble catch { case _: NumberFormatException => 1.0 }
+      }.getOrElse(1.0)
+      (parts.head == "gzip" || parts.head == "*") && q > 0
+    }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val h = ex.getResponseHeaders
     HttpFacade.CorsHeaders.foreach { case (k, v) => h.set(k, v) }
-    if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) { // CORS preflight
-      ex.sendResponseHeaders(200, -1)
-      ex.close()
-      return
-    }
     val plain = body.getBytes(UTF_8)
     val wantsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.split(",").map(_.trim.takeWhile(_ != ';')).contains("gzip"))
+      .exists(acceptsGzip)
     val bytes =
       if (wantsGzip && plain.nonEmpty) {
         h.set("Content-Encoding", "gzip")

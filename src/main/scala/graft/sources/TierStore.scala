@@ -47,12 +47,24 @@ class TierStore(spark: SparkSession, baseDir: String) {
   }
 
   /** One-time upgrade of a legacy flat tier table (no bucket_date
-    * partitions) to the date-partitioned layout: rewrite into a sibling
-    * dir, then atomically-enough swap. No-op when the dir is absent or
-    * already partitioned. Returns true when a migration ran. */
+    * partitions) to the date-partitioned layout. Crash-safe swap: the
+    * rewrite lands in a sibling `__migrating` dir, the original is
+    * RENAMED aside (never deleted before the new dir is in place), and
+    * only then removed — a crash at any point leaves the data intact
+    * under exactly one of the three names, and the recovery branch at
+    * the top restores a half-finished swap on the next call. No-op when
+    * the dir is absent or already partitioned. Returns true when a
+    * migration ran. */
   def migrateFlatLayout(kind: String, durationMs: Long): Boolean = {
     val p = path(kind, durationMs)
     val dir = new java.io.File(p)
+    val old = new java.io.File(p + "__old")
+    // recovery: a previous run crashed after renaming the original
+    // aside but before the new dir took its place — put it back
+    if (old.exists() && !dir.exists()) {
+      require(old.renameTo(dir), s"could not restore $old to $p")
+      println(s"[graft] recovered interrupted migration of $p")
+    }
     val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     val flat = files.filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (flat.isEmpty) return false
@@ -60,13 +72,18 @@ class TierStore(spark: SparkSession, baseDir: String) {
     require(!partitioned,
       s"$p mixes flat parquet files with bucket_date= partitions; " +
         "refusing to proceed — remove or migrate the flat files")
-    val tmp = p + "__migrating"
-    deleteRecursively(new java.io.File(tmp))
+    val tmp = new java.io.File(p + "__migrating")
+    deleteRecursively(tmp)
+    deleteRecursively(old)
     withDate(spark.read.parquet(flat.map(_.getPath): _*))
       .repartition(col("bucket_date")).write
-      .partitionBy("bucket_date").parquet(tmp)
-    deleteRecursively(dir)
-    new java.io.File(tmp).renameTo(dir)
+      .partitionBy("bucket_date").parquet(tmp.getPath)
+    require(dir.renameTo(old), s"could not move $p aside for migration")
+    if (!tmp.renameTo(dir)) {
+      old.renameTo(dir) // roll back
+      throw new IllegalStateException(s"could not move migrated table into $p")
+    }
+    deleteRecursively(old)
     spark.catalog.refreshByPath(p)
     println(s"[graft] migrated flat tier table to date partitions: $p (${flat.size} files)")
     true
@@ -95,16 +112,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cutoff = java.time.LocalDate.ofInstant(
       java.time.Instant.ofEpochMilli(nowMs - ttlMs), java.time.ZoneOffset.UTC)
-    val dir = new java.io.File(path(kind, durationMs))
-    if (!dir.exists()) return Nil
-    val dropped = dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
-      .filter { f =>
-        val d = java.time.LocalDate.parse(f.getName.stripPrefix("bucket_date="))
-        d.isBefore(cutoff)
-      }
-    dropped.foreach(deleteRecursively)
-    dropped.map(_.getName)
+    TierStore.dropPartitionsBefore(new java.io.File(path(kind, durationMs)), cutoff)
   }
 
   /** Compact date partitions that have accumulated many small files —
@@ -115,32 +123,71 @@ class TierStore(spark: SparkSession, baseDir: String) {
     * are rewritten to one file (tier rows are a few hundred bytes
     * post-aggregation — a compacted day is well under one HDFS block;
     * adjust upstream if a kind ever outgrows that). Maintenance-window
-    * op like [[enforceRetention]]: the per-partition swap is not atomic
-    * for concurrent readers. Returns the compacted partition names. */
+    * op like [[enforceRetention]]: a concurrent reader can catch a
+    * partition between the two renames; a CRASH, however, never loses
+    * data — every partition survives under exactly one of its three
+    * names and the recovery branch restores it on the next call.
+    * Returns the compacted partition names. */
   def compact(kind: String, durationMs: Long, maxFiles: Int = 4): Seq[String] = {
-    val root = new java.io.File(path(kind, durationMs))
+    val tablePath = path(kind, durationMs)
+    val root = new java.io.File(tablePath)
     if (!root.exists()) return Nil
+    // staging roots live OUTSIDE the table dir so partition discovery
+    // never sees a half-written partition, even mid-compaction
+    val tmpRoot = new java.io.File(tablePath + "__compact_new")
+    val oldRoot = new java.io.File(tablePath + "__compact_old")
+    // recovery: restore any partition a crashed run left moved-aside
+    Option(oldRoot.listFiles()).toSeq.flatten.foreach { moved =>
+      val home = new java.io.File(root, moved.getName)
+      if (!home.exists())
+        require(moved.renameTo(home), s"could not restore $moved after crash")
+    }
+    deleteRecursively(tmpRoot)
+    deleteRecursively(oldRoot)
     val todo = root.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
       .filter(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFiles)
     todo.foreach { p =>
-      val tmp = new java.io.File(p.getPath + "__compacting")
-      deleteRecursively(tmp)
+      val tmp = new java.io.File(tmpRoot, p.getName)
+      val old = new java.io.File(oldRoot, p.getName)
+      oldRoot.mkdirs()
       spark.read.parquet(p.getPath).coalesce(1).write.parquet(tmp.getPath)
-      deleteRecursively(p)
-      tmp.renameTo(p)
+      require(p.renameTo(old), s"could not move $p aside for compaction")
+      if (!tmp.renameTo(p)) {
+        old.renameTo(p) // roll back
+        throw new IllegalStateException(s"could not move compacted partition into $p")
+      }
+      deleteRecursively(old)
     }
-    if (todo.nonEmpty) spark.catalog.refreshByPath(path(kind, durationMs))
+    deleteRecursively(tmpRoot)
+    deleteRecursively(oldRoot)
+    if (todo.nonEmpty) spark.catalog.refreshByPath(tablePath)
     todo.map(_.getName)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit = TierStore.deleteTree(f)
 }
 
 object TierStore {
+
+  /** Delete a file tree; no-op when absent. */
+  def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete()
+  }
+
+  /** Drop `bucket_date=` partition dirs strictly before `cutoff` (the
+    * single implementation behind every retention path — tier tables
+    * and raw streaming sinks must agree on naming and semantics). */
+  def dropPartitionsBefore(dir: java.io.File, cutoff: java.time.LocalDate): Seq[String] = {
+    if (!dir.exists()) return Nil
+    val dropped = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
+      .filter(f => java.time.LocalDate
+        .parse(f.getName.stripPrefix("bucket_date=")).isBefore(cutoff))
+    dropped.foreach(deleteTree)
+    dropped.map(_.getName)
+  }
   /** The bucket's UTC day as pure epoch-day arithmetic — deliberately
     * NOT `to_date(timestamp_millis(...))`, which renders in the session
     * time zone: a non-UTC session would shift rows across partition

@@ -244,20 +244,9 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
       val ttlDay = java.time.LocalDate.ofInstant(
         java.time.Instant.ofEpochMilli(nowMs - ttlMs), java.time.ZoneOffset.UTC)
       val cutoff = if (cursorDay.isBefore(ttlDay)) cursorDay else ttlDay
-      val dir = new java.io.File(rawDir)
-      if (!dir.exists()) return Nil
-      val dropped = dir.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("bucket_date="))
-        .filter(f => java.time.LocalDate
-          .parse(f.getName.stripPrefix("bucket_date=")).isBefore(cutoff))
-      dropped.foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
-        }
-        rm(f)
-      }
+      val dropped = TierStore.dropPartitionsBefore(new java.io.File(rawDir), cutoff)
       if (dropped.nonEmpty) spark.catalog.refreshByPath(rawDir)
-      dropped.map(_.getName)
+      dropped
     }
     Map(HistKind -> dropFor(HistKind, rawTierPath),
       CounterKind -> dropFor(CounterKind, counterRawTierPath))

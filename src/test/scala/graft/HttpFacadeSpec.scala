@@ -100,12 +100,30 @@ class HttpFacadeSpec extends SparkSpec {
         assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
         conn.disconnect()
       }
-      locally { // preflight
+      locally { // preflight answers before any handler work runs
         val conn = new URL(s"$base/khronus/db/influx/series").openConnection()
           .asInstanceOf[HttpURLConnection]
         conn.setRequestMethod("OPTIONS")
         assert(conn.getResponseCode == 200)
         assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+        conn.disconnect()
+        // an OPTIONS to /metrics must NOT enqueue an ingest
+        val mconn = new URL(s"$base/khronus/metrics").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        mconn.setRequestMethod("OPTIONS")
+        assert(mconn.getResponseCode == 200)
+        mconn.disconnect()
+        // NOTE: poll on a scala.Long queue unboxes null to 0 — check
+        // emptiness, not a null sentinel
+        Thread.sleep(1500)
+        assert(ingested.isEmpty, "preflight reached the ingest sink")
+      }
+      locally { // gzip;q=0 is an explicit refusal → identity body
+        val conn = new URL(s"$base/khronus/version").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestProperty("Accept-Encoding", "gzip;q=0, identity")
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Encoding") == null)
         conn.disconnect()
       }
 

@@ -143,6 +143,35 @@ class TierStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket_date"))
   }
 
+  test("migration and compaction recover from simulated crash points") {
+    val base = Files.createTempDirectory("graft_tiers_crash").toString
+    val store = new TierStore(spark, base)
+
+    // migration crash: original was moved aside, new dir never landed —
+    // next call must restore and complete the migration
+    val p = store.path("hist", 5000L)
+    spark.range(2).selectExpr("'m' AS metric",
+      "1704067200000 + id * 86400000 AS bucket_start", "id AS count")
+      .coalesce(1).write.parquet(p + "__old")
+    assert(!new java.io.File(p).exists())
+    assert(store.migrateFlatLayout("hist", 5000L))
+    val names = new java.io.File(p).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("bucket_date=")) == 2)
+    assert(!new java.io.File(p + "__old").exists())
+    assert(store.readAll("hist", 5000L).count() == 2)
+
+    // compaction crash: a partition sits moved-aside in __compact_old —
+    // next compact() restores it before doing anything else
+    val part = new java.io.File(p, "bucket_date=2024-01-01")
+    val aside = new java.io.File(p + "__compact_old", part.getName)
+    aside.getParentFile.mkdirs()
+    assert(part.renameTo(aside))
+    spark.catalog.refreshByPath(p)
+    store.compact("hist", 5000L) // nothing above maxFiles; must restore
+    assert(part.exists() && !aside.exists())
+    assert(store.readAll("hist", 5000L).count() == 2)
+  }
+
   test("MaterializedTiers.ensure sweeps stale-format tier dirs, keeps current") {
     import graft.planner.MaterializedTiers
     val staleName = "v" + (MaterializedTiers.FormatVersion - 1) + "_spec_stale"
