@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-4 curation operators: invariants that
+  * must hold for ANY input, not just the oracle corpus.
+  */
+class PipelineOpsPropertySpec extends SparkSpec {
+
+  private def forAllSeeded[A](gen: Gen[A], trials: Int = 30)(body: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  test("detHash lands in [0, Buckets) and is stable for any non-negative id") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 96L, 97L, 1000000006L, 1000000007L, Long.MaxValue)
+    val df = ids.toDF("doc_id")
+    val h1 = df.select(Sampling.detHash(col("doc_id"))).collect().map(_.getLong(0))
+    val h2 = df.select(Sampling.detHash(col("doc_id"))).collect().map(_.getLong(0))
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.forall(h => h >= 0 && h < Sampling.Buckets))
+  }
+
+  test("stratified sample: per-stratum counts = min(k, stratum size); subset of input") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val rows = for { g <- 'a' to 'e'; i <- 0 until (g - 'a') * 3 + 1 }
+      yield (g.toString, (g - 'a') * 100L + i)
+    val df = rows.toDF("grp", "doc_id")
+    val out = Sampling.stratifiedSample(df, "grp", k = 4, idCol = "doc_id")
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    sizes.foreach { case (g, n) => assert(counts(g) == math.min(4L, n)) }
+    val inIds = rows.map(_._2).toSet
+    assert(out.select("doc_id").collect().forall(r => inIds(r.getLong(0))))
+  }
+
+  test("int8 quantization: |q| <= 127 and max|v| maps to ±127, any vector") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val vecGen: Gen[List[Float]] = for {
+      n <- Gen.chooseNum(1, 16)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-1000f, 1000f))
+    } yield vs
+    forAllSeeded(vecGen) { vs =>
+      val df = Seq((1L, vs.toArray)).toDF("vec_id", "embedding")
+      val r = Similarity.quantizeInt8(df).collect()(0)
+      val (qMin, qMax) = (r.getLong(3), r.getLong(4))
+      assert(qMin >= -127 && qMax <= 127, s"q out of range for $vs")
+      val m = vs.map(math.abs).max
+      if (m > 0f) // the max-magnitude element quantizes to ±127 exactly
+        assert(qMax == 127 || qMin == -127, s"no extreme hit for $vs")
+    }
+  }
+
+  test("repetition ratio in (0, 1]; 1 iff all n-grams identical") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    } yield ws.mkString(" ")
+    forAllSeeded(docGen) { text =>
+      val r = TextAnalysis.ngramRepetition(Seq((1L, text)).toDF("doc_id", "text"))
+        .collect()(0)
+      val (total, maxFreq, rep) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(maxFreq >= 1 && maxFreq <= total)
+      assert(rep > 0.0 && rep <= 1.0, s"rep=$rep for '$text'")
+    }
+  }
+
+  test("redaction is idempotent: redacting redacted text changes nothing") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co or see https://x.io/p?id=1234567 ref 99887766"),
+      (2L, "nested http://a.b/c@d.ef 123456789012"),
+      (3L, "plain words only")).toDF("doc_id", "text")
+    val once = TextAnalysis.redact(docs).select(col("doc_id"), col("redacted").as("text"))
+    val twice = TextAnalysis.redact(once).orderBy("doc_id").collect()
+    val first = TextAnalysis.redact(docs).orderBy("doc_id").collect()
+    twice.zip(first).foreach { case (t, f) =>
+      assert(t.getString(1) == f.getString(1))
+      assert(t.getLong(2) == 0 && t.getLong(3) == 0 && t.getLong(4) == 0,
+        s"second pass still found matches: $t")
+    }
+  }
+}
