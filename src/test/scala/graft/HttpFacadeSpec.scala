@@ -128,6 +128,72 @@ class HttpFacadeSpec extends SparkSpec {
       }
 
       // dashboards: store, grafana-style get / list / drop
+      e2eDashboards(base, dashDir)
+    } finally facade.stop()
+  }
+
+  /** The loop a reference user actually runs: POST /metrics batches →
+    * rollup cascade → GET /series returns the ingested data. */
+  test("end-to-end: HTTP ingest feeds the cascade; influx query serves it back") {
+    import graft.planner.{Metric, MetricCatalog, SummaryProvider}
+    import graft.rollup.Rollup
+    import org.apache.spark.sql.DataFrame
+    val T0 = 1704067200000L
+    val measurementsDir = java.nio.file.Files.createTempDirectory("graft_e2e_meas").toString
+    val arrived = new java.util.concurrent.LinkedBlockingQueue[java.lang.Long]()
+    // the sink lands parsed measurements in a parquet dir — the role the
+    // raw bucket store plays in the reference's ingest path
+    val facade = new HttpFacade(spark,
+      new InfluxPlanner(MaterializedTiers.provider(spark, sf)),
+      new DashboardStore(java.nio.file.Files.createTempDirectory("graft_e2e_dash").toString),
+      df => {
+        df.write.mode("append").parquet(measurementsDir)
+        arrived.put(df.count())
+      })
+    val port = facade.start()
+    try {
+      val batch1 =
+        s"""{"metrics":[{"name":"lat","mtype":"timer","measurements":[
+           |{"ts":$T0,"values":[100,200]},{"ts":${T0 + 31000},"values":[300]}]}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val batch2 =
+        s"""{"metrics":[{"name":"lat","mtype":"timer","measurements":[
+           |{"ts":${T0 + 62000},"values":[400]}]}]}""".stripMargin.replaceAll("\n", "")
+      assert(post(s"http://localhost:$port/khronus/metrics", batch1) == 200)
+      assert(post(s"http://localhost:$port/khronus/metrics", batch2) == 200)
+      assert(arrived.poll(30, java.util.concurrent.TimeUnit.SECONDS) == 3L)
+      assert(arrived.poll(30, java.util.concurrent.TimeUnit.SECONDS) == 1L)
+
+      // rollup the ingested measurements (the reference's tick job)
+      val raw = Rollup.rawHistogramTier(spark.read.parquet(measurementsDir))
+      val tiers = Rollup.histogramCascade(raw)
+        .map { case (w, t) => w -> Rollup.histogramSummaries(t).cache() }
+      val provider = new SummaryProvider {
+        val catalog = MetricCatalog(Seq(Metric("lat", "timer")))
+        def summaries(m: Metric, w: Long, fromMs: Long, toMs: Long): DataFrame =
+          tiers(w).where(org.apache.spark.sql.functions.col("metric") === m.name)
+            .where(org.apache.spark.sql.functions.col("bucket_start").between(fromMs, toMs))
+            .drop("metric")
+      }
+      val qFacade = new HttpFacade(spark, new InfluxPlanner(provider),
+        new DashboardStore(java.nio.file.Files.createTempDirectory("graft_e2e_d2").toString))
+      val qPort = qFacade.start()
+      try {
+        val q = s"""select count, max from "lat" where time between $T0 and ${T0 + 120000} force group by time(30s)"""
+        val (code, json) = get(s"http://localhost:$qPort/khronus/db/influx/series?q=${enc(q)}")
+        assert(code == 200, json)
+        // 30s buckets: [T0: 100,200] → count 2 max 200; [T0+30s: 300] →
+        // 1/300; [T0+60s: 400] → 1/400
+        assert(json.contains(s"""[$T0,2.0]""") && json.contains(s"""[${T0 + 30000},1.0]"""),
+          json)
+        assert(json.contains(s"""[$T0,200.0]""") && json.contains(s"""[${T0 + 60000},400.0]"""),
+          json)
+      } finally qFacade.stop()
+    } finally facade.stop()
+  }
+
+  private def e2eDashboards(base: String, dashDir: String): Unit = {
+    locally {
       val store = new DashboardStore(dashDir)
       store.store("mydash", """{"title":"mydash"}""".getBytes(UTF_8))
       val b64 = java.util.Base64.getEncoder.encodeToString("mydash".getBytes(UTF_8))
@@ -138,6 +204,6 @@ class HttpFacadeSpec extends SparkSpec {
       val (dc, _) = get(s"$base/khronus/db/influx/series?q=${enc(s"""drop series "grafana.dashboard_$b64"""")}")
       assert(dc == 200)
       assert(new DashboardStore(dashDir).lookup(".*").isEmpty)
-    } finally facade.stop()
+    }
   }
 }
