@@ -31,6 +31,44 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     graft.functions.word_shingles(text, k)
 
+  /** New-batch exact dedup against an already-ingested corpus — the
+    * incremental-rebuild shape: a nightly batch dedups against
+    * yesterday's digest set without reprocessing it. Anti-join on the
+    * 256-bit digest (broadcast or shuffled, planner's choice; either
+    * way only digests travel), then the within-batch [[exact]] pass.
+    * Returns (keep_id, n_dups) over the genuinely-new documents. */
+  def exactIncremental(newDocs: DataFrame, seenDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seen = seenDocs.select(sha2(normText(col(textCol)), 256).as("digest")).distinct()
+    newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
+      .join(seen, Seq("digest"), "left_anti")
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .drop("digest")
+  }
+
+  /** Test-set decontamination: corpus documents sharing at least
+    * `minShared` distinct k-shingles with ANY benchmark document — the
+    * standard leakage check before training. The benchmark's shingle
+    * SET is deduped before the join (its size is what matters, not its
+    * doc count) and both sides travel as 8-byte xxhash64 keys; the join
+    * is a bucket-equi-join on the shingle hash, never a doc×doc
+    * product. Returns (idCol, n_shared) for contaminated docs. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    k: Int = 3, minShared: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(shingles(col(textCol), k)).as("s0"): _*)
+        .withColumn("s", xxhash64(col("s0"))).drop("s0")
+    val bench = shingleHashes(benchmark).select("s").distinct()
+    shingleHashes(corpus, col(idCol))
+      .join(bench, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // corpus shingles are distinct per doc
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup: one surviving (min) id per distinct normalized text.
     * Returns (keep_id, n_dups). The shuffle key is a 256-bit digest of
     * the normalized text, not the text itself — at 100 TB the exchange

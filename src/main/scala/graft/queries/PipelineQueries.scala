@@ -41,6 +41,24 @@ object PipelineQueries {
     Dedup.simhash(Tables.documents(spark, dir),
       tokenHash = TextAnalysis.polyHash, bits = 30).orderBy("id")
 
+  /** Incremental exact dedup: docs ≥ 250 are "tonight's batch", docs
+    * < 250 the already-ingested corpus. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.exactIncremental(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250))
+      .orderBy("keep_id")
+  }
+
+  /** Decontamination: every 10th doc plays the benchmark set. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contamination(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      k = 3, minShared = 2)
+      .orderBy("doc_id")
+  }
+
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -236,6 +254,8 @@ object PipelineQueries {
     "d_repetition"        -> (repetition _),
     "d_redact"            -> (redactDocs _),
     "d_dedup_exact"     -> (dedupExact _),
+    "d_dedup_incremental" -> (dedupIncremental _),
+    "d_contamination"   -> (contaminationCheck _),
     "d_jaccard_pairs"   -> (jaccardPairs _),
     "d_minhash_lsh"     -> (minhashLsh _),
     "d_simhash"         -> (simhashSigs _),
@@ -366,6 +386,24 @@ object PipelineQueries {
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY $NormSql
          |ORDER BY keep_id""".stripMargin,
+    "d_dedup_incremental" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents WHERE doc_id >= 250),
+         |seen AS (SELECT DISTINCT $NormSql AS norm FROM documents WHERE doc_id < 250)
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM n WHERE norm NOT IN (SELECT norm FROM seen)
+         |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "d_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM t),
+         |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 10 = 0),
+         |c AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 10 <> 0)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM c JOIN b ON c.s = b.s
+         |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id,
