@@ -54,16 +54,24 @@ class HttpFacade(spark: SparkSession,
       if (!preflight(ex)) respond(ex, 200, Version.json))
     server.createContext("/khronus/db/influx/series", (ex: HttpExchange) =>
       if (!preflight(ex)) try {
-        val q = queryParam(ex, "q").getOrElse(
-          throw new UnsupportedOperationException("missing q parameter"))
-        val json =
-          if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop")) {
-            dashboards.operation(q).map { d =>
-              s"""{"name":${InfluxProtocol.jsonString(d.name)},"columns":["dashboard"],""" +
-                s""""points":[[${InfluxProtocol.jsonString(new String(d.content, UTF_8))}]]}"""
-            }.mkString("[", ",", "]")
-          } else InfluxProtocol.toJson(planner.execute(spark, q))
-        respond(ex, 200, json)
+        (queryParam(ex, "q"), queryParam(ex, "u"), queryParam(ex, "p")) match {
+          case (None, Some(u), Some(p)) =>
+            // no q + credentials = Grafana's datasource connection
+            // test; the reference answers it with a plain-text ack
+            // (influx/service/InfluxService.scala:49-61)
+            respond(ex, 200, s"Authenticated with username: $u and password: $p")
+          case (None, _, _) =>
+            throw new UnsupportedOperationException("missing q parameter")
+          case (Some(q), _, _) =>
+            val json =
+              if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop")) {
+                dashboards.operation(q).map { d =>
+                  s"""{"name":${InfluxProtocol.jsonString(d.name)},"columns":["dashboard"],""" +
+                    s""""points":[[${InfluxProtocol.jsonString(new String(d.content, UTF_8))}]]}"""
+                }.mkString("[", ",", "]")
+              } else InfluxProtocol.toJson(planner.execute(spark, q))
+            respond(ex, 200, json)
+        }
       } catch {
         case e: Exception => respond(ex, 400, s"""{"error":${InfluxProtocol.jsonString(e.getMessage)}}""")
       })

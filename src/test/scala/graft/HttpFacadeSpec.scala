@@ -53,6 +53,13 @@ class HttpFacadeSpec extends SparkSpec {
       val (bc, bb) = get(s"$base/khronus/db/influx/series?q=${enc("select banana from")}")
       assert(bc == 400 && bb.contains("error"))
 
+      // Grafana connection test: no q + credentials → plain-text ack
+      // (reference InfluxService.scala:49-61); no q, no creds → 400
+      val (ac, ab) = get(s"$base/khronus/db/influx/series?u=grafana&p=secret")
+      assert(ac == 200 && ab == "Authenticated with username: grafana and password: secret")
+      val (nc, _) = get(s"$base/khronus/db/influx/series")
+      assert(nc == 400)
+
       // ingest: fire-and-forget 200, parsed rows arrive at the sink
       val batch = """{"metrics":[{"name":"m1","mtype":"timer","measurements":[{"ts":1704067200000,"values":[5, 7]}]}]}"""
       assert(post(s"$base/khronus/metrics", batch) == 200)
