@@ -173,10 +173,15 @@ object Similarity {
     val cands = sigQ.join(sigCorpus, Seq("t", "sig"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
+    // norms precomputed per vector, not per pair: cosine() inline would
+    // run three dot products per candidate (dot(q,n), dot(q,q), dot(n,n))
     val scored = cands
-      .join(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id")
-      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .join(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_nrm")), "q_id")
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
@@ -255,14 +260,17 @@ object Similarity {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
     val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"),
       element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"),
       explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
-    // join strategy left to the planner (small probe sets auto-broadcast)
+    // join strategy left to the planner (small probe sets auto-broadcast);
+    // norms precomputed per vector — see lshTopK
     val scored = probed.join(assigned, "cell")
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("sim"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
