@@ -169,6 +169,15 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.refreshByPath(si.tierPath(30000L))
     assert(new java.io.File(si.tierPath(30000L)).listFiles()
       .count(_.getName.startsWith("bucket_date=")) == 0)
+
+    // raw-sink retention on the HISTOGRAM kind: with the cursor at the
+    // single ingested day, nothing may drop (cursor guard) even at
+    // ttl 0; the cascade still reads the sink cleanly afterwards
+    val rawDropped = si.enforceRawRetention(ttlMs = 0L,
+      nowMs = T0 + 40L * 86400000L, firstTier = 30000L)
+    assert(rawDropped(graft.streaming.StreamingIngest.HistKind).isEmpty,
+      "cursor-day raw partition dropped")
+    si.runCascadeIncrement(Seq(30000L)) // no error, no new data
   }
 
   test("multi-day soak: ingest → cascade → query → retention; cursors survive restarts") {
