@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard pre-training pipeline
+  * composed from the individual operators in this package, in the
+  * order real pipelines run it —
+  *
+  *   1. quality filter      ([[TextAnalysis.qualityScoreOf]])
+  *   2. exact dedup         ([[Dedup.exact]], keep min id per text)
+  *   3. near-dup cluster drop ([[Dedup.jaccardPairsAdaptive]] →
+  *      [[Dedup.dupClusters]] → [[Dedup.applyClusters]])
+  *   4. test-set decontamination ([[Dedup.contamination]])
+  *
+  * Each stage narrows the previous stage's frame, so Catalyst sees one
+  * composed plan — the document scan is shared, and every join in the
+  * chain carries ids/hashes rather than text. [[funnel]] reports the
+  * per-stage surviving-document counts (the first thing an operator of
+  * a 100 TB curation run looks at); [[curate]] returns the curated
+  * corpus itself.
+  */
+object Curation {
+
+  /** Tuning knobs, defaulted to the values the driver corpus is
+    * exercised with. `minQuality` compares against the 4-dp-rounded
+    * score so thresholds behave identically in the SQL oracle. */
+  case class Params(minQuality: Double = 0.15,
+                    shingleK: Int = 3,
+                    jaccardThreshold: Double = 0.5,
+                    minSharedShingles: Int = 2)
+
+  private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
+                          idCol: String, textCol: String): Seq[(String, DataFrame)] = {
+    // Each stage frame is lazily localCheckpoint'd: downstream stages
+    // and the funnel's per-stage counts then share one materialization
+    // per stage instead of re-executing every prefix plan (stage 5
+    // would otherwise re-run quality+dedup+pairs+closure from the
+    // scan). Real pipelines at corpus scale do exactly this — stage
+    // outputs are materialized datasets — and the blocks are freed by
+    // the ContextCleaner when the frames go out of scope.
+    val quality = corpus
+      .withColumn("__q", round(
+        TextAnalysis.qualityScoreOf(Dedup.tokens(col(textCol)), col(textCol)), 4))
+      .where(col("__q") >= p.minQuality)
+      .drop("__q")
+      .localCheckpoint(eager = false)
+    val exact = quality.join(
+      Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
+      .localCheckpoint(eager = false)
+    val nearDup = Dedup.applyClusters(
+      exact,
+      Dedup.dupClusters(
+        Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)),
+      idCol)
+      .localCheckpoint(eager = false)
+    val clean = nearDup.join(
+      Dedup.contamination(nearDup, benchmark, p.shingleK, p.minSharedShingles,
+        idCol, textCol).select(idCol),
+      Seq(idCol), "left_anti")
+    Seq(
+      "1_total" -> corpus,
+      "2_quality" -> quality,
+      "3_exact_dedup" -> exact,
+      "4_near_dup" -> nearDup,
+      "5_decontaminated" -> clean)
+  }
+
+  /** The curated corpus: every stage applied, original columns kept. */
+  def curate(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stageFrames(corpus, benchmark, p, idCol, textCol).last._2
+
+  /** Per-stage surviving-document counts as (stage, n_docs) rows —
+    * the curation funnel. Each stage is one aggregate over its composed
+    * plan, unioned (not cross-joined) into a single tiny result. */
+  def funnel(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stageFrames(corpus, benchmark, p, idCol, textCol)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_ union _)
+      .orderBy("stage")
+}

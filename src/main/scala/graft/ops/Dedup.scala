@@ -223,6 +223,18 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** (id, band, bh) LSH bucket rows from a signature frame: the
+    * signature is cut into `bands` bands of `rows` hashes, each band
+    * hashed to one bucket key. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** MinHash-LSH candidate pairs: band the signature, bucket-join per
     * band, then verify candidates with exact Jaccard ≥ threshold. The
     * signature build and the verify join share one shingle frame. */
@@ -231,15 +243,8 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sh = shingleFrame(docs, k, idCol, textCol)
-    val sig = minhashSignaturesFrom(sh, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
-    }
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandBuckets(minhashSignaturesFrom(sh, numHashes), bands, numHashes / bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -247,6 +252,117 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyExact(candidates, sh, threshold)
+  }
+
+  /** Incremental near-dup detection: MinHash-LSH pairs between a new
+    * batch and an already-ingested corpus — the nightly-batch shape
+    * that pairs with [[exactIncremental]]. Only cross pairs
+    * (new × seen) are generated: the bucket join matches new-batch
+    * bucket rows against seen-corpus bucket rows, so yesterday's
+    * corpus is never self-joined. Returns (id_a = new doc, id_b = seen
+    * doc, jaccard) for verified pairs with Jaccard ≥ threshold; doc
+    * ids must be globally unique across both frames (true of any
+    * corpus store).
+    *
+    * Scale: the seen side's signatures/buckets are a pure function of
+    * its documents — in a deployment they are computed once at ingest
+    * and persisted, so a nightly run prices only the new batch's
+    * signatures plus a bucket-key equi-join whose seen side is read
+    * pre-bucketed. The exact-verify tail touches seen-corpus shingles
+    * only for docs that land in a shared bucket. */
+  def minhashLshIncremental(newDocs: DataFrame, seenDocs: DataFrame,
+                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(newDocs.sparkSession)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shNew = shingleFrame(newDocs, k, idCol, textCol)
+    val shSeen = shingleFrame(seenDocs, k, idCol, textCol)
+    val newBk = bandBuckets(minhashSignaturesFrom(shNew, numHashes), bands, rows)
+    val seenBk = bandBuckets(minhashSignaturesFrom(shSeen, numHashes), bands, rows)
+    val candidates = newBk.as("a")
+      .join(seenBk.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyExact(candidates, shNew.union(shSeen), threshold)
+  }
+
+  /** Duplicate clusters from a near-dup pair list: connected components
+    * over the pair graph, labelling every document with the minimum doc
+    * id of its component — the canonical "pick one survivor per
+    * duplicate cluster" step that follows any pair generator
+    * ([[jaccardPairs]], [[minhashLshPairs]], embedding near-dups).
+    * Returns (doc_id, cluster_id); the survivor of a cluster is the doc
+    * with doc_id == cluster_id. Only documents that appear in at least
+    * one pair are returned (singletons are trivially their own cluster
+    * and would dominate the output at corpus scale).
+    *
+    * Algorithm: min-label propagation with pointer-doubling compression.
+    * Each round (a) relaxes every label against its graph neighbours'
+    * labels (one join + one groupBy on 16-byte rows), then (b) replaces
+    * each label with its label's label (one self-join) — the doubling
+    * step collapses label chains geometrically, so convergence takes
+    * O(log diameter) rounds instead of O(diameter) for plain
+    * propagation. Near-dup components are shallow in practice (LSH
+    * emits most intra-cluster pairs directly), so typical corpora
+    * converge in 2-3 rounds.
+    *
+    * Scale: the frames shuffled here are (long, long) pairs — the
+    * documents themselves never enter. Each round ends in a
+    * `localCheckpoint` so the iterative plan's lineage stays O(1)
+    * instead of growing by two joins per round (the classic iterative-
+    * DataFrame blowup); the convergence probe rides on the checkpoint's
+    * materialized blocks. Superseded rounds' blocks are freed by the
+    * ContextCleaner once unreferenced.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                  maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false) // reused every round: both joins below
+    // round 0: each node's label = min(self, direct neighbours)
+    var labels = sym.groupBy("u").agg(least(min(col("v")), min(col("u"))).as("l"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // (a) relax: l'(u) = min(l(u), min over neighbours v of l(v));
+      // the pre-round label rides along so the convergence probe below
+      // is a column scan over the checkpointed blocks, not another join
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+        .groupBy("u").agg(min(col("lv")).as("ln"))
+      val prop = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("l"), coalesce(col("ln"), col("l"))).as("l"),
+          col("l").as("lPrev"))
+      // (b) compress: l''(u) = l'(l'(u)) — labels are always node ids
+      // present in `prop`, so the lookup is total (coalesce is belt-and-
+      // braces for the self-labelled minimum of each component)
+      val next = prop
+        .join(prop.select(col("u").as("l"), col("l").as("ll")), Seq("l"), "left")
+        .select(col("u"), coalesce(col("ll"), col("l")).as("l"),
+          (coalesce(col("ll"), col("l")) =!= col("lPrev")).as("ch"))
+        .localCheckpoint()
+      converged = next.where(col("ch")).isEmpty
+      labels = next.select("u", "l")
+      round += 1
+    }
+    labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+  }
+
+  /** Filter a corpus to duplicate-cluster survivors: drops every doc
+    * that appears in `clusters` under a label other than its own id
+    * (i.e. non-canonical members), keeps everything else — survivors
+    * and never-paired singletons alike. The anti-join side carries only
+    * the loser ids (long), so at 100 TB the exchange is bounded by the
+    * duplicate count, not the corpus. */
+  def applyClusters(docs: DataFrame, clusters: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SimHash over token hashes: per bit, sign-sum of token hash bits;

@@ -50,6 +50,18 @@ object PipelineQueries {
       .orderBy("keep_id")
   }
 
+  /** Incremental near-dup: docs ≥ 250 are "tonight's batch" checked
+    * against the < 250 corpus. Bands sized exactly like d_minhash_lsh
+    * (miss ≈ 1e-10 at J = 0.8) so the output equals the exact
+    * cross-Jaccard oracle. */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.minhashLshIncremental(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+      numHashes = 96, bands = 32)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Decontamination: every 10th doc plays the benchmark set. */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -248,7 +260,27 @@ object PipelineQueries {
   def redactDocs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * pair graph at threshold 0.5 (the same pair set d_jaccard_pairs
+    * emits), each doc labelled with its component's min id. The oracle
+    * recomputes the closure with a recursive CTE. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.jaccardPairsAdaptive(Tables.documents(spark, dir), k = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
+  /** Curation funnel: quality → exact dedup → near-dup clusters →
+    * decontamination over the documents table (every 10th doc plays
+    * the held-out benchmark), reporting survivors per stage. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.funnel(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_curation_funnel"   -> (curationFunnel _),
+    "d_dup_clusters"      -> (dupClusters _),
     "d_hash_sample"       -> (hashSample _),
     "d_stratified_sample" -> (stratifiedSample _),
     "d_repetition"        -> (repetition _),
@@ -258,6 +290,7 @@ object PipelineQueries {
     "d_contamination"   -> (contaminationCheck _),
     "d_jaccard_pairs"   -> (jaccardPairs _),
     "d_minhash_lsh"     -> (minhashLsh _),
+    "d_minhash_incremental" -> (minhashIncremental _),
     "d_simhash"         -> (simhashSigs _),
     "d_text_stats"      -> (textStats _),
     "d_quality"         -> (qualityScores _),
@@ -361,6 +394,23 @@ object PipelineQueries {
          |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "d_minhash_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id >= 250 AND b.doc_id < 250
+         |      GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+         |FROM p JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" -> SimhashOracle,
     "e_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
@@ -404,6 +454,80 @@ object PipelineQueries {
          |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
+    "d_curation_funnel" ->
+      s"""WITH RECURSIVE
+         |base AS (SELECT doc_id, text, $ToksSql AS w, $NormSql AS norm
+         |         FROM documents WHERE doc_id % 10 <> 0),
+         |qc AS (SELECT doc_id, text, w, norm,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM base),
+         |qd AS (SELECT doc_id, text, w, norm FROM qc
+         |       WHERE round(GREATEST(0.0, LEAST(1.0,
+         |         LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |         - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) >= 0.15),
+         |ed AS (SELECT doc_id, w FROM qd
+         |       WHERE doc_id IN (SELECT MIN(doc_id) FROM qd GROUP BY norm)),
+         |shed AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM ed),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM shed),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |losers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM reach GROUP BY u) WHERE u <> m),
+         |nd AS (SELECT doc_id, w FROM ed WHERE doc_id NOT IN (SELECT u FROM losers)),
+         |bsh AS (SELECT DISTINCT unnest(
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS s
+         |      FROM (SELECT $ToksSql AS w FROM documents WHERE doc_id % 10 = 0)),
+         |ndsh AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS s
+         |      FROM nd),
+         |contam AS (SELECT ndsh.doc_id FROM ndsh JOIN bsh ON ndsh.s = bsh.s
+         |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
+         |clean AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT '1_total' AS stage, COUNT(*) AS n_docs FROM base
+         |UNION ALL SELECT '2_quality', COUNT(*) FROM qd
+         |UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ed
+         |UNION ALL SELECT '4_near_dup', COUNT(*) FROM nd
+         |UNION ALL SELECT '5_decontaminated', COUNT(*) FROM clean
+         |ORDER BY stage""".stripMargin,
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach
+         |GROUP BY u ORDER BY doc_id""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id,

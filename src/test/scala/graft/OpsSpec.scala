@@ -53,6 +53,70 @@ class OpsSpec extends SparkSpec {
       assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("incremental minhash finds exactly the cross pairs of the full pair set") {
+    // full-corpus exact pairs, restricted to (new ≥ 250) × (seen < 250):
+    // jaccardPairs orients pairs id_a < id_b, so cross pairs have
+    // id_a = seen, id_b = new — flip to the incremental orientation
+    val cross = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      .where(col("id_a") < 250 && col("id_b") >= 250)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val inc = Dedup.minhashLshIncremental(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+      numHashes = 96, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == cross, s"missing=${cross -- inc} extra=${inc -- cross}")
+  }
+
+  test("dup clusters: connected components label every node with its component min") {
+    import spark.implicits._
+    // two components — a 5-node chain (forces propagation beyond round 0)
+    // and a disjoint pair — plus duplicate/reversed edges
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L),
+      (70L, 60L), (60L, 70L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L,
+      60L -> 60L, 70L -> 60L)
+    assert(got == expect)
+    // long path: 33 nodes in a chain — pointer doubling must converge
+    // well inside the round cap (diameter 32 → ≤ ~6 doubling rounds)
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.dupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(chainGot.length == 33 && chainGot.forall(_._2 == 0L))
+    // empty pair list → empty output, no crash
+    assert(Dedup.dupClusters(pairs.limit(0)).isEmpty)
+  }
+
+  test("applyClusters keeps one survivor per cluster plus all singletons") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((10L, 20L), (20L, 30L), (60L, 70L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyClusters(corpus, Dedup.dupClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // losers 20,30,70 dropped; survivors 10,60 and the 95 singletons kept
+    assert(kept == (0L until 100L).toSet -- Set(20L, 30L, 70L))
+  }
+
+  test("curation funnel is monotone and curate matches the final stage") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val funnel = Curation.funnel(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(funnel.map(_._1).toSeq ==
+      Seq("1_total", "2_quality", "3_exact_dedup", "4_near_dup", "5_decontaminated"))
+    val counts = funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${funnel.mkString(", ")}")
+    assert(counts.head == corpus.count())
+    assert(Curation.curate(corpus, bench).count() == counts.last)
+    // a never-passing quality bar empties every downstream stage
+    val strict = Curation.funnel(corpus, bench, Curation.Params(minQuality = 2.0))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(strict("2_quality") == 0 && strict("5_decontaminated") == 0)
+  }
+
   test("simhash: identical texts share signatures; hamming is sane") {
     val sig = Dedup.simhash(docs)
     assert(sig.count() == docs.count())
