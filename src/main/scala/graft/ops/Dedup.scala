@@ -318,8 +318,17 @@ object Dedup {
     * ContextCleaner once unreferenced.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                  maxRounds: Int = 30): DataFrame = {
+                  maxRounds: Int = 30, driverEdgeCap: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(eager = false) // shared: count probe + whichever path wins
+    // Adaptive split, same measured-stats pattern as jaccardPairsAdaptive:
+    // an edge list that fits in one task (cap ≈ 1.6 MB of longs) is a
+    // single-node problem — union-find on the driver beats a round of
+    // distributed jobs by an order of magnitude. Above the cap the
+    // distributed label-propagation path runs; the near-dup pair list is
+    // orders smaller than the corpus, so at 100 TB either side of the
+    // split is exercised depending on how duplicated the corpus is.
+    if (edges.count() <= driverEdgeCap) return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = false) // reused every round: both joins below
     // round 0: each node's label = min(self, direct neighbours)
@@ -350,6 +359,35 @@ object Dedup {
       round += 1
     }
     labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+  }
+
+  /** Bounded driver-side path of [[dupClusters]]: union-find with path
+    * compression over ≤ `driverEdgeCap` collected edges. Output ids are
+    * cast back to the input id column's type so both paths are
+    * interchangeable. */
+  private def dupClustersDriver(pairs: DataFrame, edges: DataFrame,
+                                aCol: String): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.collect().foreach { row =>
+      val u = row.get(0).asInstanceOf[Number].longValue
+      val v = row.get(1).asInstanceOf[Number].longValue
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv } // min-id root
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val dt = pairs.schema(aCol).dataType
+    parent.keys.toSeq.sorted.map(u => (u, find(u))).toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(dt).as("doc_id"),
+        col("cluster_id").cast(dt).as("cluster_id"))
   }
 
   /** Filter a corpus to duplicate-cluster survivors: drops every doc

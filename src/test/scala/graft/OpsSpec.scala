@@ -79,14 +79,24 @@ class OpsSpec extends SparkSpec {
     val expect = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L,
       60L -> 60L, 70L -> 60L)
     assert(got == expect)
+    // distributed path (driverEdgeCap = 0 forces it) must agree with
+    // the driver union-find on the same graph
+    val dist = Dedup.dupClusters(pairs, driverEdgeCap = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == expect)
     // long path: 33 nodes in a chain — pointer doubling must converge
     // well inside the round cap (diameter 32 → ≤ ~6 doubling rounds)
     val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val chainGot = Dedup.dupClusters(chain).collect()
+    val chainGot = Dedup.dupClusters(chain, driverEdgeCap = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(chainGot.length == 33 && chainGot.forall(_._2 == 0L))
-    // empty pair list → empty output, no crash
+    // and the driver path sees the same chain result
+    val chainDrv = Dedup.dupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(chainDrv.length == 33 && chainDrv.forall(_._2 == 0L))
+    // empty pair list → empty output, no crash (both paths)
     assert(Dedup.dupClusters(pairs.limit(0)).isEmpty)
+    assert(Dedup.dupClusters(pairs.limit(0), driverEdgeCap = 0L).isEmpty)
   }
 
   test("applyClusters keeps one survivor per cluster plus all singletons") {

@@ -14,6 +14,29 @@ class PipelineOpsPropertySpec extends SparkSpec {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
     }
 
+  test("dup clusters: distributed and driver paths agree on random graphs") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // random edge lists over a small id space force merged components,
+    // chains, self-contained cliques and isolated pairs
+    val genEdges = for {
+      n <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    forAllSeeded(genEdges, trials = 8) { edges =>
+      val df = edges.toDF("id_a", "id_b")
+      val driver = Dedup.dupClusters(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = Dedup.dupClusters(df, driverEdgeCap = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == driver, s"paths disagree on $edges")
+      // every label is the component min: labels are fixpoints
+      driver.foreach { case (_, l) => assert(driver(l) == l) }
+    }
+  }
+
   test("detHash lands in [0, Buckets) and is stable for any non-negative id") {
     import graft.ops.Sampling
     import spark.implicits._
