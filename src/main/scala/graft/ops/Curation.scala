@@ -76,8 +76,20 @@ object Curation {
     * plan, unioned (not cross-joined) into a single tiny result. */
   def funnel(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    stageFrames(corpus, benchmark, p, idCol, textCol)
-      .map { case (name, df) =>
+    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol))
+
+  /** Both outputs of one pipeline build: (curated corpus, funnel).
+    * Callers wanting both — the normal operational shape — should use
+    * this rather than [[curate]] + [[funnel]], which would each build
+    * their own stage frames and execute the full pipeline twice. */
+  def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+          idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
+    val st = stageFrames(corpus, benchmark, p, idCol, textCol)
+    (st.last._2, funnelOf(st))
+  }
+
+  private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =
+    st.map { case (name, df) =>
         df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
       }
       .reduce(_ union _)

@@ -40,12 +40,18 @@ object Dedup {
   def exactIncremental(newDocs: DataFrame, seenDocs: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val seen = seenDocs.select(sha2(normText(col(textCol)), 256).as("digest")).distinct()
-    newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
-      .join(seen, Seq("digest"), "left_anti")
+    digestGroups(
+      newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
+        .join(seen, Seq("digest"), "left_anti"),
+      idCol)
+  }
+
+  /** Shared dedup tail: (keep_id, n_dups) per distinct digest. */
+  private def digestGroups(withDigest: DataFrame, idCol: String): DataFrame =
+    withDigest
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("digest")
-  }
 
   /** Test-set decontamination: corpus documents sharing at least
     * `minShared` distinct k-shingles with ANY benchmark document — the
@@ -74,10 +80,8 @@ object Dedup {
     * the normalized text, not the text itself — at 100 TB the exchange
     * carries (digest, id) pairs (~72 B/row) instead of full documents. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
-      .groupBy("digest")
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .drop("digest")
+    digestGroups(
+      docs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol)), idCol)
 
   /** (id, shingle-hash) exploded frame, materialized once per operator
     * call graph — both sides of the self-join, the size lookup, and the
@@ -118,9 +122,16 @@ object Dedup {
   /** jaccard-filtered output from per-pair intersection counts. */
   private def finishPairs(inter: DataFrame, sizes: DataFrame,
                           threshold: Double): DataFrame =
+    finishPairsSized(inter, sizes, sizes, threshold)
+
+  /** [[finishPairs]] with per-side size frames — the two-frame verify
+    * paths keep each side's set sizes separate so an id that appears
+    * on both sides (e.g. a re-ingested doc) can't corrupt either. */
+  private def finishPairsSized(inter: DataFrame, sizesA: DataFrame, sizesB: DataFrame,
+                               threshold: Double): DataFrame =
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(sizesA.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizesB.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -260,9 +271,10 @@ object Dedup {
     * (new × seen) are generated: the bucket join matches new-batch
     * bucket rows against seen-corpus bucket rows, so yesterday's
     * corpus is never self-joined. Returns (id_a = new doc, id_b = seen
-    * doc, jaccard) for verified pairs with Jaccard ≥ threshold; doc
-    * ids must be globally unique across both frames (true of any
-    * corpus store).
+    * doc, jaccard) for verified pairs with Jaccard ≥ threshold. An id
+    * appearing in both frames (a doc re-submitted, possibly edited) is
+    * safe: sizes/intersections are computed per side and the trivial
+    * (x, x) pair is excluded.
     *
     * Scale: the seen side's signatures/buckets are a pure function of
     * its documents — in a deployment they are computed once at ingest
@@ -283,10 +295,21 @@ object Dedup {
     val seenBk = bandBuckets(minhashSignaturesFrom(shSeen, numHashes), bands, rows)
     val candidates = newBk.as("a")
       .join(seenBk.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id")) // a re-ingested id is never its own dup
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyExact(candidates, shNew.union(shSeen), threshold)
+    // two-sided verify: sizes and intersections are computed against
+    // each side's own shingle frame, so an id present in BOTH frames
+    // (same doc re-submitted, possibly edited) keeps per-side stats
+    // intact instead of merging shingle sets through a union
+    val szNew = shNew.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szSeen = shSeen.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(shNew.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shSeen.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    finishPairsSized(inter, szNew, szSeen, threshold)
   }
 
   /** Duplicate clusters from a near-dup pair list: connected components
@@ -328,7 +351,15 @@ object Dedup {
     // distributed label-propagation path runs; the near-dup pair list is
     // orders smaller than the corpus, so at 100 TB either side of the
     // split is exercised depending on how duplicated the corpus is.
-    if (edges.count() <= driverEdgeCap) return dupClustersDriver(pairs, edges, aCol)
+    // The driver path needs lossless long ids, so non-integral id
+    // columns (strings, doubles) always take the distributed path.
+    val integralIds = pairs.schema(aCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralIds && edges.count() <= driverEdgeCap)
+      return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = false) // reused every round: both joins below
     // round 0: each node's label = min(self, direct neighbours)

@@ -17,6 +17,15 @@ object PipelineQueries {
   private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val ToksSql = s"list_filter(string_split($NormSql, ' '), x -> len(x) > 0)"
 
+  /** DuckDB distinct k=3 word-shingle set from a token-list column `w` —
+    * the SQL twin of `functions.word_shingles` (short docs collapse to
+    * one whole-text shingle). Interpolated by every shingle-based
+    * oracle below so the semantics live in exactly one place. */
+  private val ShinglesSql =
+    """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
+      |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END""".stripMargin
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
 
@@ -380,11 +389,7 @@ object PipelineQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM t),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
@@ -396,11 +401,7 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "d_minhash_incremental" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM t),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
@@ -444,11 +445,7 @@ object PipelineQueries {
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
     "d_contamination" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM t),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
          |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 10 = 0),
          |c AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 10 <> 0)
          |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -471,11 +468,7 @@ object PipelineQueries {
          |         - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) >= 0.15),
          |ed AS (SELECT doc_id, w FROM qd
          |       WHERE doc_id IN (SELECT MIN(doc_id) FROM qd GROUP BY norm)),
-         |shed AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM ed),
+         |shed AS (SELECT doc_id, $ShinglesSql AS sh FROM ed),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM shed),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
@@ -489,16 +482,9 @@ object PipelineQueries {
          |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
          |losers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM reach GROUP BY u) WHERE u <> m),
          |nd AS (SELECT doc_id, w FROM ed WHERE doc_id NOT IN (SELECT u FROM losers)),
-         |bsh AS (SELECT DISTINCT unnest(
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS s
+         |bsh AS (SELECT DISTINCT unnest($ShinglesSql) AS s
          |      FROM (SELECT $ToksSql AS w FROM documents WHERE doc_id % 10 = 0)),
-         |ndsh AS (SELECT doc_id, unnest(
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS s
-         |      FROM nd),
+         |ndsh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM nd),
          |contam AS (SELECT ndsh.doc_id FROM ndsh JOIN bsh ON ndsh.s = bsh.s
          |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
          |clean AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
@@ -510,11 +496,7 @@ object PipelineQueries {
          |ORDER BY stage""".stripMargin,
     "d_dup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM t),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
@@ -530,11 +512,7 @@ object PipelineQueries {
          |GROUP BY u ORDER BY doc_id""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |             ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |      FROM t),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter

@@ -59,7 +59,8 @@ class HttpFacade(spark: SparkSession,
             // no q + credentials = Grafana's datasource connection
             // test; the reference answers it with a plain-text ack
             // (influx/service/InfluxService.scala:49-61)
-            respond(ex, 200, s"Authenticated with username: $u and password: $p")
+            respond(ex, 200, s"Authenticated with username: $u and password: $p",
+              contentType = "text/plain")
           case (None, _, _) =>
             throw new UnsupportedOperationException("missing q parameter")
           case (Some(q), _, _) =>
@@ -144,7 +145,8 @@ class HttpFacade(spark: SparkSession,
       (parts.head == "gzip" || parts.head == "*") && q > 0
     }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val h = ex.getResponseHeaders
     HttpFacade.CorsHeaders.foreach { case (k, v) => h.set(k, v) }
     val plain = body.getBytes(UTF_8)
@@ -158,7 +160,7 @@ class HttpFacade(spark: SparkSession,
         gz.write(plain); gz.close()
         bos.toByteArray
       } else plain
-    h.set("Content-Type", "application/json")
+    h.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()

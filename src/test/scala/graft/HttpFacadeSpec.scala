@@ -9,12 +9,18 @@ import graft.server.HttpFacade
 class HttpFacadeSpec extends SparkSpec {
 
   private def get(url: String): (Int, String) = {
+    val (code, body, _) = getWithType(url)
+    (code, body)
+  }
+
+  private def getWithType(url: String): (Int, String, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     val code = conn.getResponseCode
+    val ct = Option(conn.getContentType).getOrElse("")
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = Option(stream).map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
     conn.disconnect()
-    (code, body)
+    (code, body, ct)
   }
 
   private def post(url: String, payload: String): Int = {
@@ -55,8 +61,12 @@ class HttpFacadeSpec extends SparkSpec {
 
       // Grafana connection test: no q + credentials → plain-text ack
       // (reference InfluxService.scala:49-61); no q, no creds → 400
-      val (ac, ab) = get(s"$base/khronus/db/influx/series?u=grafana&p=secret")
+      val (ac, ab, act) = getWithType(s"$base/khronus/db/influx/series?u=grafana&p=secret")
       assert(ac == 200 && ab == "Authenticated with username: grafana and password: secret")
+      assert(act.startsWith("text/plain"), s"ack content type was $act")
+      // query responses stay JSON-typed
+      val (_, _, sct) = getWithType(s"$base/khronus/db/influx/series?q=${enc(q)}")
+      assert(sct.startsWith("application/json"), s"series content type was $sct")
       val (nc, _) = get(s"$base/khronus/db/influx/series")
       assert(nc == 400)
 

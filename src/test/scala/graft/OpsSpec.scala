@@ -94,9 +94,16 @@ class OpsSpec extends SparkSpec {
     val chainDrv = Dedup.dupClusters(chain).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(chainDrv.length == 33 && chainDrv.forall(_._2 == 0L))
-    // empty pair list → empty output, no crash (both paths)
+    // non-integral ids always take the distributed path (the driver
+    // union-find needs lossless longs): string ids still cluster
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sGot = Dedup.dupClusters(sPairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // empty pair list → empty output, no crash (cap -1 forces the
+    // distributed path even at count 0; the default takes the driver path)
     assert(Dedup.dupClusters(pairs.limit(0)).isEmpty)
-    assert(Dedup.dupClusters(pairs.limit(0), driverEdgeCap = 0L).isEmpty)
+    assert(Dedup.dupClusters(pairs.limit(0), driverEdgeCap = -1L).isEmpty)
   }
 
   test("applyClusters keeps one survivor per cluster plus all singletons") {
@@ -112,15 +119,15 @@ class OpsSpec extends SparkSpec {
   test("curation funnel is monotone and curate matches the final stage") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
-    val funnel = Curation.funnel(corpus, bench).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val (curated, funnelDf) = Curation.run(corpus, bench)
+    val funnel = funnelDf.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(funnel.map(_._1).toSeq ==
       Seq("1_total", "2_quality", "3_exact_dedup", "4_near_dup", "5_decontaminated"))
     val counts = funnel.map(_._2)
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"funnel not monotone: ${funnel.mkString(", ")}")
     assert(counts.head == corpus.count())
-    assert(Curation.curate(corpus, bench).count() == counts.last)
+    assert(curated.count() == counts.last)
     // a never-passing quality bar empties every downstream stage
     val strict = Curation.funnel(corpus, bench, Curation.Params(minQuality = 2.0))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
