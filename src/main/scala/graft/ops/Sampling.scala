@@ -35,6 +35,27 @@ object Sampling {
   def hashSample(df: DataFrame, keepBuckets: Int, idCol: String = "doc_id"): DataFrame =
     df.where(detHash(col(idCol)) < keepBuckets)
 
+  /** Mixture sampling: per-group keep fractions — how training mixes
+    * are assembled ("keep 100% of books, 30% of web, 5% of logs").
+    * Each group's fraction is mapped to a bucket threshold
+    * ceil(f · [[Buckets]]), so the realized rate is the closest
+    * achievable ≥ f in 1/97 steps and the selection stays the same
+    * deterministic hash predicate as [[hashSample]] — shuffle-free,
+    * pushdown-friendly, and a group's sample is a superset of any
+    * smaller fraction's (nested samples for ablation ladders). Groups
+    * absent from `fractions` get `defaultFraction` (0 = drop). */
+  def mixtureSample(df: DataFrame, groupCol: String, fractions: Map[String, Double],
+                    defaultFraction: Double = 0.0,
+                    idCol: String = "doc_id"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    def buckets(f: Double): Int = math.ceil(f * Buckets).toInt
+    val threshold = fractions.foldLeft(lit(buckets(defaultFraction))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(buckets(f))).otherwise(acc)
+    }
+    df.where(detHash(col(idCol)) < threshold)
+  }
+
   /** Up to `k` rows per stratum, chosen pseudo-randomly but
     * deterministically: rank within the stratum by (hash, id) and keep
     * the first k. The id tie-break makes the selection total-order

@@ -263,6 +263,15 @@ object PipelineQueries {
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy("lang", "rk")
 
+  /** Mixture sampling: per-language keep fractions (en 100%, de 50%,
+    * fr 20%, everything else 10%) — deterministic hash thresholds, so
+    * the oracle reproduces the selection bit-for-bit. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(spark, dir), "lang",
+      Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.2), defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   def repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramRepetition(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -292,6 +301,7 @@ object PipelineQueries {
     "d_dup_clusters"      -> (dupClusters _),
     "d_hash_sample"       -> (hashSample _),
     "d_stratified_sample" -> (stratifiedSample _),
+    "d_mixture_sample"    -> (mixtureSample _),
     "d_repetition"        -> (repetition _),
     "d_redact"            -> (redactDocs _),
     "d_dedup_exact"     -> (dedupExact _),
@@ -356,6 +366,11 @@ object PipelineQueries {
         |      FROM h)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "d_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 97 <
+        |  CASE lang WHEN 'en' THEN 97 WHEN 'de' THEN 49 WHEN 'fr' THEN 20 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "d_repetition" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id,

@@ -48,6 +48,28 @@ class PipelineOpsPropertySpec extends SparkSpec {
     assert(h1.forall(h => h >= 0 && h < Sampling.Buckets))
   }
 
+  test("mixture sample: f=1 keeps all, f=0 drops all, samples nest by fraction") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val rows = for { g <- Seq("a", "b", "c"); i <- 0 until 60 }
+      yield (g, g.hashCode.abs.toLong * 1000 + i)
+    val df = rows.toDF("grp", "doc_id")
+    def ids(fr: Map[String, Double], d: Double = 0.0) =
+      Sampling.mixtureSample(df, "grp", fr, defaultFraction = d)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // full keep / full drop per group
+    val full = ids(Map("a" -> 1.0))
+    assert(full == rows.filter(_._1 == "a").map(_._2).toSet)
+    assert(ids(Map("a" -> 0.0), d = 0.0).isEmpty)
+    // nesting: a smaller fraction's sample is a subset of a larger's
+    val half = ids(Map("a" -> 0.5, "b" -> 0.5))
+    val fifth = ids(Map("a" -> 0.2, "b" -> 0.2))
+    assert(fifth.subsetOf(half))
+    // default fraction applies to groups not in the map
+    val withDefault = ids(Map("a" -> 1.0), d = 1.0)
+    assert(withDefault == rows.map(_._2).toSet)
+  }
+
   test("stratified sample: per-stratum counts = min(k, stratum size); subset of input") {
     import graft.ops.Sampling
     import spark.implicits._
