@@ -71,12 +71,14 @@ object Curation {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     stageFrames(corpus, benchmark, p, idCol, textCol).last._2
 
-  /** Per-stage surviving-document counts as (stage, n_docs) rows —
-    * the curation funnel. Each stage is one aggregate over its composed
+  /** Per-stage survivor counts as (stage, n_docs, n_tokens) rows —
+    * the curation funnel. Token counts matter as much as doc counts to
+    * an operator (dropping 1% of docs that hold 30% of tokens is a
+    * different decision). Each stage is one aggregate over its composed
     * plan, unioned (not cross-joined) into a single tiny result. */
   def funnel(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol))
+    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol), textCol)
 
   /** Both outputs of one pipeline build: (curated corpus, funnel).
     * Callers wanting both — the normal operational shape — should use
@@ -85,12 +87,15 @@ object Curation {
   def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
     val st = stageFrames(corpus, benchmark, p, idCol, textCol)
-    (st.last._2, funnelOf(st))
+    (st.last._2, funnelOf(st, textCol))
   }
 
-  private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =
+  private def funnelOf(st: Seq[(String, DataFrame)], textCol: String): DataFrame =
     st.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+        df.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(size(Dedup.tokens(col(textCol)))), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
       }
       .reduce(_ union _)
       .orderBy("stage")

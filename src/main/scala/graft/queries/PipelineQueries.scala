@@ -502,12 +502,17 @@ object PipelineQueries {
          |ndsh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM nd),
          |contam AS (SELECT ndsh.doc_id FROM ndsh JOIN bsh ON ndsh.s = bsh.s
          |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
-         |clean AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
-         |SELECT '1_total' AS stage, COUNT(*) AS n_docs FROM base
-         |UNION ALL SELECT '2_quality', COUNT(*) FROM qd
-         |UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ed
-         |UNION ALL SELECT '4_near_dup', COUNT(*) FROM nd
-         |UNION ALL SELECT '5_decontaminated', COUNT(*) FROM clean
+         |clean AS (SELECT doc_id, w FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT '1_total' AS stage, COUNT(*) AS n_docs,
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) AS n_tokens FROM base
+         |UNION ALL SELECT '2_quality', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM qd
+         |UNION ALL SELECT '3_exact_dedup', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM ed
+         |UNION ALL SELECT '4_near_dup', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
+         |UNION ALL SELECT '5_decontaminated', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean
          |ORDER BY stage""".stripMargin,
     "d_dup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),

@@ -120,7 +120,8 @@ class OpsSpec extends SparkSpec {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
     val (curated, funnelDf) = Curation.run(corpus, bench)
-    val funnel = funnelDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val funnel = funnelDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(funnel.map(_._1).toSeq ==
       Seq("1_total", "2_quality", "3_exact_dedup", "4_near_dup", "5_decontaminated"))
     val counts = funnel.map(_._2)
@@ -128,10 +129,15 @@ class OpsSpec extends SparkSpec {
       s"funnel not monotone: ${funnel.mkString(", ")}")
     assert(counts.head == corpus.count())
     assert(curated.count() == counts.last)
+    // token counts are monotone too, and zero only when docs are zero
+    val toks = funnel.map(_._3)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a })
+    assert(funnel.forall { case (_, d, t) => (d == 0) == (t == 0) })
     // a never-passing quality bar empties every downstream stage
     val strict = Curation.funnel(corpus, bench, Curation.Params(minQuality = 2.0))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(strict("2_quality") == 0 && strict("5_decontaminated") == 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(x => (x._1, (x._2, x._3))).toMap
+    assert(strict("2_quality") == (0L, 0L) && strict("5_decontaminated") == (0L, 0L))
   }
 
   test("simhash: identical texts share signatures; hamming is sane") {

@@ -39,6 +39,36 @@ class StreamingSpec extends SparkSpec {
     assert(byMetric("d").head.getLong(2) == 777L)
   }
 
+  test("streaming dedup: batches dedup against the digest store and within themselves") {
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val sd = new graft.streaming.StreamingDedup(spark, base)
+    val q = sd.start(sd.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // batch 1: ids 1,2 share a text (whitespace/case-normalized), 3 unique
+      dropFile(in, "b1.json", Seq(
+        doc(2, "The quick  brown fox"), doc(1, "the quick brown fox"),
+        doc(3, "something else entirely")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      val kept1 = spark.read.parquet(sd.keptPath).collect()
+        .map(r => r.getLong(0)).sorted
+      assert(kept1.toSeq == Seq(1L, 3L)) // min id wins within the batch
+      // batch 2: 4 duplicates batch 1's text (dropped via the store),
+      // 5 is genuinely new
+      dropFile(in, "b2.json", Seq(
+        doc(4, "THE QUICK BROWN FOX"), doc(5, "fresh document")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      val kept2 = spark.read.parquet(sd.keptPath).collect()
+        .map(r => r.getLong(0)).sorted
+      assert(kept2.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("counter streaming path: 5s sums, cascade adds") {
     val base = Files.createTempDirectory("graft_cstream").toString
     val in = s"$base/in"
