@@ -236,8 +236,9 @@ object Dedup {
 
   /** (id, band, bh) LSH bucket rows from a signature frame: the
     * signature is cut into `bands` bands of `rows` hashes, each band
-    * hashed to one bucket key. */
-  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    * hashed to one bucket key. (package-visible: the streaming
+    * near-dup store derives buckets from persisted signatures.) */
+  private[graft] def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), hash(cols: _*).as("bh"))

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-dup dedup: [[graft.ops.Dedup.minhashLshIncremental]]
+  * as a continuous pipeline. The persistent state is the MinHash
+  * signature store — `numHashes` longs per kept document, NOT the
+  * documents or their shingles — so the per-batch cost is the batch's
+  * own signature build plus a band-bucket equi-join against the store.
+  * Each micro-batch:
+  *
+  *   1. signatures + LSH band buckets for the batch's docs;
+  *   2. cross dups: batch docs whose bucket-mates in the store have
+  *      estimated Jaccard ≥ threshold are dropped;
+  *   3. within-batch dups: bucket self-join pairs → estimated Jaccard
+  *      → [[Dedup.dupClusters]] → min-id winner per cluster survives
+  *      (the same operators a batch pipeline composes);
+  *   4. survivors land in `kept/`, their signatures join the store.
+  *
+  * Unlike the batch operator, near-duplicate verification here is the
+  * MinHash ESTIMATE (matching-hash fraction — unbiased, σ ≈
+  * √(J(1−J)/numHashes) ≈ 0.05 at 96 hashes), because exact verification
+  * would require storing every kept document's shingle set, i.e. the
+  * corpus itself. Size `numHashes`/`threshold` with that margin in
+  * mind.
+  *
+  * Failure semantics match [[StreamingDedup]]: kept docs are written
+  * before their signatures — batch replay re-emits, never loses
+  * (at-least-once).
+  */
+class StreamingNearDup(spark: SparkSession, baseDir: String,
+                       k: Int = 3, numHashes: Int = 96, bands: Int = 32,
+                       threshold: Double = 0.5,
+                       idCol: String = "doc_id", textCol: String = "text") {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val rows = numHashes / bands
+  private val keptDir = s"$baseDir/kept"
+  private val sigDir = s"$baseDir/signatures"
+
+  def keptPath: String = keptDir
+
+  /** Streaming source for JSON-lines document files in `dir`. */
+  def readJsonDocs(dir: String): DataFrame =
+    spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)
+
+  /** (id, sig array<long>) signature frame for a document batch. */
+  private def sigArrOf(docs: DataFrame): DataFrame =
+    Dedup.minhashSignatures(docs, k, numHashes, idCol, textCol)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+
+  private def bucketsOf(sigArr: DataFrame): DataFrame =
+    Dedup.bandBuckets(
+      sigArr.select(col("id") +: (0 until numHashes).map(j => col("sig")(j).as(s"h$j")): _*),
+      bands, rows)
+
+  /** Estimated Jaccard per candidate pair: matching-minhash fraction. */
+  private def estimate(cand: DataFrame, sigA: DataFrame, sigB: DataFrame): DataFrame = {
+    val matches = (0 until numHashes)
+      .map(j => when(col("sig_a")(j) === col("sig_b")(j), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est"))
+  }
+
+  def start(docs: DataFrame, trigger: Trigger): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", s"$baseDir/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.functions.ensureRegistered(s)
+        val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        val sigArr = sigArrOf(b).localCheckpoint() // buckets + estimates + store append
+        val newBk = bucketsOf(sigArr)
+        val seenSig =
+          if (Files.exists(Paths.get(sigDir))) {
+            s.catalog.refreshByPath(sigDir) // streaming sink listing is cached per path
+            s.read.parquet(sigDir)
+          } else sigArr.limit(0)
+        // cross dups: batch docs near-duplicating the kept corpus
+        val crossCand = newBk.as("a")
+          .join(bucketsOf(seenSig).as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        val crossDup = estimate(crossCand, sigArr, seenSig)
+          .where(col("est") >= threshold)
+          .select(col("id_a").as(idCol)).distinct()
+        // within-batch dups: pair graph → clusters → min-id wins
+        val selfCand = newBk.as("a")
+          .join(newBk.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        val selfPairs = estimate(selfCand, sigArr, sigArr)
+          .where(col("est") >= threshold).select("id_a", "id_b")
+        val selfLosers = Dedup.dupClusters(selfPairs)
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as(idCol))
+        val kept = b
+          .join(crossDup, Seq(idCol), "left_anti")
+          .join(selfLosers, Seq(idCol), "left_anti")
+          .localCheckpoint() // doc write + signature append share one evaluation
+        kept.write.mode("append").parquet(keptDir)
+        sigArr.join(kept.select(col(idCol).as("id")), "id")
+          .write.mode("append").parquet(sigDir)
+        ()
+      }
+      .start()
+}

@@ -69,6 +69,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: signature store drops near-duplicates across and within batches") {
+    val base = Files.createTempDirectory("graft_sndup").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val B = A.replace(" mu", " nu")      // J(A,B) = 9/11 ≈ 0.82
+    val D = A.replace("alpha ", "omega ") // J(A,D) = 9/11 vs stored A
+    val sd = new graft.streaming.StreamingNearDup(spark, base)
+    val q = sd.start(sd.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // batch 1: A (id 2) and B (id 1) near-dup each other → min id 1
+      // wins the cluster; 3 is unrelated
+      dropFile(in, "b1.json", Seq(
+        doc(2, A), doc(1, B), doc(3, "completely unrelated text about fish")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      val kept1 = spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept1.toSeq == Seq(1L, 3L))
+      // batch 2: D near-dups the STORED survivor → dropped; 5 is new
+      dropFile(in, "b2.json", Seq(
+        doc(4, D), doc(5, "a genuinely fresh document with novel words")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      val kept2 = spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept2.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("counter streaming path: 5s sums, cascade adds") {
     val base = Files.createTempDirectory("graft_cstream").toString
     val in = s"$base/in"
