@@ -43,6 +43,11 @@ class StreamingDedup(spark: SparkSession, baseDir: String,
   /** Path to the deduped corpus sink (parquet, appended per batch). */
   def keptPath: String = keptDir
 
+  /** Compact the digest store's per-batch slivers (maintenance-window
+    * op — run between triggers or with the stream stopped). */
+  def compactStore(maxFiles: Int = 8): Boolean =
+    StoreCompaction.compactDir(spark, digestDir, maxFiles)
+
   def start(docs: DataFrame, trigger: Trigger): StreamingQuery =
     docs.writeStream
       .trigger(trigger)

@@ -44,6 +44,11 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
 
   def keptPath: String = keptDir
 
+  /** Compact the signature store's per-batch slivers (maintenance-
+    * window op — run between triggers or with the stream stopped). */
+  def compactStore(maxFiles: Int = 8): Boolean =
+    StoreCompaction.compactDir(spark, sigDir, maxFiles)
+
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)

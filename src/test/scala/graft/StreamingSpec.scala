@@ -66,6 +66,19 @@ class StreamingSpec extends SparkSpec {
       val kept2 = spark.read.parquet(sd.keptPath).collect()
         .map(r => r.getLong(0)).sorted
       assert(kept2.toSeq == Seq(1L, 3L, 5L))
+      // two batches → ≥ 2 digest slivers; compact to one file, then a
+      // third batch must still dedup against the compacted store
+      assert(sd.compactStore(maxFiles = 1))
+      val digestFiles = new java.io.File(s"$base/digests").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(digestFiles == 1)
+      dropFile(in, "b3.json", Seq(
+        doc(6, "fresh   DOCUMENT"), doc(7, "never seen before")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      val kept3 = spark.read.parquet(sd.keptPath).collect()
+        .map(r => r.getLong(0)).sorted
+      assert(kept3.toSeq == Seq(1L, 3L, 5L, 7L))
     } finally q.stop()
   }
 
