@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators: ordered conversion funnels and
+  * weekly retention cohorts — the two questions every product/events
+  * table gets asked first. Both reduce the event log to a small
+  * per-user frame as early as the semantics allow (funnel: one
+  * user-keyed exchange serves every window step; cohorts: map-side
+  * distinct before any wide exchange), so the expensive shuffles move
+  * users, not events.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel over an event log.
+    *
+    * A user "reaches" step i when an event of type `steps(i)` exists
+    * STRICTLY AFTER the time they reached step i−1 (min-ts cascade:
+    * the reach time of step i is the earliest qualifying event). This
+    * is the standard ordered-funnel semantic — a purchase before the
+    * first view does not count as a conversion.
+    *
+    * Output: one row per step — (step "<i>_<name>", n_users) — users
+    * whose cascade reached that step, ordered by step.
+    *
+    * Plan shape: one shuffle on `userCol`; the per-step reach times are
+    * stacked Window mins over the same partitioning (no extra
+    * exchange), followed by a per-user collapse and one global
+    * aggregate whose output is `steps.size` rows via `stack`.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(userCol)
+    // Only events of the funnel's own step types can qualify at any
+    // step — filter them out BEFORE the user-keyed exchange (pushed to
+    // the scan), so the shuffle carries funnel events, not the log.
+    val relevant = events
+      .select(col(userCol), col(typeCol), col(tsCol))
+      .where(col(typeCol).isin(steps: _*))
+    val withReach = steps.zipWithIndex.foldLeft(relevant) {
+      case (df, (step, i)) =>
+        val qualifies =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}")
+        df.withColumn(s"__t$i", min(when(qualifies, col(tsCol))).over(w))
+    }
+    // All rows of a user carry identical __t values; collapse to one
+    // row per user (same key as the window exchange — no new shuffle),
+    // then count non-null reach times in a single 1-row aggregate and
+    // unpivot it with stack so the result is steps.size tiny rows.
+    val perUser = withReach.groupBy(col(userCol))
+      .agg(first(col("__t0")).as("__t0"),
+        steps.indices.drop(1).map(i => first(col(s"__t$i")).as(s"__t$i")): _*)
+    val counted = perUser.agg(
+      count(col("__t0")).as("__c0"),
+      steps.indices.drop(1).map(i => count(col(s"__t$i")).as(s"__c$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"'${i + 1}_$s', __c$i" }
+      .mkString(", ")
+    counted
+      .selectExpr(s"stack(${steps.size}, $stackArgs) as (step, n_users)")
+      .orderBy("step")
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week (Monday-
+    * truncated) of their first event; for each cohort and each later
+    * week, how many of its users were active.
+    *
+    * Output: (cohort_week 'yyyy-MM-dd', week_offset INT, n_users)
+    * ordered by (cohort_week, week_offset). week_offset 0 is the
+    * cohort week itself, so its n_users is the cohort size. The week
+    * is emitted as an ISO date string — the one temporal encoding
+    * every engine and dataframe runtime agrees on byte-for-byte.
+    *
+    * Plan shape: project each event to its (user, Monday) week — a
+    * cheap codegen'd date_trunc — and distinct FIRST, with map-side
+    * partial aggregation, so raw events are reduced to user-week pairs
+    * before anything is shuffled. The window min and the final
+    * (cohort_week, offset) aggregate then only ever move that small
+    * frame (|users| × |weeks| rows at most) — at 100 TB of events the
+    * event rows themselves never cross the network beyond the partial-
+    * agg shuffle.
+    */
+  def retentionCohorts(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .select(col(userCol).as("__u"),
+        to_date(date_trunc("week", col(tsCol))).as("__wk"))
+      .distinct()
+    val w = Window.partitionBy("__u")
+    weeks
+      .withColumn("__cw", min(col("__wk")).over(w))
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("__wk"), col("__cw")) / 7).cast("int").as("week_offset"),
+        col("__u"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(col("__u")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

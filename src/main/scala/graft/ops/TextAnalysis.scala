@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -178,5 +179,37 @@ object TextAnalysis {
       size(regexp_extract_all(t0, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
       size(regexp_extract_all(t1, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t2, lit(DigitRunPattern), lit(0))).cast("long").as("n_digit_runs"))
+  }
+
+  /** Per-document top-k terms by TF-IDF — the classic keyword /
+    * salient-term extractor (tf × ln(N/df), natural log, document
+    * frequency over the whole corpus). Rank is deterministic: rounded
+    * score descending, then token ascending, so engines agree even at
+    * score ties.
+    *
+    * Plan shape: explode → (doc, token) count with map-side partials;
+    * the document-frequency frame is an aggregate of that same term
+    * frame (vocabulary-sized — AQE broadcasts it); top-k per doc is one
+    * row_number window on the doc key. The corpus size N is the one
+    * driver-side scalar (a metadata-served count on the id column).
+    * Nothing moves text after the explode: terms shuffle as strings
+    * once into the count, everything downstream is (id, token, counts).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.select(col(idCol)).count().toDouble
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("token").asc)
+    terms.join(docFreq, "token")
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rnk"))
   }
 }

@@ -296,7 +296,46 @@ object PipelineQueries {
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
   }
 
+  /** Ordered view → click → purchase conversion funnel. Cascade
+    * comparisons run on epoch-ms (`ts_ms`), the engine's native time
+    * unit, so the oracle's epoch_ms(ts) sees identical values. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnel(
+      Tables.events(spark, dir), Seq("view", "click", "purchase"), tsCol = "ts_ms")
+
+  /** Weekly retention cohorts over the events table (cohort = Monday
+    * week of a user's first event). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.retentionCohorts(Tables.events(spark, dir))
+
+  /** Top-3 TF-IDF terms per document — deterministic rank (rounded
+    * score desc, token asc). */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(spark, dir), k = 3)
+      .orderBy("doc_id", "rnk")
+
+  /** Exact token-count quantiles per language (linear interpolation —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  def tokenLenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    tokenLenQuantiles0(Tables.documents(spark, dir))
+
+  private[graft] def tokenLenQuantiles0(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), size(Dedup.tokens(col("text"))).as("n_toks"))
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_toks, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_toks, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_toks, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_toks, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_event_funnel"      -> (eventFunnel _),
+    "e_retention_cohorts" -> (retentionCohorts _),
+    "d_tfidf_topk"        -> (tfidfTerms _),
+    "d_token_quantiles"   -> (tokenLenQuantiles _),
     "d_curation_funnel"   -> (curationFunnel _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_hash_sample"       -> (hashSample _),
@@ -353,6 +392,52 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "e_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t0 THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t1 THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1,
+        |             any_value(t2) AS t2 FROM s2 GROUP BY user_id)
+        |SELECT step, n_users FROM (
+        |  SELECT '1_view' AS step, count(t0) AS n_users FROM u
+        |  UNION ALL SELECT '2_click', count(t1) FROM u
+        |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
+        |ORDER BY step""".stripMargin,
+    "e_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cw FROM uw)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |s AS (SELECT doc_id, token,
+         |        round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 4) AS tfidf
+         |      FROM tf JOIN df USING (token) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT doc_id, token, tfidf, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d_token_quantiles" ->
+      s"""WITH t AS (SELECT lang, len($ToksSql) AS n_toks FROM documents)
+         |SELECT lang,
+         |  round(quantile_cont(n_toks, 0.25), 4) AS p25,
+         |  round(quantile_cont(n_toks, 0.5), 4) AS p50,
+         |  round(quantile_cont(n_toks, 0.75), 4) AS p75,
+         |  round(quantile_cont(n_toks, 0.9), 4) AS p90,
+         |  count(*) AS n_docs
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "d_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 1000000007) * 2654435761) % 97 < 10

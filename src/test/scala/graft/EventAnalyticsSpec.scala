@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{EventAnalytics, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pins the event-analytics operators (ordered funnel, retention
+  * cohorts) and the TF-IDF / quantile text stats on hand-computed
+  * fixtures — edge cases the sf corpora don't guarantee to contain
+  * (same-timestamp non-conversion, out-of-order steps, cohort gaps,
+  * score ties).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ordered funnel: strict min-ts cascade") {
+    val events = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // user 2: click before first view must not count; the click at 4
+      // (after view@2) unlocks the purchase at 5
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 5L), (2L, "click", 4L),
+      // user 3: purchase before view, no click -> stops at view
+      (3L, "purchase", 1L), (3L, "view", 2L),
+      // user 4: click at the SAME instant as view is not strictly after
+      (4L, "view", 5L), (4L, "click", 5L),
+      // user 5: never views -> reaches nothing
+      (5L, "click", 1L),
+      // noise type is filtered before the shuffle
+      (1L, "error", 1L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 2L))
+  }
+
+  test("funnel is order-sensitive, not just presence-sensitive") {
+    // all three types present but in reverse order: only step 1 counts
+    val events = Seq(
+      (1L, "purchase", 1L), (1L, "click", 2L), (1L, "view", 3L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("1_view" -> 1L, "2_click" -> 0L, "3_purchase" -> 0L))
+  }
+
+  test("retention cohorts: Monday-week cohort with offsets and gaps") {
+    val events = Seq(
+      // user 1: cohort week 2024-01-01; active again week of 01-15 (offset 2)
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-15 09:00:00"),
+      // user 2: same cohort (Wednesday of week 1), active offset 1
+      (2L, "2024-01-03 00:00:00"), (2L, "2024-01-08 23:00:00"),
+      // user 3: later cohort, single week
+      (3L, "2024-01-10 12:00:00"),
+      // duplicate events inside one week count once
+      (1L, "2024-01-02 11:00:00")
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = EventAnalytics.retentionCohorts(events)
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("tfidf top-k: corpus-wide terms score 0, rank ties break by token") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry banana cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val ln3 = math.log(3.0)   // idf(apple), df=1
+    val ln15 = math.log(1.5)  // idf(cherry), df=2
+    assert(got == Seq(
+      (1L, "apple", r4(2 * ln3), 1L), (1L, "banana", 0.0, 2L),
+      (2L, "cherry", r4(ln15), 1L), (2L, "banana", 0.0, 2L),
+      (3L, "cherry", r4(2 * ln15), 1L), (3L, "banana", 0.0, 2L)))
+  }
+
+  test("token quantiles: Spark percentile linear interpolation") {
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.queries.PipelineQueries.tokenLenQuantiles0(docs)
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+    // sorted counts 1,2,3,4: p = v[p*(n-1)] linearly interpolated
+    assert(got == Seq(("en", 1.75, 2.5, 3.25, 3.7, 4L)))
+  }
+}
