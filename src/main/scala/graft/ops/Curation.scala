@@ -39,9 +39,21 @@ object Curation {
     // scan). Real pipelines at corpus scale do exactly this — stage
     // outputs are materialized datasets — and the blocks are freed by
     // the ContextCleaner when the frames go out of scope.
-    val quality = corpus
+    //
+    // The per-doc token count is computed ONCE here (8 bytes carried
+    // through every checkpoint) — the funnel's per-stage token sums
+    // would otherwise re-run the tokenizer over every surviving stage,
+    // ~4 extra full-text passes per funnel build. The token ARRAY is
+    // projected as an attribute first so the count and the quality
+    // score share a single tokenizer evaluation (HOF subtrees are not
+    // CSE'd, and CollapseProject keeps non-cheap expressions bound).
+    val withTok = corpus
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn(TokCol, size(col("__toks")).cast("long"))
       .withColumn("__q", round(
-        TextAnalysis.qualityScoreOf(Dedup.tokens(col(textCol)), col(textCol)), 4))
+        TextAnalysis.qualityScoreOf(col("__toks"), col(textCol)), 4))
+      .drop("__toks")
+    val quality = withTok
       .where(col("__q") >= p.minQuality)
       .drop("__q")
       .localCheckpoint(eager = false)
@@ -59,17 +71,20 @@ object Curation {
         idCol, textCol).select(idCol),
       Seq(idCol), "left_anti")
     Seq(
-      "1_total" -> corpus,
+      "1_total" -> withTok.drop("__q"),
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,
       "4_near_dup" -> nearDup,
       "5_decontaminated" -> clean)
   }
 
+  /** Internal carried-token-count column (see [[stageFrames]]). */
+  private val TokCol = "__n_toks"
+
   /** The curated corpus: every stage applied, original columns kept. */
   def curate(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    stageFrames(corpus, benchmark, p, idCol, textCol).last._2
+    stageFrames(corpus, benchmark, p, idCol, textCol).last._2.drop(TokCol)
 
   /** Per-stage survivor counts as (stage, n_docs, n_tokens) rows —
     * the curation funnel. Token counts matter as much as doc counts to
@@ -78,7 +93,7 @@ object Curation {
     * plan, unioned (not cross-joined) into a single tiny result. */
   def funnel(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol), textCol)
+    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol))
 
   /** Both outputs of one pipeline build: (curated corpus, funnel).
     * Callers wanting both — the normal operational shape — should use
@@ -87,14 +102,14 @@ object Curation {
   def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
     val st = stageFrames(corpus, benchmark, p, idCol, textCol)
-    (st.last._2, funnelOf(st, textCol))
+    (st.last._2.drop(TokCol), funnelOf(st))
   }
 
-  private def funnelOf(st: Seq[(String, DataFrame)], textCol: String): DataFrame =
+  private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =
     st.map { case (name, df) =>
         df.agg(
             count(lit(1)).as("n_docs"),
-            coalesce(sum(size(Dedup.tokens(col(textCol)))), lit(0L)).as("n_tokens"))
+            coalesce(sum(col(TokCol)), lit(0L)).as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
       }
       .reduce(_ union _)

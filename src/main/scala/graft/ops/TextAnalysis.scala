@@ -198,10 +198,15 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, k: Int = 3,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nDocs = docs.select(col(idCol)).count().toDouble
+    // lazily checkpointed: the term frame feeds BOTH the tf side of the
+    // join and the document-frequency aggregate — without it Catalyst
+    // plans two scan+explode+shuffle subtrees (exchange reuse doesn't
+    // fire across the differing aggregates)
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("token").asc)

@@ -81,6 +81,33 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, "cherry", r4(2 * ln15), 1L), (3L, "banana", 0.0, 2L)))
   }
 
+  test("funnel counts are monotone non-increasing on a random event log") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase", "error")
+    val events = Seq.fill(2000)(
+      (rnd.nextInt(80).toLong, types(rnd.nextInt(types.size)), rnd.nextInt(100000).toLong))
+      .toDF("user_id", "event_type", "ts")
+    val counts = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().map(_._2).toSeq
+    assert(counts.size == 3)
+    assert(counts == counts.sorted.reverse, s"not monotone: $counts")
+  }
+
+  test("retention: offset-0 cohort sizes sum to the distinct user count") {
+    val rnd = new scala.util.Random(7)
+    val events = Seq.fill(500)(
+      (rnd.nextInt(40).toLong, s"2024-0${1 + rnd.nextInt(3)}-${10 + rnd.nextInt(18)} 12:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = EventAnalytics.retentionCohorts(events)
+    val cohortSizes = got.where(col("week_offset") === 0)
+      .agg(sum("n_users")).as[Long].collect()(0)
+    val distinctUsers = events.select("user_id").distinct().count()
+    // every user belongs to exactly one cohort and is active in their
+    // own first week by construction
+    assert(cohortSizes == distinctUsers)
+  }
+
   test("token quantiles: Spark percentile linear interpolation") {
     val docs = Seq(
       (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en")
