@@ -308,6 +308,24 @@ object PipelineQueries {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     graft.ops.EventAnalytics.retentionCohorts(Tables.events(spark, dir))
 
+  /** Views within ±5 min of an error event, per error: a point-in-
+    * interval range join rewritten as a time-bin equi-join (no
+    * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
+    * aggregate. */
+  def errorWindowViews(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val errs = e.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        (col("ts_ms") - 300000L).as("w_start"),
+        (col("ts_ms") + 300000L).as("w_end"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts_ms").as("v_ts"))
+    graft.ops.RangeJoin
+      .pointInInterval(views, errs, "v_ts", "w_start", "w_end", binWidth = 600000L)
+      .groupBy("error_id").agg(count(lit(1)).as("n_views"))
+      .orderBy("error_id")
+  }
+
   /** Top-3 TF-IDF terms per document — deterministic rank (rounded
     * score desc, token asc). */
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
@@ -334,6 +352,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_event_funnel"      -> (eventFunnel _),
     "e_retention_cohorts" -> (retentionCohorts _),
+    "e_window_join"       -> (errorWindowViews _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
     "d_curation_funnel"   -> (curationFunnel _),
@@ -416,6 +435,14 @@ object PipelineQueries {
         |       CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
         |       count(*) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_window_join" ->
+      """WITH err AS (SELECT event_id AS error_id,
+        |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e
+        |            FROM events WHERE event_type = 'error'),
+        |v AS (SELECT epoch_ms(ts) AS t FROM events WHERE event_type = 'view')
+        |SELECT error_id, count(*) AS n_views
+        |FROM err JOIN v ON v.t BETWEEN err.s AND err.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{EventAnalytics, TextAnalysis}
+import graft.ops.{EventAnalytics, RangeJoin, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pins the event-analytics operators (ordered funnel, retention
@@ -106,6 +106,29 @@ class EventAnalyticsSpec extends SparkSpec {
     // every user belongs to exactly one cohort and is active in their
     // own first week by construction
     assert(cohortSizes == distinctUsers)
+  }
+
+  test("range join: bin rewrite equals brute force, pairs surface exactly once") {
+    val rnd = new scala.util.Random(11)
+    val points = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("p_id", "p_ts")
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, s, s + rnd.nextInt(900).toLong) // spans 0..900, bins of 256
+    }.toDF("i_id", "i_start", "i_end")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "p_ts", "i_start", "i_end", binWidth = 256L)
+    val gotPairs = got.select("p_id", "i_id").as[(Long, Long)].collect().toSeq
+    // exactly-once: no pair may appear twice even when an interval
+    // spans several bins
+    assert(gotPairs.size == gotPairs.distinct.size)
+    val brute = points.crossJoin(intervals)
+      .where(col("p_ts") >= col("i_start") && col("p_ts") <= col("i_end"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq
+    assert(gotPairs.sorted == brute.sorted)
+    // and the rewrite must not plan a nested loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
   test("token quantiles: Spark percentile linear interpolation") {

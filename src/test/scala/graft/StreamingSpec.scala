@@ -346,4 +346,41 @@ class StreamingSpec extends SparkSpec {
     new StreamingIngest(spark, base).runCounterCascadeIncrement(Seq(30000L))
     assert(tierCount() == 2L)
   }
+
+  test("streaming sessions: in-stream gap split, watermark timeout, final emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.{Session, SessionEvent}
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessions(src.toDS(), gapMs = 1800000L, delay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // base offset keeps every event strictly above the initial
+      // watermark (0) — a row AT the watermark is filtered as late
+      val B = 1000000L
+      def ev(u: Long, ms: Long) = SessionEvent(u, ms, new java.sql.Timestamp(ms))
+      def emitted() = spark.table("sess_out").as[Session].collect().toSet
+
+      // open sessions emit nothing
+      src.addData(ev(1, B), ev(1, B + 10000), ev(2, B + 5000))
+      q.processAllAvailable()
+      assert(emitted() == Set.empty[Session])
+
+      // a far-future event for user 1 splits their session IN-STREAM
+      // (emitted in the same batch, no timeout needed)
+      src.addData(ev(1, B + 4000000))
+      q.processAllAvailable()
+      assert(emitted().contains(Session(1, B, B + 10000, 2)))
+
+      // the watermark (now B+4000000) is past user 2's end + gap, so a
+      // later trigger fires their event-time timeout — emission is
+      // final, nothing is ever revised
+      src.addData(ev(3, B + 4100000))
+      q.processAllAvailable()
+      assert(emitted() == Set(Session(1, B, B + 10000, 2), Session(2, B + 5000, B + 5000, 1)))
+    } finally q.stop()
+  }
 }
