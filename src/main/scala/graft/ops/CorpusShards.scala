@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sharding — the output stage of a training-data
+  * pipeline. Trainers consume a corpus as N stable shards (shuffle
+  * order, resume points, and data-parallel reads all key off the shard
+  * layout), so the assignment must be a pure function of the document
+  * id: same corpus in → same shards out, on any engine, any cluster
+  * size, any rerun. Spark's default file splitting gives none of that.
+  *
+  * Assignment is the same Knuth multiplicative hash the sampling
+  * operators use ([[Sampling.detHash]] family) — SQL-reproducible
+  * integer arithmetic, no engine-specific hash — taken mod the shard
+  * count. Sequential-id corpora therefore spread uniformly (the odd
+  * multiplier decorrelates strides) rather than landing range-clumped.
+  *
+  * [[write]] materializes one parquet file per shard: rows are hash-
+  * repartitioned on the shard column (each shard value lives in
+  * exactly one task, so each `shard=k/` directory receives exactly one
+  * file) and written via `partitionBy`, which makes the layout
+  * self-describing and partition-prunable on read.
+  */
+object CorpusShards {
+
+  /** Shard id in [0, nShards) for a non-negative integer id column. */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(nShards.toLong))
+  }
+
+  /** The corpus with its `shard` assignment column. */
+  def assign(df: DataFrame, nShards: Int, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+
+  /** Write the corpus as `outDir/shard=k/` parquet, one file per
+    * shard. Shard size is governed by nShards — pick it so each shard
+    * is a few hundred MB at the target corpus size. */
+  def write(df: DataFrame, outDir: String, nShards: Int,
+            idCol: String = "doc_id"): Unit =
+    assign(df, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+}

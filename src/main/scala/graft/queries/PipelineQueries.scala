@@ -308,6 +308,30 @@ object PipelineQueries {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     graft.ops.EventAnalytics.retentionCohorts(Tables.events(spark, dir))
 
+  /** Deterministic 16-way shard assignment over the documents table
+    * (the write-side layout is spec-tested; this pins the assignment
+    * function bit-for-bit against the oracle). */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusShards.assign(Tables.documents(spark, dir), nShards = 16)
+      .select(col("doc_id"), col("shard"))
+      .orderBy("doc_id")
+
+  /** Top-20 3-step event sequences (per-user time order, ties broken
+    * by event_id) — the classic user-journey n-gram. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(20)
+  }
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -353,6 +377,8 @@ object PipelineQueries {
     "e_event_funnel"      -> (eventFunnel _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
+    "e_event_paths"       -> (eventPaths _),
+    "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
     "d_curation_funnel"   -> (curationFunnel _),
@@ -435,6 +461,18 @@ object PipelineQueries {
         |       CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
         |       count(*) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_shard_assign" ->
+      """SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 16 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events),
+        |s AS (SELECT event_type AS e1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS e2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY t, event_id) AS e3
+        |      FROM e)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

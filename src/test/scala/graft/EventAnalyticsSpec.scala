@@ -131,6 +131,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("corpus shards: one file per shard dir, lossless, assignment-stable") {
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.ops.CorpusShards.write(docs, out, nShards = 8)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8)
+    // exactly one data file per shard — the property a trainer's
+    // data-parallel reader keys off
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // round-tripped shard column equals the assignment function
+    val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("got"))
+      .join(graft.ops.CorpusShards.assign(docs, 8).select(col("doc_id"), col("shard")), "doc_id")
+      .where(col("got") =!= col("shard")).count()
+    assert(mismatch == 0)
+  }
+
   test("token quantiles: Spark percentile linear interpolation") {
     val docs = Seq(
       (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en")
