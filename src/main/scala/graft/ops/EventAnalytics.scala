@@ -66,6 +66,56 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Rolling-window rate anomalies: bucket events per (`keyCol`,
+    * `bucketMs`), then flag buckets whose count exceeds
+    * mean + `sigmas`·stddev of the TRAILING `lookback` buckets
+    * (current excluded — the baseline must not contain the anomaly).
+    * Buckets with fewer than `minPeriods` trailing observations emit
+    * unflagged (cold start).
+    *
+    * Numerics: the window carries exact integer sums (Σn, Σn²) and
+    * derives mean/variance with one fixed float expression —
+    * reproducible on any engine, unlike builtin stddev aggregates
+    * whose internal accumulation differs engine-to-engine in the last
+    * ulp. Variance is clamped at 0 before the sqrt (catastrophic-
+    * cancellation guard).
+    *
+    * Plan shape: one partial-aggregated shuffle to (key, bucket)
+    * counts — events reduce map-side — then a window over the small
+    * per-key bucket series. Output: (key, bucket_ms, n, mean, std,
+    * is_anomaly) ordered by (key, bucket).
+    */
+  def rateAnomalies(events: DataFrame, keyCol: String = "event_type",
+                    tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
+                    lookback: Int = 24, minPeriods: Int = 12,
+                    sigmas: Double = 2.0): DataFrame = {
+    val counts = events
+      .select(col(keyCol).as("key"),
+        (expr(s"CAST($tsMsCol AS BIGINT) DIV $bucketMs") * bucketMs).as("bucket_ms"))
+      .groupBy("key", "bucket_ms")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("key").orderBy("bucket_ms")
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("__s", sum(col("n")).over(w))
+      .withColumn("__ss", sum(col("n") * col("n")).over(w))
+      .withColumn("__c", count(col("n")).over(w))
+      .withColumn("mean",
+        when(col("__c") >= minPeriods,
+          round(col("__s").cast("double") / col("__c").cast("double"), 4)))
+      .withColumn("std",
+        when(col("__c") >= minPeriods, round(sqrt(greatest(lit(0.0),
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("__c").cast("double")) /
+            (col("__c").cast("double") - 1.0))), 4)))
+      .withColumn("is_anomaly",
+        col("__c") >= minPeriods &&
+          col("n").cast("double") > col("mean") + lit(sigmas) * col("std"))
+      .select(col("key"), col("bucket_ms"), col("n"), col("mean"), col("std"),
+        col("is_anomaly"))
+      .orderBy("key", "bucket_ms")
+  }
+
   /** Weekly retention cohorts: users grouped by the ISO week (Monday-
     * truncated) of their first event; for each cohort and each later
     * week, how many of its users were active.

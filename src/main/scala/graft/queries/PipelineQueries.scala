@@ -332,6 +332,12 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Hourly per-type event-rate anomalies: count vs trailing-24h
+    * mean + 2σ, exact integer window sums so the float math is one
+    * fixed expression in both engines. */
+  def rateAnomalies(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rateAnomalies(Tables.events(spark, dir))
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -378,6 +384,7 @@ object PipelineQueries {
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
+    "e_anomaly_hourly"    -> (rateAnomalies _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
@@ -473,6 +480,29 @@ object PipelineQueries {
         |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
         |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "e_anomaly_hourly" ->
+      """WITH c AS (SELECT event_type AS key,
+        |             (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |             COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT key, bucket_ms, n,
+        |        SUM(n) OVER win AS s,
+        |        SUM(n * n) OVER win AS ss,
+        |        COUNT(n) OVER win AS c
+        |      FROM c
+        |      WINDOW win AS (PARTITION BY key ORDER BY bucket_ms
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT key, bucket_ms, n, c,
+        |        CASE WHEN c >= 12
+        |          THEN round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 4) END AS mean,
+        |        CASE WHEN c >= 12
+        |          THEN round(sqrt(GREATEST(0.0,
+        |            (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        |              / (CAST(c AS DOUBLE) - 1.0))), 4) END AS std
+        |      FROM w)
+        |SELECT key, bucket_ms, n, mean, std,
+        |       (c >= 12 AND CAST(n AS DOUBLE) > mean + 2.0 * std) AS is_anomaly
+        |FROM m ORDER BY key, bucket_ms""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

@@ -63,6 +63,39 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0, 1L)))
   }
 
+  test("rate anomalies: trailing baseline excludes current bucket, cold start unflagged") {
+    // counts per 1 s bucket: 2, 2, 4, 3 — with lookback=3/minPeriods=2,
+    // bucket 2000 is the first judged one (baseline [2,2] → mean 2,
+    // std 0) and only it is anomalous; bucket 3000's baseline [2,2,4]
+    // absorbs the spike (mean 8/3, std √(4/3))
+    val ts = Seq(0L, 500L, 1000L, 1100L, 2000L, 2100L, 2200L, 2300L, 3000L, 3100L, 3200L)
+    val events = ts.map(t => ("a", t)).toDF("event_type", "ts_ms")
+    val got = graft.ops.EventAnalytics.rateAnomalies(events,
+      bucketMs = 1000L, lookback = 3, minPeriods = 2, sigmas = 1.0)
+      .as[(String, Long, Long, Option[Double], Option[Double], Boolean)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got == Seq(
+      ("a", 0L, 2L, None, None, false),
+      ("a", 1000L, 2L, None, None, false),
+      ("a", 2000L, 4L, Some(2.0), Some(0.0), true),
+      ("a", 3000L, 3L, Some(r4(8.0 / 3)), Some(r4(math.sqrt(4.0 / 3))), false)))
+  }
+
+  test("rate anomalies: keys are judged independently") {
+    // key b has its own (shorter) history — its buckets must never see
+    // key a's counts in their baselines
+    val a = Seq(0L, 1000L, 2000L, 2100L).map(t => ("a", t))
+    val b = Seq(2000L).map(t => ("b", t))
+    val got = graft.ops.EventAnalytics.rateAnomalies((a ++ b).toDF("event_type", "ts_ms"),
+      bucketMs = 1000L, lookback = 3, minPeriods = 2, sigmas = 1.0)
+      .as[(String, Long, Long, Option[Double], Option[Double], Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 1L, None, None, false),
+      ("a", 1000L, 1L, None, None, false),
+      ("a", 2000L, 2L, Some(1.0), Some(0.0), true),
+      ("b", 2000L, 1L, None, None, false)))
+  }
+
   test("tfidf top-k: corpus-wide terms score 0, rank ties break by token") {
     val docs = Seq(
       (1L, "apple banana apple"),
