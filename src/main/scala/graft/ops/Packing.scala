@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LM training: documents are concatenated in id
+  * order into one token stream and chopped into fixed-length context
+  * windows ("concat-then-chunk"). The operator assigns every document
+  * its start offset in that stream and the context window it begins in
+  * — the frame a training-data writer keys off to emit packed
+  * sequences.
+  *
+  * The global running token total is a prefix sum, which a naive
+  * `Window.orderBy` without partitioning would compute on a SINGLE
+  * partition — a non-starter at corpus scale. This implements the
+  * classic two-level distributed prefix sum instead:
+  *
+  *   1. docs are bucketed by `id DIV bucketSize`; a per-bucket token
+  *      total is aggregated (map-side partials, one shuffle of
+  *      n/bucketSize rows);
+  *   2. bucket totals are prefix-summed — the only unpartitioned
+  *      window, over the tiny bucket frame (1M docs @ bucketSize 4096
+  *      = 245 rows);
+  *   3. bucket offsets broadcast-join back and a bucket-partitioned
+  *      window adds the local cumulative sum.
+  *
+  * Every per-row step is partitioned; the serial step touches
+  * n/bucketSize rows. Offsets are exact integers, so any engine
+  * reproduces the assignment bit-for-bit.
+  */
+object Packing {
+
+  /** Per-document packing assignment over the corpus token stream.
+    *
+    * Output: (idCol, n_tokens, start_offset, pack_id, pack_offset)
+    * where `start_offset` is the document's first-token position in the
+    * concatenated stream, `pack_id = start_offset DIV contextLen` the
+    * context window it starts in, and `pack_offset` the position within
+    * that window. Ordered by id. Ids must be integral (the bucketing
+    * divides them); token counts come from [[Dedup.tokens]] whitespace
+    * tokenization of `textCol`.
+    */
+  def packAssignments(docs: DataFrame, contextLen: Long,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      bucketSize: Long = 4096L): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val base = docs.select(
+      col(idCol).cast("long").as(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+      expr(s"CAST($idCol AS BIGINT) DIV $bucketSize").as("__bucket"))
+    val bucketTotals = base.groupBy("__bucket").agg(sum("n_tokens").as("__bt"))
+    // the one serial window: n/bucketSize rows, driver-trivial
+    val wBuckets = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals
+      .withColumn("__boff", coalesce(sum("__bt").over(wBuckets), lit(0L)))
+      .drop("__bt")
+    val wLocal = Window.partitionBy("__bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("start_offset",
+        col("__boff") + coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset DIV $contextLen").as("pack_id"),
+        (col("start_offset") % contextLen).as("pack_offset"))
+      .orderBy(idCol)
+  }
+
+  /** Per-context-window occupancy: how many documents start in each
+    * window and how many of its `contextLen` slots the stream fills
+    * (every window is full except possibly the last). A pack whose
+    * `n_docs` is large is stuffed with short documents — the signal a
+    * curriculum/packing-efficiency report reads. */
+  def packSummary(assignments: DataFrame, contextLen: Long): DataFrame = {
+    val totalEnd = max(col("start_offset") + col("n_tokens"))
+    assignments
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), totalEnd.as("__max_end"))
+      .withColumn("filled",
+        least(lit(contextLen), greatest(lit(0L),
+          col("__max_end") - col("pack_id") * contextLen)))
+      .select(col("pack_id"), col("n_docs"), col("filled"))
+      .orderBy("pack_id")
+  }
+}

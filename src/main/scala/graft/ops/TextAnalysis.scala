@@ -195,6 +195,44 @@ object TextAnalysis {
     * Nothing moves text after the explode: terms shuffle as strings
     * once into the count, everything downstream is (id, token, counts).
     */
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram MLE — the cheapest "language-model" quality signal: docs
+    * full of rare tokens (OCR noise, code dumps, other languages) score
+    * far below fluent prose. mean_logprob = Σ tf·ln(freq/total) / Σ tf,
+    * natural log, over whitespace tokens; empty docs emit no row.
+    *
+    * Numerics: each token's ln p is quantized to 1e-6 and carried as a
+    * LONG, so the per-doc sums are exact integers — the float work is
+    * one ln and one final division per row, order-independent and
+    * reproducible in any engine (a raw double sum would be
+    * partition-order-dependent).
+    *
+    * Plan shape: same lazily-checkpointed term frame as [[tfidfTopK]]
+    * (one explode+shuffle feeds tf and the vocabulary aggregate); the
+    * vocabulary frame joins back broadcast-sized. The corpus total is
+    * the one driver scalar (vocabulary-frame sum, same precedent as
+    * tfidf's N).
+    */
+  def unigramLogProb(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val freq = terms.groupBy("token").agg(sum("tf").as("freq"))
+    val total = freq.agg(sum("freq")).head.getLong(0)
+    val lpE6 = round(log(col("freq").cast("double") / lit(total.toDouble)) * 1e6)
+      .cast("long")
+    terms.join(freq, "token")
+      .withColumn("lp_e6", lpE6 * col("tf"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"), sum("lp_e6").as("s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / 1e6 / col("n_tokens").cast("double"), 4)
+          .as("mean_logprob"))
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nDocs = docs.select(col(idCol)).count().toDouble

@@ -338,6 +338,20 @@ object PipelineQueries {
   def rateAnomalies(spark: SparkSession, dir: String): DataFrame =
     graft.ops.EventAnalytics.rateAnomalies(Tables.events(spark, dir))
 
+  /** Per-doc mean token log-prob under the corpus unigram MLE — the
+    * cheap LM-quality signal; exact-integer sums (ln quantized to 1e-6)
+    * so DuckDB reproduces it bit-for-bit. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Concat-then-chunk packing of the corpus into 512-token contexts
+    * via the two-level distributed prefix sum (see [[graft.ops.Packing]]);
+    * small bucket size so the sf corpora actually exercise the
+    * bucket-offset path. */
+  def packContexts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packAssignments(Tables.documents(spark, dir),
+      contextLen = 512L, bucketSize = 64L)
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -385,6 +399,8 @@ object PipelineQueries {
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
     "e_anomaly_hourly"    -> (rateAnomalies _),
+    "d_unigram_logprob"   -> (unigramLogProb _),
+    "d_pack_contexts"     -> (packContexts _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
@@ -503,6 +519,31 @@ object PipelineQueries {
         |SELECT key, bucket_ms, n, mean, std,
         |       (c >= 12 AND CAST(n AS DOUBLE) > mean + 2.0 * std) AS is_anomaly
         |FROM m ORDER BY key, bucket_ms""".stripMargin,
+    "d_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |f AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f),
+         |lp AS (SELECT token,
+         |         CAST(round(ln(CAST(freq AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |       FROM f CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(tf * lp_e6) AS BIGINT) AS s
+         |      FROM tf JOIN lp USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |       round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS mean_logprob
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "d_pack_contexts" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |      FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |       start_offset // 512 AS pack_id,
+         |       start_offset % 512 AS pack_offset
+         |FROM s ORDER BY doc_id""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

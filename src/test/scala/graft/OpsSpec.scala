@@ -253,6 +253,61 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_ >= 1))
   }
 
+  test("unigram log-prob: hand-computed MLE means, empty docs drop") {
+    import spark.implicits._
+    // corpus: a:2 b:2 c:1, total 5
+    // ln(2/5)*1e6 → -916291, ln(1/5)*1e6 → -1609438
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got == Seq(
+      (1L, 3L, r4(3 * -916291L / 1e6 / 3)),
+      (2L, 2L, r4((-916291L - 1609438L) / 1e6 / 2))))
+  }
+
+  test("packing: bucketed prefix sum is exact across bucket boundaries") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "x x x"), (1L, "x x x x"), (2L, "x x x x x"),
+      (3L, "x x"), (4L, "x x x x x x x"), (5L, "x")
+    ).toDF("doc_id", "text")
+    val got = Packing.packAssignments(d, contextLen = 10L, bucketSize = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // token counts 3,4,5,2,7,1 → starts 0,3,7,12,14,21
+    assert(got == Seq(
+      (0L, 3L, 0L, 0L, 0L), (1L, 4L, 3L, 0L, 3L), (2L, 5L, 7L, 0L, 7L),
+      (3L, 2L, 12L, 1L, 2L), (4L, 7L, 14L, 1L, 4L), (5L, 1L, 21L, 2L, 1L)))
+    // distributed path ≡ the single-bucket (serial) prefix sum
+    val serial = Packing.packAssignments(d, contextLen = 10L, bucketSize = 1000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == serial)
+  }
+
+  test("packing summary: starts per window, last window partially filled") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "x x x"), (1L, "x x x x"), (2L, "x x x x x"),
+      (3L, "x x"), (4L, "x x x x x x x"), (5L, "x")
+    ).toDF("doc_id", "text")
+    val asg = Packing.packAssignments(d, contextLen = 10L, bucketSize = 2L)
+    val got = Packing.packSummary(asg, contextLen = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // stream is 22 tokens: packs 0 and 1 full, pack 2 holds 2 tokens
+    assert(got == Seq((0L, 3L, 10L), (1L, 2L, 10L), (2L, 1L, 2L)))
+  }
+
+  test("packing: start offsets tile the corpus stream on real docs") {
+    val asg = Packing.packAssignments(docs, contextLen = 512L, bucketSize = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = asg.map(_._2).sum
+    // each doc starts exactly where the previous one ended
+    asg.sortBy(_._1).foldLeft(0L) { case (expectStart, (_, n, start)) =>
+      assert(start == expectStart)
+      start + n
+    } match { case end => assert(end == total) }
+  }
+
   test("fingerprint is stable under whitespace normalization") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))
