@@ -181,6 +181,50 @@ object TextAnalysis {
       size(regexp_extract_all(t2, lit(DigitRunPattern), lit(0))).cast("long").as("n_digit_runs"))
   }
 
+  /** Document-level PMI co-occurrence: for every pair of top-`vocabSize`
+    * tokens appearing together in ≥ `minPairDocs` documents,
+    * pmi = ln(df_ab·N / (df_a·df_b)) — the association score behind
+    * collocation mining and embedding-matrix (PPMI) builds.
+    *
+    * Scale: the pair space is capped at C(vocabSize, 2) regardless of
+    * corpus size — each doc contributes pairs only over its vocab-member
+    * tokens (generated per-row from the sorted token set, no self-join
+    * of the exploded frame), and the pair aggregate shuffles at most
+    * C(vocabSize, 2) keys. The vocabulary and its doc frequencies
+    * broadcast. One explode feeds both the df aggregate and the pair
+    * path via a lazily-checkpointed frame.
+    */
+  def pmiPairs(docs: DataFrame, vocabSize: Int = 100, minPairDocs: Long = 5L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.select(col(idCol)).count()
+    val docTok = docs
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .localCheckpoint(eager = false)
+    val docFreq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+    val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
+    val sets = docTok.join(broadcast(vocab.select("token")), "token")
+      .groupBy("__id").agg(sort_array(collect_set(col("token"))).as("w"))
+    // all (w[j], w[i]) j<i pairs, generated per row — ascending order
+    // makes token_a < token_b by construction
+    val pairs = sets.where(size(col("w")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("w")) - 1), i =>
+          transform(sequence(lit(0), i - 1), j =>
+            struct(element_at(col("w"), j + 1).as("a"),
+              element_at(col("w"), i + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("df_ab"))
+      .where(col("df_ab") >= minPairDocs)
+    pairs
+      .join(broadcast(vocab.select(col("token").as("token_a"), col("df").as("df_a"))), "token_a")
+      .join(broadcast(vocab.select(col("token").as("token_b"), col("df").as("df_b"))), "token_b")
+      .select(col("token_a"), col("token_b"), col("df_ab"),
+        round(log((col("df_ab") * nDocs).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 4).as("pmi"))
+      .orderBy("token_a", "token_b")
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic keyword /
     * salient-term extractor (tf × ln(N/df), natural log, document
     * frequency over the whole corpus). Rank is deterministic: rounded

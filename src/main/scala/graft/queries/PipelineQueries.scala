@@ -352,6 +352,11 @@ object PipelineQueries {
     graft.ops.Packing.packAssignments(Tables.documents(spark, dir),
       contextLen = 512L, bucketSize = 64L)
 
+  /** Document-level PMI over the top-100 vocabulary (pairs seen in ≥ 5
+    * docs) — pair space capped at C(100,2) whatever the corpus size. */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(Tables.documents(spark, dir))
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -401,6 +406,7 @@ object PipelineQueries {
     "e_anomaly_hourly"    -> (rateAnomalies _),
     "d_unigram_logprob"   -> (unigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
+    "d_pmi_pairs"         -> (pmiPairs _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
@@ -544,6 +550,22 @@ object PipelineQueries {
          |       start_offset // 512 AS pack_id,
          |       start_offset % 512 AS pack_offset
          |FROM s ORDER BY doc_id""".stripMargin,
+    "d_pmi_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS w FROM documents),
+         |dt AS (SELECT doc_id, unnest(w) AS token FROM t),
+         |f AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY 1),
+         |v AS (SELECT token, df FROM f ORDER BY df DESC, token ASC LIMIT 100),
+         |ft AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+         |p AS (SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS df_ab
+         |      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT p.token_a, p.token_b, p.df_ab,
+         |  round(ln(CAST(p.df_ab * n.n AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE)), 4) AS pmi
+         |FROM p CROSS JOIN n
+         |JOIN v va ON va.token = p.token_a
+         |JOIN v vb ON vb.token = p.token_b
+         |ORDER BY token_a, token_b""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

@@ -308,6 +308,25 @@ class OpsSpec extends SparkSpec {
     } match { case end => assert(end == total) }
   }
 
+  test("pmi pairs: hand-computed association scores, vocab cap filters pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"), (5L, "a b c")
+    ).toDF("doc_id", "text")
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val got = TextAnalysis.pmiPairs(d, vocabSize = 10, minPairDocs = 1L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // df: a=4 b=4 c=3, N=5; df_ab: (a,b)=3 (a,c)=2 (b,c)=2
+    assert(got == Seq(
+      ("a", "b", 3L, r4(math.log(15.0 / 16))),
+      ("a", "c", 2L, r4(math.log(10.0 / 12))),
+      ("b", "c", 2L, r4(math.log(10.0 / 12)))))
+    // vocabSize=2 keeps {a, b} (df ties break token-asc): only (a,b) remains
+    val capped = TextAnalysis.pmiPairs(d, vocabSize = 2, minPairDocs = 1L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)) == Seq(("a", "b")))
+  }
+
   test("fingerprint is stable under whitespace normalization") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))

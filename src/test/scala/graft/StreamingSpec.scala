@@ -383,4 +383,49 @@ class StreamingSpec extends SparkSpec {
       assert(emitted() == Set(Session(1, B, B + 10000, 2), Session(2, B + 5000, B + 5000, 1)))
     } finally q.stop()
   }
+
+  test("streaming anomalies: watermark-final judgments equal the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnomalies
+    import graft.streaming.StreamingAnomalies.{KeyedEvent, RateAnomaly}
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[KeyedEvent]
+    val q = StreamingAnomalies.anomalies(src.toDS(), bucketMs = 1000L,
+      lookback = 3, minPeriods = 2, sigmas = 1.0, delay = "0 seconds")
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      val B = 1000000L // bucket-aligned, strictly above the initial watermark
+      def ev(k: String, ms: Long) = KeyedEvent(k, ms, new java.sql.Timestamp(ms))
+      def emitted() = spark.table("anom_out").as[RateAnomaly].collect().toSet
+      // bucket counts for key a: 2, 2, 4, 3 (the batch spec's fixture)
+      val aTs = Seq(B, B + 500, B + 1000, B + 1100,
+        B + 2000, B + 2100, B + 2200, B + 2300, B + 3000, B + 3100, B + 3200)
+      src.addData(aTs.map(ev("a", _)): _*)
+      q.processAllAvailable()
+      // the watermark reaches B+3200 via the trailing no-data batch:
+      // buckets 0..2 (ends <= B+3200) are judged, bucket 3 still open
+      assert(emitted().map(_.bucket_ms) == Set(B, B + 1000, B + 2000))
+
+      // advancing the watermark past bucket 3's end releases it (timeout)
+      src.addData(ev("z", B + 100000))
+      q.processAllAvailable()
+      val strm = emitted().filter(_.key == "a")
+      assert(strm.map(_.bucket_ms) == Set(B, B + 1000, B + 2000, B + 3000))
+
+      // judged rows equal the batch operator bit-for-bit
+      val batch = graft.ops.EventAnalytics.rateAnomalies(
+        aTs.map(("a", _)).toDF("event_type", "ts_ms"),
+        bucketMs = 1000L, lookback = 3, minPeriods = 2, sigmas = 1.0)
+        .as[(String, Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+      assert(strm.map(r => (r.key, r.bucket_ms, r.n, r.mean, r.std, r.is_anomaly)) == batch)
+
+      // a late event (behind the watermark) is dropped, never re-judged
+      src.addData(ev("a", B + 500))
+      q.processAllAvailable()
+      assert(emitted().filter(_.key == "a") == strm)
+    } finally q.stop()
+  }
 }
