@@ -357,6 +357,57 @@ object PipelineQueries {
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiPairs(Tables.documents(spark, dir))
 
+  /** Per-source corpus mix report: doc/token counts, corpus token
+    * share, and exact-duplicate rate by source — the table a data-
+    * mixing decision reads first. Dup flags ride a digest-partitioned
+    * row_number (the same digest key as [[Dedup.exact]]); the share
+    * denominator is a window over the already-aggregated per-source
+    * frame (a handful of rows), so nothing wide is single-partition. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val flagged = docs
+      .select(col("source"), col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_toks"),
+        sha2(Dedup.normText(col("text")), 256).as("dg"))
+      .withColumn("is_dup",
+        (row_number().over(Window.partitionBy("dg").orderBy("doc_id")) > 1).cast("long"))
+    val bySource = flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("is_dup").as("n_dups"))
+    bySource
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum("n_tokens").over(Window.partitionBy()).cast("double"), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dups"),
+        col("token_share"))
+      .orderBy("source")
+  }
+
+  /** Token frequency-of-frequencies (Zipf spectrum): for each corpus
+    * frequency, how many distinct tokens occur exactly that often —
+    * the vocabulary-health curve. Two cascaded counts, both with
+    * map-side partials. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_tokens"))
+      .orderBy("freq")
+
+  /** Document-length histogram in power-of-two bins (bin = bit length
+    * of n_chars — pure integer arithmetic, so any engine bins
+    * identically; log2+floor would be one ulp from disagreeing at
+    * exact powers of two). */
+  def lenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(length(bin(col("n_chars"))).cast("long").as("len_bin"),
+        col("n_chars"))
+      .groupBy("len_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("len_bin")
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -407,6 +458,9 @@ object PipelineQueries {
     "d_unigram_logprob"   -> (unigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
     "d_pmi_pairs"         -> (pmiPairs _),
+    "d_source_mix"        -> (sourceMix _),
+    "d_freq_spectrum"     -> (freqSpectrum _),
+    "d_len_hist"          -> (lenHist _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
@@ -566,6 +620,26 @@ object PipelineQueries {
          |JOIN v va ON va.token = p.token_a
          |JOIN v vb ON vb.token = p.token_b
          |ORDER BY token_a, token_b""".stripMargin,
+    "d_source_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, len($ToksSql) AS n_toks, $NormSql AS norm
+         |           FROM documents),
+         |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM t),
+         |g AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |      FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM g)
+         |SELECT source, n_docs, n_tokens, n_dups,
+         |  round(CAST(n_tokens AS DOUBLE) / tt, 4) AS token_share
+         |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+    "d_freq_spectrum" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS token FROM documents),
+         |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY 1)
+         |SELECT freq, COUNT(*) AS n_tokens FROM f GROUP BY 1 ORDER BY freq""".stripMargin,
+    "d_len_hist" ->
+      """SELECT CAST(len(bin(n_chars)) AS BIGINT) AS len_bin,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY len_bin""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e
