@@ -46,10 +46,14 @@ object Packing {
                       bucketSize: Long = 4096L): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    // lazily checkpointed: the (id, count, bucket) frame — 24 B/doc —
+    // feeds BOTH the bucket-total aggregate and the final join;
+    // without it the corpus is scanned and tokenized twice
     val base = docs.select(
       col(idCol).cast("long").as(idCol),
       size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
       expr(s"CAST($idCol AS BIGINT) DIV $bucketSize").as("__bucket"))
+      .localCheckpoint(eager = false)
     val bucketTotals = base.groupBy("__bucket").agg(sum("n_tokens").as("__bt"))
     // the one serial window: n/bucketSize rows, driver-trivial
     val wBuckets = Window.orderBy("__bucket")
