@@ -275,4 +275,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
+
+  /** Embedding-space label consistency: each query's label vs the
+    * majority label of its k nearest neighbors — the standard
+    * label-noise / embedding-quality audit (a high disagreement rate
+    * flags mislabeled rows or a poor embedding). Majority ties break
+    * deterministically (votes desc, label asc); neighbor ranking
+    * inherits [[bruteForceTopK]]'s (sim desc, id asc) order.
+    *
+    * Output: (q_id, own_label, knn_label, votes, agrees) per query,
+    * ordered by q_id. Plan: the top-k frame is |queries|·k rows, so
+    * every downstream join/aggregate is query-sized, not corpus-sized.
+    */
+  def knnLabelAgreement(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val votes = topk
+      .join(corpus.select(col(idCol).as("n_id"), col(labelCol).as("n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label").asc)
+    votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("own_label")), "q_id")
+      .select(col("q_id"), col("own_label"), col("n_label").as("knn_label"),
+        col("votes"), (col("own_label") === col("n_label")).as("agrees"))
+      .orderBy("q_id")
+  }
 }

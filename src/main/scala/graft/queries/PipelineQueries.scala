@@ -408,6 +408,26 @@ object PipelineQueries {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("len_bin")
 
+  /** Embedding-space label audit: each query vector's label vs the
+    * majority label of its 5 nearest neighbors. */
+  def knnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnLabelAgreement(emb, emb.where(col("vec_id") < 20), k = 5)
+  }
+
+  /** Snapshot diff between a simulated previous corpus version
+    * (doc_id % 10 ≠ 3) and tonight's crawl (doc_id % 13 ≠ 5, docs at
+    * doc_id % 17 = 0 edited) — every change kind exercised. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    val neu = docs.where(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.ops.SnapshotDiff.diff(old, neu).orderBy("doc_id")
+  }
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -461,6 +481,8 @@ object PipelineQueries {
     "d_source_mix"        -> (sourceMix _),
     "d_freq_spectrum"     -> (freqSpectrum _),
     "d_len_hist"          -> (lenHist _),
+    "e_knn_labels"        -> (knnLabels _),
+    "d_snapshot_diff"     -> (snapshotDiff _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
@@ -640,6 +662,36 @@ object PipelineQueries {
       """SELECT CAST(len(bin(n_chars)) AS BIGINT) AS len_bin,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY len_bin""".stripMargin,
+    "e_knn_labels" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS own_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label AS n_label
+        |      FROM embeddings),
+        |s AS (SELECT q_id, n_id, n_label, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_label,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s),
+        |v AS (SELECT q_id, n_label, COUNT(*) AS votes FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |b AS (SELECT q_id, n_label AS knn_label, votes,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS rn
+        |      FROM v)
+        |SELECT b.q_id AS q_id, q.own_label, b.knn_label, b.votes,
+        |       q.own_label = b.knn_label AS agrees
+        |FROM b JOIN q ON q.q_id = b.q_id WHERE rn = 1 ORDER BY b.q_id""".stripMargin,
+    "d_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, $NormSql AS norm FROM documents WHERE doc_id % 10 <> 3),
+         |n0 AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+         |       FROM documents WHERE doc_id % 13 <> 5),
+         |n AS (SELECT doc_id, $NormSql AS norm FROM n0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.norm <> n.norm THEN 'changed'
+         |       ELSE 'unchanged' END AS change
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

@@ -327,6 +327,39 @@ class OpsSpec extends SparkSpec {
     assert(capped.map(p => (p._1, p._2)) == Seq(("a", "b")))
   }
 
+  test("knn label agreement: majority vote with deterministic tie-break") {
+    import spark.implicits._
+    // 1-d embeddings: vec 0 (label 1) sits nearest 1,2,3 (labels 1,1,2)
+    val rows = Seq(
+      (0L, Seq(1.00f), 1), (1L, Seq(1.01f), 1), (2L, Seq(0.99f), 1),
+      (3L, Seq(1.02f), 2), (4L, Seq(-5f), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(emb, emb.where(col("vec_id") === 0), k = 3)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 1, 1, 2L, true)))
+    // k=4 pulls in the anti-parallel vec 4 (label 9, sim -1): the
+    // majority is unchanged
+    val got4 = Similarity.knnLabelAgreement(emb, emb.where(col("vec_id") === 0), k = 4)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(got4 == Seq((0L, 1, 1, 2L, true)))
+  }
+
+  test("snapshot diff classifies added, removed, changed, unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(old, neu).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
+    val sum = SnapshotDiff.summary(old, neu).as[(String, Long)].collect().toMap
+    assert(sum == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+    // whitespace-only edits are unchanged under the normalized digest
+    val ws = Seq((1L, "  alpha  ")).toDF("doc_id", "text")
+    assert(SnapshotDiff.diff(old.where(col("doc_id") === 1), ws)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "unchanged")))
+  }
+
   test("fingerprint is stable under whitespace normalization") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))

@@ -10,7 +10,8 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   private val exempt = Set(
-    "e_cosine_topk" // intentional broadcast×scan baseline
+    "e_cosine_topk", // intentional broadcast×scan baseline
+    "e_knn_labels"   // builds on the same brute-force baseline scan
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin anywhere in the surface") {
