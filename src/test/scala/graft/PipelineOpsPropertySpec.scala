@@ -119,6 +119,38 @@ class PipelineOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("pmi pairs equal a naive self-join reference on random corpora") {
+    import spark.implicits._
+    import graft.ops.{Dedup, TextAnalysis}
+    val rnd = new scala.util.Random(13)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = Seq.tabulate(120) { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, vocabSize = 5, minPairDocs = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // reference: explicit df/pair-count self-join over the same vocab
+    val docTok = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("token"))
+    val dfm = docTok.groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vocab = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.take(5).toMap
+    val perDoc = docTok.as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.filter(vocab.contains)).toMap
+    val n = docs.count()
+    val want = perDoc.values
+      .flatMap(s => s.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 2L)
+      .map { case ((a, b), dab) =>
+        val pmi = math.log(dab.toDouble * n / (vocab(a).toDouble * vocab(b).toDouble))
+        // HALF_UP like Spark round, not rint's half-even
+        (a, b, dab, java.math.BigDecimal.valueOf(pmi)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }.sortBy(p => (p._1, p._2))
+    assert(got == want)
+  }
+
   test("redaction is idempotent: redacting redacted text changes nothing") {
     import graft.ops.TextAnalysis
     import spark.implicits._
