@@ -46,6 +46,12 @@ object Packing {
                       bucketSize: Long = 4096L): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    // a string id would cast to null and silently collapse into one
+    // bucket — refuse anything non-integral up front (same contract as
+    // Dedup.dupClusters' driver path)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"packAssignments needs an integral id column; $idCol is $idType")
     // lazily checkpointed: the (id, count, bucket) frame — 24 B/doc —
     // feeds BOTH the bucket-total aggregate and the final join;
     // without it the corpus is scanned and tokenized twice

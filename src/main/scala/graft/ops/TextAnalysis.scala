@@ -276,7 +276,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
     val freq = terms.groupBy("token").agg(sum("tf").as("freq"))
-    val total = freq.agg(sum("freq")).head.getLong(0)
+    // sum over an all-empty corpus is NULL; the result frame is empty
+    // then, so the placeholder total never reaches an output row
+    val totalRow = freq.agg(sum("freq")).head
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     val lpE6 = round(log(col("freq").cast("double") / lit(total.toDouble)) * 1e6)
       .cast("long")
     terms.join(freq, "token")

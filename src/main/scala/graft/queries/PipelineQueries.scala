@@ -428,6 +428,11 @@ object PipelineQueries {
     graft.ops.SnapshotDiff.diff(old, neu).orderBy("doc_id")
   }
 
+  /** Exact rolling DAU/WAU + stickiness per day — events reduce to
+    * distinct (user, day) before anything wide. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.activeUsers(Tables.events(spark, dir))
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -482,6 +487,7 @@ object PipelineQueries {
     "d_freq_spectrum"     -> (freqSpectrum _),
     "d_len_hist"          -> (lenHist _),
     "e_knn_labels"        -> (knnLabels _),
+    "e_active_users"      -> (activeUsers _),
     "d_snapshot_diff"     -> (snapshotDiff _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
@@ -692,6 +698,17 @@ object PipelineQueries {
          |       ELSE 'unchanged' END AS change
          |FROM o FULL JOIN n ON o.doc_id = n.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "e_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |            WHERE user_id IS NOT NULL),
+        |dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |wd AS (SELECT DISTINCT user_id, d + CAST(o AS INT) AS td
+        |       FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+        |wau AS (SELECT td, COUNT(*) AS wau FROM wd GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+        |FROM dau JOIN wau ON wau.td = dau.d
+        |ORDER BY day""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

@@ -89,7 +89,10 @@ object StreamingAnomalies {
           val st0 = state.getOption.getOrElse(AnomalyState(Map.empty, Vector.empty))
           // fold this batch's events into their buckets
           val open = evts.foldLeft(st0.open) { (m, e) =>
-            val b = math.floorDiv(e.ts_ms, bucketMs) * bucketMs
+            // truncating division, NOT floorDiv: the batch twin buckets
+            // with SQL DIV (truncation toward zero), and the bit-for-bit
+            // equality contract must hold even for pre-epoch timestamps
+            val b = e.ts_ms / bucketMs * bucketMs
             m.updated(b, m.getOrElse(b, 0L) + 1L)
           }
           // judge every bucket the watermark has passed, in time order —

@@ -96,6 +96,22 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", 2000L, 1L, None, None, false)))
   }
 
+  test("active users: exact DAU/WAU with trailing window and stickiness") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 09:00:00"),
+      (2L, "2024-01-01 23:00:00"), (3L, "2024-01-03 12:00:00"),
+      // same user same day counts once
+      (1L, "2024-01-01 11:00:00")
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = EventAnalytics.activeUsers(events, windowDays = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // windows (2 days, trailing): 01-01 {u1,u2}; 01-02 {u1,u2}; 01-03 {u1,u3}
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-03", 1L, 2L, 0.5)))
+  }
+
   test("tfidf top-k: corpus-wide terms score 0, rank ties break by token") {
     val docs = Seq(
       (1L, "apple banana apple"),

@@ -297,6 +297,17 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 3L, 10L), (1L, 2L, 10L), (2L, 1L, 2L)))
   }
 
+  test("packing refuses non-integral ids; unigram log-prob survives an empty corpus") {
+    import spark.implicits._
+    val bad = Seq(("x", "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packAssignments(bad, contextLen = 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.unigramLogProb(empty).collect().isEmpty)
+  }
+
   test("packing: start offsets tile the corpus stream on real docs") {
     val asg = Packing.packAssignments(docs, contextLen = 512L, bucketSize = 64L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
