@@ -433,6 +433,22 @@ object PipelineQueries {
   def activeUsers(spark: SparkSession, dir: String): DataFrame =
     graft.ops.EventAnalytics.activeUsers(Tables.events(spark, dir))
 
+  /** Data-contract gate over the events table: row checks in one
+    * scan + a key-uniqueness check; the report a batch-promotion job
+    * asserts on. */
+  def dataContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Contracts
+    val ev = Tables.events(spark, dir)
+    Contracts.report(ev,
+      Seq(
+        Contracts.notNull("user_id_not_null", col("user_id")),
+        Contracts.inSet("event_type_known", col("event_type"),
+          Seq("view", "click", "purchase", "error", "signup")),
+        Contracts.Check("value_non_negative", col("value").isNull || col("value") < 0),
+        Contracts.notNull("ts_present", col("ts"))),
+      uniqueKeys = Seq("event_id_unique" -> "event_id"))
+  }
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -488,6 +504,7 @@ object PipelineQueries {
     "d_len_hist"          -> (lenHist _),
     "e_knn_labels"        -> (knnLabels _),
     "e_active_users"      -> (activeUsers _),
+    "e_data_contract"     -> (dataContract _),
     "d_snapshot_diff"     -> (snapshotDiff _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
@@ -709,6 +726,23 @@ object PipelineQueries {
         |       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4) AS stickiness
         |FROM dau JOIN wau ON wau.td = dau.d
         |ORDER BY day""".stripMargin,
+    "e_data_contract" ->
+      """WITH r AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user,
+        |    CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+        |      ('view','click','purchase','error','signup') THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |    CAST(SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_val,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+        |    COUNT(*) AS total,
+        |    CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS v_uniq
+        |  FROM events)
+        |SELECT "check", violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'event_id_unique' AS "check", v_uniq AS violations, total FROM r
+        |  UNION ALL SELECT 'event_type_known', v_type, total FROM r
+        |  UNION ALL SELECT 'ts_present', v_ts, total FROM r
+        |  UNION ALL SELECT 'user_id_not_null', v_user, total FROM r
+        |  UNION ALL SELECT 'value_non_negative', v_val, total FROM r)
+        |ORDER BY "check"""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

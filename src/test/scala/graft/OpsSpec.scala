@@ -371,6 +371,30 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "unchanged")))
   }
 
+  test("contracts report: per-check violation counts, uniqueness as excess rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), "view"), (2L, None, "view"),
+      (3L, Some(11L), "weird"), (3L, Some(12L), "click")
+    ).toDF("event_id", "user_id", "event_type")
+    val got = Contracts.report(df,
+      Seq(
+        Contracts.notNull("user_not_null", col("user_id")),
+        Contracts.inSet("type_known", col("event_type"), Seq("view", "click"))),
+      uniqueKeys = Seq("id_unique" -> "event_id"))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("id_unique", 1L, 4L, false),
+      ("type_known", 1L, 4L, false),
+      ("user_not_null", 1L, 4L, false)))
+    // all-clean frame passes everything
+    val clean = Seq((1L, Some(1L), "view")).toDF("event_id", "user_id", "event_type")
+    assert(Contracts.report(clean,
+      Seq(Contracts.notNull("user_not_null", col("user_id"))),
+      uniqueKeys = Seq("id_unique" -> "event_id"))
+      .as[(String, Long, Long, Boolean)].collect().forall(_._4))
+  }
+
   test("fingerprint is stable under whitespace normalization") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))
