@@ -156,6 +156,27 @@ object TextAnalysis {
         round(col("max_gram_freq").cast("double") / col("n_grams").cast("double"), 4)
           .as("repetition"))
 
+  /** Sentence statistics: segments split on `[.!?]+` runs, blank
+    * segments dropped after space-trimming — sentence count and mean
+    * sentence length (chars) are standard fluency/quality inputs (very
+    * long or very short mean sentences flag tables, logs, boilerplate).
+    * Pure per-row expressions, exact integer sums, no shuffle. */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    docs.select(col(idCol), segs.as("__s"))
+      .select(
+        col(idCol),
+        size(col("__s")).cast("long").as("n_sentences"),
+        when(size(col("__s")) === 0, lit(null).cast("double"))
+          .otherwise(round(
+            aggregate(col("__s"), lit(0L), (acc, s) => acc + length(s)).cast("double") /
+              size(col("__s")).cast("double"), 4))
+          .as("mean_sent_chars"))
+  }
+
   /** Redaction patterns, applied in this order (URLs first so their
     * query strings can't later match as emails/numbers). RE2-safe and
     * identical under Java regex, so any engine reproduces the output. */

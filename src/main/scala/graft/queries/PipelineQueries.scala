@@ -449,6 +449,10 @@ object PipelineQueries {
       uniqueKeys = Seq("event_id_unique" -> "event_id"))
   }
 
+  /** Per-doc sentence count and mean sentence length. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceStats(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Views within ±5 min of an error event, per error: a point-in-
     * interval range join rewritten as a time-bin equi-join (no
     * nested-loop node; see [[graft.ops.RangeJoin]]), then one count
@@ -505,6 +509,7 @@ object PipelineQueries {
     "e_knn_labels"        -> (knnLabels _),
     "e_active_users"      -> (activeUsers _),
     "e_data_contract"     -> (dataContract _),
+    "d_sentence_stats"    -> (sentenceStats _),
     "d_snapshot_diff"     -> (snapshotDiff _),
     "d_shard_assign"      -> (shardAssign _),
     "d_tfidf_topk"        -> (tfidfTerms _),
@@ -743,6 +748,16 @@ object PipelineQueries {
         |  UNION ALL SELECT 'user_id_not_null', v_user, total FROM r
         |  UNION ALL SELECT 'value_non_negative', v_val, total FROM r)
         |ORDER BY "check"""".stripMargin,
+    "d_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |              x -> len(x) > 0) AS segs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_sentences,
+        |  CASE WHEN len(segs) = 0 THEN NULL
+        |       ELSE round(CAST(list_sum(list_transform(segs, x -> len(x))) AS DOUBLE)
+        |              / CAST(len(segs) AS DOUBLE), 4) END AS mean_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
     "e_window_join" ->
       """WITH err AS (SELECT event_id AS error_id,
         |              epoch_ms(ts) - 300000 AS s, epoch_ms(ts) + 300000 AS e

@@ -395,6 +395,21 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean)].collect().forall(_._4))
   }
 
+  test("sentence stats: trims blanks, handles no-terminator and empty docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "One two. Three!  Four?"),     // 3 sentences: 7, 5, 4 chars
+      (2L, "no terminator here"),          // 1 sentence, 18 chars
+      (3L, "..."), (4L, "")                // 0 sentences each
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(d).orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(math.rint((7 + 5 + 4) / 3.0 * 1e4) / 1e4)),
+      (2L, 1L, Some(18.0)),
+      (3L, 0L, None), (4L, 0L, None)))
+  }
+
   test("fingerprint is stable under whitespace normalization") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "different doc"))
