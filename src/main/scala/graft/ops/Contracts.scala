@@ -43,8 +43,14 @@ object Contracts {
         sum(when(c.violation, 1L).otherwise(0L)).as(s"__v$i")
       } :+ count(lit(1)).as("__total")
       val one = df.agg(aggs.head, aggs.tail: _*)
+      // check names are caller-defined strings landing inside SQL —
+      // escape them or a quote in a name breaks (or injects into) the
+      // generated projection
       val stackArgs = checks.zipWithIndex
-        .map { case (c, i) => s"'${c.name}', __v$i" }.mkString(", ")
+        .map { case (c, i) =>
+          val name = c.name.replace("\\", "\\\\").replace("'", "\\'")
+          s"'$name', __v$i"
+        }.mkString(", ")
       Some(one.selectExpr(s"stack(${checks.size}, $stackArgs) AS (check, violations)",
         "__total AS total"))
     }

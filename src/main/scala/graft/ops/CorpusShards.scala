@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * id: same corpus in → same shards out, on any engine, any cluster
   * size, any rerun. Spark's default file splitting gives none of that.
   *
-  * Assignment is the same Knuth multiplicative hash the sampling
-  * operators use ([[Sampling.detHash]] family) — SQL-reproducible
-  * integer arithmetic, no engine-specific hash — taken mod the shard
-  * count. Sequential-id corpora therefore spread uniformly (the odd
-  * multiplier decorrelates strides) rather than landing range-clumped.
+  * Assignment is the sampling operators' deterministic hash
+  * ([[Sampling.detHashMod]]) — SQL-reproducible integer arithmetic, no
+  * engine-specific hash — taken mod the shard count. The shared
+  * helper's mod-P reduction is what makes strided and sequential ids
+  * spread uniformly instead of landing range-clumped (see its note on
+  * the A ≡ 1 mod 2^k trap).
   *
   * [[write]] materializes one parquet file per shard: rows are hash-
   * repartitioned on the shard column (each shard value lives in
@@ -27,7 +28,7 @@ object CorpusShards {
   /** Shard id in [0, nShards) for a non-negative integer id column. */
   def shardOf(id: Column, nShards: Int): Column = {
     require(nShards > 0, "nShards must be positive")
-    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(nShards.toLong))
+    Sampling.detHashMod(id, nShards.toLong)
   }
 
   /** The corpus with its `shard` assignment column. */

@@ -58,8 +58,15 @@ object EventAnalytics {
     val counted = perUser.agg(
       count(col("__t0")).as("__c0"),
       steps.indices.drop(1).map(i => count(col(s"__t$i")).as(s"__c$i")): _*)
+    // step labels: zero-padded index so 10+ steps still sort in funnel
+    // order (width 1 for <= 9 steps keeps the classic '1_view' labels);
+    // names are data-defined strings — escape them, they land in SQL
+    val width = steps.size.toString.length
     val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"'${i + 1}_$s', __c$i" }
+      .map { case (s, i) =>
+        val label = s"%0${width}d_%s".format(i + 1, s).replace("\\", "\\\\").replace("'", "\\'")
+        s"'$label', __c$i"
+      }
       .mkString(", ")
     counted
       .selectExpr(s"stack(${steps.size}, $stackArgs) as (step, n_users)")
@@ -89,6 +96,11 @@ object EventAnalytics {
                     tsMsCol: String = "ts_ms", bucketMs: Long = 3600000L,
                     lookback: Int = 24, minPeriods: Int = 12,
                     sigmas: Double = 2.0): DataFrame = {
+    // the sample-variance denominator is (c - 1): with minPeriods = 1 a
+    // single-observation baseline divides 0/0 into a NaN std and every
+    // such bucket silently judges non-anomalous
+    require(minPeriods >= 2, s"minPeriods must be >= 2, got $minPeriods")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     val counts = events
       .select(col(keyCol).as("key"),
         (expr(s"CAST($tsMsCol AS BIGINT) DIV $bucketMs") * bucketMs).as("bucket_ms"))
@@ -175,6 +187,10 @@ object EventAnalytics {
                        userCol: String = "user_id",
                        tsCol: String = "ts"): DataFrame = {
     val weeks = events
+      // NULL users would survive the distinct and emit a zero-count
+      // cohort row (count of a null column) — drop them like every
+      // other user-keyed operator here
+      .where(col(userCol).isNotNull)
       .select(col(userCol).as("__u"),
         to_date(date_trunc("week", col(tsCol))).as("__wk"))
       .distinct()

@@ -21,13 +21,21 @@ object Sampling {
     * when ids share a stride (sequential ids, sharded ids). */
   val Buckets = 97
 
-  /** Deterministic hash of a non-negative id into [0, [[Buckets]]):
-    * Knuth multiplicative hashing in plain 64-bit integer arithmetic —
-    * no engine-specific hash function, so any SQL engine reproduces the
-    * selection bit-for-bit. The pre-mod keeps the product inside Int64
-    * for ids up to 9.2e18 (ANSI-safe). */
-  def detHash(id: Column): Column =
-    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(Buckets.toLong))
+  /** Deterministic hash of a non-negative id into [0, m): multiplicative
+    * mixing in plain 64-bit integer arithmetic — no engine-specific hash
+    * function, so any SQL engine reproduces the selection bit-for-bit.
+    * The first mod keeps the product inside Int64 for ids up to 9.2e18
+    * (ANSI-safe); the SECOND mod-P reduction before the final modulus is
+    * load-bearing: without it, `(id·A) mod m` is the identity on id mod m
+    * whenever A ≡ 1 (mod m) — and 2654435761 ≡ 1 mod every power of two
+    * up to 16 — and a mere permutation of id mod m for any m coprime to
+    * A, so strided ids would clump into few buckets. Reducing mod the
+    * prime P = 1e9+7 first decorrelates all small-modulus structure. */
+  def detHashMod(id: Column, m: Long): Column =
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(m))
+
+  /** [[detHashMod]] into the sampling bucket space [0, [[Buckets]]). */
+  def detHash(id: Column): Column = detHashMod(id, Buckets.toLong)
 
   /** Keep rows whose id hashes into the first `keepBuckets` of
     * [[Buckets]] (keepBuckets/97 ≈ the sampling rate). Deterministic,

@@ -24,15 +24,20 @@ object SnapshotDiff {
     * pass a different `digestOf` for byte-exact semantics. */
   def diff(oldDocs: DataFrame, newDocs: DataFrame,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // presence is tracked by explicit flags, not digest NULLness — a
+    // NULL-text doc has a NULL digest and would otherwise masquerade
+    // as absent from its own side
     val o = oldDocs.select(col(idCol).as("__id"),
-      sha2(Dedup.normText(col(textCol)), 256).as("__o_dg"))
+      sha2(Dedup.normText(col(textCol)), 256).as("__o_dg"),
+      lit(true).as("__in_old"))
     val n = newDocs.select(col(idCol).as("__id"),
-      sha2(Dedup.normText(col(textCol)), 256).as("__n_dg"))
+      sha2(Dedup.normText(col(textCol)), 256).as("__n_dg"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__o_dg").isNull, "added")
-          .when(col("__n_dg").isNull, "removed")
-          .when(col("__o_dg") =!= col("__n_dg"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__o_dg") <=> col("__n_dg")), "changed")
           .otherwise("unchanged").as("change"))
   }
 

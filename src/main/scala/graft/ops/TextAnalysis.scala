@@ -257,20 +257,6 @@ object TextAnalysis {
       .orderBy("token_a", "token_b")
   }
 
-  /** Per-document top-k terms by TF-IDF — the classic keyword /
-    * salient-term extractor (tf × ln(N/df), natural log, document
-    * frequency over the whole corpus). Rank is deterministic: rounded
-    * score descending, then token ascending, so engines agree even at
-    * score ties.
-    *
-    * Plan shape: explode → (doc, token) count with map-side partials;
-    * the document-frequency frame is an aggregate of that same term
-    * frame (vocabulary-sized — AQE broadcasts it); top-k per doc is one
-    * row_number window on the doc key. The corpus size N is the one
-    * driver-side scalar (a metadata-served count on the id column).
-    * Nothing moves text after the explode: terms shuffle as strings
-    * once into the count, everything downstream is (id, token, counts).
-    */
   /** Per-document mean token log-probability under the corpus's own
     * unigram MLE — the cheapest "language-model" quality signal: docs
     * full of rare tokens (OCR noise, code dumps, other languages) score
@@ -312,6 +298,20 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the classic keyword /
+    * salient-term extractor (tf × ln(N/df), natural log, document
+    * frequency over the whole corpus). Rank is deterministic: rounded
+    * score descending, then token ascending, so engines agree even at
+    * score ties.
+    *
+    * Plan shape: explode → (doc, token) count with map-side partials;
+    * the document-frequency frame is an aggregate of that same term
+    * frame (vocabulary-sized — AQE broadcasts it); top-k per doc is one
+    * row_number window on the doc key. The corpus size N is the one
+    * driver-side scalar (a metadata-served count on the id column).
+    * Nothing moves text after the explode: terms shuffle as strings
+    * once into the count, everything downstream is (id, token, counts).
+    */
   def tfidfTopK(docs: DataFrame, k: Int = 3,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nDocs = docs.select(col(idCol)).count().toDouble

@@ -588,14 +588,15 @@ object PipelineQueries {
         |ORDER BY step""".stripMargin,
     "e_retention_cohorts" ->
       """WITH uw AS (SELECT DISTINCT user_id,
-        |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        |            WHERE user_id IS NOT NULL),
         |c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cw FROM uw)
         |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
         |       CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
         |       count(*) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_shard_assign" ->
-      """SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 16 AS shard
+      """SELECT doc_id, (((doc_id % 1000000007) * 2654435761) % 1000000007) % 16 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e_event_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events),
@@ -790,11 +791,11 @@ object PipelineQueries {
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "d_hash_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 97 < 10
+        |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 97 < 10
         |ORDER BY doc_id""".stripMargin,
     "d_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,
-        |             ((doc_id % 1000000007) * 2654435761) % 97 AS hv
+        |             (((doc_id % 1000000007) * 2654435761) % 1000000007) % 97 AS hv
         |           FROM documents),
         |r AS (SELECT lang, doc_id,
         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
@@ -803,7 +804,7 @@ object PipelineQueries {
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "d_mixture_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 97 <
+        |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 97 <
         |  CASE lang WHEN 'en' THEN 97 WHEN 'de' THEN 49 WHEN 'fr' THEN 20 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
     "d_repetition" ->

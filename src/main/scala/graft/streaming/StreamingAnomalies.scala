@@ -78,6 +78,9 @@ object StreamingAnomalies {
   def anomalies(events: Dataset[KeyedEvent], bucketMs: Long = 3600000L,
                 lookback: Int = 24, minPeriods: Int = 12, sigmas: Double = 2.0,
                 delay: String = "10 minutes"): Dataset[RateAnomaly] = {
+    // same precondition as the batch twin: (c - 1) variance denominator
+    require(minPeriods >= 2, s"minPeriods must be >= 2, got $minPeriods")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     val spark = events.sparkSession
     import spark.implicits._
     events

@@ -73,7 +73,11 @@ object StreamingSessions {
             evts.toSeq.sortBy(_.ts_ms).foreach { e =>
               open = open match {
                 case Some(s) if e.ts_ms - s.end <= gapMs =>
-                  Some(OpenSession(s.start, math.max(s.end, e.ts_ms), s.n + 1))
+                  // an out-of-order (but not-late) event from an earlier
+                  // batch can precede the open session's start — widen
+                  // both bounds, or the emitted interval excludes it
+                  Some(OpenSession(math.min(s.start, e.ts_ms),
+                    math.max(s.end, e.ts_ms), s.n + 1))
                 case Some(s) =>
                   out += Session(user, s.start, s.end, s.n)
                   Some(OpenSession(e.ts_ms, e.ts_ms, 1))

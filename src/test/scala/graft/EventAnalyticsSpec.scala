@@ -142,6 +142,16 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(counts == counts.sorted.reverse, s"not monotone: $counts")
   }
 
+  test("retention cohorts drop NULL users instead of emitting zero-count rows") {
+    val events = Seq(
+      (Some(1L), "2024-01-02 10:00:00"), (Option.empty[Long], "2024-01-02 11:00:00")
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = EventAnalytics.retentionCohorts(events)
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01", 0, 1L)))
+  }
+
   test("retention: offset-0 cohort sizes sum to the distinct user count") {
     val rnd = new scala.util.Random(7)
     val events = Seq.fill(500)(

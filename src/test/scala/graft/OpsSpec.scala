@@ -355,6 +355,39 @@ class OpsSpec extends SparkSpec {
     assert(got4 == Seq((0L, 1, 1, 2L, true)))
   }
 
+  test("shard/sample hash spreads strided and even-only ids (A = 1 mod 2^k trap)") {
+    import spark.implicits._
+    // ids striding by 16: the single-mod formula mapped ALL of them to
+    // shard (id mod 16) = 0; the mod-P reduction must spread them
+    val strided = (0 until 320 by 16).map(_.toLong).toDF("doc_id")
+    val shards = CorpusShards.assign(strided, nShards = 16)
+      .select("shard").as[Long].collect().toSet
+    assert(shards.size > 4, s"strided ids collapsed to shards $shards")
+    // even-only ids must reach odd shards too
+    val even = (0L until 400L by 2).toDF("doc_id")
+    val evenShards = CorpusShards.assign(even, nShards = 16)
+      .select("shard").as[Long].collect().toSet
+    assert(evenShards.exists(_ % 2 == 1), "even ids never reached an odd shard")
+    // ids striding by 97 must not collapse into one sampling bucket
+    val s97 = (0 until 97 * 50 by 97).map(_.toLong).toDF("doc_id")
+    val buckets = s97.select(Sampling.detHash(col("doc_id")).as("b"))
+      .as[Long].collect().toSet
+    assert(buckets.size > 4, s"stride-97 ids collapsed to buckets $buckets")
+  }
+
+  test("contract/funnel labels with quotes don't break the generated SQL") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2L), "view")).toDF("event_id", "user_id", "event_type")
+    val rep = Contracts.report(df,
+      Seq(Contracts.notNull("user isn't null", col("user_id"))))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(rep == Seq(("user isn't null", 0L, 1L, true)))
+    val ev = Seq((1L, "add'to'cart", 1L), (1L, "buy", 2L)).toDF("user_id", "event_type", "ts")
+    val funnel = EventAnalytics.funnel(ev, Seq("add'to'cart", "buy"))
+      .as[(String, Long)].collect().toSeq
+    assert(funnel == Seq("1_add'to'cart" -> 1L, "2_buy" -> 1L))
+  }
+
   test("snapshot diff classifies added, removed, changed, unchanged") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
@@ -369,6 +402,12 @@ class OpsSpec extends SparkSpec {
     val ws = Seq((1L, "  alpha  ")).toDF("doc_id", "text")
     assert(SnapshotDiff.diff(old.where(col("doc_id") === 1), ws)
       .as[(Long, String)].collect().toSeq == Seq((1L, "unchanged")))
+    // NULL text means NULL digest — presence must still classify by side
+    val nullOld = Seq((7L, Option.empty[String]), (8L, Some("x"))).toDF("doc_id", "text")
+    val nullNew = Seq((8L, Option.empty[String])).toDF("doc_id", "text")
+    assert(SnapshotDiff.diff(nullOld, nullNew).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((7L, "removed"), (8L, "changed")))
   }
 
   test("contracts report: per-check violation counts, uniqueness as excess rows") {

@@ -384,6 +384,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: out-of-order non-late event widens session_start") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.{Session, SessionEvent}
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[SessionEvent]
+    // 10-minute allowance: an event can arrive a batch late yet above
+    // the watermark
+    val q = StreamingSessions.sessions(src.toDS(), gapMs = 1800000L, delay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      val B = 1000000L
+      def ev(u: Long, ms: Long) = SessionEvent(u, ms, new java.sql.Timestamp(ms))
+      // batch 1 opens the session at B+600000 (watermark ends at B)
+      src.addData(ev(9, B + 600000))
+      q.processAllAvailable()
+      // batch 2: an earlier event, above the watermark — must extend the
+      // session BACKWARDS, not vanish inside it
+      src.addData(ev(9, B + 100))
+      q.processAllAvailable()
+      // flush via a far-future event: watermark passes end + gap
+      src.addData(ev(9, B + 600000 + 1800000 + 700000))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").as[Session].collect().toSet
+      assert(got.contains(Session(9, B + 100, B + 600000, 2)),
+        s"expected widened session, got $got")
+    } finally q.stop()
+  }
+
   test("streaming anomalies: watermark-final judgments equal the batch twin") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
