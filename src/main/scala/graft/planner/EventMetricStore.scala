@@ -24,22 +24,31 @@ object EventMetricStore {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, EventMetricStore]]())
 
+  // One cleanup listener per SparkContext, NOT per session entry: a
+  // per-entry anonymous listener closes over its session and stays on
+  // the context's bus forever, pinning every churned session (and
+  // stacking duplicates after invalidate + forSession).
+  private val hooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
   /** Drop a session's stores (call when retiring a session mid-JVM). */
   def invalidate(spark: SparkSession): Unit =
     instances.synchronized { instances.remove(spark); () }
 
   /** Reuse one store (and its cached tiers) per (session, dir). */
   def forSession(spark: SparkSession, dir: String): EventMetricStore = {
+    val sc = spark.sparkContext
+    if (hooked.putIfAbsent(sc, java.lang.Boolean.TRUE) == null)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          instances.synchronized { instances.clear() }
+      })
     val perSession = instances.synchronized {
       var m = instances.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, EventMetricStore]
         instances.put(spark, m)
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            invalidate(spark)
-        })
       }
       m
     }

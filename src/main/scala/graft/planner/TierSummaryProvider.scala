@@ -51,6 +51,12 @@ object MaterializedTiers {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, TierSummaryProvider]]())
 
+  // One cleanup listener per SparkContext (a per-entry listener would
+  // pin every churned session and stack duplicates — see
+  // EventMetricStore's twin note).
+  private val hooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
   /** Drop a session's providers (call when retiring a session mid-JVM). */
   def invalidate(spark: SparkSession): Unit =
     providers.synchronized { providers.remove(spark); () }
@@ -106,16 +112,18 @@ object MaterializedTiers {
 
   /** Provider over the (ensured) materialized tiers. */
   def provider(spark: SparkSession, sfDir: String): TierSummaryProvider = {
+    val sc = spark.sparkContext
+    if (hooked.putIfAbsent(sc, java.lang.Boolean.TRUE) == null)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          providers.synchronized { providers.clear() }
+      })
     val perSession = providers.synchronized {
       var m = providers.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, TierSummaryProvider]
         providers.put(spark, m)
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            invalidate(spark)
-        })
       }
       m
     }

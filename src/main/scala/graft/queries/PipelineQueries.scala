@@ -163,8 +163,12 @@ object PipelineQueries {
 
   def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // materialize the token array first: langIdOf references it once
+      // per marker set and HOF subtrees are not CSE'd — inline tokens()
+      // would run the tokenizer 4x per row
+      .select(col("doc_id"), col("lang"), Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"),
-        TextAnalysis.langIdOf(Dedup.tokens(col("text"))).as("predicted"))
+        TextAnalysis.langIdOf(col("w")).as("predicted"))
       .select(
         col("doc_id"),
         col("predicted"),
@@ -835,9 +839,12 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(b, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
         |FROM t3 ORDER BY doc_id""".stripMargin,
     "d_hll_users" ->
+      // user_id IS NOT NULL keeps group membership aligned with the
+      // operator: an event_type whose users are ALL null would yield
+      // (type, 0, TRUE) here but no row there
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

@@ -134,16 +134,21 @@ class HttpFacade(spark: SparkSession,
       true
     }
 
-  /** gzip acceptable per RFC 9110 §12.5.3: a `gzip` (or `*`) member
-    * whose qvalue is not 0 — `gzip;q=0` is an explicit refusal. */
-  private def acceptsGzip(header: String): Boolean =
-    header.toLowerCase.split(",").exists { entry =>
+  /** gzip acceptable per RFC 9110 §12.5.3. An explicit `gzip` member
+    * governs outright (`gzip;q=0` is a refusal no wildcard can undo —
+    * `*` covers only codings not otherwise listed); absent one, a `*`
+    * member with q > 0 accepts. */
+  private def acceptsGzip(header: String): Boolean = {
+    val entries = header.toLowerCase.split(",").map { entry =>
       val parts = entry.split(";").map(_.trim)
       val q = parts.tail.collectFirst { case p if p.startsWith("q=") =>
         try p.drop(2).toDouble catch { case _: NumberFormatException => 1.0 }
       }.getOrElse(1.0)
-      (parts.head == "gzip" || parts.head == "*") && q > 0
+      (parts.head, q)
     }
+    entries.collectFirst { case ("gzip", q) => q > 0 }
+      .getOrElse(entries.exists { case (c, q) => c == "*" && q > 0 })
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {

@@ -59,12 +59,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
     val p = path(kind, durationMs)
     val dir = new java.io.File(p)
     val old = new java.io.File(p + "__old")
-    // recovery: a previous run crashed after renaming the original
-    // aside but before the new dir took its place — put it back
-    if (old.exists() && !dir.exists()) {
-      require(old.renameTo(dir), s"could not restore $old to $p")
-      println(s"[graft] recovered interrupted migration of $p")
-    }
+    TierStore.recoverSwap(dir, old)
     val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     val flat = files.filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (flat.isEmpty) return false
@@ -78,12 +73,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
     withDate(spark.read.parquet(flat.map(_.getPath): _*))
       .repartition(col("bucket_date")).write
       .partitionBy("bucket_date").parquet(tmp.getPath)
-    require(dir.renameTo(old), s"could not move $p aside for migration")
-    if (!tmp.renameTo(dir)) {
-      old.renameTo(dir) // roll back
-      throw new IllegalStateException(s"could not move migrated table into $p")
-    }
-    deleteRecursively(old)
+    TierStore.swapInto(dir, tmp, old)
     spark.catalog.refreshByPath(p)
     println(s"[graft] migrated flat tier table to date partitions: $p (${flat.size} files)")
     true
@@ -138,9 +128,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
     val oldRoot = new java.io.File(tablePath + "__compact_old")
     // recovery: restore any partition a crashed run left moved-aside
     Option(oldRoot.listFiles()).toSeq.flatten.foreach { moved =>
-      val home = new java.io.File(root, moved.getName)
-      if (!home.exists())
-        require(moved.renameTo(home), s"could not restore $moved after crash")
+      TierStore.recoverSwap(new java.io.File(root, moved.getName), moved)
     }
     deleteRecursively(tmpRoot)
     deleteRecursively(oldRoot)
@@ -152,12 +140,7 @@ class TierStore(spark: SparkSession, baseDir: String) {
       val old = new java.io.File(oldRoot, p.getName)
       oldRoot.mkdirs()
       spark.read.parquet(p.getPath).coalesce(1).write.parquet(tmp.getPath)
-      require(p.renameTo(old), s"could not move $p aside for compaction")
-      if (!tmp.renameTo(p)) {
-        old.renameTo(p) // roll back
-        throw new IllegalStateException(s"could not move compacted partition into $p")
-      }
-      deleteRecursively(old)
+      TierStore.swapInto(p, tmp, old)
     }
     deleteRecursively(tmpRoot)
     deleteRecursively(oldRoot)
@@ -174,6 +157,32 @@ object TierStore {
   def deleteTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteTree)
     f.delete()
+  }
+
+  /** Recovery half of the three-name swap protocol: a crashed run can
+    * leave the data moved aside at `old` with nothing at `dst` — put it
+    * back. Call before inspecting `dst`. */
+  def recoverSwap(dst: java.io.File, old: java.io.File): Unit =
+    if (old.exists() && !dst.exists()) {
+      require(old.renameTo(dst), s"could not restore $old to $dst after crash")
+      ()
+    }
+
+  /** Commit half of the three-name swap: `dst` is RENAMED aside to
+    * `old` (never deleted before the replacement is in place), the
+    * freshly-written `tmp` takes its name, and only then is `old`
+    * dropped. A failed second rename rolls `old` back, so a crash at
+    * any point leaves the data intact under exactly one name —
+    * [[recoverSwap]] restores it on the next call. The ONE swap
+    * implementation behind store compaction, tier-partition compaction,
+    * and flat-layout migration: protocol fixes land here once. */
+  def swapInto(dst: java.io.File, tmp: java.io.File, old: java.io.File): Unit = {
+    require(dst.renameTo(old), s"could not move $dst aside for swap")
+    if (!tmp.renameTo(dst)) {
+      old.renameTo(dst) // roll back
+      throw new IllegalStateException(s"could not move $tmp into place at $dst")
+    }
+    deleteTree(old)
   }
 
   /** Drop `bucket_date=` partition dirs strictly before `cutoff` (the

@@ -19,12 +19,11 @@ object StoreCompaction {
   /** Rewrite `dir` to a single parquet file when it holds more than
     * `maxFiles` data files. Returns true if a compaction ran. */
   def compactDir(spark: SparkSession, dir: String, maxFiles: Int = 8): Boolean = {
+    import graft.sources.TierStore.{deleteTree, recoverSwap, swapInto}
     val root = new File(dir)
     val tmp = new File(dir + "__compact_new")
     val old = new File(dir + "__compact_old")
-    // recovery: a crashed run may have left the store moved aside
-    if (old.exists() && !root.exists())
-      require(old.renameTo(root), s"could not restore $old after crash")
+    recoverSwap(root, old)
     deleteTree(tmp)
     deleteTree(old)
     if (!root.exists()) return false
@@ -32,19 +31,8 @@ object StoreCompaction {
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
     if (files <= maxFiles) return false
     spark.read.parquet(dir).coalesce(1).write.parquet(tmp.getPath)
-    require(root.renameTo(old), s"could not move $dir aside for compaction")
-    if (!tmp.renameTo(root)) {
-      old.renameTo(root) // roll back
-      throw new IllegalStateException(s"could not move compacted store into $dir")
-    }
-    deleteTree(old)
+    swapInto(root, tmp, old)
     spark.catalog.refreshByPath(dir)
     true
-  }
-
-  private def deleteTree(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-    f.delete()
-    ()
   }
 }

@@ -67,11 +67,15 @@ class StreamingDedup(spark: SparkSession, baseDir: String,
             s.read.parquet(digestDir)
           } else s.emptyDataFrame.select(lit("").as("digest")).limit(0)
         val fresh = withDigest.join(seen, Seq("digest"), "left_anti")
-        // within-batch winners: min id per digest (one shuffle on the
-        // digest, ids only)
-        val kept = fresh.join(
-          fresh.groupBy("digest").agg(min(col(idCol)).as(idCol)),
-          Seq("digest", idCol))
+        // within-batch winner: exactly ONE row per digest (a min-id
+        // groupBy+join would keep BOTH copies of a verbatim-duplicated
+        // row, since they share the min id); row_number with an
+        // (id, text) order keeps the pick deterministic even then
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy(col(idCol).asc, col(textCol).asc)
+        val kept = fresh
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .drop("__rn")
           .localCheckpoint() // both writes below reuse one evaluation
         kept.select(col(idCol), col(textCol))
           .write.mode("append").parquet(keptDir)

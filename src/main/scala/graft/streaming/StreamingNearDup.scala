@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   3. within-batch dups: bucket self-join pairs → estimated Jaccard
   *      → [[Dedup.dupClusters]] → min-id winner per cluster survives
   *      (the same operators a batch pipeline composes);
-  *   4. survivors land in `kept/`, their signatures join the store.
+  *   4. survivors land in `kept/`; their signatures AND band-bucket
+  *      rows join the store (buckets are persisted so step 2 reads
+  *      them instead of re-deriving O(|store| × bands) rows per
+  *      trigger).
   *
   * Unlike the batch operator, near-duplicate verification here is the
   * MinHash ESTIMATE (matching-hash fraction — unbiased, σ ≈
@@ -30,8 +33,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * mind.
   *
   * Failure semantics match [[StreamingDedup]]: kept docs are written
-  * before their signatures — batch replay re-emits, never loses
-  * (at-least-once).
+  * before their signatures and buckets — batch replay re-emits, never
+  * loses (at-least-once). Duplicate store rows from a replay only
+  * widen the candidate set (the joins de-duplicate), never corrupt it.
   */
 class StreamingNearDup(spark: SparkSession, baseDir: String,
                        k: Int = 3, numHashes: Int = 96, bands: Int = 32,
@@ -41,13 +45,22 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
   private val rows = numHashes / bands
   private val keptDir = s"$baseDir/kept"
   private val sigDir = s"$baseDir/signatures"
+  // band buckets are persisted ALONGSIDE the signatures: re-deriving
+  // them from the signature store every trigger would cost
+  // O(|store| x bands) per batch — linear in corpus age — where a
+  // pre-bucketed read is a plain scan of (id, band, bh) rows
+  private val bkDir = s"$baseDir/buckets"
 
   def keptPath: String = keptDir
 
-  /** Compact the signature store's per-batch slivers (maintenance-
-    * window op — run between triggers or with the stream stopped). */
-  def compactStore(maxFiles: Int = 8): Boolean =
-    StoreCompaction.compactDir(spark, sigDir, maxFiles)
+  /** Compact the signature and bucket stores' per-batch slivers
+    * (maintenance-window op — run between triggers or with the stream
+    * stopped). */
+  def compactStore(maxFiles: Int = 8): Boolean = {
+    val a = StoreCompaction.compactDir(spark, sigDir, maxFiles)
+    val b = StoreCompaction.compactDir(spark, bkDir, maxFiles)
+    a && b
+  }
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
@@ -83,7 +96,15 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         graft.functions.ensureRegistered(s)
-        val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        // one row per id: a same-id duplicate pair slips every candidate
+        // join (self needs id_a < id_b, cross excludes equal ids) and
+        // would fan the signature store out per copy; deterministic pick
+        val oneRn = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col(textCol).asc)
+        val b = batch.select(col(idCol), col(textCol))
+          .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
+          .drop("__rn")
+          .localCheckpoint()
         val sigArr = sigArrOf(b).localCheckpoint() // buckets + estimates + store append
         val newBk = bucketsOf(sigArr)
         val seenSig =
@@ -91,9 +112,15 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
             s.catalog.refreshByPath(sigDir) // streaming sink listing is cached per path
             s.read.parquet(sigDir)
           } else sigArr.limit(0)
-        // cross dups: batch docs near-duplicating the kept corpus
+        val seenBk =
+          if (Files.exists(Paths.get(bkDir))) {
+            s.catalog.refreshByPath(bkDir)
+            s.read.parquet(bkDir)
+          } else newBk.limit(0)
+        // cross dups: batch docs near-duplicating the kept corpus —
+        // against the PRE-BUCKETED store, not a per-batch re-derivation
         val crossCand = newBk.as("a")
-          .join(bucketsOf(seenSig).as("b"),
+          .join(seenBk.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.id") =!= col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -116,8 +143,11 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
           .join(selfLosers, Seq(idCol), "left_anti")
           .localCheckpoint() // doc write + signature append share one evaluation
         kept.write.mode("append").parquet(keptDir)
-        sigArr.join(kept.select(col(idCol).as("id")), "id")
-          .write.mode("append").parquet(sigDir)
+        val keptSig = sigArr.join(kept.select(col(idCol).as("id")), "id")
+          .localCheckpoint() // signature + bucket appends share one eval
+        keptSig.write.mode("append").parquet(sigDir)
+        // kept-rows-only bucket derivation: per-batch cost, not per-store
+        bucketsOf(keptSig).write.mode("append").parquet(bkDir)
         ()
       }
       .start()

@@ -143,6 +143,22 @@ class HttpFacadeSpec extends SparkSpec {
         assert(conn.getHeaderField("Content-Encoding") == null)
         conn.disconnect()
       }
+      locally { // a wildcard cannot undo an explicit gzip refusal
+        val conn = new URL(s"$base/khronus/version").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestProperty("Accept-Encoding", "gzip;q=0, *")
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Encoding") == null)
+        conn.disconnect()
+      }
+      locally { // bare wildcard (gzip unlisted) does enable gzip
+        val conn = new URL(s"$base/khronus/version").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestProperty("Accept-Encoding", "*")
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Encoding") == "gzip")
+        conn.disconnect()
+      }
 
       // dashboards: store, grafana-style get / list / drop
       e2eDashboards(base, dashDir)

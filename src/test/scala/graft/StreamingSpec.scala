@@ -48,15 +48,17 @@ class StreamingSpec extends SparkSpec {
     val q = sd.start(sd.readJsonDocs(in),
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
     try {
-      // batch 1: ids 1,2 share a text (whitespace/case-normalized), 3 unique
+      // batch 1: ids 1,2 share a text (whitespace/case-normalized), 3
+      // unique — and 3's line is duplicated VERBATIM (same id, same
+      // text), which a min-id-join winner would keep twice
       dropFile(in, "b1.json", Seq(
         doc(2, "The quick  brown fox"), doc(1, "the quick brown fox"),
-        doc(3, "something else entirely")))
+        doc(3, "something else entirely"), doc(3, "something else entirely")))
       q.processAllAvailable()
       spark.catalog.refreshByPath(sd.keptPath)
       val kept1 = spark.read.parquet(sd.keptPath).collect()
         .map(r => r.getLong(0)).sorted
-      assert(kept1.toSeq == Seq(1L, 3L)) // min id wins within the batch
+      assert(kept1.toSeq == Seq(1L, 3L)) // min id wins; verbatim dup kept once
       // batch 2: 4 duplicates batch 1's text (dropped via the store),
       // 5 is genuinely new
       dropFile(in, "b2.json", Seq(
@@ -103,12 +105,20 @@ class StreamingSpec extends SparkSpec {
       val kept1 = spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted
       assert(kept1.toSeq == Seq(1L, 3L))
       // batch 2: D near-dups the STORED survivor → dropped; 5 is new
+      // and its line is duplicated VERBATIM — same-id copies slip every
+      // candidate join, so the per-id dedup must keep exactly one and
+      // write ONE signature row (no store fan-out)
       dropFile(in, "b2.json", Seq(
-        doc(4, D), doc(5, "a genuinely fresh document with novel words")))
+        doc(4, D), doc(5, "a genuinely fresh document with novel words"),
+        doc(5, "a genuinely fresh document with novel words")))
       q.processAllAvailable()
       spark.catalog.refreshByPath(sd.keptPath)
       val kept2 = spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted
       assert(kept2.toSeq == Seq(1L, 3L, 5L))
+      spark.catalog.refreshByPath(s"$base/signatures")
+      val sigRows5 = spark.read.parquet(s"$base/signatures")
+        .where(col("id") === 5L).count()
+      assert(sigRows5 == 1L, s"signature store fan-out: $sigRows5 rows for id 5")
     } finally q.stop()
   }
 
