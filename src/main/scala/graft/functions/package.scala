@@ -39,6 +39,19 @@ package object functions {
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue(),
           exprs(4).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      // Spark's runtime-filter bloom machinery, exposed as functions:
+      // the aggregate builds a serialized filter over xxhash64 values,
+      // the probe is a codegen'd membership test against a literal
+      // filter. Used by Dedup.exactIncrementalBloom to pre-route new
+      // digests before the exact residual join.
+      reg.createOrReplaceTempFunction(
+        "bloom_agg", exprs =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs.head, exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "bloom_might_contain", exprs =>
+          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs.head, exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction(
         "ivf_probe", exprs => IvfProbe(exprs.head,
           {
@@ -75,6 +88,16 @@ package object functions {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_sigs", vec, lit(dims), lit(bits), lit(tables), lit(seed))
   }
+
+  /** Serialized bloom filter over a Long (xxhash64) column. */
+  def bloom_agg(h: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("bloom_agg", h, lit(expectedItems), lit(numBits))
+  }
+
+  /** Codegen'd membership probe of a Long against a bloom literal. */
+  def bloom_might_contain(bloom: Column, h: Column): Column =
+    call_function("bloom_might_contain", bloom, h)
 
   /** The nprobe nearest IVF centroid ids by cosine, nearest first. */
   def ivf_probe(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {

@@ -46,6 +46,61 @@ object Dedup {
       idCol)
   }
 
+  /** [[exactIncremental]] with a bloom pre-filter over the seen-digest
+    * set — the route that matters at 100 TB. The plain anti-join
+    * re-shuffles every seen digest on every nightly run; here the seen
+    * store is scanned ONCE to build a compact bloom filter (~1.2 GB per
+    * 10⁹ digests at 1% fpp, conf-capped), which ships in the plan and
+    * routes each new doc with a codegen'd membership probe:
+    *  - bloom-negative docs are definitely unseen — they skip the join
+    *    entirely (the common case: most of a crawl is new);
+    *  - bloom-positive docs (true dups + ~fpp·|new| false positives)
+    *    form a frame small enough to broadcast, so the exact residual
+    *    check runs as a broadcast semi-join the seen store STREAMS
+    *    through, then a broadcast anti-join against the (tiny) hit set
+    *    — no seen-side exchange anywhere.
+    * Output is identical to [[exactIncremental]]: the bloom only
+    * routes; the residual joins keep exactness (a false positive just
+    * takes the slow lane). Falls back to the plain anti-join when the
+    * seen set is empty or exceeds `maxSeenItems` — past Spark's
+    * conf-capped filter size the saturated bloom would route everything
+    * to the residual join anyway (raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * and `maxSeenItems` together for larger stores). Prices one extra
+    * job over the seen digests (count + filter build) — a scan, not a
+    * shuffle. */
+  def exactIncrementalBloom(newDocs: DataFrame, seenDocs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            fpp: Double = 0.01,
+                            maxSeenItems: Long = 4000000L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    graft.functions.ensureRegistered(newDocs.sparkSession)
+    val seen = seenDocs.select(sha2(normText(col(textCol)), 256).as("digest"))
+      .distinct()
+      .localCheckpoint(eager = false) // reused: count, bloom build, hits probe
+    val newDig = newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
+    val nSeen = seen.count()
+    if (nSeen == 0L || nSeen > maxSeenItems)
+      return digestGroups(newDig.join(seen, Seq("digest"), "left_anti"), idCol)
+    // optimal bit count for the target fpp: -n·ln(p)/ln(2)²
+    val numBits = math.max(64L,
+      math.ceil(-nSeen * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = seen
+      .agg(graft.functions.bloom_agg(xxhash64(col("digest")), nSeen, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probed = newDig.withColumn("maybe_seen",
+      graft.functions.bloom_might_contain(lit(bloom), xxhash64(col("digest"))))
+    val fresh = probed.where(!col("maybe_seen")).drop("maybe_seen")
+    val maybe = probed.where(col("maybe_seen")).drop("maybe_seen")
+      .localCheckpoint(eager = false) // reused: hits probe + residual anti-join
+    // digests that are REALLY seen, among the candidates: the seen
+    // store streams through a broadcast semi-join (candidate set is
+    // dup-rate + fpp sized), producing a hit set no bigger than it
+    val hits = seen.join(maybe.select("digest").distinct(), Seq("digest"), "left_semi")
+    val residual = maybe.join(hits, Seq("digest"), "left_anti")
+    digestGroups(fresh.unionByName(residual), idCol)
+  }
+
   /** Shared dedup tail: (keep_id, n_dups) per distinct digest. */
   private def digestGroups(withDigest: DataFrame, idCol: String): DataFrame =
     withDigest

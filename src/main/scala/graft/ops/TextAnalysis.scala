@@ -156,6 +156,65 @@ object TextAnalysis {
         round(col("max_gram_freq").cast("double") / col("n_grams").cast("double"), 4)
           .as("repetition"))
 
+  /** Cross-document boilerplate removal: newline-delimited lines whose
+    * normalized form appears in at least `minDocs` DISTINCT documents
+    * are dropped from every document — the header/nav/footer stripper
+    * that precedes dedup in a web-corpus pipeline. Blank lines are
+    * never treated as boilerplate. Returns
+    * (idCol, n_lines, n_removed, clean_text).
+    *
+    * Scale: line statistics travel as (xxhash64, doc_id) pairs — line
+    * TEXT never shuffles. The boilerplate lexicon (lines repeated
+    * across ≥ minDocs documents) is template-bounded, not corpus-
+    * bounded; when it fits under `maxLexicon` hashes it is folded into
+    * the plan as a literal IN-set (the optimizer converts it to an
+    * O(1) hash-set probe) and every document is rewritten in place with
+    * ZERO joins — the corpus never shuffles at all. Above the cap, a
+    * positional fallback joins per-doc drop-position lists back on the
+    * id (the only exchange whose size scales with the corpus carries
+    * (id, positions) longs, still never line text). */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxLexicon: Int = 100000): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ls = split(col(textCol), "\n")
+    val common = docs
+      .select(col(idCol).as("id"), explode(ls).as("line"))
+      .select(col("id"), normText(col("line")).as("ln"))
+      .where(length(col("ln")) > 0) // blank lines are structure, not boilerplate
+      .select(col("id"), xxhash64(col("ln")).as("lh"))
+      .groupBy("lh").agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select("lh")
+    val lex = common.limit(maxLexicon + 1).collect().map(_.getLong(0))
+    if (lex.isEmpty)
+      docs.select(col(idCol), size(ls).cast("long").as("n_lines"),
+        lit(0L).as("n_removed"), col(textCol).as("clean_text"))
+    else if (lex.length <= maxLexicon) {
+      val kept = filter(ls, l => !xxhash64(normText(l)).isin(lex.toSeq: _*))
+      docs.select(col(idCol), ls.as("all_ls"), kept.as("kept_ls"))
+        .select(col(idCol),
+          size(col("all_ls")).cast("long").as("n_lines"),
+          (size(col("all_ls")) - size(col("kept_ls"))).cast("long").as("n_removed"),
+          array_join(col("kept_ls"), "\n").as("clean_text"))
+    } else {
+      val drops = docs
+        .select(col(idCol), posexplode(ls).as(Seq("pos", "line")))
+        .select(col(idCol), col("pos"), xxhash64(normText(col("line"))).as("lh"))
+        .join(common, "lh")
+        .groupBy(col(idCol))
+        .agg(collect_list(col("pos")).as("drop_pos"), count(lit(1)).as("n_removed"))
+      docs.join(drops, Seq(idCol), "left")
+        .select(col(idCol),
+          size(ls).cast("long").as("n_lines"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          when(col("drop_pos").isNull, col(textCol))
+            .otherwise(array_join(
+              filter(ls, (l, i) => !array_contains(col("drop_pos"), i)), "\n"))
+            .as("clean_text"))
+    }
+  }
+
   /** Sentence statistics: segments split on `[.!?]+` runs, blank
     * segments dropped after space-trimming — sentence count and mean
     * sentence length (chars) are standard fluency/quality inputs (very

@@ -59,6 +59,32 @@ object PipelineQueries {
       .orderBy("keep_id")
   }
 
+  /** Incremental exact dedup through the bloom pre-filter route (docs
+    * with doc_id % 3 == 0 play the already-ingested corpus) — the
+    * output must equal the plain anti-join shape bit-for-bit; only the
+    * plan differs (bloom routing + broadcast residual joins instead of
+    * a full seen-side shuffle). */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.exactIncrementalBloom(
+      docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+      .orderBy("keep_id")
+  }
+
+  /** Boilerplate stripping: every document rendered as a "page" with a
+    * shared header/nav/social block and a per-source footer; the
+    * operator must find and remove exactly those repeated lines (every
+    * body line is unique to its document and survives). */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pages = docs.select(col("doc_id"),
+      concat(
+        lit("Example Site - All About Data\nHome | Products | About\n"),
+        col("text"),
+        lit("\nFollow Us On SocialNet\nCopyright 2026 "), col("source")).as("text"))
+    TextAnalysis.removeBoilerplate(pages, minDocs = 3).orderBy("doc_id")
+  }
+
   /** Incremental near-dup: docs ≥ 250 are "tonight's batch" checked
     * against the < 250 corpus. Bands sized exactly like d_minhash_lsh
     * (miss ≈ 1e-10 at J = 0.8) so the output equals the exact
@@ -527,6 +553,8 @@ object PipelineQueries {
     "d_redact"            -> (redactDocs _),
     "d_dedup_exact"     -> (dedupExact _),
     "d_dedup_incremental" -> (dedupIncremental _),
+    "d_dedup_bloom"     -> (dedupBloom _),
+    "d_boilerplate"     -> (boilerplateStrip _),
     "d_contamination"   -> (contaminationCheck _),
     "d_jaccard_pairs"   -> (jaccardPairs _),
     "d_minhash_lsh"     -> (minhashLsh _),
@@ -901,6 +929,33 @@ object PipelineQueries {
          |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM n WHERE norm NOT IN (SELECT norm FROM seen)
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "d_dedup_bloom" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents WHERE doc_id % 3 <> 0),
+         |seen AS (SELECT DISTINCT $NormSql AS norm FROM documents WHERE doc_id % 3 = 0)
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM n WHERE norm NOT IN (SELECT norm FROM seen)
+         |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "d_boilerplate" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    'Example Site - All About Data' || chr(10) || 'Home | Products | About' || chr(10)
+         |    || text || chr(10) || 'Follow Us On SocialNet' || chr(10)
+         |    || 'Copyright 2026 ' || source AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+         |e AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+         |               i -> struct_pack(pos := i, line := ls[i]))) AS u FROM sp)),
+         |nrm AS (SELECT doc_id, pos, line,
+         |          ${NormSql.replace("(text)", "(line)")} AS ln FROM e),
+         |b AS (SELECT ln FROM nrm WHERE len(ln) > 0
+         |      GROUP BY ln HAVING count(DISTINCT doc_id) >= 3),
+         |k AS (SELECT nrm.doc_id, nrm.pos, nrm.line, (b.ln IS NOT NULL) AS dropped
+         |      FROM nrm LEFT JOIN b USING (ln))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT dropped),
+         |                chr(10)), '') AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_contamination" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

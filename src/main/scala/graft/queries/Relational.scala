@@ -115,6 +115,24 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  /** Revenue by order priority over BUCKETED, co-located tables:
+    * lineitem and orders are stored bucketed+sorted on the order key
+    * (see [[graft.ops.Bucketing]]), so the sort-merge join planned here
+    * runs with NO exchange — the one-time write shuffle is amortized
+    * over every join on the key. The merge hint pins the join strategy
+    * the bucketed layout exists for (at 100 TB neither side
+    * broadcasts). BucketingSpec asserts the exchange-free plan. */
+  def q9ColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = graft.ops.Bucketing.ensureOrderTables(spark, dir)
+    val li = spark.table(liName)
+    val o = spark.table(ordName)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -124,6 +142,7 @@ object Relational {
     "q6_anti_join"       -> (q6AntiJoin _),
     "q7_distinct_users"  -> (q7DistinctUsers _),
     "q8_top_per_group"   -> (q8TopPerGroup _),
+    "q9_colocated_join"  -> (q9ColocatedJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -171,5 +190,11 @@ object Relational {
         |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
         |  FROM part) t
         |WHERE rk <= 2 ORDER BY p_brand, rk""".stripMargin,
+    "q9_colocated_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

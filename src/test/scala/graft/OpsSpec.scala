@@ -457,4 +457,62 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("bloom incremental dedup equals the plain anti-join on every route") {
+    import spark.implicits._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newB = docs.where(col("doc_id") % 3 =!= 0)
+    val seenB = docs.where(col("doc_id") % 3 === 0)
+    val plain = asSet(Dedup.exactIncremental(newB, seenB))
+    // bloom route
+    assert(asSet(Dedup.exactIncrementalBloom(newB, seenB)) == plain)
+    // forced fallback (seen set over the cap) must agree too
+    assert(asSet(Dedup.exactIncrementalBloom(newB, seenB, maxSeenItems = 1L)) == plain)
+    // empty seen set: everything is new; both shapes agree
+    val none = docs.where(lit(false))
+    assert(asSet(Dedup.exactIncrementalBloom(newB, none)) ==
+      asSet(Dedup.exactIncremental(newB, none)))
+    // duplicates across the batch boundary are actually dropped: a doc
+    // re-submitted verbatim under a new id must not survive
+    val seenDocs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, "alpha beta gamma"), (11L, "zeta eta"), (12L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncrementalBloom(newDocs, seenDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((11L, 2L))) // 10 was seen; 11/12 collapse to one group
+  }
+
+  test("boilerplate removal drops repeated lines, keeps unique bodies and blanks") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "HEADER\nbody one\n\nfooter shared"),
+      (2L, "HEADER\nbody two\n\nfooter shared"),
+      (3L, "header\nbody three\n\nfooter shared"), // normalization: header ≡ HEADER
+      (4L, "no header here\nbody four")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(pages, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // header (df=3 after normalization) and footer (df=3) go; blank
+    // lines and unique bodies stay
+    assert(out(1L) == ((4L, 2L, "body one\n")))
+    assert(out(2L) == ((4L, 2L, "body two\n")))
+    assert(out(3L) == ((4L, 2L, "body three\n")))
+    assert(out(4L) == ((2L, 0L, "no header here\nbody four")))
+  }
+
+  test("boilerplate removal: literal-lexicon path equals the positional-join path") {
+    import spark.implicits._
+    val pages = (0L until 40L).map { i =>
+      (i, s"SHARED TOP LINE\nunique body $i\nSHARED BOTTOM ${i % 4}\nCOMMON FOOT")
+    }.toDF("doc_id", "text")
+    def rows(maxLexicon: Int) =
+      TextAnalysis.removeBoilerplate(pages, minDocs = 3, maxLexicon = maxLexicon)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows(100000) == rows(0)) // lexicon folded in-plan vs drop-position join
+    // idempotence: a second pass over cleaned pages removes nothing
+    val once = TextAnalysis.removeBoilerplate(pages, minDocs = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextAnalysis.removeBoilerplate(once, minDocs = 3)
+    assert(twice.agg(sum("n_removed")).head.getLong(0) == 0L)
+  }
 }
