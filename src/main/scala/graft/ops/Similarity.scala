@@ -301,4 +301,32 @@ object Similarity {
         col("votes"), (col("own_label") === col("n_label")).as("agrees"))
       .orderBy("q_id")
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * embedding-cosine near-dup pairs at `threshold` → connected
+    * components over the pair graph → keep exactly one (the min-id)
+    * member per component. Returns every corpus id with a `kept` flag,
+    * so callers can either filter (`where(kept)`) or audit the drop
+    * set; singletons that never paired are kept by construction.
+    *
+    * Composition, not new machinery: candidate pairs come from
+    * [[nearDupPairs]] (bucketed LSH + codegen'd exact verify — no
+    * cartesian node, and its degenerate-regime guardrail fires here
+    * too), components from [[Dedup.dupClusters]] (bounded driver
+    * union-find, else distributed min-label propagation). At 100 TB
+    * the only frames that shuffle are (long, long) pairs and the
+    * loser-id set — embeddings stay where the LSH bucket join put
+    * them, and the final flag join broadcasts only loser ids (bounded
+    * by the duplicate count, not the corpus). */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dims: Int = 64): DataFrame = {
+    val pairs = nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+    val losers = Dedup.dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), lit(false).as("kept"))
+    corpus.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }

@@ -371,6 +371,107 @@ object TextAnalysis {
     * Nothing moves text after the explode: terms shuffle as strings
     * once into the count, everything downstream is (id, token, counts).
     */
+  /** Misra–Gries heavy-hitters summary over the corpus token stream:
+    * at most `capacity` (token, est) rows, with the mergeable-summary
+    * guarantee (Agarwal et al., PODS '12) that for EVERY token
+    * `0 ≤ true_count − est ≤ n / (capacity + 1)` where n is the total
+    * token count — so every token whose frequency exceeds
+    * n/(capacity+1) is guaranteed present.
+    *
+    * Scale: this is the fixed-memory alternative to the full
+    * vocabulary groupBy — ONE pass over the corpus, NO shuffle. Each
+    * task folds its partition into a ≤ capacity-entry map; partials
+    * merge pairwise (sum, then subtract the (capacity+1)-th largest
+    * count and drop non-positives — the merge that preserves the error
+    * bound) up `Dataset.reduce`'s per-partition-then-driver tree, so
+    * the driver ever sees ≤ capacity entries per merge step. At 100 TB
+    * the whole reduction moves capacity·partitions short strings,
+    * while the exact groupBy would shuffle the full vocabulary.
+    *
+    * The retained SET below the guarantee line can vary with merge
+    * order (partition scheduling); everything the bound promises —
+    * presence above the threshold, est ≤ true, error ≤ n/(capacity+1)
+    * — holds on every run. Callers needing a deterministic result
+    * should filter to tokens above the guarantee threshold (the
+    * d_heavy_hitters query shape). */
+  def heavyHitters(docs: DataFrame, capacity: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("t")).as[String]
+    val partials = toks.mapPartitions { it =>
+      Iterator.single(mgLocal(it, capacity))
+    }
+    val merged =
+      if (partials.isEmpty) Seq.empty[(String, Long)]
+      else partials.reduce((a, b) => mgMerge(a, b, capacity))
+    merged.toDF("token", "est").orderBy(col("est").desc, col("token").asc)
+  }
+
+  /** Single-pass local Misra–Gries: counter on hit; new slot while
+    * below capacity; otherwise decrement-all (amortized O(1): each
+    * decrement pass is paid for by the insertions it cancels). */
+  private[graft] def mgLocal(it: Iterator[String], capacity: Int): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < capacity => m.update(t, 1L)
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1L)
+          m.filterInPlace((_, c) => c > 0L)
+      }
+    }
+    m.toSeq
+  }
+
+  /** Merge two MG summaries at `capacity`: sum shared counters, then
+    * if over capacity subtract the (capacity+1)-th largest count from
+    * every counter and drop non-positives. Errors add: the merged
+    * summary keeps the n/(capacity+1) bound over the combined stream. */
+  private[graft] def mgMerge(a: Seq[(String, Long)], b: Seq[(String, Long)],
+                             capacity: Int): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    a.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    b.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    if (m.size <= capacity) m.toSeq
+    else {
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+      m.iterator.map { case (t, c) => (t, c - cut) }.filter(_._2 > 0L).toSeq
+    }
+  }
+
+  /** Inverted-index postings: one row per token with its document
+    * frequency and the first `maxPostings` doc ids (ascending). The
+    * posting list is capped BEFORE the list aggregation — a row_number
+    * over the token partition drops everything past the cap — so a
+    * stopword's postings never materialize as one giant array in any
+    * aggregation buffer; df still counts the full partition via an
+    * unbounded-frame window on the same partitioning. One exchange on
+    * token: the two window functions and the final groupBy all reuse
+    * the same hash partitioning (asserted by spec).
+    *
+    * `minDf` prunes the long hapax tail from the OUTPUT only (df is
+    * computed over everything); at 100 TB emit-worthy tokens are a
+    * tiny fraction of the vocabulary. */
+  def postings(docs: DataFrame, maxPostings: Int = 10, minDf: Long = 1L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val td = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val part = Window.partitionBy("token")
+    val ordered = part.orderBy("doc_id")
+    td
+      .withColumn("df", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(ordered))
+      .where(col("__rn") <= maxPostings)
+      .groupBy("token")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .where(col("df") >= minDf)
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nDocs = docs.select(col(idCol)).count().toDouble

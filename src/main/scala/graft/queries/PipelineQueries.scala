@@ -155,6 +155,51 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup over the embeddings table at the same threshold the pair
+    * demo uses: every vec_id flagged kept/dropped, min id per cosine
+    * cluster surviving. The oracle recomputes the closure with a
+    * recursive CTE over brute-force cosine pairs. */
+  def semanticDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(spark, dir), threshold = 0.45)
+      .orderBy("vec_id")
+
+  /** Misra–Gries heavy hitters at capacity 64 — emitted in the
+    * deterministic, oracle-checkable shape: only tokens whose EXACT
+    * frequency clears the guarantee line n/(capacity+1) (all provably
+    * present in the summary, on any merge order), each with its exact
+    * count and a boolean asserting the summary honored the MG bound
+    * (present, est ≤ exact, exact − est ≤ n/(capacity+1)). The oracle
+    * recomputes the qualifying set and pins ok = true. */
+  def heavyHittersQ(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val docs = Tables.documents(spark, dir)
+    val mg = TextAnalysis.heavyHitters(docs, capacity = cap)
+      .withColumnRenamed("est", "__est")
+    val exact = docs
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // measured scalar (same pattern as the adaptive dedup plans): one
+    // count job instead of a vocab-wide global window or a 1-row
+    // nested-loop cross join
+    val n = { val r = exact.agg(sum(col("freq"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) }
+    exact
+      .where(col("freq") * (cap + 1) > lit(n))
+      .join(broadcast(mg), Seq("token"), "left")
+      .select(col("token"), col("freq"),
+        (col("__est").isNotNull && col("__est") <= col("freq") &&
+          (col("freq") - col("__est")) * (cap + 1) <= lit(n)).as("ok"))
+      .orderBy("token")
+  }
+
+  /** Inverted-index postings: df ≥ 5 tokens with their first 10 doc
+    * ids (comma-joined so the driver hash compares a plain string). */
+  def postingsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.postings(Tables.documents(spark, dir), maxPostings = 10, minDf = 5L)
+      .select(col("token"), col("df"),
+        concat_ws(",", col("doc_ids")).as("doc_ids"))
+      .orderBy("token")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(Tables.documents(spark, dir)))
@@ -566,6 +611,9 @@ object PipelineQueries {
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
+    "e_semantic_dedup"  -> (semanticDedupQ _),
+    "d_heavy_hitters"   -> (heavyHittersQ _),
+    "d_postings"        -> (postingsQ _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -719,6 +767,25 @@ object PipelineQueries {
       s"""WITH t AS (SELECT unnest($ToksSql) AS token FROM documents),
          |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY 1)
          |SELECT freq, COUNT(*) AS n_tokens FROM f GROUP BY 1 ORDER BY freq""".stripMargin,
+    // Exact counts of the tokens above the MG guarantee line with
+    // ok pinned true: the Spark side computes ok from the summary's
+    // actual estimates, so a bound violation (or a missing guaranteed
+    // token) hash-mismatches here.
+    "d_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM t)
+         |SELECT token, freq, true AS ok FROM c, n
+         |WHERE freq * 65 > n.n ORDER BY token""".stripMargin,
+    "d_postings" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($ToksSql)) AS token
+         |           FROM documents),
+         |g AS (SELECT token, COUNT(*) AS df,
+         |        array_to_string(list_transform(
+         |          list_slice(list_sort(list(doc_id)), 1, 10),
+         |          x -> CAST(x AS VARCHAR)), ',') AS doc_ids
+         |      FROM t GROUP BY 1)
+         |SELECT token, df, doc_ids FROM g WHERE df >= 5 ORDER BY token""".stripMargin,
     "d_len_hist" ->
       """SELECT CAST(len(bin(n_chars)) AS BIGINT) AS len_bin,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
@@ -1096,6 +1163,19 @@ object PipelineQueries {
         |FROM v a, v b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "e_semantic_dedup" ->
+      """WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |                       FROM embeddings),
+        |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM emb a, emb b
+        |       WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45),
+        |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |                UNION
+        |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+        |cl AS (SELECT u, MIN(v) AS c FROM reach GROUP BY u)
+        |SELECT emb.vec_id, (cl.u IS NULL OR cl.c = emb.vec_id) AS kept
+        |FROM emb LEFT JOIN cl ON cl.u = emb.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "d_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,

@@ -515,4 +515,98 @@ class OpsSpec extends SparkSpec {
     val twice = TextAnalysis.removeBoilerplate(once, minDocs = 3)
     assert(twice.agg(sum("n_removed")).head.getLong(0) == 0L)
   }
+
+  test("semantic dedup keeps exactly the min id of each cosine cluster") {
+    import spark.implicits._
+    // All vectors live on a circle inside a RANDOM (non-axis-aligned)
+    // 2-D subspace of R^16: the ±1 LSH hyperplanes project onto it as
+    // many distinct cut directions, so the 1−θ/π collision model holds.
+    // (Axis-aligned toy vectors would collapse the Rademacher planes to
+    // two cut directions and deterministically separate 25°-apart
+    // pairs — a small-dims artifact, not a property of the operator.)
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(16)(rnd.nextGaussian())
+    val u1 = { val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+    val b0 = Array.fill(16)(rnd.nextGaussian())
+    val d = b0.indices.map(i => b0(i) * u1(i)).sum
+    val b = b0.indices.map(i => b0(i) - d * u1(i)).toArray
+    val u2 = { val n = math.sqrt(b.map(x => x * x).sum); b.map(_ / n) }
+    def at(deg: Double): Array[Float] = {
+      val t = math.toRadians(deg)
+      u1.indices.map(i => (u1(i) * math.cos(t) + u2(i) * math.sin(t)).toFloat).toArray
+    }
+    // clusters by angle: {0°, 5°}, {90°, 95°}, singleton 225°, and the
+    // chain {270°, 295°, 320°} — adjacent cos 25° ≈ 0.906 ≥ 0.85, ends
+    // cos 50° ≈ 0.64: transitivity must still merge all three
+    val emb8 = Seq(0L -> at(0), 1L -> at(5), 2L -> at(90), 3L -> at(95),
+      4L -> at(225), 5L -> at(270), 6L -> at(295), 7L -> at(320))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb8, threshold = 0.85, dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false, 7L -> false))
+  }
+
+  test("misra-gries summary: presence above n/(cap+1), est <= true, bounded error") {
+    import spark.implicits._
+    // 40×a, 12×b, 5×c, 3×d as one-token docs: n = 60, capacity 3 ⇒
+    // error bound 60/4 = 15; only 'a' (40 > 15) is guaranteed present
+    val stream = List.fill(40)("a") ++ List.fill(12)("b") ++
+      List.fill(5)("c") ++ List.fill(3)("d")
+    val docs5 = stream.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mg = TextAnalysis.heavyHitters(docs5, capacity = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("a" -> 40L, "b" -> 12L, "c" -> 5L, "d" -> 3L)
+    assert(mg.size <= 3)
+    assert(mg.contains("a"))
+    mg.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overestimated: $est > ${truth(t)}")
+      assert(truth(t) - est <= 15L, s"$t error past the bound: ${truth(t) - est}")
+    }
+  }
+
+  test("d_heavy_hitters emits exactly the above-threshold tokens, all in-bound") {
+    val out = graft.queries.PipelineQueries.heavyHittersQ(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(2)), "a summary estimate broke the MG bound")
+    val toks = docs.select(explode(Dedup.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val expect = toks.groupBy("token").count()
+      .where(col("count") * 65 > n).collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet == expect)
+  }
+
+  test("postings: cap truncates the list but never df; one exchange total") {
+    import spark.implicits._
+    val d = Seq((1L, "x"), (2L, "x y"), (3L, "x"), (4L, "x y"), (5L, "x z"),
+      (6L, "x"), (7L, "x x")).toDF("doc_id", "text")
+    val p = TextAnalysis.postings(d, maxPostings = 3, minDf = 1L)
+    val rows = p.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // doc 7's repeated "x" counts once (array_distinct); df stays 7
+    // while the posting list is capped to the 3 smallest doc ids
+    assert(rows("x") == ((7L, Seq(1L, 2L, 3L))))
+    assert(rows("y") == ((2L, Seq(2L, 4L))))
+    assert(rows("z") == ((1L, Seq(5L))))
+    // window df + window rn + groupBy all share one token partitioning;
+    // a non-adaptive child session yields a plain plan to count on
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val d2 = s2.createDataFrame(Seq((1L, "x"), (2L, "x y")))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.postings(d2, maxPostings = 3).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"expected one exchange:\n$plan")
+  }
+
+  test("postings minDf prunes output rows only") {
+    import spark.implicits._
+    val d = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.postings(d, maxPostings = 5, minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("x"))
+  }
 }

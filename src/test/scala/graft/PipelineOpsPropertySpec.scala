@@ -167,4 +167,35 @@ class PipelineOpsPropertySpec extends SparkSpec {
         s"second pass still found matches: $t")
     }
   }
+
+  test("misra-gries: local+merged summaries keep the n/(cap+1) bound on any stream") {
+    import graft.ops.TextAnalysis.{mgLocal, mgMerge}
+    // random token streams over a skewed alphabet, random partition
+    // splits, random merge arity — the mergeable-summaries guarantee
+    // must survive every shape
+    val genStream = for {
+      n <- Gen.choose(1, 400)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+        2 -> Gen.oneOf("t1", "t2", "t3"),
+        1 -> Gen.choose(0, 50).map("cold" + _)))
+      cap <- Gen.choose(1, 8)
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (toks, cap, cuts.sorted)
+    forAllSeeded(genStream, trials = 40) { case (toks, cap, cuts) =>
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = toks.size.toLong / (cap + 1) // floor: est error is integral
+      val bounds = (0 +: cuts :+ toks.size).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => toks.slice(a, b) }
+      val merged = parts.map(p => mgLocal(p.iterator, cap))
+        .reduce((a, b) => mgMerge(a, b, cap))
+      assert(merged.size <= cap)
+      val est = merged.toMap
+      truth.foreach { case (t, c) =>
+        val e = est.getOrElse(t, 0L)
+        assert(e <= c, s"overestimate for $t: $e > $c")
+        assert(c - e <= bound, s"error past n/(cap+1) for $t: ${c - e} > $bound")
+      }
+    }
+  }
 }
