@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators exposed as driver queries over
@@ -190,6 +190,46 @@ object PipelineQueries {
         (col("__est").isNotNull && col("__est") <= col("freq") &&
           (col("freq") - col("__est")) * (cap + 1) <= lit(n)).as("ok"))
       .orderBy("token")
+  }
+
+  /** Approximate per-language token-count quantiles via the SAME HDR
+    * sketch aggregate the metrics engine runs on — the sketch path is
+    * how quantiles survive 100 TB (map-side mergeable partials, a few
+    * hundred bytes per group, no full sort). Emitted in the invariant
+    * shape (cf. d_hll_users): the exact discrete quantile (rank
+    * round-half-up of p·n — HDR's own rank rule) plus a boolean
+    * asserting the sketch landed inside its quantization envelope
+    * [lowestEquivalentValue(v), v] — width 1 below 2048, one
+    * 2^(⌊log2 v⌋−10) sub-bucket above. The oracle recomputes the exact
+    * quantiles and pins the booleans true. */
+  def approxQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("lang"), size(Dedup.tokens(col("text"))).cast("long").as("v"))
+    val sk = base.groupBy("lang")
+      .agg(graft.functions.hdr_summary(graft.functions.hdr_sketch(col("v"))).as("s"))
+      .select(col("lang"), col("s.p50").as("a50"), col("s.p99").as("a99"))
+    val w = Window.partitionBy("lang").orderBy("v")
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    def rankOf(p: Double) =
+      greatest(lit(1L), floor(lit(p) * col("cnt") + 0.5).cast("long"))
+    val exact = ranked.groupBy("lang").agg(
+      max(when(col("rn") === rankOf(0.50), col("v"))).as("p50_exact"),
+      max(when(col("rn") === rankOf(0.99), col("v"))).as("p99_exact"))
+    // HDR returns the bucket's highestEquivalentValue: the true sample
+    // at that rank lies in [v − (2^bi − 1), v], bi = 0 below 2048
+    def lowEq(c: Column): Column = {
+      val bi = when(c < 2048L, lit(0.0)).otherwise(floor(log2(c)) - 10.0)
+      c - (pow(lit(2.0), bi).cast("long") - 1L)
+    }
+    exact.join(sk, "lang")
+      .select(col("lang"), col("p50_exact"), col("p99_exact"),
+        col("p50_exact").between(lowEq(col("a50")), col("a50")).as("p50_ok"),
+        col("p99_exact").between(lowEq(col("a99")), col("a99")).as("p99_ok"))
+      .orderBy("lang")
   }
 
   /** Inverted-index postings: df ≥ 5 tokens with their first 10 doc
@@ -614,6 +654,7 @@ object PipelineQueries {
     "e_semantic_dedup"  -> (semanticDedupQ _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
+    "d_approx_quantiles" -> (approxQuantilesQ _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -777,6 +818,21 @@ object PipelineQueries {
          |n AS (SELECT COUNT(*) AS n FROM t)
          |SELECT token, freq, true AS ok FROM c, n
          |WHERE freq * 65 > n.n ORDER BY token""".stripMargin,
+    // Exact discrete quantiles (HDR's round-half-up rank rule) with
+    // the envelope booleans pinned true: a sketch answer outside its
+    // quantization envelope hash-mismatches here.
+    "d_approx_quantiles" ->
+      s"""WITH t AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v FROM documents),
+         |w AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         |             COUNT(*) OVER (PARTITION BY lang) AS cnt FROM t),
+         |q AS (SELECT lang,
+         |  MAX(CASE WHEN rn = GREATEST(1, CAST(floor(0.50 * cnt + 0.5) AS BIGINT))
+         |           THEN v END) AS p50_exact,
+         |  MAX(CASE WHEN rn = GREATEST(1, CAST(floor(0.99 * cnt + 0.5) AS BIGINT))
+         |           THEN v END) AS p99_exact
+         |  FROM w GROUP BY 1)
+         |SELECT lang, p50_exact, p99_exact, true AS p50_ok, true AS p99_ok
+         |FROM q ORDER BY lang""".stripMargin,
     "d_postings" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($ToksSql)) AS token
          |           FROM documents),

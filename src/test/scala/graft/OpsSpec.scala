@@ -602,6 +602,15 @@ class OpsSpec extends SparkSpec {
     assert(exchanges.size == 1, s"expected one exchange:\n$plan")
   }
 
+  test("approx quantiles: HDR answers land inside their quantization envelope") {
+    val out = graft.queries.PipelineQueries.approxQuantilesQ(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"sketch quantile outside its envelope: $r")
+    }
+  }
+
   test("postings minDf prunes output rows only") {
     import spark.implicits._
     val d = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")

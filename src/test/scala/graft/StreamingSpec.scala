@@ -84,6 +84,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: summary state merges across batches within the MG bound") {
+    val base = Files.createTempDirectory("graft_stopk").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val st = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+    val q = st.start(st.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // batch 1: hot×8, warm×3, rare×1 → n = 12, bound ⌊12/5⌋ = 2
+      dropFile(in, "b1.json",
+        Seq(doc(1, ("hot " * 8).trim + " warm warm warm rare")))
+      q.processAllAvailable()
+      val (s1, n1) = st.summary()
+      assert(n1 == 12L)
+      val hot1 = s1.toMap.getOrElse("hot", 0L)
+      assert(hot1 >= 6L && hot1 <= 8L, s"hot estimate $hot1 outside [6, 8]")
+      // batch 2: hot×4 + three singletons → history n = 19, bound 3:
+      // hot (true 12 > 3) must survive the cross-batch merge in-bound
+      dropFile(in, "b2.json", Seq(doc(2, "hot hot hot hot x y z")))
+      q.processAllAvailable()
+      val (s2, n2) = st.summary()
+      assert(n2 == 19L)
+      assert(s2.size <= 4)
+      val hot2 = s2.toMap.getOrElse("hot", 0L)
+      assert(hot2 >= 9L && hot2 <= 12L, s"hot estimate $hot2 outside [9, 12]")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: signature store drops near-duplicates across and within batches") {
     val base = Files.createTempDirectory("graft_sndup").toString
     val in = s"$base/in"
