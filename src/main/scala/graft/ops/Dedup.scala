@@ -490,6 +490,32 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/test split: near-duplicate clusters NEVER
+    * straddle the split — the classic eval-contamination failure where
+    * a test document's near-copy sits in the training set. Every doc
+    * is assigned a representative (its cluster's min id via
+    * [[dupClusters]], or its own id if never paired) and the split
+    * decision hashes the REPRESENTATIVE ([[Sampling.detHash]], so
+    * test rate ≈ testBuckets/97), making it deterministic, reproducible
+    * across runs, and uniform over clusters rather than docs.
+    *
+    * Scale: the clusters frame is bounded by the duplicate count; the
+    * corpus-side join carries only (id, rep) longs and the split column
+    * derives from rep with no further exchange. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testBuckets: Int = 10,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(testBuckets >= 0 && testBuckets <= Sampling.Buckets,
+      s"testBuckets must be in [0, ${Sampling.Buckets}]")
+    val reps = dupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(reps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("rep"))
+      .withColumn("split",
+        when(Sampling.detHash(col("rep")) < testBuckets, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** SimHash over token hashes: per bit, sign-sum of token hash bits;
     * assembled with bit arithmetic — all built-in expressions. Default
     * is 64-bit xxhash64; pass `tokenHash = TextAnalysis.polyHash` with

@@ -64,6 +64,38 @@ object Sampling {
     df.where(detHash(col(idCol)) < threshold)
   }
 
+  /** Token-budget mixture PLANNING — the step before [[mixtureSample]]:
+    * given per-group target shares (integer percents) and a token
+    * budget expressed as a percent of the corpus, compute each group's
+    * keep fraction `rate = min(1, group_budget / group_tokens)`. The
+    * output is groups-sized (a handful of rows), so the global-total
+    * window runs over a frame that fits in one task no matter the
+    * corpus size; everything upstream is one map-side-combined count.
+    *
+    * All arithmetic is exact integer until ONE final double division
+    * (then a 6 dp round), so any engine reproduces the rates
+    * bit-for-bit. Groups absent from `sharesPct` get `defaultPct`. */
+  def mixturePlan(docs: DataFrame, sharesPct: Map[String, Int], defaultPct: Int,
+                  groupCol: String = "source", textCol: String = "text",
+                  budgetPct: Int = 50): DataFrame = {
+    require((sharesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "shares must be integer percents in [0, 100]")
+    require(budgetPct >= 0 && budgetPct <= 100, "budgetPct must be in [0, 100]")
+    val perGroup = docs
+      .select(col(groupCol).as("grp"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n"))
+      .groupBy("grp").agg(sum(col("n")).as("n_tokens"))
+    val pct = sharesPct.foldLeft(lit(defaultPct.toLong)) {
+      case (acc, (g, p)) => when(col("grp") === g, lit(p.toLong)).otherwise(acc)
+    }
+    perGroup
+      .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("grp").as(groupCol), col("n_tokens"), pct.as("share_pct"),
+        round(least(lit(1.0),
+          (col("total") * pct * lit(budgetPct.toLong)).cast("double") /
+            (lit(10000.0) * col("n_tokens").cast("double"))), 6).as("rate"))
+  }
+
   /** Up to `k` rows per stratum, chosen pseudo-randomly but
     * deterministically: rank within the stratum by (hash, id) and keep
     * the first k. The id tie-break makes the selection total-order

@@ -442,6 +442,38 @@ object TextAnalysis {
     }
   }
 
+  /** Hashing-trick linear classifier scoring — the "quality classifier
+    * filter" stage of a curation pipeline (à la CCNet / GPT-3 quality
+    * filtering) with the learned weights swapped for a deterministic
+    * per-bucket weight so the whole thing is oracle-reproducible. The
+    * Spark-side plumbing is the real thing: tokens hash into `dim`
+    * buckets ([[polyHash]] mod dim), bucket weights accumulate as
+    * EXACT integer sums (one final float division, so the score is
+    * partition-order-independent — same trick as unigramLogProb), one
+    * scan, all codegen. Plugging in trained weights = swapping the
+    * in-plan weight expression for a literal array lookup.
+    *
+    * Weight of bucket b: ((b·2654435761 + 12345) mod 1000003) /
+    * 1000003 − 0.5 ∈ [−0.5, 0.5) — the mod-prime reduction decorrelates
+    * the multiplier's power-of-two structure (see Sampling.detHashMod).
+    * score(doc) = mean over tokens of weight(bucket(token)).
+    * Output: (id, quality_w = score rounded 4 dp, keep = score > 0);
+    * empty-token docs drop (no tokens → no score). */
+  def hashedLinearScore(docs: DataFrame, dim: Int = 4096,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val WM = 1000003L // prime weight modulus
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val bucket = pmod(polyHash(col("t")), lit(dim.toLong))
+    val wq = pmod(bucket * lit(2654435761L) + lit(12345L), lit(WM))
+    tok.select(col("id"), wq.as("wq"))
+      .groupBy("id").agg(sum(col("wq")).as("s"), count(lit(1)).as("n"))
+      .select(col("id").as(idCol),
+        round(col("s").cast("double") / (col("n") * WM).cast("double") - 0.5, 4)
+          .as("quality_w"),
+        (col("s").cast("double") / (col("n") * WM).cast("double") > 0.5).as("keep"))
+  }
+
   /** Inverted-index postings: one row per token with its document
     * frequency and the first `maxPostings` doc ids (ascending). The
     * posting list is capped BEFORE the list aggregation — a row_number

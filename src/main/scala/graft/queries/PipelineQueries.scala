@@ -232,6 +232,30 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Hashed-linear quality classifier scores over the documents
+    * table: 4096 hash buckets, deterministic per-bucket weights (the
+    * oracle replays the polynomial hash + weight formula in SQL). */
+  def qualityClfQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** Token-budget mixture plan: spend 50% of the corpus's tokens with
+    * source shares src0 50 / src1 30 / default 5 (percent). */
+  def mixturePlanQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(Tables.documents(spark, dir),
+      sharesPct = Map("src0" -> 50, "src1" -> 30), defaultPct = 5)
+      .orderBy("source")
+
+  /** Leakage-safe split over the exact-Jaccard duplicate graph the
+    * d_dup_clusters query exposes: cluster members always land on the
+    * same side; ~10/97 of representatives go to test. */
+  def splitAssignQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.leakageSafeSplit(docs,
+      Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5))
+      .orderBy("doc_id")
+  }
+
   /** Inverted-index postings: df ≥ 5 tokens with their first 10 doc
     * ids (comma-joined so the driver hash compares a plain string). */
   def postingsQ(spark: SparkSession, dir: String): DataFrame =
@@ -655,6 +679,9 @@ object PipelineQueries {
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
     "d_approx_quantiles" -> (approxQuantilesQ _),
+    "d_quality_clf"     -> (qualityClfQ _),
+    "d_mixture_plan"    -> (mixturePlanQ _),
+    "d_split_assign"    -> (splitAssignQ _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -818,6 +845,53 @@ object PipelineQueries {
          |n AS (SELECT COUNT(*) AS n FROM t)
          |SELECT token, freq, true AS ok FROM c, n
          |WHERE freq * 65 > n.n ORDER BY token""".stripMargin,
+    "d_quality_clf" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |e AS (SELECT doc_id, unnest(w) AS tk FROM t),
+         |h AS (SELECT doc_id, $TokPolySql AS hv FROM e),
+         |b AS (SELECT doc_id,
+         |        ((hv % 4096) * 2654435761 + 12345) % 1000003 AS wq FROM h),
+         |g AS (SELECT doc_id, CAST(SUM(wq) AS BIGINT) AS s, COUNT(*) AS n
+         |      FROM b GROUP BY 1)
+         |SELECT doc_id,
+         |  round(CAST(s AS DOUBLE) / CAST(n * 1000003 AS DOUBLE) - 0.5, 4)
+         |    AS quality_w,
+         |  (CAST(s AS DOUBLE) / CAST(n * 1000003 AS DOUBLE)) > 0.5 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "d_mixture_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS n FROM documents),
+         |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g),
+         |sh AS (SELECT source, n_tokens, total,
+         |         CAST(CASE WHEN source = 'src0' THEN 50
+         |                   WHEN source = 'src1' THEN 30
+         |                   ELSE 5 END AS BIGINT) AS share_pct
+         |       FROM g CROSS JOIN tot)
+         |SELECT source, n_tokens, share_pct,
+         |  round(LEAST(1.0, CAST(total * share_pct * 50 AS DOUBLE) /
+         |    (10000.0 * CAST(n_tokens AS DOUBLE))), 6) AS rate
+         |FROM sh ORDER BY source""".stripMargin,
+    "d_split_assign" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u, MIN(v) AS c FROM reach GROUP BY u)
+         |SELECT d.doc_id, COALESCE(cl.c, d.doc_id) AS rep,
+         |  CASE WHEN (((COALESCE(cl.c, d.doc_id) % 1000000007) * 2654435761)
+         |             % 1000000007) % 97 < 10
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN cl ON cl.u = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // Exact discrete quantiles (HDR's round-half-up rank rule) with
     // the envelope booleans pinned true: a sketch answer outside its
     // quantization envelope hash-mismatches here.

@@ -611,6 +611,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hashed linear score: bounded, deterministic, equal for equal texts") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "different words here entirely"), (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(d)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // blank doc has no tokens → drops
+    assert(out(1L) == out(2L))            // same text ⇒ same score and verdict
+    out.values.foreach { case (w, keep) =>
+      assert(w >= -0.5 && w < 0.5, s"score $w outside [-0.5, 0.5)")
+      assert(keep == (w > 0) || math.abs(w) < 1e-4) // rounded display vs raw sign
+    }
+  }
+
+  test("mixture plan: rates are budget/tokens capped at 1, exact on hand corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j", "A"),  // 10 tokens
+      (2L, "k l m n o p q r s t", "B"),  // 10 tokens
+      (3L, "x", "C")                     // 1 token
+    ).toDF("doc_id", "text", "source")
+    val plan = Sampling.mixturePlan(d, Map("A" -> 50, "B" -> 30), defaultPct = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // total 21 tokens, budget 50% ⇒ group budget = 21·pct·50/10000
+    assert(plan("A") == ((10L, 50L, 0.525)))  // 21·50·50/10000/10
+    assert(plan("B") == ((10L, 30L, 0.315)))
+    assert(plan("C") == ((1L, 5L, 0.525)))
+    // a giant share on a tiny group hits the rate cap
+    val capped = Sampling.mixturePlan(d, Map("C" -> 100), defaultPct = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(capped("C") == 1.0)
+  }
+
+  test("leakage-safe split: cluster members never straddle the split") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely unrelated content about something else")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsAdaptive(d, k = 3, threshold = 0.5)
+    val out = Dedup.leakageSafeSplit(d, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L) // shared representative
+    assert(byId(1L)._3 == byId(2L)._3)             // ⇒ same side
+    assert(byId(3L)._2 == 3L)                      // singleton reps itself
+    // corpus-level invariant: one split value per representative
+    val full = Dedup.leakageSafeSplit(docs,
+      Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5))
+    val straddlers = full.groupBy("rep")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .where(col("nsplits") > 1).count()
+    assert(straddlers == 0L)
+  }
+
   test("postings minDf prunes output rows only") {
     import spark.implicits._
     val d = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
