@@ -403,8 +403,11 @@ object TextAnalysis {
     val partials = toks.mapPartitions { it =>
       Iterator.single(mgLocal(it, capacity))
     }
+    // one summary row per partition, so only a ZERO-partition input can
+    // empty the reduce — detected without a job (Dataset.isEmpty would
+    // tokenize and fold all of partition 0 just to fetch its probe row)
     val merged =
-      if (partials.isEmpty) Seq.empty[(String, Long)]
+      if (partials.rdd.getNumPartitions == 0) Seq.empty[(String, Long)]
       else partials.reduce((a, b) => mgMerge(a, b, capacity))
     merged.toDF("token", "est").orderBy(col("est").desc, col("token").asc)
   }

@@ -175,9 +175,13 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     val mg = TextAnalysis.heavyHitters(docs, capacity = cap)
       .withColumnRenamed("est", "__est")
+    // lazily checkpointed: the n-scalar probe below materializes the
+    // tokenize+groupBy once and the returned plan reuses the blocks —
+    // without it the corpus would be tokenized and shuffled twice
     val exact = docs
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false)
     // measured scalar (same pattern as the adaptive dedup plans): one
     // count job instead of a vocab-wide global window or a 1-row
     // nested-loop cross join

@@ -37,6 +37,14 @@ class StreamingTopK(spark: SparkSession, baseDir: String,
   private val tmpDir = new File(s"$baseDir/summary__tmp")
   private val oldDir = new File(s"$baseDir/summary__old")
 
+  /** Guards the store against a reader's recoverSwap racing the batch
+    * thread mid-swap (dst renamed aside, tmp not yet in place — the
+    * window where recovery would "restore" the old dir and fail the
+    * writer's rename). summary() is documented for use WHILE the
+    * stream runs, so reads and commits serialize here; monitors are
+    * reentrant, so the batch path's own summary() call is fine. */
+  private val storeLock = new Object
+
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"doc_id LONG, $textCol STRING").json(dir)
@@ -47,7 +55,7 @@ class StreamingTopK(spark: SparkSession, baseDir: String,
     * recoverable even when the summary itself is empty (possible: at
     * capacity 1, a stream `a b` decrements `a` away and never admits
     * `b`). */
-  def summary(s: SparkSession = spark): (Seq[(String, Long)], Long) = {
+  def summary(s: SparkSession = spark): (Seq[(String, Long)], Long) = storeLock.synchronized {
     TierStore.recoverSwap(storeDir, oldDir)
     if (!storeDir.exists()) return (Nil, 0L)
     s.catalog.refreshByPath(storeDir.toString)
@@ -74,22 +82,28 @@ class StreamingTopK(spark: SparkSession, baseDir: String,
           val local = TextAnalysis.mgLocal(counted, cap)
           Iterator.single((local, n))
         }
+        // mapPartitions emits exactly one row per partition, so the
+        // reduce can only be empty when the batch has ZERO partitions —
+        // checked without a job (a Dataset.isEmpty probe would tokenize
+        // and MG-fold all of partition 0 just to fetch one row)
         val (batchSummary, batchN) =
-          if (partials.isEmpty) (Seq.empty[(String, Long)], 0L)
+          if (partials.rdd.getNumPartitions == 0) (Seq.empty[(String, Long)], 0L)
           else partials.reduce { (a, b) =>
             (TextAnalysis.mgMerge(a._1, b._1, cap), a._2 + b._2)
           }
-        val (stored, storedN) = summary(s)
-        val merged = TextAnalysis.mgMerge(stored, batchSummary, cap)
-        val n = storedN + batchN
-        val out = merged.map { case (t, e) => (Option(t), e, n) } :+
-          ((None: Option[String], 0L, n))
-        out.toDF("token", "est", "n").coalesce(1)
-          .write.mode("overwrite").parquet(tmpDir.toString)
-        if (storeDir.exists()) TierStore.swapInto(storeDir, tmpDir, oldDir)
-        else {
-          Files.createDirectories(Paths.get(baseDir))
-          require(tmpDir.renameTo(storeDir), s"could not publish $tmpDir")
+        storeLock.synchronized {
+          val (stored, storedN) = summary(s)
+          val merged = TextAnalysis.mgMerge(stored, batchSummary, cap)
+          val n = storedN + batchN
+          val out = merged.map { case (t, e) => (Option(t), e, n) } :+
+            ((None: Option[String], 0L, n))
+          out.toDF("token", "est", "n").coalesce(1)
+            .write.mode("overwrite").parquet(tmpDir.toString)
+          if (storeDir.exists()) TierStore.swapInto(storeDir, tmpDir, oldDir)
+          else {
+            Files.createDirectories(Paths.get(baseDir))
+            require(tmpDir.renameTo(storeDir), s"could not publish $tmpDir")
+          }
         }
         ()
       }
