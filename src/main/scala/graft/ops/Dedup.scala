@@ -130,6 +130,34 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Corpus-level containment: what fraction of a benchmark's DISTINCT
+    * shingles appears anywhere in the corpus — the go/no-go aggregate
+    * a release pipeline logs before shipping a training set (the
+    * per-document view is [[contamination]]). One row:
+    * (n_bench_shingles, n_contained, containment).
+    *
+    * Scale: both sides reduce to distinct xxhash64 shingle sets before
+    * the join (8-byte keys, text never shuffles); the benchmark side
+    * is small by construction, so the planner broadcasts it and the
+    * corpus-side distinct is the only wide exchange. */
+  def containmentReport(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
+                        textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    def distinctShingles(df: DataFrame): DataFrame =
+      df.select(explode(shingles(col(textCol), k)).as("s0"))
+        .select(xxhash64(col("s0")).as("s")).distinct()
+    val flagged = distinctShingles(benchmark)
+      .join(distinctShingles(corpus).withColumn("c", lit(1L)), Seq("s"), "left")
+    flagged.agg(count(lit(1)).as("n_bench_shingles"),
+        // sum over ZERO rows is null, not 0 — an empty benchmark must
+        // still report (0, 0, 0.0)
+        coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("n_contained"))
+      .select(col("n_bench_shingles"), col("n_contained"),
+        round(when(col("n_bench_shingles") === 0L, lit(0.0))
+          .otherwise(col("n_contained").cast("double") /
+            col("n_bench_shingles").cast("double")), 6).as("containment"))
+  }
+
   /** Exact dedup: one surviving (min) id per distinct normalized text.
     * Returns (keep_id, n_dups). The shuffle key is a 256-bit digest of
     * the normalized text, not the text itself — at 100 TB the exchange

@@ -156,6 +156,41 @@ object TextAnalysis {
         round(col("max_gram_freq").cast("double") / col("n_grams").cast("double"), 4)
           .as("repetition"))
 
+  /** Cross-document repeated token spans — the exact-substring-dedup
+    * signal (Lee et al. 2022 trigger condition: a length-n token
+    * window shared VERBATIM by ≥ minDocs distinct documents). Emits
+    * per doc its total span count, how many of its span positions are
+    * cross-document-shared, and the shared ratio — the score a
+    * span-level dedup/trim stage keys on. Complements
+    * [[ngramRepetition]] (within-doc loops) and boilerplate removal
+    * (line-granularity): this is token-window granularity ACROSS docs.
+    *
+    * Scale: spans travel as xxhash64 keys (8 B, text never shuffles);
+    * the span frame is lazily checkpointed so the shared-span lexicon
+    * and the per-doc stats reuse ONE explode; the lexicon is bounded
+    * by spans that actually repeat across docs, not the corpus. Docs
+    * shorter than n collapse to one whole-doc span (ngramsAll rule). */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0 && minDocs > 1, s"need n > 0 and minDocs > 1, got ($n, $minDocs)")
+    val spans = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), explode(ngramsAll(col("w"), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .localCheckpoint(eager = false) // reused: lexicon + per-doc stats
+    val lex = spans.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("h"), lit(1L).as("shared"))
+    spans
+      .join(lex, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("shared"), lit(0L))).as("n_shared"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_spans").cast("double"), 4)
+          .as("shared_ratio"))
+  }
+
   /** Cross-document boilerplate removal: newline-delimited lines whose
     * normalized form appears in at least `minDocs` DISTINCT documents
     * are dropped from every document — the header/nav/footer stripper

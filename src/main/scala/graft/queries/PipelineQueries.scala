@@ -260,6 +260,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated 8-token spans (exact-substring-dedup
+    * signal): per-doc span counts and shared ratio. */
+  def repeatedSpansQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repeatedSpans(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** Corpus-level benchmark containment, same every-10th-doc split the
+    * curation funnel uses as its held-out benchmark. */
+  def containmentReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.containmentReport(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
+  }
+
   /** Inverted-index postings: df ≥ 5 tokens with their first 10 doc
     * ids (comma-joined so the driver hash compares a plain string). */
   def postingsQ(spark: SparkSession, dir: String): DataFrame =
@@ -686,6 +700,8 @@ object PipelineQueries {
     "d_quality_clf"     -> (qualityClfQ _),
     "d_mixture_plan"    -> (mixturePlanQ _),
     "d_split_assign"    -> (splitAssignQ _),
+    "d_repeated_spans"  -> (repeatedSpansQ _),
+    "d_containment_report" -> (containmentReportQ _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -849,6 +865,34 @@ object PipelineQueries {
          |n AS (SELECT COUNT(*) AS n FROM t)
          |SELECT token, freq, true AS ok FROM c, n
          |WHERE freq * 65 > n.n ORDER BY token""".stripMargin,
+    "d_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |             ELSE list_transform(range(1, len(w) - 6),
+         |                    i -> array_to_string(w[i:i+7], ' ')) END) AS gr
+         |      FROM t),
+         |d AS (SELECT DISTINCT doc_id, gr FROM g),
+         |lex AS (SELECT gr FROM d GROUP BY gr HAVING COUNT(*) >= 2),
+         |s AS (SELECT g.doc_id, COUNT(*) AS n_spans,
+         |        CAST(SUM(CASE WHEN lex.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_shared
+         |      FROM g LEFT JOIN lex ON g.gr = lex.gr GROUP BY 1)
+         |SELECT doc_id, n_spans, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(n_spans AS DOUBLE), 4) AS shared_ratio
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "d_containment_report" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |be AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 10 = 0),
+         |ce AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 10 != 0),
+         |f AS (SELECT be.s AS s, (ce.s IS NOT NULL) AS c
+         |      FROM be LEFT JOIN ce ON be.s = ce.s)
+         |SELECT COUNT(*) AS n_bench_shingles,
+         |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+         |  round(CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS containment
+         |FROM f""".stripMargin,
     "d_quality_clf" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |e AS (SELECT doc_id, unnest(w) AS tk FROM t),

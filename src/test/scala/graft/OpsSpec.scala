@@ -667,6 +667,34 @@ class OpsSpec extends SparkSpec {
     assert(straddlers == 0L)
   }
 
+  test("repeated spans: cross-doc verbatim windows flagged, short docs collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h unique1 tail1"), // 10 toks → 3 spans, 1st shared
+      (2L, "a b c d e f g h other2 end2"),
+      (3L, "tiny doc"),                       // < 8 toks → one whole-doc span
+      (4L, "tiny doc")                        // …shared verbatim with doc 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
+  test("containment report: shared shingle fraction over the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq((2L, "x y z q")).toDF("doc_id", "text")
+    // bench shingles {x y z, y z q}; corpus holds only the first
+    val r = Dedup.containmentReport(corpus, bench).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 0.5)))
+    // empty benchmark: zero shingles, containment 0 (no divide-by-zero)
+    val empty = Dedup.containmentReport(corpus, bench.limit(0)).collect()(0)
+    assert((empty.getLong(0), empty.getLong(1), empty.getDouble(2)) == ((0L, 0L, 0.0)))
+  }
+
   test("postings minDf prunes output rows only") {
     import spark.implicits._
     val d = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
