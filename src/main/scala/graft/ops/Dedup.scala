@@ -115,15 +115,20 @@ object Dedup {
     * doc count) and both sides travel as 8-byte xxhash64 keys; the join
     * is a bucket-equi-join on the shingle hash, never a doc×doc
     * product. Returns (idCol, n_shared) for contaminated docs. */
+  /** (cols..., s = xxhash64 of each distinct k-shingle) — the ONE
+    * shingle-hash projection behind both decontamination views; a
+    * hashing/normalization change lands here once. */
+  private def shingleHashFrame(df: DataFrame, k: Int, textCol: String,
+                               cols: Column*): DataFrame =
+    df.select(cols :+ explode(shingles(col(textCol), k)).as("s0"): _*)
+      .withColumn("s", xxhash64(col("s0"))).drop("s0")
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     k: Int = 3, minShared: Int = 2,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(shingles(col(textCol), k)).as("s0"): _*)
-        .withColumn("s", xxhash64(col("s0"))).drop("s0")
-    val bench = shingleHashes(benchmark).select("s").distinct()
-    shingleHashes(corpus, col(idCol))
+    val bench = shingleHashFrame(benchmark, k, textCol).select("s").distinct()
+    shingleHashFrame(corpus, k, textCol, col(idCol))
       .join(bench, "s")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared")) // corpus shingles are distinct per doc
@@ -137,21 +142,31 @@ object Dedup {
     * (n_bench_shingles, n_contained, containment).
     *
     * Scale: both sides reduce to distinct xxhash64 shingle sets before
-    * the join (8-byte keys, text never shuffles); the benchmark side
-    * is small by construction, so the planner broadcasts it and the
-    * corpus-side distinct is the only wide exchange. */
+    * the join (8-byte keys, text never shuffles), and the small
+    * benchmark set is the BUILD side of a left-semi join from the
+    * corpus (a left-outer with bench as the stream side could never
+    * broadcast — Spark only builds the right side of an outer join),
+    * so the corpus-side distinct is the only wide exchange. The bench
+    * frame is lazily checkpointed: the semi-join build and the
+    * denominator count share one evaluation. */
   def containmentReport(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
                         textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    def distinctShingles(df: DataFrame): DataFrame =
-      df.select(explode(shingles(col(textCol), k)).as("s0"))
-        .select(xxhash64(col("s0")).as("s")).distinct()
-    val flagged = distinctShingles(benchmark)
-      .join(distinctShingles(corpus).withColumn("c", lit(1L)), Seq("s"), "left")
-    flagged.agg(count(lit(1)).as("n_bench_shingles"),
-        // sum over ZERO rows is null, not 0 — an empty benchmark must
-        // still report (0, 0, 0.0)
-        coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("n_contained"))
+    val bench = shingleHashFrame(benchmark, k, textCol).select("s").distinct()
+      .localCheckpoint(eager = false)
+    val corp = shingleHashFrame(corpus, k, textCol).select("s").distinct()
+    // |corpus ∩ bench| as rows tagged 1, |bench| as rows tagged 0;
+    // one union + one aggregate — no join of 1-row aggregates (which
+    // would plan the nested-loop shape the plan audit forbids)
+    val contained = corp.join(bench, Seq("s"), "left_semi")
+      .select(lit(1L).as("tag"))
+    bench.select(lit(0L).as("tag")).union(contained)
+      .agg(
+        // aggregates over ZERO rows yield null — an empty benchmark
+        // must still report (0, 0, 0.0)
+        coalesce(sum(when(col("tag") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_bench_shingles"),
+        coalesce(sum(col("tag")), lit(0L)).as("n_contained"))
       .select(col("n_bench_shingles"), col("n_contained"),
         round(when(col("n_bench_shingles") === 0L, lit(0.0))
           .otherwise(col("n_contained").cast("double") /

@@ -889,9 +889,11 @@ object PipelineQueries {
          |f AS (SELECT be.s AS s, (ce.s IS NOT NULL) AS c
          |      FROM be LEFT JOIN ce ON be.s = ce.s)
          |SELECT COUNT(*) AS n_bench_shingles,
-         |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
-         |  round(CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) /
-         |    CAST(COUNT(*) AS DOUBLE), 6) AS containment
+         |  COALESCE(CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT), 0)
+         |    AS n_contained,
+         |  CASE WHEN COUNT(*) = 0 THEN 0.0
+         |       ELSE round(CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) /
+         |              CAST(COUNT(*) AS DOUBLE), 6) END AS containment
          |FROM f""".stripMargin,
     "d_quality_clf" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
