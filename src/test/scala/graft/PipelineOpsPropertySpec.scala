@@ -168,6 +168,40 @@ class PipelineOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("repeated spans equal a naive reference on random corpora") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield toks.mkString(" "))
+      n <- Gen.choose(2, 5)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, n)
+    forAllSeeded(genCorpus, trials = 12) { case (docs, n) =>
+      def spansOf(text: String): Seq[String] = {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) Seq("") // blank text → one empty whole-doc span
+        else if (toks.size < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val all = docs.map { case (id, t) => id -> spansOf(t) }
+      val shared = all.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.size >= 2).keySet
+      val expect = all.map { case (id, ss) =>
+        val hits = ss.count(shared)
+        (id, ss.size.toLong, hits.toLong,
+          BigDecimal(hits.toDouble / ss.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = TextAnalysis.repeatedSpans(docs.toDF("doc_id", "text"), n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expect, s"n=$n docs=$docs")
+    }
+  }
+
   test("misra-gries: local+merged summaries keep the n/(cap+1) bound on any stream") {
     import graft.ops.TextAnalysis.{mgLocal, mgMerge}
     // random token streams over a skewed alphabet, random partition

@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: summary survives a stream restart on the same dir") {
+    val base = Files.createTempDirectory("graft_stopk_restart").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val st1 = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+    val q1 = st1.start(st1.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", Seq(doc(1, "hot hot hot hot hot warm")))
+      q1.processAllAvailable()
+      assert(st1.summary()._2 == 6L)
+    } finally q1.stop()
+    // a NEW instance on the same dir (process restart): state must
+    // carry over, and the checkpointed source must not replay b1
+    val st2 = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+    assert(st2.summary()._2 == 6L) // readable before the stream restarts
+    val q2 = st2.start(st2.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b2.json", Seq(doc(2, "hot hot cold")))
+      q2.processAllAvailable()
+      val (s2, n2) = st2.summary()
+      assert(n2 == 9L, s"expected 6 + 3 tokens, got $n2") // no b1 replay
+      val hot = s2.toMap.getOrElse("hot", 0L)
+      // true 7, bound ⌊9/5⌋ = 1 ⇒ est ∈ [6, 7] and present
+      assert(hot >= 6L && hot <= 7L, s"hot estimate $hot outside [6, 7]")
+    } finally q2.stop()
+  }
+
   test("streaming near-dup: signature store drops near-duplicates across and within batches") {
     val base = Files.createTempDirectory("graft_sndup").toString
     val in = s"$base/in"
