@@ -695,6 +695,20 @@ class OpsSpec extends SparkSpec {
     assert((empty.getLong(0), empty.getLong(1), empty.getDouble(2)) == ((0L, 0L, 0.0)))
   }
 
+  test("containment report plans the bench set as a LeftSemi build side") {
+    // pins the review fix: a left-outer with bench on the stream side
+    // could never broadcast-build the small set; the corpus must probe
+    // a semi-join against bench
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs2 = Tables.documents(s2, sf)
+    val plan = Dedup.containmentReport(
+      docs2.where(col("doc_id") % 10 =!= 0), docs2.where(col("doc_id") % 10 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.contains("LeftOuter"), s"bench must not be an outer stream side:\n$plan")
+  }
+
   test("postings minDf prunes output rows only") {
     import spark.implicits._
     val d = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
