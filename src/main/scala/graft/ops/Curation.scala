@@ -28,7 +28,8 @@ object Curation {
   case class Params(minQuality: Double = 0.15,
                     shingleK: Int = 3,
                     jaccardThreshold: Double = 0.5,
-                    minSharedShingles: Int = 2)
+                    minSharedShingles: Int = 2,
+                    semanticThreshold: Double = 0.45)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -103,6 +104,33 @@ object Curation {
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
     val st = stageFrames(corpus, benchmark, p, idCol, textCol)
     (st.last._2.drop(TokCol), funnelOf(st))
+  }
+
+  /** [[run]] plus a SEMANTIC dedup tail (stage 6): after text-level
+    * curation, documents whose EMBEDDINGS cluster at cosine ≥
+    * `p.semanticThreshold` keep only the min-id member — the hybrid
+    * text+vector pipeline (SemDeDup after exact/near-dup, the order
+    * real pipelines use, since semantic dedup is the most expensive
+    * and should see the smallest corpus). `embeddings` is joined on
+    * the id, so only SURVIVORS' vectors enter the LSH; documents
+    * without an embedding row pass through unjudged (they can never
+    * appear in a pair). */
+  def runWithSemantic(corpus: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
+                      p: Params = Params(),
+                      idCol: String = "doc_id", textCol: String = "text",
+                      embIdCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
+    // stage 5 is the one frame stageFrames leaves un-checkpointed (it
+    // is normally terminal); here three consumers reuse it
+    val clean = st0.last._2.localCheckpoint(eager = false)
+    val survivorEmb = embeddings
+      .select(col(embIdCol).as(idCol), col(vecCol))
+      .join(clean.select(idCol), Seq(idCol))
+    val losers = Similarity.semanticDedup(survivorEmb, p.semanticThreshold, idCol, vecCol)
+      .where(!col("kept")).select(idCol)
+    val semantic = clean.join(losers, Seq(idCol), "left_anti")
+    val st = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)
+    (semantic.drop(TokCol), funnelOf(st))
   }
 
   private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =

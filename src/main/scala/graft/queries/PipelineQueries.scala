@@ -260,6 +260,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The hybrid text+vector curation funnel: the 5-stage text pipeline
+    * plus a semantic (embedding-cosine) dedup tail over survivors'
+    * aligned embeddings (vec_id ≡ doc_id in the fixtures). */
+  def curationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.runWithSemantic(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      Tables.embeddings(spark, dir))._2
+  }
+
   /** Cross-document repeated 8-token spans (exact-substring-dedup
     * signal): per-doc span counts and shared ratio. */
   def repeatedSpansQ(spark: SparkSession, dir: String): DataFrame =
@@ -702,6 +712,7 @@ object PipelineQueries {
     "d_split_assign"    -> (splitAssignQ _),
     "d_repeated_spans"  -> (repeatedSpansQ _),
     "d_containment_report" -> (containmentReportQ _),
+    "d_curation_semantic" -> (curationSemantic _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -736,6 +747,62 @@ object PipelineQueries {
        |SELECT doc_id AS id, CAST($assemble AS BIGINT) AS simhash
        |FROM b ORDER BY id""".stripMargin
   }
+
+  /** Shared CTE chain of the curation-funnel oracles: stages 1–5
+    * (quality → exact → near-dup closure → decontamination), ending at
+    * the `clean` CTE. The semantic variant appends its cosine-closure
+    * CTEs and a 6th stage line; both funnels read their stage counts
+    * from [[CurationFunnelStages]] so the text lives exactly once. */
+  private val CurationFunnelPrefix: String =
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, text, $ToksSql AS w, $NormSql AS norm
+       |         FROM documents WHERE doc_id % 10 <> 0),
+       |qc AS (SELECT doc_id, text, w, norm,
+       |        CASE WHEN len(w) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+       |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+       |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+       |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+       |      FROM base),
+       |qd AS (SELECT doc_id, text, w, norm FROM qc
+       |       WHERE round(GREATEST(0.0, LEAST(1.0,
+       |         LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+       |         - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) >= 0.15),
+       |ed AS (SELECT doc_id, w FROM qd
+       |       WHERE doc_id IN (SELECT MIN(doc_id) FROM qd GROUP BY norm)),
+       |shed AS (SELECT doc_id, $ShinglesSql AS sh FROM ed),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM shed),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pr AS (SELECT ia, ib FROM p
+       |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+       |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+       |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+       |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+       |                UNION
+       |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+       |losers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM reach GROUP BY u) WHERE u <> m),
+       |nd AS (SELECT doc_id, w FROM ed WHERE doc_id NOT IN (SELECT u FROM losers)),
+       |bsh AS (SELECT DISTINCT unnest($ShinglesSql) AS s
+       |      FROM (SELECT $ToksSql AS w FROM documents WHERE doc_id % 10 = 0)),
+       |ndsh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM nd),
+       |contam AS (SELECT ndsh.doc_id FROM ndsh JOIN bsh ON ndsh.s = bsh.s
+       |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
+       |clean AS (SELECT doc_id, w FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+
+  private val CurationFunnelStages: String =
+    """
+      |SELECT '1_total' AS stage, COUNT(*) AS n_docs,
+      |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) AS n_tokens FROM base
+      |UNION ALL SELECT '2_quality', COUNT(*),
+      |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM qd
+      |UNION ALL SELECT '3_exact_dedup', COUNT(*),
+      |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM ed
+      |UNION ALL SELECT '4_near_dup', COUNT(*),
+      |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
+      |UNION ALL SELECT '5_decontaminated', COUNT(*),
+      |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "e_event_funnel" ->
@@ -1211,54 +1278,30 @@ object PipelineQueries {
          |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
-    "d_curation_funnel" ->
-      s"""WITH RECURSIVE
-         |base AS (SELECT doc_id, text, $ToksSql AS w, $NormSql AS norm
-         |         FROM documents WHERE doc_id % 10 <> 0),
-         |qc AS (SELECT doc_id, text, w, norm,
-         |        CASE WHEN len(w) = 0 THEN 0.0
-         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
-         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
-         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
-         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
-         |      FROM base),
-         |qd AS (SELECT doc_id, text, w, norm FROM qc
-         |       WHERE round(GREATEST(0.0, LEAST(1.0,
-         |         LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
-         |         - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) >= 0.15),
-         |ed AS (SELECT doc_id, w FROM qd
-         |       WHERE doc_id IN (SELECT MIN(doc_id) FROM qd GROUP BY norm)),
-         |shed AS (SELECT doc_id, $ShinglesSql AS sh FROM ed),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM shed),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
-         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
-         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pr AS (SELECT ia, ib FROM p
-         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
-         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
-         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-         |                UNION
-         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
-         |losers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM reach GROUP BY u) WHERE u <> m),
-         |nd AS (SELECT doc_id, w FROM ed WHERE doc_id NOT IN (SELECT u FROM losers)),
-         |bsh AS (SELECT DISTINCT unnest($ShinglesSql) AS s
-         |      FROM (SELECT $ToksSql AS w FROM documents WHERE doc_id % 10 = 0)),
-         |ndsh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM nd),
-         |contam AS (SELECT ndsh.doc_id FROM ndsh JOIN bsh ON ndsh.s = bsh.s
-         |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
-         |clean AS (SELECT doc_id, w FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
-         |SELECT '1_total' AS stage, COUNT(*) AS n_docs,
-         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) AS n_tokens FROM base
-         |UNION ALL SELECT '2_quality', COUNT(*),
-         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM qd
-         |UNION ALL SELECT '3_exact_dedup', COUNT(*),
-         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM ed
-         |UNION ALL SELECT '4_near_dup', COUNT(*),
-         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
-         |UNION ALL SELECT '5_decontaminated', COUNT(*),
-         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean
-         |ORDER BY stage""".stripMargin,
+    "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
+    // The 5 text stages plus the semantic tail: cosine closure over
+    // stage-5 survivors' embeddings (vec_id ≡ doc_id), min id kept.
+    "d_curation_semantic" -> (CurationFunnelPrefix +
+      s""",
+         |emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |spr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |        FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+         |        JOIN clean ca ON ca.doc_id = a.vec_id
+         |        JOIN clean cb ON cb.doc_id = b.vec_id
+         |        WHERE list_cosine_similarity(a.e, b.e) >= 0.45),
+         |ssym AS (SELECT ia AS u, ib AS v FROM spr UNION SELECT ib, ia FROM spr),
+         |sreach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ssym)
+         |                 UNION
+         |                 SELECT r.u, s2.v FROM sreach r JOIN ssym s2 ON r.v = s2.u),
+         |slosers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM sreach GROUP BY u)
+         |            WHERE u <> m),
+         |sem AS (SELECT doc_id, w FROM clean
+         |        WHERE doc_id NOT IN (SELECT u FROM slosers))""".stripMargin +
+      CurationFunnelStages +
+      s"""
+         |UNION ALL SELECT '6_semantic', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM sem
+         |ORDER BY stage""".stripMargin),
     "d_dup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

@@ -140,6 +140,33 @@ class OpsSpec extends SparkSpec {
     assert(strict("2_quality") == (0L, 0L) && strict("5_decontaminated") == (0L, 0L))
   }
 
+  test("semantic curation: stage 6 extends the funnel and drops only cosine losers") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val (curated, funnelDf) = Curation.runWithSemantic(corpus, bench, emb)
+    val funnel = funnelDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(funnel.map(_._1).toSeq == Seq("1_total", "2_quality", "3_exact_dedup",
+      "4_near_dup", "5_decontaminated", "6_semantic"))
+    val counts = funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    assert(curated.count() == counts.last)
+    // stages 1-5 must be identical to the text-only pipeline: the
+    // semantic tail narrows, never perturbs, the text stages
+    val textOnly = Curation.funnel(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(funnel.init.toSeq == textOnly.toSeq)
+    // survivors of stage 6 = stage-5 docs minus semanticDedup losers
+    // among stage-5 survivors' embeddings
+    val clean5 = Curation.curate(corpus, bench)
+    val survEmb = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(clean5.select("doc_id"), "doc_id")
+    val losers = Similarity.semanticDedup(survEmb, 0.45, "doc_id")
+      .where(!col("kept")).collect().map(_.getLong(0)).toSet
+    val expect = clean5.collect().map(_.getAs[Long]("doc_id")).toSet -- losers
+    assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
+  }
+
   test("simhash: identical texts share signatures; hamming is sane") {
     val sig = Dedup.simhash(docs)
     assert(sig.count() == docs.count())
