@@ -118,7 +118,8 @@ object Curation {
   def runWithSemantic(corpus: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
                       p: Params = Params(),
                       idCol: String = "doc_id", textCol: String = "text",
-                      embIdCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+                      embIdCol: String = "vec_id", vecCol: String = "embedding",
+                      vecDims: Int = 64): (DataFrame, DataFrame) = {
     val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
     // stage 5 is the one frame stageFrames leaves un-checkpointed (it
     // is normally terminal); here three consumers reuse it
@@ -126,7 +127,8 @@ object Curation {
     val survivorEmb = embeddings
       .select(col(embIdCol).as(idCol), col(vecCol))
       .join(clean.select(idCol), Seq(idCol))
-    val losers = Similarity.semanticDedup(survivorEmb, p.semanticThreshold, idCol, vecCol)
+    val losers = Similarity.semanticDedup(survivorEmb, p.semanticThreshold, idCol, vecCol,
+        dims = vecDims)
       .where(!col("kept")).select(idCol)
     val semantic = clean.join(losers, Seq(idCol), "left_anti")
     val st = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)

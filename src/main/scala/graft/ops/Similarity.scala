@@ -129,7 +129,12 @@ object Similarity {
     cands
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .where(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      // positive-norm guard: for a zero vector the scale-free predicate
+      // degenerates to 0 ≥ 0 and would pair it with every bucket-mate;
+      // cosine is undefined there, so zero vectors never pair (matching
+      // SQL engines, where list_cosine_similarity yields NaN)
+      .where(col("na") > 0 && col("nb") > 0 &&
+        dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }

@@ -574,6 +574,18 @@ class OpsSpec extends SparkSpec {
       4L -> true, 5L -> true, 6L -> false, 7L -> false))
   }
 
+  test("near-dup pairs: zero vectors never pair (cosine undefined)") {
+    import spark.implicits._
+    val z = Array.fill(4)(0.0f)
+    val u = Array(1.0f, 0f, 0f, 0f)
+    val e = Seq((0L, u), (1L, u), (2L, z), (3L, z)).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(e, threshold = 0.9, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical unit vectors pair; zero vectors pair with nothing, not
+    // even each other (the degenerate 0 >= 0 predicate must not fire)
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("misra-gries summary: presence above n/(cap+1), est <= true, bounded error") {
     import spark.implicits._
     // 40×a, 12×b, 5×c, 3×d as one-token docs: n = 60, capacity 3 ⇒
