@@ -63,11 +63,27 @@ object Bench {
       name -> (if (failed.lastOption.contains(name)) -1.0
                else (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line ~3x shorter than raw doubles
+    // (the round-4 driver's tail capture truncated the full-precision
+    // 87-entry line mid-JSON); -1.0 failure markers survive rounding.
+    def fmt(sec: Double): String = BigDecimal(sec)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, sec) if sec >= 0 => sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"tier_build_sec":$tierBuild,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"tier_build_sec":${fmt(tierBuild)},"sf":"$sfDir"}"""
+    // Durable copy first: if stdout capture ever truncates again, the
+    // complete artifact is still on disk for the driver/judge.
+    try {
+      val out = new java.io.File("target/bench_result.json")
+      Option(out.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(json) finally w.close()
+      System.err.println(s"[bench] wrote ${out.getAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

@@ -108,13 +108,6 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("digest")
 
-  /** Test-set decontamination: corpus documents sharing at least
-    * `minShared` distinct k-shingles with ANY benchmark document — the
-    * standard leakage check before training. The benchmark's shingle
-    * SET is deduped before the join (its size is what matters, not its
-    * doc count) and both sides travel as 8-byte xxhash64 keys; the join
-    * is a bucket-equi-join on the shingle hash, never a doc×doc
-    * product. Returns (idCol, n_shared) for contaminated docs. */
   /** (cols..., s = xxhash64 of each distinct k-shingle) — the ONE
     * shingle-hash projection behind both decontamination views; a
     * hashing/normalization change lands here once. */
@@ -123,6 +116,13 @@ object Dedup {
     df.select(cols :+ explode(shingles(col(textCol), k)).as("s0"): _*)
       .withColumn("s", xxhash64(col("s0"))).drop("s0")
 
+  /** Test-set decontamination: corpus documents sharing at least
+    * `minShared` distinct k-shingles with ANY benchmark document — the
+    * standard leakage check before training. The benchmark's shingle
+    * SET is deduped before the join (its size is what matters, not its
+    * doc count) and both sides travel as 8-byte xxhash64 keys; the join
+    * is a bucket-equi-join on the shingle hash, never a doc×doc
+    * product. Returns (idCol, n_shared) for contaminated docs. */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     k: Int = 3, minShared: Int = 2,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -91,9 +91,13 @@ object Sampling {
     perGroup
       .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
       .select(col("grp").as(groupCol), col("n_tokens"), pct.as("share_pct"),
-        round(least(lit(1.0),
-          (col("total") * pct * lit(budgetPct.toLong)).cast("double") /
-            (lit(10000.0) * col("n_tokens").cast("double"))), 6).as("rate"))
+        // a group whose docs all tokenize empty would divide 0-or-x by 0
+        // (NaN/Infinity) — define its rate as 1.0 (keep all of nothing)
+        // instead of leaning on NaN ordering inside least()
+        when(col("n_tokens") === 0L, lit(1.0)).otherwise(
+          round(least(lit(1.0),
+            (col("total") * pct * lit(budgetPct.toLong)).cast("double") /
+              (lit(10000.0) * col("n_tokens").cast("double"))), 6)).as("rate"))
   }
 
   /** Up to `k` rows per stratum, chosen pseudo-randomly but

@@ -542,9 +542,17 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Per-document top-k terms by tf·idf (idf = ln(N/df), ties broken by
+    * token). `nDocs` lets a caller that already knows the corpus size
+    * (a catalog, a previous stage) skip the count entirely; when absent
+    * the count runs INSIDE the plan — a zero-column scan (parquet
+    * answers it from footers) aggregated to one row and attached to the
+    * df frame via a broadcast equi-join on a constant key — instead of
+    * an eager driver-side count() that costs a full extra job and a
+    * sync before the real work. */
   def tfidfTopK(docs: DataFrame, k: Int = 3,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nDocs = docs.select(col(idCol)).count().toDouble
+                idCol: String = "doc_id", textCol: String = "text",
+                nDocs: Option[Long] = None): DataFrame = {
     // lazily checkpointed: the term frame feeds BOTH the tf side of the
     // join and the document-frequency aggregate — without it Catalyst
     // plans two scan+explode+shuffle subtrees (exchange reuse doesn't
@@ -555,11 +563,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
     val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val withN = nDocs match {
+      case Some(n) => docFreq.withColumn("__n", lit(n.toDouble))
+      case None =>
+        // oracle semantics: N counts ALL documents, including ones that
+        // tokenize empty — so count docs, not distinct ids in `terms`
+        val nFrame = docs.agg(count(lit(1)).cast("double").as("__n"))
+          .withColumn("__one", lit(1))
+        docFreq.withColumn("__one", lit(1))
+          .join(broadcast(nFrame), "__one").drop("__one")
+    }
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("token").asc)
-    terms.join(docFreq, "token")
+    terms.join(withN, "token")
       .withColumn("tfidf",
-        round(col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")), 4))
+        round(col("tf").cast("double") * log(col("__n") / col("df").cast("double")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col(idCol), col("token"), col("tfidf"), col("rnk"))

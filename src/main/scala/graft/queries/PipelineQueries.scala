@@ -985,8 +985,9 @@ object PipelineQueries {
          |                   ELSE 5 END AS BIGINT) AS share_pct
          |       FROM g CROSS JOIN tot)
          |SELECT source, n_tokens, share_pct,
-         |  round(LEAST(1.0, CAST(total * share_pct * 50 AS DOUBLE) /
-         |    (10000.0 * CAST(n_tokens AS DOUBLE))), 6) AS rate
+         |  CASE WHEN n_tokens = 0 THEN 1.0
+         |       ELSE round(LEAST(1.0, CAST(total * share_pct * 50 AS DOUBLE) /
+         |         (10000.0 * CAST(n_tokens AS DOUBLE))), 6) END AS rate
          |FROM sh ORDER BY source""".stripMargin,
     "d_split_assign" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),

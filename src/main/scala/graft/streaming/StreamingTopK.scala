@@ -57,6 +57,14 @@ class StreamingTopK(spark: SparkSession, baseDir: String,
     * `b`). */
   def summary(s: SparkSession = spark): (Seq[(String, Long)], Long) = storeLock.synchronized {
     TierStore.recoverSwap(storeDir, oldDir)
+    // A crash between swapInto's publish rename and its deleteTree(old)
+    // leaves BOTH the store and the __old dir on disk; recoverSwap is a
+    // no-op then, and the next commit's swapInto would fail renaming the
+    // store onto the surviving __old. Clear the leftovers here — the
+    // commit path calls summary() first under the lock — mirroring
+    // StoreCompaction.compactDir's recover-then-clean sequence.
+    TierStore.deleteTree(oldDir)
+    TierStore.deleteTree(tmpDir)
     if (!storeDir.exists()) return (Nil, 0L)
     s.catalog.refreshByPath(storeDir.toString)
     val rows = s.read.parquet(storeDir.toString).collect()

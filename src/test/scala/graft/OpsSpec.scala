@@ -681,6 +681,12 @@ class OpsSpec extends SparkSpec {
     val capped = Sampling.mixturePlan(d, Map("C" -> 100), defaultPct = 5)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(capped("C") == 1.0)
+    // a group whose docs all tokenize empty must get a DEFINED rate
+    // (1.0), not NaN/Infinity from the 0-token division
+    val withEmpty = d.union(Seq((4L, "", "D")).toDF("doc_id", "text", "source"))
+    val zero = Sampling.mixturePlan(withEmpty, Map("A" -> 50), defaultPct = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(zero("D") == ((0L, 1.0)), s"zero-token group rate: ${zero("D")}")
   }
 
   test("leakage-safe split: cluster members never straddle the split") {

@@ -143,6 +143,37 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming heavy hitters: crash between publish and old-dir cleanup self-heals") {
+    val base = Files.createTempDirectory("graft_stopk_crash").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val st = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+    val q = st.start(st.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", Seq(doc(1, "hot hot hot warm")))
+      q.processAllAvailable()
+      assert(st.summary()._2 == 4L)
+      // Simulate swapInto dying AFTER the publish rename but BEFORE
+      // deleteTree(old): both summary/ and summary__old/ on disk. The
+      // next commit's swapInto would rename summary onto the surviving
+      // __old and fail — summary()'s recover-then-clean must clear it.
+      val storeDir = new java.io.File(s"$base/summary")
+      val oldDir = new java.io.File(s"$base/summary__old")
+      Files.createDirectories(oldDir.toPath)
+      Files.write(oldDir.toPath.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+      assert(storeDir.exists() && oldDir.exists())
+      dropFile(in, "b2.json", Seq(doc(2, "hot cold")))
+      q.processAllAvailable()
+      val (s, n) = st.summary()
+      assert(n == 6L, s"expected 4 + 2 tokens after the simulated crash, got $n")
+      assert(!oldDir.exists(), "leftover __old dir must be cleared")
+      val hot = s.toMap.getOrElse("hot", 0L)
+      assert(hot >= 3L && hot <= 4L, s"hot estimate $hot outside [3, 4]")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: signature store drops near-duplicates across and within batches") {
     val base = Files.createTempDirectory("graft_sndup").toString
     val in = s"$base/in"
