@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** The ONE switch for how multi-stage batch pipelines (curation stages,
+  * dedup frames, connected-components rounds) share an intermediate
+  * frame across consumers.
+  *
+  * Default: `localCheckpoint` — truncates lineage and materializes to
+  * executor-local blocks with zero configuration. Its documented cliff:
+  * blocks live in executor storage, so losing an executor mid-pipeline
+  * loses them AND the lineage that could recompute them — fine on
+  * local[n] (one JVM: if the "executor" dies the job is gone anyway),
+  * a real risk on a 1000-executor run where single-executor loss is
+  * routine.
+  *
+  * Opt-in: set `spark.graft.checkpoint.reliable=true` (plus the
+  * standard `sparkContext.setCheckpointDir(...)`) and every sharing
+  * point upgrades to a RELIABLE `checkpoint` — frames are written to
+  * the checkpoint dir's fault-tolerant storage and survive executor
+  * loss, at the price of a write+read round-trip per shared frame.
+  * That is the right trade on long multi-stage runs at corpus scale;
+  * the default is the right trade everywhere else.
+  *
+  * Streaming foreachBatch internals deliberately stay on
+  * `localCheckpoint`: a per-trigger frame is re-derivable by the
+  * source replay that at-least-once semantics already guarantee, and
+  * a reliable checkpoint per micro-batch would churn the dir at
+  * trigger cadence for no added durability.
+  */
+object Checkpoints {
+
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  /** Share `df` across multiple downstream consumers; see class doc.
+    * `eager` mirrors the Dataset API (iterative loops checkpoint
+    * eagerly so the convergence probe rides materialized blocks). */
+  def shared(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val ss = df.sparkSession
+    val reliable = ss.conf.getOption(ReliableKey).exists(_.toBoolean)
+    if (reliable) {
+      require(ss.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires sparkContext.setCheckpointDir(...)")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Postfix syntax so call sites read like the Dataset API:
+    * `frame.sharedCheckpoint()` ≙ lazy, `.sharedCheckpoint(eager = true)`
+    * ≙ eager. */
+  implicit class SharedOps(private val df: DataFrame) extends AnyVal {
+    def sharedCheckpoint(eager: Boolean = false): DataFrame =
+      Checkpoints.shared(df, eager)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,13 +34,16 @@ object Curation {
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
-    // Each stage frame is lazily localCheckpoint'd: downstream stages
+    // Each stage frame is lazily shared-checkpointed: downstream stages
     // and the funnel's per-stage counts then share one materialization
     // per stage instead of re-executing every prefix plan (stage 5
     // would otherwise re-run quality+dedup+pairs+closure from the
     // scan). Real pipelines at corpus scale do exactly this — stage
     // outputs are materialized datasets — and the blocks are freed by
-    // the ContextCleaner when the frames go out of scope.
+    // the ContextCleaner when the frames go out of scope. By default
+    // the sharing is executor-local (lost on executor failure); long
+    // multi-stage runs on real clusters opt into reliable checkpoints
+    // with spark.graft.checkpoint.reliable=true — see [[Checkpoints]].
     //
     // The per-doc token count is computed ONCE here (8 bytes carried
     // through every checkpoint) — the funnel's per-stage token sums
@@ -57,16 +61,16 @@ object Curation {
     val quality = withTok
       .where(col("__q") >= p.minQuality)
       .drop("__q")
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val nearDup = Dedup.applyClusters(
       exact,
       Dedup.dupClusters(
         Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)),
       idCol)
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val clean = nearDup.join(
       Dedup.contamination(nearDup, benchmark, p.shingleK, p.minSharedShingles,
         idCol, textCol).select(idCol),
@@ -123,7 +127,7 @@ object Curation {
     val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
     // stage 5 is the one frame stageFrames leaves un-checkpointed (it
     // is normally terminal); here three consumers reuse it
-    val clean = st0.last._2.localCheckpoint(eager = false)
+    val clean = st0.last._2.sharedCheckpoint()
     val survivorEmb = embeddings
       .select(col(embIdCol).as(idCol), col(vecCol))
       .join(clean.select(idCol), Seq(idCol))

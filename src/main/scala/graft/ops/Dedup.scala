@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -77,7 +78,7 @@ object Dedup {
     graft.functions.ensureRegistered(newDocs.sparkSession)
     val seen = seenDocs.select(sha2(normText(col(textCol)), 256).as("digest"))
       .distinct()
-      .localCheckpoint(eager = false) // reused: count, bloom build, hits probe
+      .sharedCheckpoint() // reused: count, bloom build, hits probe
     val newDig = newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
     val nSeen = seen.count()
     if (nSeen == 0L || nSeen > maxSeenItems)
@@ -92,7 +93,7 @@ object Dedup {
       graft.functions.bloom_might_contain(lit(bloom), xxhash64(col("digest"))))
     val fresh = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val maybe = probed.where(col("maybe_seen")).drop("maybe_seen")
-      .localCheckpoint(eager = false) // reused: hits probe + residual anti-join
+      .sharedCheckpoint() // reused: hits probe + residual anti-join
     // digests that are REALLY seen, among the candidates: the seen
     // store streams through a broadcast semi-join (candidate set is
     // dup-rate + fpp sized), producing a hit set no bigger than it
@@ -153,7 +154,7 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val bench = shingleHashFrame(benchmark, k, textCol).select("s").distinct()
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val corp = shingleHashFrame(corpus, k, textCol).select("s").distinct()
     // |corpus ∩ bench| as rows tagged 1, |bench| as rows tagged 0;
     // one union + one aggregate — no join of 1-row aggregates (which
@@ -205,8 +206,9 @@ object Dedup {
     * blocks are stored non-replicated on executors with lineage
     * truncated, so losing an executor mid-query (spot nodes, dynamic
     * allocation) fails the query instead of recomputing — on such
-    * clusters prefer reliable `checkpoint()` by setting a checkpoint
-    * dir, trading a distributed-FS write per dedup call.
+    * clusters opt into reliable `checkpoint()` via
+    * [[Checkpoints.ReliableKey]] plus a checkpoint dir, trading a
+    * distributed-FS write per shared frame.
     */
   private def shingleFrame(docs: DataFrame, k: Int,
                            idCol: String, textCol: String): DataFrame = {
@@ -214,7 +216,7 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
   }
 
   /** jaccard-filtered output from per-pair intersection counts. */
@@ -442,7 +444,7 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                   maxRounds: Int = 30, driverEdgeCap: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint(eager = false) // shared: count probe + whichever path wins
+      .sharedCheckpoint() // shared: count probe + whichever path wins
     // Adaptive split, same measured-stats pattern as jaccardPairsAdaptive:
     // an edge list that fits in one task (cap ≈ 1.6 MB of longs) is a
     // single-node problem — union-find on the driver beats a round of
@@ -460,10 +462,10 @@ object Dedup {
     if (integralIds && edges.count() <= driverEdgeCap)
       return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = false) // reused every round: both joins below
+      .sharedCheckpoint() // reused every round: both joins below
     // round 0: each node's label = min(self, direct neighbours)
     var labels = sym.groupBy("u").agg(least(min(col("v")), min(col("u"))).as("l"))
-      .localCheckpoint()
+      .sharedCheckpoint(eager = true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -483,7 +485,7 @@ object Dedup {
         .join(prop.select(col("u").as("l"), col("l").as("ll")), Seq("l"), "left")
         .select(col("u"), coalesce(col("ll"), col("l")).as("l"),
           (coalesce(col("ll"), col("l")) =!= col("lPrev")).as("ch"))
-        .localCheckpoint()
+        .sharedCheckpoint(eager = true)
       converged = next.where(col("ch")).isEmpty
       labels = next.select("u", "l")
       round += 1

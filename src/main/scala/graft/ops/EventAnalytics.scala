@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -148,7 +149,7 @@ object EventAnalytics {
       .where(col(userCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds dau AND the window explode
+      .sharedCheckpoint() // feeds dau AND the window explode
     val dau = userDays.groupBy("__d").agg(count(lit(1)).as("dau"))
     val windowed = userDays
       .select(col("__u"),

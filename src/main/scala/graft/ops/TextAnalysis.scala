@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -176,7 +177,7 @@ object TextAnalysis {
     val spans = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .select(col("id"), explode(ngramsAll(col("w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
-      .localCheckpoint(eager = false) // reused: lexicon + per-doc stats
+      .sharedCheckpoint() // reused: lexicon + per-doc stats
     val lex = spans.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
@@ -319,7 +320,7 @@ object TextAnalysis {
     val docTok = docs
       .select(col(idCol).as("__id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val docFreq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
     val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -375,7 +376,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val freq = terms.groupBy("token").agg(sum("tf").as("freq"))
     // sum over an all-empty corpus is NULL; the result frame is empty
     // then, so the placeholder total never reaches an output row
@@ -561,7 +562,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val withN = nDocs match {
       case Some(n) => docFreq.withColumn("__n", lit(n.toDouble))

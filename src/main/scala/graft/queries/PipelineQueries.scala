@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,7 +182,7 @@ object PipelineQueries {
     val exact = docs
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     // measured scalar (same pattern as the adaptive dedup plans): one
     // count job instead of a vocab-wide global window or a 1-row
     // nested-loop cross join

@@ -140,6 +140,35 @@ class OpsSpec extends SparkSpec {
     assert(strict("2_quality") == (0L, 0L) && strict("5_decontaminated") == (0L, 0L))
   }
 
+  test("reliable-checkpoint knob: funnel and clusters identical, checkpoint dir used") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val baseline = Curation.funnel(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(ops.Checkpoints.ReliableKey, "true")
+    try {
+      val reliable = Curation.funnel(corpus, bench).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(reliable == baseline)
+      // the distributed closure's per-round checkpoints go reliable too
+      import spark.implicits._
+      val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = Dedup.dupClusters(chain, driverEdgeCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels == (0L to 50L).map(_ -> 0L).toSet)
+      // evidence the reliable path actually ran: RDD checkpoint files
+      // landed under the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.toFile.isFile).count()
+      assert(wrote > 0, s"no checkpoint files under $ckDir")
+    } finally {
+      spark.conf.unset(ops.Checkpoints.ReliableKey)
+      graft.sources.TierStore.deleteTree(new java.io.File(ckDir))
+    }
+  }
+
   test("semantic curation: stage 6 extends the funnel and drops only cosine losers") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
