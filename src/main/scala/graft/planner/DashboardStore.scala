@@ -62,6 +62,52 @@ class DashboardStore(dir: String) {
       throw new UnsupportedOperationException(s"Unsupported grafana expression [$other]")
   }
 
+  /** Store a Grafana dashboard POST payload — a JSON array whose HEAD
+    * is the dashboard to save (reference semantics:
+    * InfluxService.scala:76-82 `entity(as[Seq[Dashboard]])` →
+    * InfluxDashboardResolver.scala:110-118 `store(dashboards.head)`).
+    * The storage key is the base64-decoded segment after the last '_'
+    * of the head's "name" field; the stored blob is the head object
+    * itself, so a later get returns exactly what Grafana posted.
+    * Returns the decoded name. */
+  def storePosted(body: String): String = {
+    val head = firstArrayElement(body)
+    val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(head)
+      .map(_.group(1))
+      .getOrElse(throw new UnsupportedOperationException(
+        "dashboard payload has no name field"))
+    val decoded = decode(name.split("_").last)
+    store(decoded, head.getBytes("UTF-8"))
+    decoded
+  }
+
+  /** First element of a JSON array, by depth scan (strings and escapes
+    * respected) — enough structure for the fixed Grafana payload shape
+    * without a JSON dependency. */
+  private def firstArrayElement(body: String): String = {
+    val s = body.trim
+    require(s.startsWith("["), s"expected a JSON array of dashboards")
+    var i = 1; var depth = 0; var inStr = false; var esc = false
+    val start = s.indexWhere(!_.isWhitespace, 1)
+    require(start >= 0 && s(start) == '{', "expected a dashboard object")
+    i = start
+    while (i < s.length) {
+      val c = s(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return s.substring(start, i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new UnsupportedOperationException("unterminated dashboard object")
+  }
+
   private def decode(b64: String): String =
     new String(Base64.getDecoder.decode(b64), "UTF-8")
 }

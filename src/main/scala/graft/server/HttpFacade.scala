@@ -21,6 +21,10 @@ import graft.planner.{DashboardStore, InfluxPlanner, InfluxProtocol}
   *  - `GET  /khronus/db/influx/series?q=…`   → InfluxSeries JSON envelope;
   *    Grafana dashboard pseudo-queries route to the dashboard store
   *    (reference: influx/service/InfluxService.scala:46-66)
+  *  - `GET/POST /khronus/db/influx/dashboards/series` → the dedicated
+  *    dashboard path some Grafana builds use: GET ?q=… runs the same
+  *    get/list/drop pseudo-queries, POST stores the head of the posted
+  *    dashboard array (reference: InfluxService.scala:67-82)
   * Response parity with the reference: every response carries the CORS
   * headers (util/CORSDirective.scala:37-41), OPTIONS preflights get a
   * bare 200, and a client sending `Accept-Encoding: gzip` gets a
@@ -65,13 +69,27 @@ class HttpFacade(spark: SparkSession,
             throw new UnsupportedOperationException("missing q parameter")
           case (Some(q), _, _) =>
             val json =
-              if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop")) {
-                dashboards.operation(q).map { d =>
-                  s"""{"name":${InfluxProtocol.jsonString(d.name)},"columns":["dashboard"],""" +
-                    s""""points":[[${InfluxProtocol.jsonString(new String(d.content, UTF_8))}]]}"""
-                }.mkString("[", ",", "]")
-              } else InfluxProtocol.toJson(planner.execute(spark, q))
+              if (q.contains("grafana.dashboard") || q.trim.toLowerCase.startsWith("drop"))
+                dashboardsJson(q)
+              else InfluxProtocol.toJson(planner.execute(spark, q))
             respond(ex, 200, json)
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${InfluxProtocol.jsonString(e.getMessage)}}""")
+      })
+    // the reference also exposes dashboards on a DEDICATED path
+    // (influx/service/InfluxService.scala:67-82): GET ?q=<pseudo-query>
+    // routes the same get/list/drop operations, POST stores the head of
+    // the posted dashboard array — some Grafana builds use this path
+    // instead of the /series query-string routing above
+    server.createContext("/khronus/db/influx/dashboards/series", (ex: HttpExchange) =>
+      if (!preflight(ex)) try {
+        if (ex.getRequestMethod.equalsIgnoreCase("POST")) {
+          val name = dashboards.storePosted(new String(readBody(ex), UTF_8))
+          respond(ex, 200, InfluxProtocol.jsonString(name))
+        } else queryParam(ex, "q") match {
+          case Some(q) => respond(ex, 200, dashboardsJson(q))
+          case None => throw new UnsupportedOperationException("missing q parameter")
         }
       } catch {
         case e: Exception => respond(ex, 400, s"""{"error":${InfluxProtocol.jsonString(e.getMessage)}}""")
@@ -102,6 +120,15 @@ class HttpFacade(spark: SparkSession,
     if (serverPool != null) serverPool.shutdown()
     ingestPool.shutdown()
   }
+
+  /** Dashboard-operation response: the stored blobs wrapped in the
+    * Influx series envelope, shared by the query-string and dedicated
+    * routes. */
+  private def dashboardsJson(q: String): String =
+    dashboards.operation(q).map { d =>
+      s"""{"name":${InfluxProtocol.jsonString(d.name)},"columns":["dashboard"],""" +
+        s""""points":[[${InfluxProtocol.jsonString(new String(d.content, UTF_8))}]]}"""
+    }.mkString("[", ",", "]")
 
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {

@@ -238,5 +238,20 @@ class HttpFacadeSpec extends SparkSpec {
       assert(dc == 200)
       assert(new DashboardStore(dashDir).lookup(".*").isEmpty)
     }
+    locally { // the DEDICATED dashboards path: POST store → get/list/drop
+      val b64 = java.util.Base64.getEncoder.encodeToString("dash2".getBytes(UTF_8))
+      val dash = s"""{"name":"grafana.dashboard_$b64","columns":["time","sequence_number","title","tags","dashboard","id"],"points":[[0,0,"dash2","","{}","dash2"]]}"""
+      assert(post(s"$base/khronus/db/influx/dashboards/series", s"[$dash]") == 200)
+      val (gc, gb) = get(s"$base/khronus/db/influx/dashboards/series?q=${enc(s"""select dashboard from "grafana.dashboard_$b64"&time_precision=s""")}")
+      assert(gc == 200 && gb.contains("dash2"), gb)
+      val (xc, xb) = get(s"$base/khronus/db/influx/dashboards/series?q=${enc("""select * from /grafana.dashboard_.*/ where title =~ /.*dash2.*/i&time_precision=s""")}")
+      assert(xc == 200 && xb.contains("dash2"), xb)
+      val (dc, _) = get(s"$base/khronus/db/influx/dashboards/series?q=${enc(s"""drop series "grafana.dashboard_$b64"""")}")
+      assert(dc == 200)
+      assert(new DashboardStore(dashDir).lookup("dash2").isEmpty)
+      // a malformed payload is a 400, not a 500/hang
+      val mc = post(s"$base/khronus/db/influx/dashboards/series", "not json")
+      assert(mc == 400)
+    }
   }
 }

@@ -6,6 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Grammar conformance corpus, semantics per the reference parser spec
   * (reference: influx/parser/InfluxQueryParserSpec.scala:40-727).
+  *
+  * Coverage map vs the reference's 42 cases: every parse-level case has
+  * a matching assertion here; the bind-level cases (duplicate/unknown
+  * table aliases, invalid-field-for-type, inexistent metric, regex
+  * fan-out, star expansion) live in InfluxPlannerSpec because this
+  * engine validates them at bind time against the catalog — the
+  * reference validates inside the parser, which holds a MetaStore; the
+  * split is an intentional divergence, the rejected/accepted query set
+  * is the same.
   */
 class InfluxParserSpec extends AnyFunSuite {
 
@@ -162,6 +171,28 @@ class InfluxParserSpec extends AnyFunSuite {
   test("function with parens like max(value) accepted") {
     val q = parse("""select max(value) from "m" where time >= 1 group by time(1m)""")
     assert(q.projections == Seq(Field("max", None, None)))
+  }
+
+  test("cpm function parses as a field") {
+    // reference: InfluxQueryParserSpec.scala:226-240 (no where clause)
+    val q = parse("""select cpm from "m" group by time(5m)""")
+    assert(q.projections == Seq(Field("cpm", None, None)))
+  }
+
+  test("negative scale parses") {
+    // reference Scale case uses scale(-0.2) (InfluxQueryParserSpec.scala:585)
+    val q = parse("""select max(value) from "m" where time >= 1 group by time(1m) scale(-0.2)""")
+    assert(q.scale.contains(-0.2))
+  }
+
+  test("full query: aliased function, mixed filters, limit, order, trailing semicolon") {
+    // reference: InfluxQueryParserSpec.scala:622-652
+    val q = parse("""select count(value) as counter from "m" where time > 1000 and time <= 5000 and host <> 'aHost' group by time(30s) limit 550 order desc;""")
+    assert(q.projections == Seq(Field("count", Some("counter"), None)))
+    assert(q.filters == Seq(TimeFilter(">", 1000L), TimeFilter("<=", 5000L),
+      StringFilter("host", "<>", "aHost")))
+    assert(q.groupBy == GroupBy(force = false, 30000L))
+    assert(q.limit == 550 && !q.orderAsc)
   }
 
   // ---- rejection corpus (reference: InfluxQueryParserSpec.scala:667-729) ----

@@ -118,6 +118,27 @@ class InfluxPlannerSpec extends SparkSpec {
     assert(bound.collect { case Field(n, _, _) => n } == Seq("count", "cpm"))
   }
 
+  test("counter-typed field binds for a counter source") {
+    // reference: InfluxQueryParserSpec.scala:173-186 — count(value) is
+    // legal on a counter (the rejection twin is the histogram-on-counter
+    // case above)
+    val (bound, srcs) = p.bind(Query(Seq(Field("count", None, None)),
+      Seq(TableRef("counterB", None)),
+      Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    assert(bound == Seq(Field("count", None, Some("counterB"))))
+    assert(srcs.keySet == Set("counterB"))
+  }
+
+  test("many regex sources fan out to the union of their matches") {
+    // reference: InfluxQueryParserSpec.scala:357-396
+    val (bound, srcs) = p.bind(Query(Seq(Field("count", None, None)),
+      Seq(TableRef("metric.*", None), TableRef("counter.*", None)),
+      Nil, GroupBy(force = false, 60000L), None, None, Int.MaxValue, orderAsc = true))
+    assert(srcs.keySet == Set("metricA", "counterB"))
+    assert(bound.collect { case Field("count", _, Some(t)) => t }.toSet ==
+      Set("metricA", "counterB"))
+  }
+
   test("case-insensitive regex source matching fans out") {
     val (bound, srcs) = p.bind(Query(Seq(Field("count", None, None)),
       Seq(TableRef("METRICA", None)),
