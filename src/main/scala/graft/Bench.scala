@@ -26,6 +26,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated subset for controlled re-measurement of
+    // individual queries (anomaly root-causing); default = everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val spark = GraftSession.builder(cpus.toInt, cpus.toInt)
       .appName("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,7 +45,7 @@ object Bench {
     // cached frame is reused.
     val warmDir = "/root/testdata/sf0.001"
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // Materialize the rollup tiers up front (on a deployment the cascade
@@ -51,7 +59,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a throwing query must stay visible: record it in `failed` (and
       // as -1) rather than letting a crash masquerade as a fast run
