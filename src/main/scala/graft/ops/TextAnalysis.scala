@@ -568,11 +568,13 @@ object TextAnalysis {
       case Some(n) => docFreq.withColumn("__n", lit(n.toDouble))
       case None =>
         // oracle semantics: N counts ALL documents, including ones that
-        // tokenize empty — so count docs, not distinct ids in `terms`
+        // tokenize empty — so count docs, not distinct ids in `terms`.
+        // The global aggregate is GUARANTEED one row, so the broadcast
+        // nested loop that attaches it is O(|docFreq|) — the audited
+        // single-row-scalar exception, not a scale-killer (an equi-join
+        // on a literal key folds to the same shape anyway).
         val nFrame = docs.agg(count(lit(1)).cast("double").as("__n"))
-          .withColumn("__one", lit(1))
-        docFreq.withColumn("__one", lit(1))
-          .join(broadcast(nFrame), "__one").drop("__one")
+        docFreq.crossJoin(broadcast(nFrame))
     }
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("token").asc)

@@ -1,11 +1,20 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
 /** Global plan audit: no query in the driver surface may plan a
   * cartesian product or fall back to a nested-loop join — the two
-  * shapes that silently stop scaling. The one exemption is the
-  * documented brute-force baseline (e_cosine_topk broadcasts the tiny
-  * query set against one corpus scan: that nested loop IS the
-  * operator, and the ANN paths exist to avoid it at scale).
+  * shapes that silently stop scaling. Two kinds of exception:
+  *
+  *  - the documented brute-force baseline (e_cosine_topk broadcasts the
+  *    tiny query set against one corpus scan: that nested loop IS the
+  *    operator, and the ANN paths exist to avoid it at scale);
+  *  - single-row-scalar attaches: a nested-loop join whose build side
+  *    is a global aggregate (maxRows = 1) is O(stream side) — the
+  *    standard way to spread one computed scalar (a corpus count, a
+  *    grand total) across a frame without an eager driver job. The
+  *    check verifies the 1-row bound from the optimized logical plan,
+  *    so a join that could broadcast more than one row still fails.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -18,11 +27,29 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (exempt(name)) None
       else {
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val qe = fn(spark, sf).queryExecution
+        val plan = qe.executedPlan.toString
         val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
-        if (bad.nonEmpty) Some(s"$name -> ${bad.mkString(",")}") else None
+        // a nested-loop join is tolerable ONLY when every non-equi join
+        // in the optimized plan has a guaranteed single-row side
+        val scalarOnly = bad == Seq("BroadcastNestedLoopJoin") &&
+          qe.optimizedPlan.collect {
+            case j: Join if !j.condition.exists(hasEquiKeys) =>
+              j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L)
+          }.forall(identity)
+        if (bad.nonEmpty && !scalarOnly) Some(s"$name -> ${bad.mkString(",")}") else None
       }
     }
     assert(offenders.isEmpty, s"scale-killer join shapes:\n${offenders.mkString("\n")}")
   }
+
+  /** True when a join condition contains at least one equality that a
+    * hash join could use (approximation: any EqualTo between the two
+    * sides — good enough to separate folded-constant/cross joins from
+    * real equi-joins). */
+  private def hasEquiKeys(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    cond.collectFirst {
+      case e: org.apache.spark.sql.catalyst.expressions.EqualTo
+          if e.left.references.nonEmpty && e.right.references.nonEmpty => true
+    }.nonEmpty
 }

@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.{Bench, GraftSession, SparkEntry}
+import graft.ops.Similarity
+
+/** Scaling harness for the round-5 study (BASELINE.md §G): times the
+  * heavy documents/embeddings queries from the driver surface on a
+  * [[GenScaleData]] corpus, plus an embedding near-dup pass at a REAL
+  * threshold (0.7) — the regime the LSH sizing is designed for, unlike
+  * the 0.45 degenerate demo the driver query pins.
+  *
+  * Usage: Test/runMain graft.tools.ScaleBench <dir>
+  * Prints one JSON line {query: sec}.
+  */
+object ScaleBench {
+
+  val Queries: Seq[String] = Seq(
+    "d_curation_funnel", "d_split_assign", "d_dup_clusters",
+    "d_jaccard_pairs", "d_repeated_spans", "d_pmi_pairs",
+    "d_minhash_lsh", "d_tfidf_topk", "e_cosine_topk", "d_pack_contexts")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = GraftSession.builder(32, 32).appName("graft-scalebench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // one warm pass at the smallest driver SF (codegen/JIT), as Bench does
+    val warmDir = "/root/testdata/sf0.001"
+    Queries.foreach { n =>
+      try Bench.force(SparkEntry.queries(n)(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
+    val timed = Queries.map { n =>
+      val t0 = System.nanoTime()
+      Bench.force(SparkEntry.queries(n)(spark, dir))
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    // embedding near-dup at the designed-for threshold: sub-quadratic
+    // LSH sizing (vs the 0.45 demo regime, which is documented as
+    // effectively quadratic)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    Bench.force(Similarity.nearDupPairs(emb, threshold = 0.7, dims = 64))
+    val nd = ("e_near_dup_0.7", (System.nanoTime() - t0) / 1e9)
+    val all = timed :+ nd
+    println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
