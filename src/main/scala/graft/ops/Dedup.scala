@@ -238,15 +238,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
   /** Exact |A∩B| per candidate (id_a, id_b) pair, then jaccard filter —
-    * the shared verify tail of the prefix and LSH paths. */
+    * the shared verify tail of the prefix and LSH paths.
+    *
+    * The intersection runs against each doc's PACKED shingle-set array
+    * (one row per doc, shingle hashes collected once), so the verify
+    * shuffles O(|candidates|) rows and intersects per row in codegen.
+    * The previous shape — exploding both sides' shingle rows through
+    * the candidate list — shuffled |candidates| × |set| rows; the
+    * round-5 scale study measured that as a 430× per-decade blowup on
+    * a 50k-doc corpus (BASELINE.md §G) where this one is
+    * candidate-linear. */
   private def verifyExact(candidates: DataFrame, sh: DataFrame,
                           threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    finishPairs(inter, sizes, threshold)
+    val packs = sh.groupBy("id")
+      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("sz"))
+    candidates
+      .join(packs.select(col("id").as("id_a"), col("ss").as("__sa"),
+        col("sz").as("sz_a")), "id_a")
+      .join(packs.select(col("id").as("id_b"), col("ss").as("__sb"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
