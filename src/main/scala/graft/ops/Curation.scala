@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** How the near-dup stage finds its candidate pairs. */
+  sealed trait PairSource
+  object PairSource {
+    /** Exact n-gram Jaccard (adaptive plain/prefix inverted-index
+      * join): every pair at or above the threshold, recall 1.0. The
+      * candidate volume is Σ_s C(df_s, 2), which grows super-linearly
+      * on corpora whose shingle frequencies grow with corpus size
+      * (measured: BASELINE.md §G). The default — exactness matches the
+      * SQL oracle. */
+    case object Exact extends PairSource
+    /** MinHash+LSH candidates with exact verify — the measured-linear
+      * scale path (BASELINE.md §G: exponent 0.33 vs 1.3 for Exact on a
+      * fixed-vocab corpus). Banded recall < 1: a pair missed by every
+      * band survives dedup, so funnel counts can only be ≥ the Exact
+      * funnel's. Size bands for the threshold via the usual
+      * (1/b)^(1/r) rule. */
+    final case class MinHash(numHashes: Int = 96, bands: Int = 32) extends PairSource
+  }
+
   /** Tuning knobs, defaulted to the values the driver corpus is
     * exercised with. `minQuality` compares against the 4-dp-rounded
     * score so thresholds behave identically in the SQL oracle. */
@@ -30,7 +49,8 @@ object Curation {
                     shingleK: Int = 3,
                     jaccardThreshold: Double = 0.5,
                     minSharedShingles: Int = 2,
-                    semanticThreshold: Double = 0.45)
+                    semanticThreshold: Double = 0.45,
+                    pairSource: PairSource = PairSource.Exact)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -65,11 +85,14 @@ object Curation {
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
       .sharedCheckpoint()
-    val nearDup = Dedup.applyClusters(
-      exact,
-      Dedup.dupClusters(
-        Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)),
-      idCol)
+    val pairs = p.pairSource match {
+      case PairSource.Exact =>
+        Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)
+      case PairSource.MinHash(numHashes, bands) =>
+        Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
+          p.jaccardThreshold, idCol, textCol)
+    }
+    val nearDup = Dedup.applyClusters(exact, Dedup.dupClusters(pairs), idCol)
       .sharedCheckpoint()
     val clean = nearDup.join(
       Dedup.contamination(nearDup, benchmark, p.shingleK, p.minSharedShingles,

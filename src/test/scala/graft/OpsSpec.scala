@@ -140,6 +140,25 @@ class OpsSpec extends SparkSpec {
     assert(strict("2_quality") == (0L, 0L) && strict("5_decontaminated") == (0L, 0L))
   }
 
+  test("minhash pair source: stages 1-3 unchanged, near-dup drops a subset of exact's") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    def funnelOf(p: Curation.Params) = Curation.funnel(corpus, bench, p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = funnelOf(Curation.Params())
+    val mh = funnelOf(Curation.Params(pairSource = Curation.PairSource.MinHash()))
+    // the pair source only affects stage 4 onward
+    for (s <- Seq("1_total", "2_quality", "3_exact_dedup"))
+      assert(mh(s) == exact(s), s"stage $s perturbed by pair source")
+    // banded recall < 1 ⇒ LSH finds a subset of the exact pairs ⇒ fewer
+    // docs dropped ⇒ counts can only be >= the exact funnel's
+    assert(mh("4_near_dup") >= exact("4_near_dup"))
+    assert(mh("5_decontaminated") >= 0L)
+    // at 96 hashes / 32 bands on this corpus recall is ~1: identical
+    assert(mh("4_near_dup") == exact("4_near_dup"),
+      s"unexpected recall loss on this corpus: ${mh("4_near_dup")} vs ${exact("4_near_dup")}")
+  }
+
   test("reliable-checkpoint knob: funnel and clusters identical, checkpoint dir used") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)

@@ -42,7 +42,17 @@ object ScaleBench {
     val t0 = System.nanoTime()
     Bench.force(Similarity.nearDupPairs(emb, threshold = 0.7, dims = 64))
     val nd = ("e_near_dup_0.7", (System.nanoTime() - t0) / 1e9)
-    val all = timed :+ nd
+    // curation funnel with the MinHash pair source — the documented
+    // scale path for the near-dup stage (vs the Exact default the
+    // d_curation_funnel query pins)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t1 = System.nanoTime()
+    Bench.force(graft.ops.Curation.funnel(
+      docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+      graft.ops.Curation.Params(
+        pairSource = graft.ops.Curation.PairSource.MinHash())))
+    val mh = ("d_curation_funnel_minhash", (System.nanoTime() - t1) / 1e9)
+    val all = timed :+ nd :+ mh
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
