@@ -330,9 +330,25 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sizes, "id")
       .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("s"), col("pos"), col("sz"))
+    // PPJoin's two extra necessary conditions, evaluated INSIDE the
+    // join so pruned pairs never materialize (both sides share the one
+    // global df-asc shingle order, so positions are comparable):
+    //  - length filter: J ≥ t forces min(szA,szB) ≥ t·max(szA,szB);
+    //  - positional filter: a match at (posA, posB) caps the overlap at
+    //    1 + min(szA−posA, szB−posB), which must reach the minimal
+    //    required overlap ⌈t/(1+t)·(szA+szB)⌉. A pair passing on ANY
+    //    shared prefix shingle survives (superset of strict PPJoin,
+    //    subset of prefix-only), and the verify is exact either way.
+    val requiredOverlap =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")))
+    val overlapUpperBound =
+      lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          overlapUpperBound >= requiredOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyExact(cands, sh, threshold)
   }
