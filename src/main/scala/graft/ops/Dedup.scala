@@ -249,14 +249,21 @@ object Dedup {
     * a 50k-doc corpus (BASELINE.md §G) where this one is
     * candidate-linear. */
   private def verifyExact(candidates: DataFrame, sh: DataFrame,
-                          threshold: Double): DataFrame = {
-    val packs = sh.groupBy("id")
-      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("sz"))
+                          threshold: Double): DataFrame =
+    verifyExactSided(candidates, sh, sh, threshold)
+
+  /** [[verifyExact]] with per-side shingle frames — the incremental
+    * path keeps each side's sets separate so an id present in both
+    * frames (a re-submitted, possibly edited doc) keeps per-side stats
+    * intact instead of merging shingle sets through a union. */
+  private def verifyExactSided(candidates: DataFrame, shA: DataFrame, shB: DataFrame,
+                               threshold: Double): DataFrame = {
+    def packs(sh: DataFrame, side: String) = sh.groupBy("id")
+      .agg(collect_list(col("s")).as(s"__s$side"), count(lit(1)).as(s"sz_$side"))
+      .withColumnRenamed("id", s"id_$side")
     candidates
-      .join(packs.select(col("id").as("id_a"), col("ss").as("__sa"),
-        col("sz").as("sz_a")), "id_a")
-      .join(packs.select(col("id").as("id_b"), col("ss").as("__sb"),
-        col("sz").as("sz_b")), "id_b")
+      .join(packs(shA, "a"), "id_a")
+      .join(packs(shB, "b"), "id_b")
       .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -431,17 +438,10 @@ object Dedup {
           col("a.id") =!= col("b.id")) // a re-ingested id is never its own dup
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // two-sided verify: sizes and intersections are computed against
-    // each side's own shingle frame, so an id present in BOTH frames
-    // (same doc re-submitted, possibly edited) keeps per-side stats
-    // intact instead of merging shingle sets through a union
-    val szNew = shNew.groupBy("id").agg(count(lit(1)).as("sz"))
-    val szSeen = shSeen.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(shNew.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(shSeen.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    finishPairsSized(inter, szNew, szSeen, threshold)
+    // two-sided packed-array verify (see verifyExactSided): per-side
+    // stats stay intact for re-submitted ids, and the verify shuffles
+    // candidate-count rows rather than candidates × shingle rows
+    verifyExactSided(candidates, shNew, shSeen, threshold)
   }
 
   /** Duplicate clusters from a near-dup pair list: connected components
