@@ -130,6 +130,33 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, "cherry", r4(2 * ln15), 1L), (3L, "banana", 0.0, 2L)))
   }
 
+  test("tfidf top-k: no eager job at plan build; corpus count rides the plan") {
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val before = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        before.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // plan construction may launch at most the term frame's lazy
+      // checkpoint stage (AQE materializes a checkpointed plan's
+      // upstream exchange at RDD-build time); the OLD shape added a
+      // second full-scan job — an eager docs.count() plus a driver
+      // sync — before any real work
+      val planned = TextAnalysis.tfidfTopK(docs, k = 1)
+      Thread.sleep(300) // let any async job-start events drain
+      assert(before.get <= 1, s"plan build launched ${before.get} job(s), expected <= 1")
+      assert(planned.count() == 2)
+      // a caller-supplied count skips even the in-plan aggregate and
+      // changes idf accordingly
+      val withN = TextAnalysis.tfidfTopK(docs, k = 1, nDocs = Some(4L))
+        .orderBy("doc_id").collect()
+      assert(withN.map(_.getDouble(2)).forall(_ > 0.0)) // ln(4/df) > 0 for df <= 2
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("funnel counts are monotone non-increasing on a random event log") {
     val rnd = new scala.util.Random(42)
     val types = Seq("view", "click", "purchase", "error")
