@@ -200,9 +200,12 @@ object Dedup {
     * the result DataFrame is garbage-collected. AQE supplies the
     * runtime stats the truncated lineage no longer carries.
     *
-    * `eager = false` keeps the public operators lazy (building a dedup
-    * plan runs no job until the caller acts on it); the first action
-    * materializes the blocks. Caveat, inherent to localCheckpoint:
+    * `eager = false` defers the blocks' materialization to the first
+    * action — with one subtlety, measured and spec-pinned in
+    * EventAnalyticsSpec: under AQE, building the checkpointed RDD
+    * materializes the frame's upstream EXCHANGES (their map stages run
+    * at plan-build time); only the final result stage waits for the
+    * action. Caveat, inherent to localCheckpoint:
     * blocks are stored non-replicated on executors with lineage
     * truncated, so losing an executor mid-query (spot nodes, dynamic
     * allocation) fails the query instead of recomputing — on such
