@@ -165,6 +165,24 @@ class HttpFacadeSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("storePosted: depth scan survives nested braces and escaped quotes; head wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dash_post").toString
+    val store = new DashboardStore(dir)
+    val b64 = java.util.Base64.getEncoder.encodeToString("nested".getBytes(UTF_8))
+    // dashboard blobs contain nested objects and strings with escaped
+    // quotes and braces — the scanner must find the HEAD element's true
+    // closing brace, and only the head is stored (reference semantics)
+    val head = s"""{"name":"grafana.dashboard_$b64","points":[[0,"{\\"rows\\":[{\\"title\\":\\"a}b\\"}]}"]]}"""
+    val name = store.storePosted(s"""[ $head, {"name":"ignored_tail"} ]""")
+    assert(name == "nested")
+    val got = store.lookup("nested")
+    assert(got.size == 1 && new String(got.head.content, UTF_8) == head)
+    // rejections: not an array / no object / missing name
+    intercept[Exception](store.storePosted("""{"name":"x"}"""))
+    intercept[Exception](store.storePosted("[ 42 ]"))
+    intercept[Exception](store.storePosted("""[{"title":"anon"}]"""))
+  }
+
   /** The loop a reference user actually runs: POST /metrics batches →
     * rollup cascade → GET /series returns the ingested data. */
   test("end-to-end: HTTP ingest feeds the cascade; influx query serves it back") {
