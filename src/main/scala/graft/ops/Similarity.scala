@@ -67,23 +67,37 @@ object Similarity {
     * ≥ ~0.4% of ALL pairs and the job is effectively quadratic. */
   val DegenerateLshBits = 8
 
+  /** On UNCLUSTERED vectors every table retains C(n,2)/2^bits random
+    * pairs, so across tables the candidate volume is this fraction of
+    * ALL pairs — still ∝ n². Above this retained fraction the sizing
+    * is flagged even when `bits` alone looks healthy (the round-5
+    * 200k-vector run measured threshold 0.7 ⇒ bits=9, tables=154 ⇒
+    * 30% retained ⇒ a 6e9-candidate spill). */
+  val DegenerateLshRetainedFraction = 0.05
+
+  /** Retained-pair fraction of the (bits, tables) sizing on isotropic
+    * data: tables / 2^bits (> 1 means cross-table repeats). */
+  def lshRetainedFraction(bits: Int, tables: Int): Double =
+    tables / math.pow(2.0, bits.toDouble)
+
   /** Projected LSH candidate volume when the (bits, tables) sizing has
     * degraded to the near-all-pairs regime; None when the parameters
-    * are genuinely sub-quadratic. Pure function of (n, bits, tables) so
-    * callers (and specs) can evaluate the envelope without running the
-    * join. */
-  def degenerateLshDiagnostic(n: Long, bits: Int, tables: Int): Option[String] =
-    if (bits > DegenerateLshBits) None
+    * are genuinely sub-quadratic on worst-case (unclustered) data.
+    * Pure function of (n, bits, tables) so callers (and specs) can
+    * evaluate the envelope without running the join. */
+  def degenerateLshDiagnostic(n: Long, bits: Int, tables: Int): Option[String] = {
+    val frac = lshRetainedFraction(bits, tables)
+    if (bits > DegenerateLshBits && frac < DegenerateLshRetainedFraction) None
     else {
-      val perTable = n.toDouble * (n.toDouble - 1) / 2.0 / math.pow(2.0, bits.toDouble)
-      val total = perTable * tables
-      Some(f"nearDupPairs is in the degenerate LSH regime: bits=$bits ≤ $DegenerateLshBits, " +
+      val total = n.toDouble * (n.toDouble - 1) / 2.0 * frac
+      Some(f"nearDupPairs is in the degenerate LSH regime: bits=$bits, " +
         f"tables=$tables, n=$n ⇒ projected candidate volume ≈ $total%.3g pairs " +
-        f"(~${100.0 * tables / math.pow(2.0, bits.toDouble)}%.1f%% of all pairs incl. " +
-        "cross-table repeats) — effectively quadratic. This is the honest cost of " +
-        "exactness at a low cosine threshold; at real near-dup thresholds (≥ ~0.7) " +
-        "the same operator is sub-quadratic. Raise the threshold or pre-cluster.")
+        f"(~${100.0 * frac}%.1f%% of all pairs incl. cross-table repeats) — " +
+        "effectively quadratic on unclustered data. This is the honest cost of " +
+        "near-perfect recall at this cosine threshold; real clustered corpora " +
+        "retain less. For a bucket-bounded scale path use ivfNearDupPairs.")
     }
+  }
 
   /** All pairs with cosine ≥ threshold (near-duplicate detection).
     * Candidates come from multi-table random-hyperplane LSH buckets —
@@ -105,14 +119,16 @@ object Similarity {
                    dims: Int = 64): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val (bits, tables) = lshParamsFor(threshold)
-    if (bits <= DegenerateLshBits)
+    if (bits <= DegenerateLshBits ||
+        lshRetainedFraction(bits, tables) >= DegenerateLshRetainedFraction)
       log.warn(f"nearDupPairs is in the degenerate LSH regime at threshold $threshold: " +
-        f"bits=$bits ≤ $DegenerateLshBits, tables=$tables ⇒ buckets retain " +
-        f"~${100.0 * tables / math.pow(2.0, bits.toDouble)}%.1f%% of all pairs (incl. " +
-        "cross-table repeats) — effectively quadratic in corpus size. This is the " +
-        "honest cost of exactness at a low cosine threshold; at real near-dup " +
-        "thresholds (≥ ~0.7) the same operator is sub-quadratic. " +
-        "Use Similarity.degenerateLshDiagnostic(n, bits, tables) for projected volume.")
+        f"bits=$bits, tables=$tables ⇒ buckets retain " +
+        f"~${100.0 * lshRetainedFraction(bits, tables)}%.1f%% of all pairs (incl. " +
+        "cross-table repeats) — effectively quadratic on unclustered corpora. This " +
+        "is the honest cost of near-perfect recall at this cosine threshold; " +
+        "real clustered corpora retain less. For a bucket-bounded scale path use " +
+        "ivfNearDupPairs; Similarity.degenerateLshDiagnostic(n, bits, tables) " +
+        "projects the candidate volume.")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val buckets = lshBuckets(base, "id", "v", bits, dims, tables)
@@ -136,6 +152,43 @@ object Similarity {
       .where(col("na") > 0 && col("nb") > 0 &&
         dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs via IVF bucketing — the BUCKET-BOUNDED scale
+    * path for embedding near-dup. Every vector is assigned to its
+    * `nprobe` nearest of `nlist` (deterministic-Lloyd) centroids;
+    * candidate pairs share a probe cell and are verified with the same
+    * exact scale-free cosine predicate as [[nearDupPairs]].
+    *
+    * Why it scales where hyperplane LSH cannot: LSH sized for
+    * near-perfect recall retains a FIXED FRACTION of all C(n,2) pairs
+    * on unclustered data (see [[degenerateLshDiagnostic]]; measured as
+    * a 6e9-candidate spill at 200k vectors, threshold 0.7). IVF's
+    * candidate volume is Σ_cells C(|cell|, 2) ≈ n²·nprobe²/(2·nlist) —
+    * the operator of a growing corpus raises `nlist` with n (the
+    * standard coarse-quantizer practice, nlist ∝ n/c keeps E|cell| and
+    * per-vector work CONSTANT), bounded by the centroid broadcast
+    * (nlist × dims doubles).
+    *
+    * Recall is probabilistic, not sized-for-1e-5: a true pair lands in
+    * the same cell unless Voronoi boundaries separate it; `nprobe` ≥ 2
+    * catches the standard boundary straddle (spec-measured ≥ 0.9 on
+    * planted near-dups). Zero vectors never pair (norm guard, as in
+    * [[nearDupPairs]]). */
+  def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
+                      nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val probed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+    probed.as("a").join(probed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
+        dot(col("a.v"), col("b.v")) >= lit(threshold) * col("a.nrm") * col("b.nrm"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 

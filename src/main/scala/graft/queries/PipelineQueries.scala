@@ -156,6 +156,18 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  /** The IVF-bucketed twin of [[embNearDups]] — the bucket-bounded
+    * scale path (candidates = Σ C(|cell|,2), not a fixed fraction of
+    * all pairs). nprobe = 4 of 8 cells: this corpus' 0.45-threshold
+    * pairs are FAR pairs (no cosine above 0.6 exists), so boundary
+    * straddles need generous probing for the exact-match oracle; at
+    * real near-dup thresholds (≥ 0.7, tight pairs) nprobe = 2
+    * suffices (spec-measured). */
+  def embNearDupsIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45,
+        nlist = 8, nprobe = 4)
+      .orderBy("id_a", "id_b")
+
   /** SemDeDup over the embeddings table at the same threshold the pair
     * demo uses: every vec_id flagged kept/dropped, min id per cosine
     * cluster surviving. The oracle recomputes the closure with a
@@ -704,6 +716,7 @@ object PipelineQueries {
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
+    "e_ivf_near_dup"    -> (embNearDupsIvf _),
     "e_semantic_dedup"  -> (semanticDedupQ _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
@@ -1383,6 +1396,12 @@ object PipelineQueries {
         |  list_max(q) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
     "e_near_dup_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e_ivf_near_dup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM v a, v b

@@ -263,13 +263,55 @@ class OpsSpec extends SparkSpec {
     assert(loBits <= Similarity.DegenerateLshBits)
     val diag = Similarity.degenerateLshDiagnostic(1000000L, loBits, loTables)
     assert(diag.exists(m => m.contains("degenerate") && m.contains("n=1000000")))
-    // threshold 0.85 stays sub-quadratic → silent
+    // threshold 0.7 has healthy-LOOKING bits but retains ~30% of all
+    // pairs across its 154 tables — the round-5 scale study's 200k-vector
+    // spill; the widened fraction-based trigger must catch it
+    val (midBits, midTables) = Similarity.lshParamsFor(0.7)
+    assert(midBits > Similarity.DegenerateLshBits)
+    assert(Similarity.lshRetainedFraction(midBits, midTables) >=
+      Similarity.DegenerateLshRetainedFraction)
+    assert(Similarity.degenerateLshDiagnostic(200000L, midBits, midTables).nonEmpty)
+    // threshold 0.85 stays under the retained-fraction bar → silent
     val (hiBits, hiTables) = Similarity.lshParamsFor(0.85)
     assert(hiBits > Similarity.DegenerateLshBits)
     assert(Similarity.degenerateLshDiagnostic(1000000L, hiBits, hiTables).isEmpty)
     // and the guarded operator's output is unchanged by the guardrail
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.45).collect()
     assert(pairs.nonEmpty)
+  }
+
+  test("IVF near-dup: exact-verified subset of brute force with high recall on planted pairs") {
+    import spark.implicits._
+    // seeded corpus: 360 isotropic vectors + 40 planted near-dups
+    // (small perturbations of earlier vectors, cosine ≈ 0.9)
+    val rnd = new scala.util.Random(77)
+    val vecs = new Array[Array[Float]](400)
+    (0 until 400).foreach { i =>
+      vecs(i) =
+        if (i >= 360) vecs(i - 360).map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    // ground truth by driver-side brute force
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      i <- 0 until 400; j <- (i + 1) until 400
+      if cos(vecs(i), vecs(j)) >= 0.7
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.size >= 30, s"expected planted pairs, got ${truth.size}")
+    val got = Similarity.ivfNearDupPairs(df, threshold = 0.7, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verify ⇒ no false positives
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // probed cells catch boundary straddles ⇒ high recall
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF near-dup recall $recall < 0.9 (${got.size}/${truth.size})")
   }
 
   test("LSH top-k achieves decent recall vs brute force") {

@@ -9,18 +9,23 @@ import graft.ops.Similarity
   * threshold (0.7) — the regime the LSH sizing is designed for, unlike
   * the 0.45 degenerate demo the driver query pins.
   *
-  * Usage: Test/runMain graft.tools.ScaleBench <dir>
-  * Prints one JSON line {query: sec}.
+  * Usage: Test/runMain graft.tools.ScaleBench <dir> [q1,q2,...]
+  * (optional second arg restricts to a comma-separated subset; the
+  * synthetic names e_near_dup_0.7 / d_curation_funnel_minhash select
+  * the two non-driver measurements). Prints one JSON line {query: sec}.
   */
 object ScaleBench {
 
-  val Queries: Seq[String] = Seq(
+  val AllQueries: Seq[String] = Seq(
     "d_curation_funnel", "d_split_assign", "d_dup_clusters",
     "d_jaccard_pairs", "d_repeated_spans", "d_pmi_pairs",
     "d_minhash_lsh", "d_tfidf_topk", "e_cosine_topk", "d_pack_contexts")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val only = args.lift(1).map(_.split(",").map(_.trim).toSet)
+    def want(n: String) = only.forall(_.contains(n))
+    val Queries = AllQueries.filter(want)
     val spark = GraftSession.builder(32, 32).appName("graft-scalebench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one warm pass at the smallest driver SF (codegen/JIT), as Bench does
@@ -37,22 +42,37 @@ object ScaleBench {
     // embedding near-dup at the designed-for threshold: sub-quadratic
     // LSH sizing (vs the 0.45 demo regime, which is documented as
     // effectively quadratic)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", "embedding")
-    val t0 = System.nanoTime()
-    Bench.force(Similarity.nearDupPairs(emb, threshold = 0.7, dims = 64))
-    val nd = ("e_near_dup_0.7", (System.nanoTime() - t0) / 1e9)
+    val nd = if (!want("e_near_dup_0.7")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      Bench.force(Similarity.nearDupPairs(emb, threshold = 0.7, dims = 64))
+      ("e_near_dup_0.7", (System.nanoTime() - t0) / 1e9)
+    }
+    // IVF-bucketed near-dup at the real threshold — the bucket-bounded
+    // scale path (nlist grown with n keeps expected cell size constant)
+    val ivfNd = if (!want("e_ivf_near_dup_0.7")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val t2 = System.nanoTime()
+      Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist))
+      ("e_ivf_near_dup_0.7", (System.nanoTime() - t2) / 1e9)
+    }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
     // d_curation_funnel query pins)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val t1 = System.nanoTime()
-    Bench.force(graft.ops.Curation.funnel(
-      docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
-      graft.ops.Curation.Params(
-        pairSource = graft.ops.Curation.PairSource.MinHash())))
-    val mh = ("d_curation_funnel_minhash", (System.nanoTime() - t1) / 1e9)
-    val all = timed :+ nd :+ mh
+    val mh = if (!want("d_curation_funnel_minhash")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t1 = System.nanoTime()
+      Bench.force(graft.ops.Curation.funnel(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        graft.ops.Curation.Params(
+          pairSource = graft.ops.Curation.PairSource.MinHash())))
+      ("d_curation_funnel_minhash", (System.nanoTime() - t1) / 1e9)
+    }
+    val all = timed ++ nd ++ ivfNd ++ mh
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
