@@ -370,16 +370,24 @@ object Similarity {
     * Composition, not new machinery: candidate pairs come from
     * [[nearDupPairs]] (bucketed LSH + codegen'd exact verify — no
     * cartesian node, and its degenerate-regime guardrail fires here
-    * too), components from [[Dedup.dupClusters]] (bounded driver
-    * union-find, else distributed min-label propagation). At 100 TB
-    * the only frames that shuffle are (long, long) pairs and the
-    * loser-id set — embeddings stay where the LSH bucket join put
-    * them, and the final flag join broadcasts only loser ids (bounded
-    * by the duplicate count, not the corpus). */
+    * too) or, when `ivfNlist` is set, from [[ivfNearDupPairs]] — the
+    * bucket-bounded scale path for large unclustered corpora (see the
+    * retained-fraction discussion on [[degenerateLshDiagnostic]]);
+    * components from [[Dedup.dupClusters]] (bounded driver union-find,
+    * else distributed min-label propagation). At 100 TB the only
+    * frames that shuffle are (long, long) pairs and the loser-id
+    * set — embeddings stay where the bucket join put them, and the
+    * final flag join broadcasts only loser ids (bounded by the
+    * duplicate count, not the corpus). */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    dims: Int = 64): DataFrame = {
-    val pairs = nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+                    dims: Int = 64, ivfNlist: Option[Int] = None,
+                    ivfNprobe: Int = 2): DataFrame = {
+    val pairs = ivfNlist match {
+      case Some(nlist) =>
+        ivfNearDupPairs(corpus, threshold, nlist, ivfNprobe, idCol = idCol, vecCol = vecCol)
+      case None => nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+    }
     val losers = Dedup.dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol), lit(false).as("kept"))

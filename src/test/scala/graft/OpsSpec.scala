@@ -312,6 +312,15 @@ class OpsSpec extends SparkSpec {
     // probed cells catch boundary straddles ⇒ high recall
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.9, s"IVF near-dup recall $recall < 0.9 (${got.size}/${truth.size})")
+    // semantic dedup accepts the IVF pair source: at generous probing
+    // the pair coverage is complete, so kept flags equal the LSH-based
+    // default's
+    def flags(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val viaLsh = flags(Similarity.semanticDedup(df, 0.7))
+    val viaIvf = flags(Similarity.semanticDedup(df, 0.7,
+      ivfNlist = Some(8), ivfNprobe = 4))
+    assert(viaIvf == viaLsh)
   }
 
   test("LSH top-k achieves decent recall vs brute force") {
