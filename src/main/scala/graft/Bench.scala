@@ -58,30 +58,59 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Repeat mode (SPARK_GRAFT_REPEAT=N, default 3): every query timed
+    // N times — "queries" carries the per-query MEDIAN and "spread"
+    // the [min, max] envelope, so a driver-vs-local timing delta is
+    // classifiable from the artifact alone (box drift moves the whole
+    // envelope; a regression moves the median beyond any envelope).
+    // Three rounds of perf adjudication needed manual controlled
+    // re-runs to separate ~30% box drift from engine changes
+    // (BASELINE.md §F) — the spread makes the artifact
+    // self-adjudicating. SPARK_GRAFT_REPEAT=1 restores one-shot runs.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.trim.toInt)
+      .filter(_ >= 1).getOrElse(3)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a throwing query must stay visible: record it in `failed` (and
       // as -1) rather than letting a crash masquerade as a fast run
-      try { force(fn(spark, sfDir)) } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
+      val times = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name failed: $e")
+            -1.0
+        }
       }
-      name -> (if (failed.lastOption.contains(name)) -1.0
-               else (System.nanoTime() - t0) / 1e9)
+      name -> times
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val perQuery = results.map { case (name, ts) =>
+      name -> (if (ts.contains(-1.0)) -1.0 else median(ts))
     }
     // Millisecond precision keeps the line ~3x shorter than raw doubles
     // (the round-4 driver's tail capture truncated the full-precision
     // 87-entry line mid-JSON); -1.0 failure markers survive rounding.
     def fmt(sec: Double): String = BigDecimal(sec)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, sec) if sec >= 0 => sec }.sum
+    val total = perQuery.collect { case (_, sec) if sec >= 0 => sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreadJson =
+      if (repeat == 1) ""
+      else {
+        val sp = results.map { case (k, ts) =>
+          "\"" + k + "\":[" + fmt(ts.min) + "," + fmt(ts.max) + "]"
+        }.mkString("{", ",", "}")
+        s""","repeat":$repeat,"spread":$sp"""
+      }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"tier_build_sec":${fmt(tierBuild)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"tier_build_sec":${fmt(tierBuild)},"sf":"$sfDir"$spreadJson}"""
     // Durable copy first: if stdout capture ever truncates again, the
     // complete artifact is still on disk for the driver/judge.
     try {

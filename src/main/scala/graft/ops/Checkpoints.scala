@@ -45,11 +45,27 @@ object Checkpoints {
     } else df.localCheckpoint(eager)
   }
 
+  /** Per-round checkpoint for ITERATIVE loops (label propagation):
+    * ALWAYS `localCheckpoint`, even in reliable mode. Each round's
+    * frame supersedes the last within milliseconds, but a reliable
+    * `checkpoint` file is only ever deleted by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set (off by
+    * default) — so reliable per-round checkpoints would grow the
+    * checkpoint dir by one never-cleaned frame per iteration of every
+    * long propagation run. Losing an executor mid-loop just re-runs
+    * the (pairs-only, cheap) loop; the frames that OUTLIVE the loop —
+    * its inputs and final result — flow through [[shared]], which does
+    * honor reliable mode. */
+  def iterative(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.localCheckpoint(eager)
+
   /** Postfix syntax so call sites read like the Dataset API:
     * `frame.sharedCheckpoint()` ≙ lazy, `.sharedCheckpoint(eager = true)`
-    * ≙ eager. */
+    * ≙ eager; `.iterativeCheckpoint()` for loop-round frames. */
   implicit class SharedOps(private val df: DataFrame) extends AnyVal {
     def sharedCheckpoint(eager: Boolean = false): DataFrame =
       Checkpoints.shared(df, eager)
+    def iterativeCheckpoint(eager: Boolean = true): DataFrame =
+      Checkpoints.iterative(df, eager)
   }
 }

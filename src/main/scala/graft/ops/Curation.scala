@@ -44,13 +44,24 @@ object Curation {
 
   /** Tuning knobs, defaulted to the values the driver corpus is
     * exercised with. `minQuality` compares against the 4-dp-rounded
-    * score so thresholds behave identically in the SQL oracle. */
+    * score so thresholds behave identically in the SQL oracle.
+    *
+    * `semanticIvfNlist`/`semanticIvfNprobe` route the semantic tail's
+    * pair generation onto the IVF-bucketed path
+    * ([[Similarity.ivfNearDupPairs]]) — candidates bounded by
+    * Σ C(|cell|, 2) instead of hyperplane LSH's fixed fraction of ALL
+    * pairs; this is THE knob a 100 TB semantic-dedup run sets (grow
+    * nlist with corpus size — see [[Similarity.ivfNearDupPairs]]).
+    * None keeps the recall-sized LSH source, exact on small corpora
+    * but degenerate-quadratic at low cosine thresholds. */
   case class Params(minQuality: Double = 0.15,
                     shingleK: Int = 3,
                     jaccardThreshold: Double = 0.5,
                     minSharedShingles: Int = 2,
                     semanticThreshold: Double = 0.45,
-                    pairSource: PairSource = PairSource.Exact)
+                    pairSource: PairSource = PairSource.Exact,
+                    semanticIvfNlist: Option[Int] = None,
+                    semanticIvfNprobe: Int = 2)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -139,9 +150,11 @@ object Curation {
     * text+vector pipeline (SemDeDup after exact/near-dup, the order
     * real pipelines use, since semantic dedup is the most expensive
     * and should see the smallest corpus). `embeddings` is joined on
-    * the id, so only SURVIVORS' vectors enter the LSH; documents
-    * without an embedding row pass through unjudged (they can never
-    * appear in a pair). */
+    * the id, so only SURVIVORS' vectors enter the pair generator;
+    * documents without an embedding row pass through unjudged (they
+    * can never appear in a pair). Stage 6's pair source follows
+    * `p.semanticIvfNlist`: the IVF-bucketed path when set (the scale
+    * configuration), recall-sized hyperplane LSH otherwise. */
   def runWithSemantic(corpus: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
                       p: Params = Params(),
                       idCol: String = "doc_id", textCol: String = "text",
@@ -155,7 +168,7 @@ object Curation {
       .select(col(embIdCol).as(idCol), col(vecCol))
       .join(clean.select(idCol), Seq(idCol))
     val losers = Similarity.semanticDedup(survivorEmb, p.semanticThreshold, idCol, vecCol,
-        dims = vecDims)
+        dims = vecDims, ivfNlist = p.semanticIvfNlist, ivfNprobe = p.semanticIvfNprobe)
       .where(!col("kept")).select(idCol)
     val semantic = clean.join(losers, Seq(idCol), "left_anti")
     val st = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)

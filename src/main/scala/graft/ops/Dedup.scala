@@ -331,6 +331,15 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     jaccardPairsPrefixFrom(shingleFrame(docs, k, idCol, textCol), threshold)
 
+  /** Slack subtracted inside every PPJoin ceil/length comparison: the
+    * float product t·sz (or t/(1+t)·(szA+szB)) can land a hair ABOVE
+    * its exact rational value, rounding a bound up past it and pruning
+    * a candidate whose Jaccard is exactly the threshold. The filters
+    * are necessary conditions only — loosening them by ε admits at
+    * most a few extra candidates, and the exact verify keeps the
+    * output precise. */
+  private val PrefixEps = 1e-9
+
   private def jaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -339,7 +348,7 @@ object Dedup {
     val prefix = sh.join(freq, "s")
       .withColumn("pos", row_number().over(w))
       .join(sizes, "id")
-      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - PrefixEps) + 1)
       .select(col("id"), col("s"), col("pos"), col("sz"))
     // PPJoin's two extra necessary conditions, evaluated INSIDE the
     // join so pruned pairs never materialize (both sides share the one
@@ -351,13 +360,13 @@ object Dedup {
     //    shared prefix shingle survives (superset of strict PPJoin,
     //    subset of prefix-only), and the verify is exact either way.
     val requiredOverlap =
-      ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")))
+      ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - PrefixEps)
     val overlapUpperBound =
       lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") - PrefixEps &&
+          col("b.sz") >= lit(threshold) * col("a.sz") - PrefixEps &&
           overlapUpperBound >= requiredOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyExact(cands, sh, threshold)
@@ -497,9 +506,13 @@ object Dedup {
       return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .sharedCheckpoint() // reused every round: both joins below
-    // round 0: each node's label = min(self, direct neighbours)
+    // round 0: each node's label = min(self, direct neighbours).
+    // Per-round checkpoints are iterativeCheckpoint (localCheckpoint
+    // even in reliable mode): each round supersedes the last, and a
+    // reliable write per round would grow the checkpoint dir without
+    // bound — see Checkpoints.iterative.
     var labels = sym.groupBy("u").agg(least(min(col("v")), min(col("u"))).as("l"))
-      .sharedCheckpoint(eager = true)
+      .iterativeCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -519,7 +532,7 @@ object Dedup {
         .join(prop.select(col("u").as("l"), col("l").as("ll")), Seq("l"), "left")
         .select(col("u"), coalesce(col("ll"), col("l")).as("l"),
           (coalesce(col("ll"), col("l")) =!= col("lPrev")).as("ch"))
-        .sharedCheckpoint(eager = true)
+        .iterativeCheckpoint()
       converged = next.where(col("ch")).isEmpty
       labels = next.select("u", "l")
       round += 1

@@ -178,14 +178,68 @@ object Similarity {
     * [[nearDupPairs]]). */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
     val probed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"),
         explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
     probed.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
+        dot(col("a.v"), col("b.v")) >= lit(threshold) * col("a.nrm") * col("b.nrm"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental embedding near-dup: IVF-bucketed pairs between a NEW
+    * batch and an already-indexed corpus — the vector analog of
+    * [[Dedup.minhashLshIncremental]], the nightly-batch shape a 100 TB
+    * corpus ingests with (re-pairing the whole corpus per batch would
+    * price the full job daily).
+    *
+    * Index semantics, exactly as a deployed IVF index works: each SEEN
+    * vector lives in its single nearest-centroid cell (in a deployment
+    * this assignment is computed once at ingest and PERSISTED, keyed by
+    * centroid version — pass the stored `centroids` so the batch
+    * probes the same Voronoi partition the store was built under; see
+    * [[graft.streaming.StreamingVecNearDup]] for the persistent twin).
+    * Each NEW vector probes its `nprobe` nearest cells; only cross
+    * (new × seen) pairs sharing a probed cell materialize, then the
+    * same exact scale-free cosine verify as [[ivfNearDupPairs]].
+    *
+    * `assignNprobe` is MULTIPLE ASSIGNMENT (the standard IVF recall
+    * lever at index-build time): each seen vector is indexed into its
+    * `assignNprobe` nearest cells, trading store size (×assignNprobe
+    * rows of (id, cell) longs — vectors are not duplicated in a
+    * columnar store) for boundary-straddle recall without re-probing
+    * history. 1 is the classic index; the far-pair demo regime
+    * (threshold 0.45 on isotropic vectors — near the all-pairs
+    * boundary) needs symmetric generous probing for its exact-match
+    * oracle, while planted near-dups at real thresholds pair at
+    * assignNprobe = 1, nprobe = 2 (spec-measured).
+    *
+    * Per-batch cost: |new| × nlist centroid dots + Σ_probed-cells
+    * |new ∩ cell| × |seen ∩ cell| candidates — independent of corpus
+    * pair count, linear in batch size at fixed E|cell|. A re-ingested
+    * id never pairs with itself (`id_a ≠ id_b`); zero vectors never
+    * pair (norm guard). Returns (id_a = new, id_b = seen). */
+  def ivfNearDupIncremental(newEmb: DataFrame, seenEmb: DataFrame, threshold: Double,
+                            nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            centroids: Option[Seq[Seq[Double]]] = None,
+                            assignNprobe: Int = 1): DataFrame = {
+    graft.functions.ensureRegistered(newEmb.sparkSession)
+    val cents = centroids.getOrElse(ivfCentroids(seenEmb, nlist, iters, idCol, vecCol))
+    val seen = seenEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      explode(graft.functions.ivf_probe(col(vecCol), cents, assignNprobe)).as("cell"))
+    val fresh = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+    fresh.as("a").join(seen.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
         dot(col("a.v"), col("b.v")) >= lit(threshold) * col("a.nrm") * col("b.nrm"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -274,12 +328,28 @@ object Similarity {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
 
+  /** Per-component fixed-point scale of the Lloyd mean: components are
+    * float32 (|x| small), so ×2^30 sums stay far from Long overflow up
+    * to ~2^32 vectors per cell while keeping ~9 decimal digits — more
+    * precision than the float32 inputs carry. */
+  private val CentroidQuant = 1L << 30
+
   /** Deterministic IVF coarse quantizer: init = the nlist lowest-id
     * vectors, then `iters` Lloyd steps with cosine assignment (the
     * per-cell mean, renormalized; empty cells keep their centroid).
     * Centroid count is tiny, so the per-step reduce is one
     * groupBy(cell, dim) over posexploded vectors and a driver-side
-    * collect of nlist×dims doubles — the k-means pattern at any scale. */
+    * collect of nlist×dims values — the k-means pattern at any scale.
+    *
+    * BIT-deterministic, not just logically so: the per-cell mean sums
+    * components as ×2^30 fixed-point LONGS (exact integer addition is
+    * order-independent, where a double `avg` depends on partition and
+    * merge order), so reruns under any partitioning yield identical
+    * centroids — and identical downstream cell assignments. That
+    * matters because boundary vectors sit arbitrarily close to Voronoi
+    * edges: with float means, a re-run could flip one assignment and
+    * change which candidate pairs the oracle-checked near-dup queries
+    * see. */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     graft.functions.ensureRegistered(corpus.sparkSession)
@@ -294,11 +364,17 @@ object Similarity {
       val assigned = corpus.select(
         element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
-      val means = assigned.groupBy("cell", "dim").agg(avg("x").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val sums = assigned.groupBy("cell", "dim")
+        .agg(sum(round(col("x").cast("double") * CentroidQuant).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
       cents = cents.zipWithIndex.map { case (old, c) =>
-        if (means.contains((c, 0)))
-          normalized(old.indices.map(d => means((c, d))))
+        if (sums.contains((c, 0)))
+          normalized(old.indices.map { d =>
+            val (sq, n) = sums((c, d))
+            sq.toDouble / (n.toDouble * CentroidQuant)
+          })
         else old
       }
     }

@@ -312,11 +312,18 @@ object TextAnalysis {
     * encoded pair ids, not string structs (measured 3.7 s → ~1 s at
     * sf0.1). One explode feeds both the df aggregate and the pair path
     * via a lazily-checkpointed frame.
+    *
+    * `nDocs` lets a caller that already knows the corpus size skip the
+    * count; when absent, N computes INSIDE the plan as the audited
+    * single-row broadcast (same shape as [[tfidfTopK]]) — not an eager
+    * driver-side count(), which would cost a full extra corpus scan
+    * and a sync before the real work (the vocabulary collect below is
+    * already one driver job; the count was a second).
     */
   def pmiPairs(docs: DataFrame, vocabSize: Int = 100, minPairDocs: Long = 5L,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               idCol: String = "doc_id", textCol: String = "text",
+               nDocs: Option[Long] = None): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    val nDocs = docs.select(col(idCol)).count()
     val docTok = docs
       .select(col(idCol).as("__id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
@@ -340,14 +347,23 @@ object TextAnalysis {
             element_at(col("w"), j + 1) * V + element_at(col("w"), i + 1))))).as("pid"))
       .groupBy("pid").agg(count(lit(1)).as("df_ab"))
       .where(col("df_ab") >= minPairDocs)
+    val withN = nDocs match {
+      case Some(n) => pairs.withColumn("__n", lit(n))
+      case None =>
+        // guaranteed-one-row global aggregate, broadcast-attached: the
+        // audited single-row-scalar exception (PlanAuditSpec verifies
+        // the 1-row bound), O(|pairs|) — not a scale-killer
+        val nFrame = docs.agg(count(lit(1)).as("__n"))
+        pairs.crossJoin(broadcast(nFrame))
+    }
     // decode: vid order is df-desc, so re-order lexicographically here
     val ta = element_at(tokMap, expr(s"pid DIV $V"))
     val tb = element_at(tokMap, col("pid") % V)
     val dfProduct = element_at(dfMap, expr(s"pid DIV $V")) * element_at(dfMap, col("pid") % V)
-    pairs
+    withN
       .select(least(ta, tb).as("token_a"), greatest(ta, tb).as("token_b"),
         col("df_ab"),
-        round(log((col("df_ab") * nDocs).cast("double") / dfProduct.cast("double")), 4)
+        round(log((col("df_ab") * col("__n")).cast("double") / dfProduct.cast("double")), 4)
           .as("pmi"))
       .orderBy("token_a", "token_b")
   }

@@ -72,13 +72,54 @@ class DashboardStore(dir: String) {
     * Returns the decoded name. */
   def storePosted(body: String): String = {
     val head = firstArrayElement(body)
-    val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(head)
-      .map(_.group(1))
+    val name = topLevelStringField(head, "name")
       .getOrElse(throw new UnsupportedOperationException(
         "dashboard payload has no name field"))
     val decoded = decode(name.split("_").last)
     store(decoded, head.getBytes("UTF-8"))
     decoded
+  }
+
+  /** Value of the depth-1 string field `key` of a JSON object, found by
+    * structural scan (strings and escapes respected) — so a nested
+    * object's same-named key can never win, matching the reference's
+    * Jackson binding of the TOP-LEVEL field. Returns the raw string
+    * body (escape sequences intact — the name is base64 after the last
+    * '_', which contains no escapes). */
+  private def topLevelStringField(obj: String, key: String): Option[String] = {
+    var i = obj.indexOf('{')
+    if (i < 0) return None
+    i += 1
+    var depth = 1
+    var pendingKey: String = null // depth-1 string awaiting its value
+    while (i < obj.length && depth > 0) {
+      obj(i) match {
+        case '"' =>
+          val start = i + 1
+          var j = start
+          var esc = false
+          while (j < obj.length && (esc || obj(j) != '"')) {
+            esc = !esc && obj(j) == '\\'
+            j += 1
+          }
+          val body = obj.substring(start, j)
+          if (depth == 1) {
+            if (pendingKey == null) pendingKey = body // a key
+            else { // the value of pendingKey
+              if (pendingKey == key) return Some(body)
+              pendingKey = null
+            }
+          }
+          i = j + 1
+        case '{' | '[' =>
+          if (depth == 1) pendingKey = null // non-string value
+          depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case ',' => if (depth == 1) pendingKey = null; i += 1
+        case _ => i += 1
+      }
+    }
+    None
   }
 
   /** First element of a JSON array, by depth scan (strings and escapes

@@ -168,6 +168,24 @@ object PipelineQueries {
         nlist = 8, nprobe = 4)
       .orderBy("id_a", "id_b")
 
+  /** Incremental embedding near-dup: vec_id ≥ 250 is "tonight's batch"
+    * checked against the < 250 already-indexed corpus — the vector
+    * analog of d_minhash_incremental. Same symmetric 4-of-8 probe
+    * geometry as e_ivf_near_dup (store indexed with multiple
+    * assignment 4, batch probes 4): this corpus' 0.45 pairs are FAR
+    * pairs near the all-pairs boundary, so the exact-match oracle
+    * needs generous two-sided probing (measured: one-sided assignment
+    * misses boundary straddles up to nprobe = 6); planted near-dups at
+    * real thresholds pair at assignNprobe = 1, nprobe = 2
+    * (spec-measured). */
+  def embNearDupsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfNearDupIncremental(
+      emb.where(col("vec_id") >= 250), emb.where(col("vec_id") < 250),
+      threshold = 0.45, nlist = 8, nprobe = 4, assignNprobe = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SemDeDup over the embeddings table at the same threshold the pair
     * demo uses: every vec_id flagged kept/dropped, min id per cosine
     * cluster surviving. The oracle recomputes the closure with a
@@ -275,12 +293,18 @@ object PipelineQueries {
 
   /** The hybrid text+vector curation funnel: the 5-stage text pipeline
     * plus a semantic (embedding-cosine) dedup tail over survivors'
-    * aligned embeddings (vec_id ≡ doc_id in the fixtures). */
+    * aligned embeddings (vec_id ≡ doc_id in the fixtures). Stage 6
+    * rides the IVF-bucketed pair source — the measured scale path
+    * (BASELINE.md §G: bucket-bounded candidates where recall-sized LSH
+    * at this threshold retains ~30% of ALL pairs) — in e_ivf_near_dup's
+    * oracle-exact geometry; CurationSpec pins funnel equality against
+    * the LSH tail on this corpus. */
   def curationSemantic(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     graft.ops.Curation.runWithSemantic(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      Tables.embeddings(spark, dir))._2
+      Tables.embeddings(spark, dir),
+      graft.ops.Curation.Params(semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
   }
 
   /** Cross-document repeated 8-token spans (exact-substring-dedup
@@ -717,6 +741,7 @@ object PipelineQueries {
     "e_ivf_topk"        -> (ivfTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
+    "e_ivf_incremental" -> (embNearDupsIncremental _),
     "e_semantic_dedup"  -> (semanticDedupQ _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
@@ -1406,6 +1431,14 @@ object PipelineQueries {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM v a, v b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    // exact cross pairs: id_a = new batch (>= 250), id_b = seen corpus
+    "e_ivf_incremental" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a, v b
+        |WHERE a.vec_id >= 250 AND b.vec_id < 250
+        |  AND list_cosine_similarity(a.e, b.e) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "e_semantic_dedup" ->
       """WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

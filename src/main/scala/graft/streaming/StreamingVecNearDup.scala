@@ -1,0 +1,174 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming EMBEDDING near-dup dedup:
+  * [[graft.ops.Similarity.ivfNearDupIncremental]] as a continuous
+  * pipeline — the vector twin of [[StreamingNearDup]]. The persistent
+  * state is a real IVF index:
+  *
+  *  - `centroids/` — the coarse quantizer, trained ONCE on the first
+  *    batch and persisted with a version stamp; every later batch
+  *    probes the SAME Voronoi partition the store was built under
+  *    (mixing assignments from different centroid sets would make
+  *    cell-equality meaningless, so the version rides along and is
+  *    asserted on read);
+  *  - `cells/` — (id, cell, vector, norm, centroid version) assignment
+  *    rows for every kept vector, `assignNprobe` rows per id
+  *    (multiple assignment — see [[Similarity.ivfNearDupIncremental]]).
+  *    Vectors ride in the assignment rows so the exact verify reads
+  *    one store, and only rows in probed cells are ever joined.
+  *
+  * Each micro-batch: (1) probe the batch's vectors; (2) cross dups —
+  * batch vectors whose store-mates in a shared cell verify at cosine ≥
+  * threshold are dropped (EXACT verify, unlike the text twin's MinHash
+  * estimate: the index stores the vectors themselves, so there is
+  * nothing to approximate); (3) within-batch dups via
+  * [[Similarity.ivfNearDupPairs]] under the SAME pinned centroids →
+  * [[Dedup.dupClusters]] → min-id survivor; (4) survivors land in
+  * `kept/`, their assignment rows join the store.
+  *
+  * Failure semantics match [[StreamingNearDup]]: kept vectors are
+  * written before their assignment rows, so batch replay re-emits but
+  * never loses (at-least-once); duplicate store rows from a replay
+  * only widen the candidate set (the joins de-duplicate), never
+  * corrupt it. Restart durability: centroids and cells live on disk,
+  * so a new instance over the same `baseDir` resumes the same index —
+  * spec-verified ([[graft.StreamingSpec]]).
+  */
+class StreamingVecNearDup(spark: SparkSession, baseDir: String,
+                          threshold: Double = 0.7,
+                          nlist: Int = 16, nprobe: Int = 2, assignNprobe: Int = 1,
+                          idCol: String = "vec_id", vecCol: String = "embedding") {
+  private val keptDir = s"$baseDir/kept"
+  private val cellDir = s"$baseDir/cells"
+  private val centDir = s"$baseDir/centroids"
+
+  def keptPath: String = keptDir
+
+  /** Streaming source for JSON-lines embedding files in `dir`. */
+  def readJsonVecs(dir: String): DataFrame =
+    spark.readStream.schema(s"$idCol LONG, $vecCol ARRAY<FLOAT>").json(dir)
+
+  /** Compact the assignment store's per-batch slivers (maintenance-
+    * window op, as in [[StreamingNearDup.compactStore]]). */
+  def compactStore(maxFiles: Int = 8): Boolean =
+    StoreCompaction.compactDir(spark, cellDir, maxFiles)
+
+  /** The persisted coarse quantizer, or None before the first batch.
+    * Tiny by construction (nlist × dims rows) — the same driver-side
+    * footprint [[Similarity.ivfCentroids]] already pays. */
+  private def loadCentroids(s: SparkSession): Option[(Long, Seq[Seq[Double]])] =
+    if (!Files.exists(Paths.get(centDir))) None
+    else {
+      s.catalog.refreshByPath(centDir)
+      val rows = s.read.parquet(centDir)
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[Int]("cell"),
+          r.getAs[Int]("dim"), r.getAs[Double]("value")))
+      if (rows.isEmpty) None
+      else {
+        val version = rows.head._1
+        require(rows.forall(_._1 == version),
+          s"centroid store $centDir holds mixed versions — rebuild the index")
+        val cents = rows.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (_, rs) => rs.sortBy(_._3).map(_._4).toSeq }
+        Some((version, cents))
+      }
+    }
+
+  /** (id, cell, pos, v, nrm, version) assignment rows for a vector
+    * frame — `pos` is the probe rank (0 = nearest cell), so one
+    * probe pass serves both the wide query join and the
+    * `pos < assignNprobe` store append. */
+  private def assignRows(vecs: DataFrame, cents: Seq[Seq[Double]], probes: Int,
+                         version: Long): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"),
+        posexplode(graft.functions.ivf_probe(col(vecCol), cents, probes))
+          .as(Seq("pos", "cell")))
+      .withColumn("version", lit(version))
+
+  def start(vecs: DataFrame, trigger: Trigger): StreamingQuery =
+    vecs.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", s"$baseDir/chk")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .start()
+
+  private def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    graft.functions.ensureRegistered(s)
+    // one row per id (cf. StreamingNearDup: a same-id duplicate pair
+    // slips the ≠/< candidate joins and would fan the store)
+    val oneRn = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(xxhash64(col(vecCol).cast("string")).asc)
+    val b = batch.select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
+      .drop("__rn")
+      .localCheckpoint()
+    val nBatch = b.count()
+    // a no-data trigger must not train a degenerate quantizer (or
+    // touch the stores at all)
+    if (nBatch == 0) return
+    // bootstrap: the first batch trains and persists the quantizer
+    // (capped at the batch size — a tiny bootstrap batch yields a
+    // coarse index, refined in a deployment by periodic retrain+rekey)
+    val (version, cents) = loadCentroids(s).getOrElse {
+      val c = Similarity.ivfCentroids(b, math.min(nlist.toLong, nBatch).toInt,
+        iters = 1, idCol, vecCol)
+      import s.implicits._
+      c.zipWithIndex.flatMap { case (row, cell) =>
+        row.zipWithIndex.map { case (x, d) => (batchId, cell, d, x) }
+      }.toDF("version", "cell", "dim", "value")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      (batchId, c)
+    }
+    // probe widths can never exceed the trained cell count
+    val storeWidth = math.min(assignNprobe, cents.length)
+    val probeWidth = math.min(math.max(nprobe, storeWidth), cents.length)
+    val probed = assignRows(b, cents, probeWidth, version)
+      .localCheckpoint() // cross join + (filtered) store append share it
+    val seenCells =
+      if (Files.exists(Paths.get(cellDir))) {
+        s.catalog.refreshByPath(cellDir)
+        s.read.parquet(cellDir)
+      } else probed.drop("pos").limit(0)
+    // cross dups: EXACT cosine verify against store rows sharing a
+    // probed cell — only those rows are ever read into the join
+    val crossDup = probed.as("a")
+      .join(seenCells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
+        Similarity.dot(col("a.v"), col("b.v")) >=
+          lit(threshold) * col("a.nrm") * col("b.nrm"))
+      .select(col("a.id").as(idCol)).distinct()
+    // within-batch dups under the SAME pinned centroids
+    val selfPairs = Similarity.ivfNearDupPairs(b, threshold,
+      nlist, math.min(math.max(nprobe, 2), cents.length),
+      idCol = idCol, vecCol = vecCol, centroids = Some(cents))
+    val selfLosers = Dedup.dupClusters(selfPairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    val kept = b
+      .join(crossDup, Seq(idCol), "left_anti")
+      .join(selfLosers, Seq(idCol), "left_anti")
+      .localCheckpoint() // vector write + assignment append share one eval
+    kept.write.mode("append").parquet(keptDir)
+    // store kept rows' assignments at the index width, not the probe
+    // width — probed already carries the wider of the two with probe
+    // ranks, so filter, don't recompute
+    val keptAssign = probed
+      .join(kept.select(col(idCol).as("id")), "id")
+      .where(col("pos") < storeWidth)
+      .drop("pos")
+    keptAssign.write.mode("append").parquet(cellDir)
+  }
+}

@@ -188,6 +188,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpoints survive executor-state loss; localCheckpoint demonstrably cannot") {
+    // The cliff the knob exists for: localCheckpoint stores blocks
+    // non-replicated on executors WITH LINEAGE TRUNCATED, so losing
+    // executor storage mid-pipeline kills the query. local[n] has no
+    // executor to kill, but dropping every persisted block through the
+    // BlockManager reproduces the observable state of "the executor
+    // holding the blocks is gone".
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    def dropAllBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
+    // default mode: materialize the pipeline's shared frames, drop the
+    // blocks, re-use the result frame → the truncated lineage cannot
+    // recompute and the action fails (this is the documented cliff)
+    val (curatedLocal, funnelLocal) = Curation.run(corpus, bench)
+    val localBefore = funnelLocal.collect()
+    assert(localBefore.nonEmpty)
+    dropAllBlocks()
+    val failed = intercept[org.apache.spark.SparkException] {
+      curatedLocal.count()
+    }
+    assert(failed.getMessage.contains("Checkpoint block"),
+      s"expected a lost-checkpoint-block failure, got: ${failed.getMessage}")
+
+    // reliable mode: same pipeline, same block loss — the shared
+    // frames re-read from the checkpoint dir's files and every
+    // consumer still completes, stage for stage
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ckpt_fail").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(ops.Checkpoints.ReliableKey, "true")
+    try {
+      val (curatedRel, funnelRel) = Curation.run(corpus, bench)
+      val before = funnelRel.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      dropAllBlocks()
+      val after = funnelRel.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(after == before, "reliable funnel changed after block loss")
+      assert(curatedRel.count() == before.last._2,
+        "curated corpus unreadable after block loss")
+    } finally {
+      spark.conf.unset(ops.Checkpoints.ReliableKey)
+      graft.sources.TierStore.deleteTree(new java.io.File(ckDir))
+    }
+  }
+
   test("semantic curation: stage 6 extends the funnel and drops only cosine losers") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
@@ -213,6 +261,22 @@ class OpsSpec extends SparkSpec {
       .where(!col("kept")).collect().map(_.getLong(0)).toSet
     val expect = clean5.collect().map(_.getAs[Long]("doc_id")).toSet -- losers
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
+  }
+
+  test("semantic curation IVF tail: funnel equals the LSH tail's on the driver corpus") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    def funnelOf(p: Curation.Params) =
+      Curation.runWithSemantic(corpus, bench, emb, p)._2.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaLsh = funnelOf(Curation.Params())
+    // e_ivf_near_dup's oracle-exact geometry: 4-of-8 probing catches
+    // every boundary straddle on this corpus, so the facade's IVF tail
+    // must reproduce the LSH tail's funnel stage for stage
+    val viaIvf = funnelOf(Curation.Params(
+      semanticIvfNlist = Some(8), semanticIvfNprobe = 4))
+    assert(viaIvf == viaLsh,
+      s"IVF semantic tail diverged:\n  lsh=$viaLsh\n  ivf=$viaIvf")
   }
 
   test("simhash: identical texts share signatures; hamming is sane") {
@@ -321,6 +385,33 @@ class OpsSpec extends SparkSpec {
     val viaIvf = flags(Similarity.semanticDedup(df, 0.7,
       ivfNlist = Some(8), ivfNprobe = 4))
     assert(viaIvf == viaLsh)
+
+    // ---- incremental twin: new batch (ids ≥ 300, incl. every planted
+    // perturbation of a seen base) against the seen corpus (< 300) ----
+    val seenDf = df.where(col("vec_id") < 300)
+    val newDf = df.where(col("vec_id") >= 300)
+    val crossTruth = (for {
+      i <- 300 until 400; j <- 0 until 300
+      if cos(vecs(i), vecs(j)) >= 0.7
+    } yield (i.toLong, j.toLong)).toSet
+    assert(crossTruth.size >= 30, s"expected planted cross pairs, got ${crossTruth.size}")
+    val inc = Similarity.ivfNearDupIncremental(newDf, seenDf, threshold = 0.7,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross pairs only (id_a new, id_b seen), exact verify ⇒ no false
+    // positives even through the classic one-cell index
+    assert(inc.forall { case (a, b) => a >= 300 && b < 300 })
+    assert(inc.subsetOf(crossTruth), s"false positives: ${inc -- crossTruth}")
+    val incRecall = inc.size.toDouble / crossTruth.size
+    assert(incRecall >= 0.9,
+      s"incremental IVF recall $incRecall < 0.9 (${inc.size}/${crossTruth.size})")
+    // multiple assignment (store indexed into 2 cells) can only WIDEN
+    // the candidate set — a superset of the classic index's output,
+    // still exact-verified
+    val incWide = Similarity.ivfNearDupIncremental(newDf, seenDf, threshold = 0.7,
+        nlist = 8, nprobe = 2, assignNprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.subsetOf(incWide) && incWide.subsetOf(crossTruth))
   }
 
   test("LSH top-k achieves decent recall vs brute force") {

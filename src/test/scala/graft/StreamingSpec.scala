@@ -212,6 +212,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vec near-dup: IVF cell store drops near-dups across batches; index survives restart") {
+    val base = Files.createTempDirectory("graft_svndup").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def vec(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val A = Seq(1.0, 0.0, 0.0, 0.0)
+    val B = Seq(0.999, 0.04, 0.0, 0.0)   // cos(A,B) ≈ 0.999
+    val C = Seq(0.0, 1.0, 0.0, 0.0)      // unrelated
+    val D = Seq(0.998, -0.05, 0.0, 0.0)  // near-dups stored A-cluster
+    val E = Seq(0.0, 0.0, 1.0, 0.0)      // fresh
+    def mkStream() = new graft.streaming.StreamingVecNearDup(spark, base,
+      threshold = 0.7, nlist = 4, nprobe = 2)
+    // batch 1: A (id 2) and B (id 1) near-dup each other → min id 1
+    // survives; 3 is unrelated. Centroids train on THIS batch and
+    // persist as the index's pinned version.
+    val s1 = mkStream()
+    val q1 = s1.start(s1.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", Seq(vec(2, A), vec(1, B), vec(3, C)))
+      q1.processAllAvailable()
+      spark.catalog.refreshByPath(s1.keptPath)
+      val kept1 = spark.read.parquet(s1.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept1.toSeq == Seq(1L, 3L))
+    } finally q1.stop()
+    // RESTART: a NEW instance over the same dir must resume the same
+    // index — centroids and cell assignments read back from disk, so
+    // batch 2's near-dup of a batch-1 survivor is caught without any
+    // in-memory state. Id 5 is fresh and duplicated VERBATIM in the
+    // batch: the per-id dedup must keep exactly one and write ONE
+    // assignment row (no store fan-out).
+    val s2 = mkStream()
+    val q2 = s2.start(s2.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b2.json", Seq(vec(4, D), vec(5, E), vec(5, E)))
+      q2.processAllAvailable()
+      spark.catalog.refreshByPath(s2.keptPath)
+      val kept2 = spark.read.parquet(s2.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept2.toSeq == Seq(1L, 3L, 5L),
+        s"restart lost the index: kept ${kept2.toSeq}")
+      // one centroid version, one assignment row per kept id
+      spark.catalog.refreshByPath(s"$base/centroids")
+      val versions = spark.read.parquet(s"$base/centroids")
+        .select("version").distinct().count()
+      assert(versions == 1L, s"$versions centroid versions in the store")
+      spark.catalog.refreshByPath(s"$base/cells")
+      val cellRows = spark.read.parquet(s"$base/cells")
+        .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cellRows == Map(1L -> 1L, 3L -> 1L, 5L -> 1L),
+        s"assignment store fan-out: $cellRows")
+    } finally q2.stop()
+  }
+
   test("counter streaming path: 5s sums, cascade adds") {
     val base = Files.createTempDirectory("graft_cstream").toString
     val in = s"$base/in"
