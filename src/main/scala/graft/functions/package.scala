@@ -54,16 +54,24 @@ package object functions {
             exprs.head, exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction(
         "ivf_probe", exprs => IvfProbe(exprs.head,
-          {
-            val arr = exprs(1).eval()
-              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            (0 until arr.numElements()).map { i =>
-              val row = arr.getArray(i)
-              (0 until row.numElements()).map(row.getDouble).toSeq
-            }.toSeq
-          },
+          centroidsOf(exprs(1)),
           exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "ivf_probe_hier", exprs => IvfProbeHier(exprs.head,
+          centroidsOf(exprs(1)),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
+  }
+
+  /** Literal Seq[Seq[Double]] centroid matrix from a foldable arg. */
+  private def centroidsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Seq[Double]] = {
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val row = arr.getArray(i)
+      (0 until row.numElements()).map(row.getDouble).toSeq
+    }.toSeq
   }
 
   /** Aggregate raw non-negative Longs into a serialized HDR sketch. */
@@ -103,5 +111,14 @@ package object functions {
   def ivf_probe(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("ivf_probe", vec, typedlit(centroids), lit(nprobe))
+  }
+
+  /** Two-level probe: rank ⌈√nlist⌉ super-centroids, scan only the
+    * `superProbe` nearest super-cells' centroids — ≈ (1+superProbe)·
+    * √nlist dots per vector instead of nlist (see [[IvfProbeHier]]). */
+  def ivf_probe_hier(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int,
+                     superProbe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("ivf_probe_hier", vec, typedlit(centroids), lit(nprobe), lit(superProbe))
   }
 }

@@ -176,15 +176,26 @@ object Similarity {
     * catches the standard boundary straddle (spec-measured ≥ 0.9 on
     * planted near-dups). Zero vectors never pair (norm guard, as in
     * [[nearDupPairs]]). */
+  /** Probe column for a pinned centroid set: flat (nlist dots per
+    * vector), or two-level when `superProbe` is set — ≈ (1+superProbe)·
+    * √nlist dots, the assignment-cost escape hatch once nlist is grown
+    * with corpus size (see [[graft.functions.IvfProbeHier]]). */
+  private def probeExpr(vec: Column, cents: Seq[Seq[Double]], nprobe: Int,
+                        superProbe: Option[Int]): Column = superProbe match {
+    case Some(sp) => graft.functions.ivf_probe_hier(vec, cents, nprobe, sp)
+    case None => graft.functions.ivf_probe(vec, cents, nprobe)
+  }
+
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+                      centroids: Option[Seq[Seq[Double]]] = None,
+                      superProbe: Option[Int] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
     val probed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"),
-        explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+        explode(probeExpr(col(vecCol), cents, nprobe, superProbe)).as("cell"))
     probed.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&

@@ -412,6 +412,28 @@ class OpsSpec extends SparkSpec {
         nlist = 8, nprobe = 2, assignNprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc.subsetOf(incWide) && incWide.subsetOf(crossTruth))
+
+    // ---- hierarchical (two-level) probe: the assignment-cost escape
+    // hatch — ⌈√nlist⌉ super-cells, scan only probed supers' members ----
+    val cents = Similarity.ivfCentroids(df, 16)
+    val nsuper = math.ceil(math.sqrt(16.0)).toInt
+    // probing EVERY super-cell scans every centroid ⇒ the two-level
+    // ranking must equal the flat probe bit for bit
+    def probes(c: org.apache.spark.sql.Column) =
+      df.select(col("vec_id"), c.as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val flatP = probes(graft.functions.ivf_probe(col("embedding"), cents, 2))
+    val hierFull = probes(graft.functions.ivf_probe_hier(col("embedding"), cents, 2, nsuper))
+    assert(hierFull == flatP, "full-coverage hierarchical probe diverged from flat")
+    // pruned supers (the scale configuration): exact verify keeps
+    // precision 1; planted-pair recall must hold
+    val hierPairs = Similarity.ivfNearDupPairs(df, threshold = 0.7, nlist = 16,
+        nprobe = 2, superProbe = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hierPairs.subsetOf(truth), s"false positives: ${hierPairs -- truth}")
+    val hierRecall = hierPairs.size.toDouble / truth.size
+    assert(hierRecall >= 0.9,
+      s"hierarchical IVF recall $hierRecall < 0.9 (${hierPairs.size}/${truth.size})")
   }
 
   test("LSH top-k achieves decent recall vs brute force") {

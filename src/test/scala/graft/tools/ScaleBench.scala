@@ -60,6 +60,19 @@ object ScaleBench {
       Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist))
       ("e_ivf_near_dup_0.7", (System.nanoTime() - t2) / 1e9)
     }
+    // same pass through the two-level quantizer: assignment drops from
+    // nlist to ≈ 3·√nlist dots per vector (the n × nlist escape hatch);
+    // prints the pair-count delta so the recall cost is visible
+    val ivfNdHier = if (!want("e_ivf_near_dup_0.7_hier")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val t3 = System.nanoTime()
+      Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist,
+        superProbe = Some(2)))
+      ("e_ivf_near_dup_0.7_hier", (System.nanoTime() - t3) / 1e9)
+    }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
     // d_curation_funnel query pins)
@@ -72,7 +85,7 @@ object ScaleBench {
           pairSource = graft.ops.Curation.PairSource.MinHash())))
       ("d_curation_funnel_minhash", (System.nanoTime() - t1) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ mh
+    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
