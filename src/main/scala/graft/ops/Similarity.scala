@@ -155,6 +155,77 @@ object Similarity {
       .distinct()
   }
 
+  /** Exact all-pairs cosine near-dup via BLOCK-PARTITIONED pair
+    * enumeration — the honest minimal-constant plan for the regime
+    * where recall-sized LSH is degenerate (low thresholds on isotropic
+    * data, where LSH retains ≥ 100% of all pairs INCLUDING cross-table
+    * repeats plus n × tables bucket rows of fan-out). Nothing with
+    * recall ~1 is sub-quadratic there, so the right plan evaluates
+    * each of the C(n,2) pairs exactly once with no bucket machinery:
+    *
+    * Every vector hashes into one of `blocks` blocks; the driver
+    * enumerates the blocks² ordered block pairs (a tiny broadcast
+    * frame), each vector joins its block's row-pairs, and the two
+    * legs meet on the (ba, bb) block-pair key — equi-joins throughout
+    * (no CartesianProduct node), replication factor `blocks + 1` per
+    * row versus the degenerate regime's ~150 LSH tables, and the
+    * largest join partition holds ~2/blocks of the work. Cross-block
+    * pairs arrive block-oriented, so ids are normalized with
+    * least/greatest; same-block pairs keep `id_a < id_b`. The verify
+    * is the same codegen'd scale-free dot as [[nearDupPairs]], zero
+    * vectors never pair. */
+  def bruteForcePairs(corpus: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be positive, got $blocks")
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
+    val blockPairs = broadcast(
+      (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+        .toDF("ba", "bb"))
+    val left = base.join(blockPairs, col("blk") === col("ba"))
+      .select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na"),
+        col("ba"), col("bb"))
+    val right = base
+      .select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
+        col("blk").as("bb"))
+    // each unordered pair materializes exactly once: same-block pairs
+    // through (i, i) with id order, cross-block pairs through the one
+    // ordered (ba < bb) block combination their blocks form — so no
+    // result-side distinct is needed
+    left.join(right, Seq("bb"))
+      .where(col("ba") === col("bb") && col("ida") < col("idb") ||
+        col("ba") < col("bb"))
+      .where(col("na") > 0 && col("nb") > 0 &&
+        dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+  }
+
+  /** [[nearDupPairs]] with the degenerate regime routed to
+    * [[bruteForcePairs]] — the variant naive callers should use. The
+    * decision is the same scale-free retained-fraction test the WARN
+    * guardrail fires on: when recall-sized LSH would retain ≥
+    * [[DegenerateLshRetainedFraction]] of ALL pairs (or degrade below
+    * [[DegenerateLshBits]] signature bits), bucket machinery only adds
+    * fan-out over an honest exact block plan, so exactness comes free;
+    * otherwise the sub-quadratic LSH path runs with its sized
+    * near-perfect recall. For bounded-candidate approximate dedup at
+    * genuinely low thresholds, use [[ivfNearDupPairs]] instead. */
+  def nearDupPairsAdaptive(corpus: DataFrame, threshold: Double,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           dims: Int = 64): DataFrame = {
+    val (bits, tables) = lshParamsFor(threshold)
+    if (bits <= DegenerateLshBits ||
+        lshRetainedFraction(bits, tables) >= DegenerateLshRetainedFraction)
+      bruteForcePairs(corpus, threshold, idCol, vecCol)
+    else nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+  }
+
   /** Near-duplicate pairs via IVF bucketing — the BUCKET-BOUNDED scale
     * path for embedding near-dup. Every vector is assigned to its
     * `nprobe` nearest of `nlist` (deterministic-Lloyd) centroids;
@@ -455,11 +526,12 @@ object Similarity {
     * set; singletons that never paired are kept by construction.
     *
     * Composition, not new machinery: candidate pairs come from
-    * [[nearDupPairs]] (bucketed LSH + codegen'd exact verify — no
-    * cartesian node, and its degenerate-regime guardrail fires here
-    * too) or, when `ivfNlist` is set, from [[ivfNearDupPairs]] — the
-    * bucket-bounded scale path for large unclustered corpora (see the
-    * retained-fraction discussion on [[degenerateLshDiagnostic]]);
+    * [[nearDupPairsAdaptive]] (recall-sized LSH, with the degenerate
+    * low-threshold regime routed to the exact block-partitioned plan —
+    * no cartesian node either way) or, when `ivfNlist` is set, from
+    * [[ivfNearDupPairs]] — the bucket-bounded scale path for large
+    * unclustered corpora (see the retained-fraction discussion on
+    * [[degenerateLshDiagnostic]]);
     * components from [[Dedup.dupClusters]] (bounded driver union-find,
     * else distributed min-label propagation). At 100 TB the only
     * frames that shuffle are (long, long) pairs and the loser-id
@@ -473,7 +545,7 @@ object Similarity {
     val pairs = ivfNlist match {
       case Some(nlist) =>
         ivfNearDupPairs(corpus, threshold, nlist, ivfNprobe, idCol = idCol, vecCol = vecCol)
-      case None => nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+      case None => nearDupPairsAdaptive(corpus, threshold, idCol, vecCol, dims)
     }
     val losers = Dedup.dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster_id"))

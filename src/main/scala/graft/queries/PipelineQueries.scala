@@ -152,8 +152,14 @@ object PipelineQueries {
   def quantizeEmb(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
 
+  /** Threshold 0.45 sits in the degenerate-LSH regime (the sizing
+    * retains ~233% of all pairs incl. cross-table repeats), so the
+    * adaptive router takes the exact block-partitioned plan — same
+    * all-pairs oracle, recall exactly 1, none of the 149-table LSH
+    * fan-out. At real near-dup thresholds the same call routes to
+    * sub-quadratic LSH (spec-pinned both ways). */
   def embNearDups(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45)
+    Similarity.nearDupPairsAdaptive(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
   /** The IVF-bucketed twin of [[embNearDups]] — the bucket-bounded

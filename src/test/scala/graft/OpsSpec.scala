@@ -344,6 +344,35 @@ class OpsSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("adaptive near-dup: degenerate regime takes the exact block plan, healthy regime takes LSH") {
+    // routing is observable from the plan: the LSH path evaluates
+    // lsh_sigs, the block-partitioned exact path never does
+    val low = Similarity.nearDupPairsAdaptive(emb, 0.45)
+    val lowPlan = low.queryExecution.executedPlan.toString
+    assert(!lowPlan.contains("lsh_sigs"), "degenerate threshold still routed to LSH")
+    assert(!lowPlan.contains("CartesianProduct") &&
+      !lowPlan.contains("BroadcastNestedLoopJoin"),
+      "block-partitioned plan fell back to a scale-killer join")
+    val hiPlan = Similarity.nearDupPairsAdaptive(emb, 0.85)
+      .queryExecution.executedPlan.toString
+    assert(hiPlan.contains("lsh_sigs"), "healthy threshold lost the sub-quadratic path")
+    // the exact block plan and the recall-sized LSH plan agree on this
+    // corpus (LSH miss probability 1e-5 ⇒ identical pair sets)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBlocks = pairs(Similarity.bruteForcePairs(emb, 0.45))
+    val viaLsh = pairs(Similarity.nearDupPairs(emb, 0.45))
+    assert(viaBlocks == viaLsh,
+      s"block plan diverged: only-blocks=${viaBlocks -- viaLsh} only-lsh=${viaLsh -- viaBlocks}")
+    // zero vectors never pair (the shared norm guard)
+    import spark.implicits._
+    val z = Seq((1L, Seq.fill(64)(0.0)), (2L, Seq.fill(64)(0.0)),
+        (3L, Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    assert(Similarity.bruteForcePairs(z, 0.0).isEmpty)
+  }
+
   test("IVF near-dup: exact-verified subset of brute force with high recall on planted pairs") {
     import spark.implicits._
     // seeded corpus: 360 isotropic vectors + 40 planted near-dups
