@@ -257,6 +257,13 @@ object Similarity {
     case None => graft.functions.ivf_probe(vec, cents, nprobe)
   }
 
+  /** Empty pair frame with `idCol`'s type on both sides — the result
+    * of any pair operator over a corpus too small to pair (an empty
+    * stage-5 survivor set is a NORMAL state for a curation funnel
+    * whose filters wiped the corpus, not an error). */
+  private def noPairs(corpus: DataFrame, idCol: String): DataFrame =
+    corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
+
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -264,9 +271,13 @@ object Similarity {
                       superProbe: Option[Int] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
+    // an empty corpus trains zero centroids; fewer vectors than nprobe
+    // train fewer cells than the probe width — clamp, don't crash
+    if (cents.isEmpty) return noPairs(corpus, idCol)
     val probed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"),
-        explode(probeExpr(col(vecCol), cents, nprobe, superProbe)).as("cell"))
+        explode(probeExpr(col(vecCol), cents, math.min(nprobe, cents.length),
+          superProbe)).as("cell"))
     probed.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
@@ -314,12 +325,17 @@ object Similarity {
                             assignNprobe: Int = 1): DataFrame = {
     graft.functions.ensureRegistered(newEmb.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(seenEmb, nlist, iters, idCol, vecCol))
+    // empty seen corpus ⇒ no index ⇒ no cross pairs (clamp widths to
+    // the trained cell count otherwise — see ivfNearDupPairs)
+    if (cents.isEmpty) return noPairs(newEmb, idCol)
     val seen = seenEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents, assignNprobe)).as("cell"))
+      explode(graft.functions.ivf_probe(col(vecCol), cents,
+        math.min(assignNprobe, cents.length))).as("cell"))
     val fresh = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+      explode(graft.functions.ivf_probe(col(vecCol), cents,
+        math.min(nprobe, cents.length))).as("cell"))
     fresh.as("a").join(seen.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
@@ -442,6 +458,10 @@ object Similarity {
     var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
+    // an empty corpus trains no quantizer — return the empty set
+    // rather than building a Lloyd plan over zero centroids (callers
+    // treat it as "no index": no pairs, no neighbors)
+    if (cents.isEmpty) return cents
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
@@ -475,12 +495,17 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    // empty corpus ⇒ no index ⇒ no neighbors for any query
+    if (cents.isEmpty)
+      return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
+        col(idCol).as("n_id")).limit(0)
     val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"),
       element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents, nprobe)).as("cell"))
+      explode(graft.functions.ivf_probe(col(vecCol), cents,
+        math.min(nprobe, cents.length))).as("cell"))
     // join strategy left to the planner (small probe sets auto-broadcast);
     // norms precomputed per vector — see lshTopK
     val scored = probed.join(assigned, "cell")

@@ -263,6 +263,35 @@ class OpsSpec extends SparkSpec {
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
   }
 
+  test("IVF operators degrade gracefully on empty and tiny corpora") {
+    import spark.implicits._
+    val none = emb.limit(0)
+    val one = emb.limit(1)
+    // empty corpus: no index, no pairs / neighbors — never a crash
+    // (the sf0.1 curation funnel legitimately wipes every survivor,
+    // and its IVF semantic tail must behave like the LSH tail did)
+    assert(Similarity.ivfCentroids(none, 8).isEmpty)
+    assert(Similarity.ivfNearDupPairs(none, 0.5, nlist = 8, nprobe = 4).isEmpty)
+    assert(Similarity.ivfNearDupIncremental(emb, none, 0.5, nlist = 8).isEmpty)
+    assert(Similarity.ivfTopK(none, emb.limit(5), k = 3).isEmpty)
+    // fewer vectors than nlist/nprobe: widths clamp to the trained
+    // cell count instead of tripping the probe-width require
+    assert(Similarity.ivfNearDupPairs(one, 0.5, nlist = 8, nprobe = 4).isEmpty)
+    assert(Similarity.ivfNearDupIncremental(emb.limit(3), one, 0.0,
+      nlist = 8, nprobe = 4, assignNprobe = 4).count() >= 0)
+    assert(Similarity.semanticDedup(one, 0.5, ivfNlist = Some(8), ivfNprobe = 4)
+      .collect().map(_.getBoolean(1)).forall(identity))
+    // the facade shape that found this: filters wipe the corpus, the
+    // IVF semantic tail sees zero survivor embeddings
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val funnel = graft.ops.Curation.runWithSemantic(corpus, bench, emb,
+        graft.ops.Curation.Params(minQuality = 2.0,
+          semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnel("6_semantic") == 0L && funnel("2_quality") == 0L)
+  }
+
   test("semantic curation IVF tail: funnel equals the LSH tail's on the driver corpus") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
