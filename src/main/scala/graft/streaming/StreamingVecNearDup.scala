@@ -60,6 +60,51 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
   def compactStore(maxFiles: Int = 8): Boolean =
     StoreCompaction.compactDir(spark, cellDir, maxFiles)
 
+  /** Retrain the quantizer on the FULL kept corpus and re-key every
+    * assignment under the new centroid version — the index-maintenance
+    * op the version pin exists for. The bootstrap centroids are
+    * whatever the first batch looked like; as the corpus grows past
+    * them, cells skew and candidate volume with it (Σ C(|cell|,2) is
+    * minimized by balanced cells), so a deployment retrains in a
+    * maintenance window — run between triggers or with the stream
+    * stopped, like [[compactStore]]. The version stamp makes the swap
+    * safe: every assignment row written under the OLD partition is
+    * rewritten (atomically per store, old files dropped by the
+    * overwrite), so a crash mid-retrain is recovered by re-running —
+    * probes never mix Voronoi generations. `newNlist` defaults to the
+    * construction-time nlist; pass the grown value as the corpus
+    * scales (the nlist ∝ n rule). No-op false when nothing was kept
+    * yet. Returns true when the index was rebuilt. */
+  def retrain(newNlist: Int = nlist, iters: Int = 1): Boolean = {
+    if (!Files.exists(Paths.get(keptDir))) return false
+    spark.catalog.refreshByPath(keptDir)
+    val kept = spark.read.parquet(keptDir)
+    val n = kept.count()
+    if (n == 0L) return false
+    graft.functions.ensureRegistered(spark)
+    val version = System.currentTimeMillis()
+    val cents = Similarity.ivfCentroids(kept,
+      math.min(newNlist.toLong, n).toInt, iters, idCol, vecCol)
+    val storeWidth = math.min(assignNprobe, cents.length)
+    // write assignments FIRST under a temp dir, then centroids, then
+    // swap: a crash before the final rename leaves the old coherent
+    // (version, cells) pair fully intact
+    val tmpCells = s"$cellDir.__retrain"
+    assignRows(kept.select(col(idCol), col(vecCol)), cents, storeWidth, version)
+      .drop("pos")
+      .write.mode("overwrite").parquet(tmpCells)
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (row, cell) =>
+      row.zipWithIndex.map { case (x, d) => (version, cell, d, x) }
+    }.toDF("version", "cell", "dim", "value")
+      .coalesce(1).write.mode("overwrite").parquet(centDir)
+    graft.sources.TierStore.deleteTree(new java.io.File(cellDir))
+    Files.move(Paths.get(tmpCells), Paths.get(cellDir))
+    spark.catalog.refreshByPath(cellDir)
+    spark.catalog.refreshByPath(centDir)
+    true
+  }
+
   /** The persisted coarse quantizer, or None before the first batch.
     * Tiny by construction (nlist × dims rows) — the same driver-side
     * footprint [[Similarity.ivfCentroids]] already pays. */
@@ -136,10 +181,15 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
     val probeWidth = math.min(math.max(nprobe, storeWidth), cents.length)
     val probed = assignRows(b, cents, probeWidth, version)
       .localCheckpoint() // cross join + (filtered) store append share it
+    // version filter: cell equality is only meaningful within one
+    // Voronoi generation, so rows from an interrupted retrain (or any
+    // stale generation) are structurally invisible — a half-complete
+    // retrain degrades to under-dedup until it is re-run, never to
+    // wrong-cell matches
     val seenCells =
       if (Files.exists(Paths.get(cellDir))) {
         s.catalog.refreshByPath(cellDir)
-        s.read.parquet(cellDir)
+        s.read.parquet(cellDir).where(col("version") === version)
       } else probed.drop("pos").limit(0)
     // cross dups: EXACT cosine verify against store rows sharing a
     // probed cell — only those rows are ever read into the join

@@ -265,6 +265,31 @@ class StreamingSpec extends SparkSpec {
       assert(cellRows == Map(1L -> 1L, 3L -> 1L, 5L -> 1L),
         s"assignment store fan-out: $cellRows")
     } finally q2.stop()
+    // RETRAIN (maintenance-window op, stream stopped): quantizer
+    // rebuilt on the full kept corpus, every assignment re-keyed under
+    // ONE new version — and the re-keyed index still catches dups of
+    // pre-retrain survivors
+    val s3 = mkStream()
+    assert(s3.retrain(newNlist = 3))
+    spark.catalog.refreshByPath(s"$base/cells")
+    val retrained = spark.read.parquet(s"$base/cells")
+    assert(retrained.select("version").distinct().count() == 1L)
+    assert(retrained.select("id").distinct().count() == 3L)
+    spark.catalog.refreshByPath(s"$base/centroids")
+    assert(spark.read.parquet(s"$base/centroids")
+      .select("version").distinct().count() == 1L)
+    val q3 = s3.start(s3.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b3.json", Seq(
+        vec(6, Seq(0.997, 0.06, 0.0, 0.0)), // near-dups the stored A-cluster
+        vec(7, Seq(0.0, 0.0, 0.0, 1.0))))   // fresh
+      q3.processAllAvailable()
+      spark.catalog.refreshByPath(s3.keptPath)
+      val kept3 = spark.read.parquet(s3.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept3.toSeq == Seq(1L, 3L, 5L, 7L),
+        s"post-retrain index missed a cross dup: kept ${kept3.toSeq}")
+    } finally q3.stop()
   }
 
   test("counter streaming path: 5s sums, cascade adds") {
