@@ -192,6 +192,58 @@ object TextAnalysis {
           .as("shared_ratio"))
   }
 
+  /** Cross-document exact-substring dedup — the span EXCISION stage
+    * [[repeatedSpans]] is the detector for (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): every length-n token window whose gram text has an
+    * EARLIER occurrence anywhere in the corpus — global (doc_id,
+    * position) order — is a duplicate window, and every token it
+    * covers is excised. Keep-first semantics: the globally first
+    * occurrence of each span survives verbatim; a document that
+    * arrives later keeps only its novel text. Docs shorter than n
+    * collapse to one whole-doc gram (the [[ngramsAll]] rule), so exact
+    * short duplicates dedup to their first copy too.
+    *
+    * Returns (idCol, n_tokens, n_removed, text_dedup) per document —
+    * text_dedup is the whitespace-normalized survivor text ('' when
+    * everything was excised).
+    *
+    * Scale: gram occurrences shuffle as (xxhash64, doc, pos) — 8 B
+    * keys, text never shuffles (the 2⁻⁶⁴ collision risk is the
+    * standard trade; the oracle compares gram STRINGS and agrees).
+    * The occurrence frame is checkpoint-shared between the
+    * first-occurrence reduce and the duplicate scan, so the corpus
+    * tokenizes once. Removed positions aggregate to one int set per
+    * doc (bounded by doc length), and reassembly is a single
+    * higher-order filter over the already-held token array — the
+    * final join is doc-count-sized, never token-count-sized. */
+  def spanDedup(docs: DataFrame, n: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 1, s"span length must be > 1, got $n")
+    val toked = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val occ = toked
+      .select(col("id"), posexplode(ngramsAll(col("w"), n)).as(Seq("s0", "g")))
+      .select(col("id"), (col("s0") + 1).as("s"), xxhash64(col("g")).as("h"))
+      .sharedCheckpoint() // reused: first-occurrence reduce + dup scan
+    val firsts = occ.groupBy("h").agg(min(struct(col("id"), col("s"))).as("f"))
+    val removed = occ.join(firsts, "h")
+      .where(struct(col("id"), col("s")) > col("f"))
+      .select(col("id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .groupBy("id").agg(collect_set(col("p")).as("rem0"))
+    toked.join(removed, Seq("id"), "left")
+      // whole-doc grams of short docs cover positions past the real
+      // token count — clip before counting
+      .select(col("id"), col("w"),
+        filter(coalesce(col("rem0"), array().cast("array<int>")),
+          p => p <= size(col("w"))).as("rem"))
+      .select(col("id").as(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("rem")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("w"), (t, i) => !array_contains(col("rem"), i + 1)))
+          .as("text_dedup"))
+  }
+
   /** Cross-document boilerplate removal: newline-delimited lines whose
     * normalized form appears in at least `minDocs` DISTINCT documents
     * are dropped from every document — the header/nav/footer stripper

@@ -319,6 +319,12 @@ object PipelineQueries {
     TextAnalysis.repeatedSpans(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** Exact-substring excision over the full corpus: keep-first span
+    * dedup at the same 8-token window [[repeatedSpansQ]] detects. */
+  def spanDedupQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedup(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
   /** Corpus-level benchmark containment, same every-10th-doc split the
     * curation funnel uses as its held-out benchmark. */
   def containmentReportQ(spark: SparkSession, dir: String): DataFrame = {
@@ -756,6 +762,7 @@ object PipelineQueries {
     "d_mixture_plan"    -> (mixturePlanQ _),
     "d_split_assign"    -> (splitAssignQ _),
     "d_repeated_spans"  -> (repeatedSpansQ _),
+    "d_span_dedup"      -> (spanDedupQ _),
     "d_containment_report" -> (containmentReportQ _),
     "d_curation_semantic" -> (curationSemantic _),
     "e_quantize_int8"   -> (quantizeEmb _),
@@ -993,6 +1000,31 @@ object PipelineQueries {
          |SELECT doc_id, n_spans, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / CAST(n_spans AS DOUBLE), 4) AS shared_ratio
          |FROM s ORDER BY doc_id""".stripMargin,
+    "d_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |occ AS (SELECT doc_id, u.s AS s, u.gr AS gr FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(w) < 8 THEN [struct_pack(s := 1, gr := array_to_string(w, ' '))]
+         |           ELSE list_transform(range(1, len(w) - 6),
+         |                  i -> struct_pack(s := i, gr := array_to_string(w[i:i+7], ' '))) END) AS u
+         |    FROM t)),
+         |f AS (SELECT gr, min(struct_pack(d := doc_id, s := s)) AS fst FROM occ GROUP BY gr),
+         |dup AS (SELECT o.doc_id, o.s FROM occ o JOIN f ON o.gr = f.gr
+         |        WHERE struct_pack(d := o.doc_id, s := o.s) > f.fst),
+         |rem AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM dup),
+         |tok AS (SELECT doc_id, u.p AS p, u.tk AS tk FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |             i -> struct_pack(p := i, tk := w[i]))) AS u FROM t)),
+         |kept AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+         |         LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.p = r.p
+         |         WHERE r.p IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |          coalesce(string_agg(tk, ' ' ORDER BY p), '') AS txt
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w) AS n_tokens,
+         |  len(t.w) - coalesce(a.n_kept, 0) AS n_removed,
+         |  coalesce(a.txt, '') AS text_dedup
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin,
     "d_containment_report" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

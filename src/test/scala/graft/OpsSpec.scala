@@ -998,6 +998,30 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 1.0)))
   }
 
+  test("span dedup: keep-first excision, within-doc repeats, short-doc collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h unique1 tail1"),  // first occurrence of span "a..h"
+      (2L, "a b c d e f g h other2 end2"),    // later copy → tokens 1-8 excised
+      (3L, "tiny doc"),                       // short doc, first copy survives
+      (4L, "tiny doc"),                       // later copy → fully excised
+      (5L, "p q r s t u v w p q r s t u v w") // second half repeats the first
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 0L, "a b c d e f g h unique1 tail1")))
+    assert(out(2L) == ((10L, 8L, "other2 end2")))
+    assert(out(3L) == ((2L, 0L, "tiny doc")))
+    assert(out(4L) == ((2L, 2L, "")))
+    // (id, pos) order applies within a doc too: only the later repeat goes
+    assert(out(5L) == ((16L, 8L, "p q r s t u v w")))
+    // invariant: excised token counts reconcile with survivor text
+    out.values.foreach { case (n, rem, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept == n - rem)
+    }
+  }
+
   test("containment report: shared shingle fraction over the benchmark set") {
     import spark.implicits._
     val corpus = Seq((1L, "x y z w")).toDF("doc_id", "text")
