@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Product-quantization codec (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search"): a d-dim vector splits into m
+  * contiguous subvectors of d/m dims; each subspace has its own ksub
+  * codewords, and a vector stores only its m nearest-codeword ids —
+  * m·log2(ksub) bits instead of 4d bytes on the scan side. Distances
+  * are Asymmetric (ADC): the query stays exact, each subspace
+  * contributes a table lookup of ‖q_sub − codeword‖², and the scan cost
+  * per pair is m adds instead of d multiplies.
+  *
+  * Vectors are unit-normalized inside the codec, so squared-L2 ADC
+  * order equals cosine order (‖a−b‖² = 2 − 2·cos for unit vectors) and
+  * the exact re-rank downstream can keep using cosine.
+  *
+  * Shared geometry of the three expressions: codebooks is m × ksub ×
+  * dsub, flattened row-major; codes index [0, ksub); LUTs are m·ksub
+  * doubles with subspace-major layout lut[j·ksub + c].
+  */
+private[functions] trait PqCodebooks {
+  def codebooks: Seq[Seq[Seq[Double]]]
+
+  final def m: Int = codebooks.length
+  final def ksub: Int = codebooks.head.length
+  final def dsub: Int = codebooks.head.head.length
+  final def dims: Int = m * dsub
+
+  /** Flat m × ksub × dsub codeword matrix, row-major, raw values
+    * (codewords are subspace means of already-normalized vectors — they
+    * are NOT renormalized; a subvector's norm carries information). */
+  @transient final lazy val flat: Array[Double] = {
+    val out = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val row = codebooks(j)(c)
+        var d = 0
+        while (d < dsub) { out((j * ksub + c) * dsub + d) = row(d); d += 1 }
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  final def checkVec(e: Expression, name: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<float|double> input, got $other")
+    }
+
+  final def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Read + unit-normalize the input vector (interpreted path). */
+  final def normalizedVec(v: ArrayData, fl: Boolean, name: String): Array[Double] = {
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"$name: vector has ${v.numElements()} dims, expected $dims")
+    val x = new Array[Double](dims)
+    var s = 0.0
+    var i = 0
+    while (i < dims) {
+      val xv = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+      x(i) = xv; s += xv * xv; i += 1
+    }
+    val nrm = math.sqrt(s) max 1e-12
+    i = 0
+    while (i < dims) { x(i) /= nrm; i += 1 }
+    x
+  }
+
+  /** Codegen fragment: `double[] x` = the unit-normalized input. */
+  final def normalizeGen(v: String, get: String, name: String): String =
+    s"""
+       |if ($v.numElements() != $dims) {
+       |  throw new IllegalArgumentException(
+       |    "$name: vector has " + $v.numElements() + " dims, expected $dims");
+       |}
+       |double[] x = new double[$dims];
+       |double ss = 0.0;
+       |for (int i = 0; i < $dims; i++) {
+       |  double xv = (double) $v.$get(i);
+       |  x[i] = xv; ss += xv * xv;
+       |}
+       |double nrm = java.lang.Math.max(java.lang.Math.sqrt(ss), 1e-12);
+       |for (int i = 0; i < $dims; i++) { x[i] /= nrm; }
+     """.stripMargin
+}
+
+/** PQ encoder: the m nearest-codeword ids (squared L2 per subspace,
+  * ties to the lower id) of the unit-normalized vector. This runs once
+  * per corpus vector; downstream scans ship ONLY these codes. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with PqCodebooks {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVec(child, "pq_encode")
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = normalizedVec(input.asInstanceOf[ArrayData], isFloat(child), "pq_encode")
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var dist = 0.0
+        var d = 0
+        val off = (j * ksub + c) * dsub
+        while (d < dsub) {
+          val diff = x(j * dsub + d) - flat(off + d)
+          dist += diff * diff; d += 1
+        }
+        if (dist < bestD) { best = c; bestD = dist }
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat(child)) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${normalizeGen(v, get, "pq_encode")}
+         |int[] codes = new int[$m];
+         |for (int j = 0; j < $m; j++) {
+         |  int best = 0;
+         |  double bestD = Double.POSITIVE_INFINITY;
+         |  for (int c = 0; c < $ksub; c++) {
+         |    double dist = 0.0;
+         |    int off = (j * $ksub + c) * $dsub;
+         |    for (int d = 0; d < $dsub; d++) {
+         |      double diff = x[j * $dsub + d] - $cbRef[off + d];
+         |      dist += diff * diff;
+         |    }
+         |    if (dist < bestD) { best = c; bestD = dist; }
+         |  }
+         |  codes[j] = best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Query-side ADC lookup table: ‖q_sub_j − codeword_c‖² for every
+  * (subspace j, codeword c), subspace-major. Computed once per query
+  * (m·ksub·dsub work), amortized over every candidate it scores. */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with PqCodebooks {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVec(child, "pq_lut")
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = normalizedVec(input.asInstanceOf[ArrayData], isFloat(child), "pq_lut")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        var dist = 0.0
+        var d = 0
+        val off = (j * ksub + c) * dsub
+        while (d < dsub) {
+          val diff = x(j * dsub + d) - flat(off + d)
+          dist += diff * diff; d += 1
+        }
+        out(j * ksub + c) = dist; c += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat(child)) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${normalizeGen(v, get, "pq_lut")}
+         |double[] lut = new double[${m * ksub}];
+         |for (int j = 0; j < $m; j++) {
+         |  for (int c = 0; c < $ksub; c++) {
+         |    double dist = 0.0;
+         |    int off = (j * $ksub + c) * $dsub;
+         |    for (int d = 0; d < $dsub; d++) {
+         |      double diff = x[j * $dsub + d] - $cbRef[off + d];
+         |      dist += diff * diff;
+         |    }
+         |    lut[j * $ksub + c] = dist;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lut);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "pq_lut"
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+}
+
+/** ADC distance: Σ_j lut[j·ksub + codes[j]] — the per-candidate hot
+  * loop of a PQ scan, m adds and m lookups per pair with no array
+  * allocation. left = the query's LUT, right = the candidate's codes. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+
+  require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<double>, array<int>), got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int m = $b.numElements();
+         |double sum = 0.0;
+         |for (int j = 0; j < m; j++) {
+         |  sum += $a.getDouble(j * $ksub + $b.getInt(j));
+         |}
+         |${ev.value} = sum;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}

@@ -61,6 +61,13 @@ package object functions {
           centroidsOf(exprs(1)),
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "pq_encode", exprs => PqEncode(exprs.head, codebooksOf(exprs(1))), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "pq_lut", exprs => PqLut(exprs.head, codebooksOf(exprs(1))), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "pq_adc", exprs => PqAdc(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -120,5 +127,36 @@ package object functions {
                      superProbe: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("ivf_probe_hier", vec, typedlit(centroids), lit(nprobe), lit(superProbe))
+  }
+
+  /** Literal m × ksub × dsub PQ codebook tensor from a foldable arg. */
+  private def codebooksOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Seq[Seq[Double]]] = {
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { j =>
+      val sub = arr.getArray(j)
+      (0 until sub.numElements()).map { c =>
+        val row = sub.getArray(c)
+        (0 until row.numElements()).map(row.getDouble).toSeq
+      }.toSeq
+    }.toSeq
+  }
+
+  /** PQ codes of a vector: the m per-subspace nearest-codeword ids. */
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("pq_encode", vec, typedlit(codebooks))
+  }
+
+  /** Per-query ADC lookup table (m·ksub squared subspace distances). */
+  def pq_lut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("pq_lut", vec, typedlit(codebooks))
+  }
+
+  /** Codegen'd ADC distance of a codes array against a query LUT. */
+  def pq_adc(lut: Column, codes: Column, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("pq_adc", lut, codes, lit(ksub))
   }
 }

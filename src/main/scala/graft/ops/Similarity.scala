@@ -517,6 +517,112 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
 
+  /** Deterministic per-subspace PQ codebooks (m × ksub × dsub): init =
+    * the ksub lowest-id vectors' subvectors, then `iters` Lloyd steps
+    * with squared-L2 assignment over UNIT-NORMALIZED vectors (so ADC
+    * order matches cosine order downstream; empty codewords persist).
+    * Same bit-determinism contract as [[ivfCentroids]]: per-codeword
+    * means sum as ×2^30 fixed-point longs, so any partitioning yields
+    * identical codebooks and identical downstream codes. One Spark job
+    * per iteration covers all m subspaces (posexplode of the code
+    * array, then of the assigned subvector). */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    def normalized(v: Seq[Double]): Seq[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
+      v.map(_ / nrm)
+    }
+    val init = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
+    if (init.isEmpty) return Seq.empty
+    val dims = init.head.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => init.map(_.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val assigned = corpus
+        .select(col(vecCol).as("v"),
+          greatest(norm(col(vecCol)), lit(1e-12)).as("nrm"),
+          posexplode(graft.functions.pq_encode(col(vecCol), cbs)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub))
+            .cast("array<double>")).as(Seq("d", "x")),
+          col("nrm"))
+      val sums = assigned.groupBy("j", "code", "d")
+        .agg(sum(round(col("x") / col("nrm") * CentroidQuant).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      cbs = cbs.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          if (sums.contains((j, c, 0)))
+            (0 until dsub).map { d =>
+              val (sq, n) = sums((j, c, d))
+              sq.toDouble / (n.toDouble * CentroidQuant)
+            }
+          else old
+        }
+      }
+    }
+    cbs
+  }
+
+  /** ANN top-k via IVF-PQ (IVFADC without residual encoding): corpus
+    * vectors live in their IVF cell carrying ONLY their m PQ codes —
+    * at d=64 float32 that is a 32× cut (256 B → 8 B) in what the
+    * candidate scan shuffles and holds. Each query probes `nprobe`
+    * cells, scores candidates by ADC (m table lookups per pair against
+    * the query's precomputed LUT), keeps the `rerank` best, and only
+    * those join back to the base table for the exact cosine top-k —
+    * the full-precision vectors never enter the scan.
+    *
+    * `nprobe = nlist` with `rerank >= |corpus|` degenerates to the
+    * exact scan (the oracle configuration — see [[ivfTopK]]'s note on
+    * unclustered corpora); realistic configs trade recall for a scan
+    * that reads 1/32nd the bytes of IVF-Flat. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                rerank: Int = 50, iters: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    if (cents.isEmpty)
+      return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
+        col(idCol).as("n_id")).limit(0)
+    val cbs = pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+    val kEff = cbs.head.length // < ksub on a tiny corpus
+    val encoded = corpus.select(col(idCol).as("n_id"),
+      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+      graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
+    val probed = queries.select(col(idCol).as("q_id"),
+      graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
+      explode(graft.functions.ivf_probe(col(vecCol), cents,
+        math.min(nprobe, cents.length))).as("cell"))
+    val adc = probed.join(encoded, "cell")
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.pq_adc(col("lut"), col("codes"), kEff).as("adist"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    val cands = adc.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank).select("q_id", "n_id")
+    // exact re-rank over |queries|·rerank rows only
+    val cvec = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val qvec = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"))
+    val scored = cands.join(cvec, "n_id").join(qvec, "q_id")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+  }
+
   /** Embedding-space label consistency: each query's label vs the
     * majority label of its k nearest neighbors — the standard
     * label-noise / embedding-quality audit (a high disagreement rate

@@ -149,6 +149,17 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ ANN in its oracle-exact configuration: all cells probed,
+    * rerank bound above the corpus size, so ADC prunes nothing and the
+    * exact re-rank equals brute force. Realistic (pruning) configs are
+    * spec-checked for recall instead — see SimilaritySpec. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 1000000)
+      .orderBy("q_id", "rank")
+  }
+
   def quantizeEmb(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
 
@@ -751,6 +762,7 @@ object PipelineQueries {
     "e_cosine_topk"     -> (cosineTopK _),
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
+    "e_pq_topk"         -> (pqTopK _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
     "e_ivf_incremental" -> (embNearDupsIncremental _),
@@ -1292,6 +1304,16 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" -> SimhashOracle,
     "e_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "e_pq_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim

@@ -494,6 +494,61 @@ class OpsSpec extends SparkSpec {
       s"hierarchical IVF recall $hierRecall < 0.9 (${hierPairs.size}/${truth.size})")
   }
 
+  test("IVF-PQ top-k: exact configuration equals brute force; codes deterministic") {
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all cells probed + rerank above corpus size ⇒ ADC prunes nothing
+    // and the exact re-rank IS brute force (the e_pq_topk config)
+    val exact = rows(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val pq = rows(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 1000000))
+    assert(pq == exact)
+    // codebook tensor shape m × ksub × dsub; codes are m ints in
+    // [0, ksub) — the 32×-smaller scan payload the operator exists for
+    val cbs = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    assert(cbs.length == 8 && cbs.head.length == 16 && cbs.head.head.length == 8)
+    def codesOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id"), graft.functions.pq_encode(col("embedding"), cbs).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val codes = codesOf(emb.repartition(7))
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // bit-deterministic under any partitioning (fixed-point Lloyd sums)
+    assert(codesOf(emb.repartition(3)) == codes)
+  }
+
+  test("IVF-PQ top-k: pruning config recalls planted neighbors; empty/tiny guards") {
+    import spark.implicits._
+    // same planted geometry as the IVF near-dup spec: 40 perturbed
+    // copies whose true nearest neighbor is their source vector
+    val rnd = new scala.util.Random(77)
+    val vecs = new Array[Array[Float]](400)
+    (0 until 400).foreach { i =>
+      vecs(i) =
+        if (i >= 360) vecs(i - 360).map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val queries = df.where(col("vec_id") >= 360)
+    def top1(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val truth = top1(Similarity.bruteForceTopK(df, queries, k = 1))
+    val got = top1(Similarity.ivfPqTopK(df, queries, k = 1,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16, rerank = 10))
+    val hits = truth.count { case (q, n) => got.get(q).contains(n) }
+    assert(hits.toDouble / truth.size >= 0.8,
+      s"PQ top-1 recall ${hits.toDouble / truth.size} < 0.8 ($hits/${truth.size})")
+    // guards mirror the flat-IVF family
+    assert(Similarity.ivfPqTopK(emb.limit(0), queries, k = 3).isEmpty)
+    assert(Similarity.pqCodebooks(emb.limit(0)).isEmpty)
+    // tiny corpus: effective ksub clamps to the corpus size
+    assert(Similarity.ivfPqTopK(emb.limit(1), emb.where(col("vec_id") < 5),
+      k = 1, rerank = 5).count() >= 0)
+  }
+
   test("LSH top-k achieves decent recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
