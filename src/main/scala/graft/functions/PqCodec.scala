@@ -99,20 +99,35 @@ private[functions] trait PqCodebooks {
      """.stripMargin
 }
 
+private[functions] object PqCodec {
+  /** Bits per code: ⌈log2(ksub)⌉ (0 for a single-codeword book). */
+  def codeBits(ksub: Int): Int =
+    if (ksub <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)
+}
+
 /** PQ encoder: the m nearest-codeword ids (squared L2 per subspace,
-  * ties to the lower id) of the unit-normalized vector. This runs once
-  * per corpus vector; downstream scans ship ONLY these codes. */
+  * ties to the lower id) of the unit-normalized vector, PACKED into a
+  * single long — code j occupies bits [j·b, (j+1)·b) with b =
+  * ⌈log2 ksub⌉ (m·b ≤ 64; the canonical m=8 × 8-bit config fills the
+  * word exactly). A primitive 8-byte column is what the candidate scan
+  * shuffles and holds per corpus vector — vs 4·d bytes of float32 — and
+  * it lays out flat in UnsafeRow where an array<int> carries header +
+  * width overhead. This runs once per corpus vector. */
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   extends UnaryExpression with PqCodebooks {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private val bits = PqCodec.codeBits(ksub)
+  require(m * bits <= 64,
+    s"pq_encode: $m subspaces x $bits bits/code exceed one 64-bit word")
+
+  override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     checkVec(child, "pq_encode")
 
   override def nullSafeEval(input: Any): Any = {
     val x = normalizedVec(input.asInstanceOf[ArrayData], isFloat(child), "pq_encode")
-    val out = new Array[Int](m)
+    var packed = 0L
     var j = 0
     while (j < m) {
       var best = 0
@@ -129,9 +144,10 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
         if (dist < bestD) { best = c; bestD = dist }
         c += 1
       }
-      out(j) = best; j += 1
+      packed |= best.toLong << (j * bits)
+      j += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    packed
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -140,7 +156,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     nullSafeCodeGen(ctx, ev, v => {
       s"""
          |${normalizeGen(v, get, "pq_encode")}
-         |int[] codes = new int[$m];
+         |long packed = 0L;
          |for (int j = 0; j < $m; j++) {
          |  int best = 0;
          |  double bestD = Double.POSITIVE_INFINITY;
@@ -153,9 +169,9 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
          |    }
          |    if (dist < bestD) { best = c; bestD = dist; }
          |  }
-         |  codes[j] = best;
+         |  packed |= ((long) best) << (j * $bits);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes);
+         |${ev.value} = packed;
        """.stripMargin
     })
   }
@@ -223,42 +239,46 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
 }
 
-/** ADC distance: Σ_j lut[j·ksub + codes[j]] — the per-candidate hot
-  * loop of a PQ scan, m adds and m lookups per pair with no array
-  * allocation. left = the query's LUT, right = the candidate's codes. */
-case class PqAdc(left: Expression, right: Expression, ksub: Int)
+/** ADC distance: Σ_j lut[j·ksub + code_j] with code_j unpacked from
+  * the candidate's packed-long codes — the per-candidate hot loop of a
+  * PQ scan, m shifts + m lookups + m adds per pair, no allocation.
+  * left = the query's LUT, right = the candidate's packed codes. */
+case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
   extends BinaryExpression {
 
-  require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+  require(m >= 1 && ksub >= 1, s"m/ksub must be >= 1, got $m/$ksub")
+  private val bits = PqCodec.codeBits(ksub)
+  private val mask = if (bits == 0) 0L else (1L << bits) - 1L
 
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      case (ArrayType(DoubleType, _), LongType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_adc requires (array<double>, array<int>), got $l / $r")
+          s"pq_adc requires (array<double>, bigint), got $l / $r")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]
-    val codes = b.asInstanceOf[ArrayData]
-    val m = codes.numElements()
+    val packed = b.asInstanceOf[Long]
     var s = 0.0
     var j = 0
-    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    while (j < m) {
+      s += lut.getDouble(j * ksub + ((packed >>> (j * bits)) & mask).toInt)
+      j += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int m = $b.numElements();
          |double sum = 0.0;
-         |for (int j = 0; j < m; j++) {
-         |  sum += $a.getDouble(j * $ksub + $b.getInt(j));
+         |for (int j = 0; j < $m; j++) {
+         |  sum += $a.getDouble(j * $ksub + (int) (($b >>> (j * $bits)) & ${mask}L));
          |}
          |${ev.value} = sum;
        """.stripMargin

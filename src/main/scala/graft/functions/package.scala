@@ -67,7 +67,8 @@ package object functions {
         "pq_lut", exprs => PqLut(exprs.head, codebooksOf(exprs(1))), "scala_udf")
       reg.createOrReplaceTempFunction(
         "pq_adc", exprs => PqAdc(exprs.head, exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -142,7 +143,8 @@ package object functions {
     }.toSeq
   }
 
-  /** PQ codes of a vector: the m per-subspace nearest-codeword ids. */
+  /** PQ codes of a vector, packed into one long (code j at bit j·⌈log2
+    * ksub⌉) — the 8-byte scan-side representation. */
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     import org.apache.spark.sql.functions.typedlit
     call_function("pq_encode", vec, typedlit(codebooks))
@@ -154,9 +156,19 @@ package object functions {
     call_function("pq_lut", vec, typedlit(codebooks))
   }
 
-  /** Codegen'd ADC distance of a codes array against a query LUT. */
-  def pq_adc(lut: Column, codes: Column, ksub: Int): Column = {
+  /** Codegen'd ADC distance of packed codes against a query LUT. */
+  def pq_adc(lut: Column, codes: Column, m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.lit
-    call_function("pq_adc", lut, codes, lit(ksub))
+    call_function("pq_adc", lut, codes, lit(m), lit(ksub))
+  }
+
+  /** Unpack a packed-codes long into its m per-subspace code ids —
+    * literal shifts only, so it stays in whole-stage codegen. */
+  def pq_unpack(codes: Column, m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{array, lit, shiftrightunsigned}
+    val bits = PqCodec.codeBits(ksub)
+    val mask = if (bits == 0) 0L else (1L << bits) - 1L
+    array((0 until m).map(j =>
+      shiftrightunsigned(codes, j * bits).bitwiseAND(lit(mask)).cast("int")): _*)
   }
 }

@@ -542,11 +542,13 @@ object Similarity {
     val dsub = dims / m
     var cbs: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => init.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val kEff = init.length // codebook width is fixed at init
     for (_ <- 0 until iters) {
       val assigned = corpus
         .select(col(vecCol).as("v"),
           greatest(norm(col(vecCol)), lit(1e-12)).as("nrm"),
-          posexplode(graft.functions.pq_encode(col(vecCol), cbs)).as(Seq("j", "code")))
+          posexplode(graft.functions.pq_unpack(
+            graft.functions.pq_encode(col(vecCol), cbs), m, kEff)).as(Seq("j", "code")))
         .select(col("j"), col("code"),
           posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub))
             .cast("array<double>")).as(Seq("d", "x")),
@@ -606,7 +608,7 @@ object Similarity {
     val adc = probed.join(encoded, "cell")
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        graft.functions.pq_adc(col("lut"), col("codes"), kEff).as("adist"))
+        graft.functions.pq_adc(col("lut"), col("codes"), m, kEff).as("adist"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
     val cands = adc.withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= rerank).select("q_id", "n_id")

@@ -504,17 +504,28 @@ class OpsSpec extends SparkSpec {
     val pq = rows(Similarity.ivfPqTopK(emb, queries, k = 5,
       nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 1000000))
     assert(pq == exact)
-    // codebook tensor shape m × ksub × dsub; codes are m ints in
-    // [0, ksub) — the 32×-smaller scan payload the operator exists for
+    // codebook tensor shape m × ksub × dsub; codes pack into ONE long
+    // (m=8 × 4-bit codes here) — the 8-byte scan payload the operator
+    // exists for, a primitive column instead of a full float vector
     val cbs = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
     assert(cbs.length == 8 && cbs.head.length == 16 && cbs.head.head.length == 8)
-    def codesOf(d: org.apache.spark.sql.DataFrame) =
-      d.select(col("vec_id"), graft.functions.pq_encode(col("embedding"), cbs).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
-    val codes = codesOf(emb.repartition(7))
-    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val enc = emb.repartition(7).select(col("vec_id"),
+      graft.functions.pq_encode(col("embedding"), cbs).as("packed"),
+      graft.functions.pq_unpack(
+        graft.functions.pq_encode(col("embedding"), cbs), 8, 16).as("c"))
+    assert(enc.schema("packed").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows2 = enc.collect()
+    val codes = rows2.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every unpacked code addresses a real codeword
+    assert(rows2.forall(_.getSeq[Int](2).forall(x => x >= 0 && x < 16)))
+    // 8 codes x 4 bits fill only the low 32 bits
+    assert(codes.values.forall(p => (p >>> 32) == 0L))
     // bit-deterministic under any partitioning (fixed-point Lloyd sums)
-    assert(codesOf(emb.repartition(3)) == codes)
+    val codes3 = emb.repartition(3).select(col("vec_id"),
+        graft.functions.pq_encode(col("embedding"), cbs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes3 == codes)
   }
 
   test("IVF-PQ top-k: pruning config recalls planted neighbors; empty/tiny guards") {

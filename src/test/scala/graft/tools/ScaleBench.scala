@@ -19,7 +19,8 @@ object ScaleBench {
   val AllQueries: Seq[String] = Seq(
     "d_curation_funnel", "d_split_assign", "d_dup_clusters",
     "d_jaccard_pairs", "d_repeated_spans", "d_pmi_pairs",
-    "d_minhash_lsh", "d_tfidf_topk", "e_cosine_topk", "d_pack_contexts")
+    "d_minhash_lsh", "d_tfidf_topk", "e_cosine_topk", "d_pack_contexts",
+    "d_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -85,7 +86,27 @@ object ScaleBench {
           pairSource = graft.ops.Curation.PairSource.MinHash())))
       ("d_curation_funnel_minhash", (System.nanoTime() - t1) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh
+    // ANN at a REALISTIC pruning config, flat IVF vs IVF-PQ: same
+    // nlist/nprobe, so the delta isolates what PQ changes — the scan
+    // side carries m-byte codes instead of full vectors, candidates
+    // score by LUT lookups instead of d-dim dots, and only the
+    // rerank survivors touch full precision
+    def annPair(name: String, pq: Boolean) = if (!want(name)) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val qs = emb.where(s"vec_id < 1000")
+      val t = System.nanoTime()
+      Bench.force(
+        if (pq) Similarity.ivfPqTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
+          m = 8, ksub = 256, rerank = 100)
+        else Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8))
+      (name, (System.nanoTime() - t) / 1e9)
+    }
+    val annFlat = annPair("e_ivf_topk_real", pq = false)
+    val annPq = annPair("e_pq_topk_real", pq = true)
+    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
