@@ -221,13 +221,27 @@ object TextAnalysis {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 1, s"span length must be > 1, got $n")
     val toked = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-    val occ = toked
+    val occ = spanOccurrences(toked, n)
+    val firsts = occ.groupBy("h").agg(min(struct(col("id"), col("s"))).as("f"))
+    val dups = occ.join(firsts, "h")
+      .where(struct(col("id"), col("s")) > col("f"))
+      .select(col("id"), col("s"))
+    exciseSpans(toked, dups, n, idCol)
+  }
+
+  /** 1-based (id, start, gram-hash) occurrence frame, checkpoint-shared
+    * between the first-occurrence reduce and the duplicate scan. */
+  private def spanOccurrences(toked: DataFrame, n: Int): DataFrame =
+    toked
       .select(col("id"), posexplode(ngramsAll(col("w"), n)).as(Seq("s0", "g")))
       .select(col("id"), (col("s0") + 1).as("s"), xxhash64(col("g")).as("h"))
-      .sharedCheckpoint() // reused: first-occurrence reduce + dup scan
-    val firsts = occ.groupBy("h").agg(min(struct(col("id"), col("s"))).as("f"))
-    val removed = occ.join(firsts, "h")
-      .where(struct(col("id"), col("s")) > col("f"))
+      .sharedCheckpoint()
+
+  /** Shared excision tail: duplicate windows (id, s) → removed-position
+    * sets → survivor text. The final join is doc-count-sized. */
+  private def exciseSpans(toked: DataFrame, dups: DataFrame, n: Int,
+                          idCol: String): DataFrame = {
+    val removed = dups
       .select(col("id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
       .groupBy("id").agg(collect_set(col("p")).as("rem0"))
     toked.join(removed, Seq("id"), "left")
@@ -242,6 +256,42 @@ object TextAnalysis {
         concat_ws(" ",
           filter(col("w"), (t, i) => !array_contains(col("rem"), i + 1)))
           .as("text_dedup"))
+  }
+
+  /** Distinct gram-hash store of a seen corpus — the ingest-time
+    * persistable state for [[spanDedupIncremental]]: 8 B per UNIQUE
+    * length-n gram ever observed, not per occurrence, and never the
+    * text. The streaming twin appends each batch's novel hashes. */
+  def spanGramStore(docs: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(tokens(col(textCol)).as("w"))
+      .select(explode(ngramsAll(col("w"), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+
+  /** Incremental exact-substring span dedup — [[spanDedup]] for the
+    * corpus-ingest shape: excise from `newDocs` every length-n window
+    * whose gram is in the seen-gram store (anything ever ingested
+    * counts as earlier) or has an earlier (id, pos) occurrence within
+    * the batch itself. When every seen id precedes every new id, the
+    * output equals [[spanDedup]] over seen ∪ new restricted to the new
+    * rows — but the seen corpus participates only as `seenGrams` (one
+    * 8-byte hash column, duplicate store rows harmless to the
+    * semi-join), so the per-batch cost is the batch's own gram build
+    * plus one hash semi-join against the store. */
+  def spanDedupIncremental(newDocs: DataFrame, seenGrams: DataFrame, n: Int = 8,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 1, s"span length must be > 1, got $n")
+    val toked = newDocs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val occ = spanOccurrences(toked, n)
+    val dupSeen = occ.join(seenGrams.select(col("h")), Seq("h"), "left_semi")
+      .select(col("id"), col("s"))
+    val firsts = occ.groupBy("h").agg(min(struct(col("id"), col("s"))).as("f"))
+    val dupIntra = occ.join(firsts, "h")
+      .where(struct(col("id"), col("s")) > col("f"))
+      .select(col("id"), col("s"))
+    // a window can be both seen-dup and intra-dup; the position
+    // collect_set downstream absorbs the overlap
+    exciseSpans(toked, dupSeen.union(dupIntra), n, idCol)
   }
 
   /** Cross-document boilerplate removal: newline-delimited lines whose

@@ -1088,6 +1088,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental span dedup equals the full run restricted to the new batch") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "p q r s t u"),        // seen
+      (2L, "m n o"),              // seen, short doc (whole-doc gram)
+      (3L, "p q r zz ww"),        // new: opening gram seen → excised
+      (4L, "a1 a2 a3 a4"),        // new: fresh, then repeated by 5
+      (5L, "a1 a2 a3 tail"),      // new: intra-batch dup of 4's gram
+      (6L, "m n o")               // new: short dup of seen doc 2 → ''
+    ).toDF("doc_id", "text")
+    val seen = d.where(col("doc_id") < 3)
+    val fresh = d.where(col("doc_id") >= 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val full = rows(TextAnalysis.spanDedup(d, n = 3)).filter(_._1 >= 3)
+    val inc = rows(TextAnalysis.spanDedupIncremental(fresh,
+      TextAnalysis.spanGramStore(seen, n = 3), n = 3))
+    // seen ids all precede new ids ⇒ the incremental plan must match
+    // the full run exactly on the new rows
+    assert(inc == full)
+    assert(inc(3L) == ((5L, 3L, "zz ww")))
+    assert(inc(6L) == ((3L, 3L, "")))
+    // empty store degenerates to plain within-batch span dedup
+    assert(rows(TextAnalysis.spanDedupIncremental(fresh,
+        TextAnalysis.spanGramStore(seen.limit(0), n = 3), n = 3))
+      == rows(TextAnalysis.spanDedup(fresh, n = 3)))
+  }
+
   test("containment report: shared shingle fraction over the benchmark set") {
     import spark.implicits._
     val corpus = Seq((1L, "x y z w")).toDF("doc_id", "text")

@@ -84,6 +84,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span dedup: excision against the gram store, within batches, across restarts") {
+    val base = Files.createTempDirectory("graft_sspan").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def outRows() = {
+      spark.catalog.refreshByPath(s"$base/deduped")
+      spark.read.parquet(s"$base/deduped").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    }
+    val ss = new graft.streaming.StreamingSpanDedup(spark, base, n = 3)
+    val q = ss.start(ss.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // batch 1: doc 2 repeats doc 1's opening 3-gram → keep-first
+      // excises it WITHIN the batch
+      dropFile(in, "b1.json", Seq(
+        doc(1, "p q r s t u"), doc(2, "p q r zz ww")))
+      q.processAllAvailable()
+      val o1 = outRows()
+      assert(o1(1L) == ((6L, 0L, "p q r s t u")))
+      assert(o1(2L) == ((5L, 3L, "zz ww")))
+      // batch 2: doc 10 repeats a batch-1 gram → excised via the STORE;
+      // doc 11 is fresh
+      dropFile(in, "b2.json", Seq(
+        doc(10, "s t u k1 k2"), doc(11, "f1 f2 f3 f4")))
+      q.processAllAvailable()
+      val o2 = outRows()
+      assert(o2(10L) == ((5L, 3L, "k1 k2")))
+      assert(o2(11L) == ((4L, 0L, "f1 f2 f3 f4")))
+    } finally q.stop()
+    // restart from the checkpoint: the store must survive — a batch-2
+    // gram still excises, and compaction keeps the store queryable
+    assert(ss.compactStore(maxFiles = 1))
+    val ss2 = new graft.streaming.StreamingSpanDedup(spark, base, n = 3)
+    val q2 = ss2.start(ss2.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b3.json", Seq(doc(20, "f1 f2 f3 tail")))
+      q2.processAllAvailable()
+      val o3 = outRows()
+      assert(o3(20L) == ((4L, 3L, "tail")))
+    } finally q2.stop()
+  }
+
   test("streaming heavy hitters: summary state merges across batches within the MG bound") {
     val base = Files.createTempDirectory("graft_stopk").toString
     val in = s"$base/in"
