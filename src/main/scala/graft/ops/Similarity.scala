@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Checkpoints.SharedOps
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (Array[Float]).
@@ -516,6 +517,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
+
+  /** kNN graph: every corpus vector's k nearest neighbors — the
+    * corpus-as-queries self top-k that clustering / graph-dedup
+    * pipelines start from. Same plan as [[ivfTopK]] (the probe side is
+    * the corpus itself; candidates stay cell-bounded), same exact
+    * degenerate configuration at `nprobe = nlist`. */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+               iters: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(corpus, corpus, k, nlist, nprobe, iters, idCol, vecCol)
+
+  /** Mutual-kNN edges: unordered pairs (id_a < id_b) where EACH vector
+    * lists the other in its top-k — the standard symmetrization that
+    * drops hub-to-orphan edges before graph clustering (a hub appears
+    * in thousands of top-k lists; mutuality keeps only genuinely
+    * reciprocal affinity). One self-join over the k·|corpus| edge
+    * frame, checkpoint-shared so the graph builds once. */
+  def mutualKnnPairs(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+      .sharedCheckpoint() // both sides of the mutuality join
+    g.as("a").join(g.as("b"),
+        col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
+          col("a.q_id") < col("a.n_id"))
+      .select(col("a.q_id").as("id_a"), col("a.n_id").as("id_b"))
+  }
+
+  /** Semantic clusters: connected components over the mutual-kNN graph
+    * — [[mutualKnnPairs]] composed with [[Dedup.dupClusters]] (the
+    * same hybrid driver-union-find / label-propagation closure the
+    * text near-dup path uses). Returns (vec_id, cluster_id) for every
+    * vector in at least one mutual edge; cluster_id is the component's
+    * minimum vec_id. */
+  def semanticClusters(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       iters: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.dupClusters(mutualKnnPairs(corpus, k, nlist, nprobe, iters, idCol, vecCol))
+      .select(col("doc_id").as(idCol), col("cluster_id"))
 
   /** Deterministic per-subspace PQ codebooks (m × ksub × dsub): init =
     * the ksub lowest-id vectors' subvectors, then `iters` Lloyd steps

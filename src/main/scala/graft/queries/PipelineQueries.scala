@@ -149,6 +149,18 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Mutual-kNN edges at the oracle-exact probe configuration. */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnPairs(Tables.embeddings(spark, dir), k = 5,
+      nlist = 16, nprobe = 16)
+      .orderBy("id_a", "id_b")
+
+  /** Connected components over the mutual-kNN graph (min-id labels). */
+  def semanticClustersQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticClusters(Tables.embeddings(spark, dir), k = 5,
+      nlist = 16, nprobe = 16)
+      .orderBy("vec_id")
+
   /** IVF-PQ ANN in its oracle-exact configuration: all cells probed,
     * rerank bound above the corpus size, so ADC prunes nothing and the
     * exact re-rank equals brute force. Realistic (pruning) configs are
@@ -773,6 +785,8 @@ object PipelineQueries {
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
     "e_pq_topk"         -> (pqTopK _),
+    "e_knn_graph"       -> (knnGraphQ _),
+    "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
     "e_ivf_incremental" -> (embNearDupsIncremental _),
@@ -1350,6 +1364,36 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "e_knn_graph" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |      FROM c a, c b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s),
+        |t5 AS (SELECT q_id, n_id FROM r WHERE rank <= 5)
+        |SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
+        |JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
+        |WHERE a.q_id < a.n_id ORDER BY id_a, id_b""".stripMargin,
+    "e_semantic_clusters" ->
+      """WITH RECURSIVE c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |      FROM c a, c b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s),
+        |t5 AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |m AS (SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
+        |      JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
+        |      WHERE a.q_id < a.n_id),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM m UNION SELECT id_b, id_a FROM m),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |                UNION
+        |                SELECT r2.u, s2.v FROM reach r2 JOIN sym s2 ON r2.v = s2.u)
+        |SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach
+        |GROUP BY u ORDER BY vec_id""".stripMargin,
     "e_pq_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),

@@ -560,6 +560,38 @@ class OpsSpec extends SparkSpec {
       k = 1, rerank = 5).count() >= 0)
   }
 
+  test("mutual-kNN graph and semantic clusters recover planted structure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vecs = new Array[Array[Float]](300)
+    (0 until 300).foreach { i =>
+      vecs(i) =
+        if (i >= 250) vecs(i - 250).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    // a tight perturbed copy and its source are mutual nearest
+    // neighbors: the planted edge must survive mutualization
+    val pairs = Similarity.mutualKnnPairs(df, k = 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (250 until 300).map(i => ((i - 250).toLong, i.toLong)).toSet
+    val hit = planted.count(pairs.contains)
+    assert(hit >= 45, s"mutual-kNN kept only $hit/50 planted edges")
+    // symmetric by construction: an edge never repeats reversed
+    assert(pairs.forall { case (a, b) => a < b })
+    // clusters: planted source+copy land in the same component
+    val cl = Similarity.semanticClusters(df, k = 3, nlist = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val together = planted.count { case (a, b) =>
+      cl.get(a).isDefined && cl.get(a) == cl.get(b) }
+    assert(together >= 45, s"only $together/50 planted pairs share a cluster")
+    // empty corpus: no graph, no clusters, never a crash
+    assert(Similarity.mutualKnnPairs(df.limit(0), k = 3).isEmpty)
+    assert(Similarity.semanticClusters(df.limit(0), k = 3).isEmpty)
+  }
+
   test("LSH top-k achieves decent recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
