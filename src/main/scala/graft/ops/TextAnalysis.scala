@@ -258,6 +258,34 @@ object TextAnalysis {
           .as("text_dedup"))
   }
 
+  /** Per-source quality-threshold calibration: the exact score
+    * quantile at (1 − keepFrac) per source and each doc's keep flag —
+    * "keep the top keepFrac of EVERY source" instead of one global
+    * threshold that silently drops entire domains whose score
+    * distribution sits low (the classic crawl-mix failure). Scores are
+    * rounded to 4 dp BEFORE the quantile so the cutoff interpolates
+    * identical values in any engine; keep compares against the
+    * unrounded interpolation (deterministic: same two 4-dp neighbors,
+    * same arithmetic).
+    *
+    * Plan: one tokenizer pass (checkpoint-shared between the cutoff
+    * aggregate and the tag join); the cutoff frame is |sources| rows,
+    * which the planner broadcasts — no second corpus shuffle. */
+  def qualityCalibration(docs: DataFrame, keepFrac: Double = 0.5,
+                         groupCol: String = "source",
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0, 1], got $keepFrac")
+    val scored = docs.select(col(idCol), col(groupCol),
+        round(qualityScoreOf(tokens(col(textCol)), col(textCol)), 4).as("score"))
+      .sharedCheckpoint() // one score pass: cutoff agg + tag join
+    val cuts = scored.groupBy(groupCol)
+      .agg(expr(s"percentile(score, ${1.0 - keepFrac})").as("cut"))
+    scored.join(cuts, groupCol)
+      .select(col(idCol), col(groupCol), col("score"),
+        round(col("cut"), 4).as("cutoff"),
+        (col("score") >= col("cut")).as("keep"))
+  }
+
   /** Distinct gram-hash store of a seen corpus — the ingest-time
     * persistable state for [[spanDedupIncremental]]: 8 B per UNIQUE
     * length-n gram ever observed, not per occurrence, and never the

@@ -118,6 +118,11 @@ object PipelineQueries {
         round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("quality"))
       .orderBy("doc_id")
 
+  /** Per-source quality cutoffs at a 30% keep target. */
+  def qualityCalibrationQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityCalibration(Tables.documents(spark, dir), keepFrac = 0.3)
+      .orderBy("doc_id")
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), k = 5)
@@ -781,6 +786,7 @@ object PipelineQueries {
     "d_simhash"         -> (simhashSigs _),
     "d_text_stats"      -> (textStats _),
     "d_quality"         -> (qualityScores _),
+    "d_quality_calibration" -> (qualityCalibrationQ _),
     "e_cosine_topk"     -> (cosineTopK _),
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
@@ -1537,6 +1543,24 @@ object PipelineQueries {
          |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
          |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    "d_quality_calibration" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id, source,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |s AS (SELECT doc_id, source,
+         |  round(GREATEST(0.0, LEAST(1.0,
+         |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS score
+         |  FROM c),
+         |q AS (SELECT source, quantile_cont(score, 0.7) AS cut FROM s GROUP BY source)
+         |SELECT s.doc_id, s.source, s.score, round(q.cut, 4) AS cutoff,
+         |  s.score >= q.cut AS keep
+         |FROM s JOIN q ON s.source = q.source ORDER BY s.doc_id""".stripMargin,
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),

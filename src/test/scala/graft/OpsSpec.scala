@@ -1120,6 +1120,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quality calibration: per-source cutoffs tag the top fraction") {
+    val out = TextAnalysis.qualityCalibration(docs, keepFrac = 0.3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // cutoffs must equal the per-source percentile of the 4-dp scores,
+    // and keep must be exactly score >= (unrounded) cutoff
+    val scored = docs.select(col("source"),
+      round(TextAnalysis.qualityScoreOf(Dedup.tokens(col("text")), col("text")), 4)
+        .as("score"))
+    val cuts = scored.groupBy("source")
+      .agg(expr("percentile(score, 0.7)").as("cut"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { case (_, src, score, cutoff, keep) =>
+      assert(cutoff == math.round(cuts(src) * 10000.0) / 10000.0)
+      assert(keep == (score >= cuts(src)))
+    }
+    // every source keeps roughly its target fraction (ties widen only)
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      val kept = rs.count(_._5).toDouble / rs.length
+      assert(kept >= 0.25 && kept <= 0.45,
+        s"source $src kept fraction $kept far from 0.3 target")
+    }
+    // keepFrac = 1 keeps everything (cutoff is the minimum score)
+    val all = TextAnalysis.qualityCalibration(docs, keepFrac = 1.0).collect()
+    assert(all.forall(_.getBoolean(4)))
+  }
+
   test("incremental span dedup equals the full run restricted to the new batch") {
     import spark.implicits._
     val d = Seq(
