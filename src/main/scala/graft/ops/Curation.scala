@@ -61,7 +61,9 @@ object Curation {
                     semanticThreshold: Double = 0.45,
                     pairSource: PairSource = PairSource.Exact,
                     semanticIvfNlist: Option[Int] = None,
-                    semanticIvfNprobe: Int = 2)
+                    semanticIvfNprobe: Int = 2,
+                    qualityKeepFrac: Option[Double] = None,
+                    qualityGroupCol: String = "source")
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -89,9 +91,22 @@ object Curation {
       .withColumn("__q", round(
         TextAnalysis.qualityScoreOf(col("__toks"), col(textCol)), 4))
       .drop("__toks")
-    val quality = withTok
-      .where(col("__q") >= p.minQuality)
-      .drop("__q")
+    // Quality gate: absolute threshold by default; `qualityKeepFrac`
+    // switches to [[TextAnalysis.qualityCalibration]] semantics — the
+    // top fraction of EVERY `qualityGroupCol` group survives, so a
+    // low-scoring domain is thinned, not wiped (the cutoff frame is
+    // |groups| rows and broadcasts; the score pass is shared with it)
+    val quality = (p.qualityKeepFrac match {
+      case None => withTok.where(col("__q") >= p.minQuality)
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
+        val scored = withTok.sharedCheckpoint()
+        val cuts = scored.groupBy(p.qualityGroupCol)
+          .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
+        scored.join(cuts, p.qualityGroupCol)
+          .where(col("__q") >= col("__cut"))
+    }) // a using-column join fronts the group column — restore order
+      .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
       .sharedCheckpoint()
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)

@@ -1147,6 +1147,40 @@ class OpsSpec extends SparkSpec {
     assert(all.forall(_.getBoolean(4)))
   }
 
+  test("curation quality stage can calibrate per-source keep fractions") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val funnel = Curation.funnel(corpus, bench,
+        Curation.Params(qualityKeepFrac = Some(0.5)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage 2 must match the standalone calibration op's keep set
+    val expect = TextAnalysis.qualityCalibration(corpus, keepFrac = 0.5)
+      .where(col("keep")).count()
+    assert(funnel("2_quality") == expect,
+      s"calibrated stage kept ${funnel("2_quality")}, calibration op keeps $expect")
+    // funnel stays monotone through the downstream stages
+    assert(funnel("2_quality") >= funnel("3_exact_dedup") &&
+      funnel("3_exact_dedup") >= funnel("4_near_dup") &&
+      funnel("4_near_dup") >= funnel("5_decontaminated"))
+    // every source survives the QUALITY gate itself (the failure mode
+    // an absolute threshold has and calibration exists to avoid) —
+    // downstream dedup/decontam stages may still thin a source
+    val keptBySrc = TextAnalysis.qualityCalibration(corpus, keepFrac = 0.5)
+      .groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("keep").cast("long")).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(keptBySrc.forall { case (_, n, k) => n == 0 || k >= 1 })
+  }
+
+  test("quality calibration plans the cutoff frame as a broadcast build side") {
+    // the cutoff aggregate is |sources| rows — a shuffle join here
+    // would re-shuffle the whole scored corpus for a handful of rows
+    val df = TextAnalysis.qualityCalibration(docs)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast cutoff join:\n$plan")
+  }
+
   test("incremental span dedup equals the full run restricted to the new batch") {
     import spark.implicits._
     val d = Seq(

@@ -106,7 +106,28 @@ object ScaleBench {
     }
     val annFlat = annPair("e_ivf_topk_real", pq = false)
     val annPq = annPair("e_pq_topk_real", pq = true)
-    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq
+    // mutual-kNN graph at a pruning config: k·n edges, cell-bounded
+    // candidates, one self-join for mutualization
+    val knn = if (!want("e_knn_graph_real")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val t = System.nanoTime()
+      Bench.force(Similarity.mutualKnnPairs(emb, k = 10, nlist = nlist, nprobe = 4))
+      ("e_knn_graph_real", (System.nanoTime() - t) / 1e9)
+    }
+    // incremental span dedup: half the corpus as the persisted gram
+    // store, the other half as the new batch
+    val spanInc = if (!want("d_span_incremental_real")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.TextAnalysis.spanDedupIncremental(
+        docs.where("doc_id % 2 = 1"),
+        graft.ops.TextAnalysis.spanGramStore(docs.where("doc_id % 2 = 0"))))
+      ("d_span_incremental_real", (System.nanoTime() - t) / 1e9)
+    }
+    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++ knn ++ spanInc
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
