@@ -511,10 +511,22 @@ object Similarity {
     // norms precomputed per vector — see lshTopK
     val scored = probed.join(assigned, "cell")
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
+      .select(col("q_id"), col("cell"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    // Cell-local prune before the global top-k: the global k best are a
+    // subset of each probed cell's k best, so the (q_id, cell) window
+    // — whose ClusteredDistribution the cell equi-join's partitioning
+    // already satisfies on the shuffle-join path (hashpartitioning on
+    // a SUBSET of the window keys ⇒ no new exchange, just a sort) —
+    // shrinks the global window's shuffle from |candidates| rows
+    // (n·nprobe·E|cell| — the term that dominates corpus-as-queries
+    // kNN-graph builds) to k per probed cell.
+    val wLocal = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val pruned = scored.withColumn("lr", row_number().over(wLocal))
+      .where(col("lr") <= k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
 
@@ -648,10 +660,18 @@ object Similarity {
         math.min(nprobe, cents.length))).as("cell"))
     val adc = probed.join(encoded, "cell")
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
+      .select(col("q_id"), col("cell"), col("n_id"),
         graft.functions.pq_adc(col("lut"), col("codes"), m, kEff).as("adist"))
+    // same cell-local prune as [[ivfTopK]]: the global rerank set is a
+    // subset of each cell's rerank best, and the local window rides
+    // the join's cell partitioning — the global window then shuffles
+    // rerank rows per probed cell instead of every ADC candidate
+    val wLocalAdc = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    val adcPruned = adc.withColumn("lr", row_number().over(wLocalAdc))
+      .where(col("lr") <= rerank)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
-    val cands = adc.withColumn("arank", row_number().over(wAdc))
+    val cands = adcPruned.withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= rerank).select("q_id", "n_id")
     // exact re-rank over |queries|·rerank rows only
     val cvec = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
