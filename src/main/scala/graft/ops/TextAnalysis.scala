@@ -258,6 +258,26 @@ object TextAnalysis {
           .as("text_dedup"))
   }
 
+  /** Surgical span-level decontamination: excise every length-n token
+    * window that appears ANYWHERE in the benchmark set, keeping the
+    * rest of the document — the span-granular alternative to
+    * [[Dedup.contamination]]'s drop-the-document rule (dropping loses
+    * the whole doc for one quoted test item; an absolute-overlap
+    * filter misses the quote if the doc is long). Same store shape as
+    * [[spanDedupIncremental]]: the benchmark participates only as its
+    * distinct gram hashes. Intra-corpus repetition is deliberately NOT
+    * excised here — compose with [[spanDedup]] for that. */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 1, s"span length must be > 1, got $n")
+    val toked = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val occ = spanOccurrences(toked, n)
+    val dups = occ.join(spanGramStore(benchmark, n, idCol, textCol),
+        Seq("h"), "left_semi")
+      .select(col("id"), col("s"))
+    exciseSpans(toked, dups, n, idCol)
+  }
+
   /** Per-source quality-threshold calibration: the exact score
     * quantile at (1 − keepFrac) per source and each doc's keep flag —
     * "keep the top keepFrac of EVERY source" instead of one global

@@ -363,6 +363,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-level decontamination against the every-10th-doc benchmark
+    * split [[containmentReportQ]] uses. */
+  def decontamSpansQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.decontaminateSpans(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level benchmark containment, same every-10th-doc split the
     * curation funnel uses as its held-out benchmark. */
   def containmentReportQ(spark: SparkSession, dir: String): DataFrame = {
@@ -806,6 +816,7 @@ object PipelineQueries {
     "d_repeated_spans"  -> (repeatedSpansQ _),
     "d_span_dedup"      -> (spanDedupQ _),
     "d_span_incremental" -> (spanIncrementalQ _),
+    "d_decontam_spans"  -> (decontamSpansQ _),
     "d_containment_report" -> (containmentReportQ _),
     "d_curation_semantic" -> (curationSemantic _),
     "e_quantize_int8"   -> (quantizeEmb _),
@@ -1094,6 +1105,36 @@ object PipelineQueries {
          |  coalesce(a.txt, '') AS text_dedup
          |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
          |WHERE t.doc_id >= 250 ORDER BY t.doc_id""".stripMargin,
+    "d_decontam_spans" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents WHERE doc_id % 10 <> 0),
+         |b AS (SELECT doc_id, $ToksSql AS w FROM documents WHERE doc_id % 10 = 0),
+         |occ AS (SELECT doc_id, u.s AS s, u.gr AS gr FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(w) < 8 THEN [struct_pack(s := 1, gr := array_to_string(w, ' '))]
+         |           ELSE list_transform(range(1, len(w) - 6),
+         |                  i -> struct_pack(s := i, gr := array_to_string(w[i:i+7], ' '))) END) AS u
+         |    FROM t)),
+         |bg AS (SELECT DISTINCT u.gr AS gr FROM (
+         |    SELECT unnest(
+         |      CASE WHEN len(w) < 8 THEN [struct_pack(s := 1, gr := array_to_string(w, ' '))]
+         |           ELSE list_transform(range(1, len(w) - 6),
+         |                  i -> struct_pack(s := i, gr := array_to_string(w[i:i+7], ' '))) END) AS u
+         |    FROM b)),
+         |dup AS (SELECT o.doc_id, o.s FROM occ o JOIN bg ON o.gr = bg.gr),
+         |rem AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM dup),
+         |tok AS (SELECT doc_id, u.p AS p, u.tk AS tk FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |             i -> struct_pack(p := i, tk := w[i]))) AS u FROM t)),
+         |kept AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+         |         LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.p = r.p
+         |         WHERE r.p IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |          coalesce(string_agg(tk, ' ' ORDER BY p), '') AS txt
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w) AS n_tokens,
+         |  len(t.w) - coalesce(a.n_kept, 0) AS n_removed,
+         |  coalesce(a.txt, '') AS text_dedup
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin,
     "d_containment_report" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

@@ -1172,6 +1172,27 @@ class OpsSpec extends SparkSpec {
     assert(keptBySrc.forall { case (_, n, k) => n == 0 || k >= 1 })
   }
 
+  test("span decontamination excises benchmark windows only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma x y"),
+      (2L, "alpha beta gamma x y"), // intra-corpus repeat — NOT excised
+      (3L, "clean text here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the benchmark window goes from BOTH copies; the duplication
+    // between docs 1 and 2 is untouched (that's spanDedup's job)
+    assert(out(1L) == ((5L, 3L, "x y")))
+    assert(out(2L) == ((5L, 3L, "x y")))
+    assert(out(3L) == ((3L, 0L, "clean text here")))
+    // empty benchmark: nothing excised
+    val none = TextAnalysis.decontaminateSpans(corpus, bench.limit(0), n = 3)
+      .collect().map(r => r.getLong(2)).sum
+    assert(none == 0L)
+  }
+
   test("quality calibration plans the cutoff frame as a broadcast build side") {
     // the cutoff aggregate is |sources| rows — a shuffle join here
     // would re-shuffle the whole scored corpus for a handful of rows
