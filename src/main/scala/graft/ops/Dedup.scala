@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale document pipelines.
@@ -578,6 +579,24 @@ object Dedup {
   def applyClusters(docs: DataFrame, clusters: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Keep-K soft dedup: cap every duplicate cluster at its
+    * `keepPerCluster` lowest-id members instead of collapsing to one —
+    * the "duplication carries signal" middle ground (a page mirrored
+    * everywhere is boilerplate, but 2–3 copies of a popular document
+    * can be worth keeping; see the duplication-aware sampling
+    * literature). `keepPerCluster = 1` degenerates to
+    * [[applyClusters]]. The rank window partitions by cluster id —
+    * cluster-count-sized state, never corpus-sized. */
+  def capClusters(docs: DataFrame, clusters: DataFrame, keepPerCluster: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(keepPerCluster >= 1, s"keepPerCluster must be >= 1, got $keepPerCluster")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id").asc)
+    val losers = clusters.withColumn("__r", row_number().over(w))
+      .where(col("__r") > keepPerCluster)
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -111,4 +111,39 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .withColumn("rk", col("rk").cast("long"))
   }
+
+  /** Deterministic epoch shuffle: a seeded, engine-reproducible
+    * pseudo-random permutation of the corpus — the training-order
+    * primitive ("shuffle differently every epoch, identically on every
+    * re-run of the same epoch"). Returns (idCol, pos) with pos a
+    * bijection onto [0, n).
+    *
+    * The permutation sorts by (bucket hash, tie hash, id), both hashes
+    * seeded [[detHashMod]] mixes — plain integer arithmetic any engine
+    * reproduces. Positions come from the [[Packing]] two-level prefix
+    * pattern, NOT a global window: per-bucket counts prefix-sum over
+    * the `buckets`-row frame (the only serial window), offsets
+    * broadcast back, ranks compute inside bucket partitions. */
+  def epochShuffle(docs: DataFrame, seed: Long = 0L, buckets: Long = 8192L,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(seed >= 0 && seed < 1000000006L, s"seed must be in [0, 1e9+5], got $seed")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import graft.ops.Checkpoints.SharedOps
+    // reduce the id first so (idm + seed) stays far from Int64 overflow
+    // under ANSI arithmetic (detHashMod's own contract)
+    val idm = pmod(col(idCol), lit(1000000007L))
+    val base = docs.select(col(idCol),
+        detHashMod(idm + lit(seed), buckets).as("__b"),
+        detHashMod(idm + lit(seed + 1L), 1000000007L).as("__k"))
+      .sharedCheckpoint() // bucket counts + the final rank pass
+    val counts = base.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val wB = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__n").over(wB), lit(0L)))
+      .drop("__n")
+    val wL = Window.partitionBy("__b").orderBy(col("__k").asc, col(idCol).asc)
+    base.join(broadcast(offs), "__b")
+      .withColumn("pos", col("__off") + row_number().over(wL) - 1)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+  }
 }

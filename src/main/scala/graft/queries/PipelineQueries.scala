@@ -551,6 +551,21 @@ object PipelineQueries {
       Dedup.jaccardPairsAdaptive(Tables.documents(spark, dir), k = 3, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Keep-2 soft dedup over the [[dupClusters]] graph: ids surviving
+    * the per-cluster cap. */
+  def dedupCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.capClusters(docs,
+        Dedup.dupClusters(Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5)),
+        keepPerCluster = 2)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Seeded deterministic corpus permutation (epoch 1). */
+  def epochShuffleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(Tables.documents(spark, dir), seed = 1L)
+      .orderBy("doc_id")
+
   /** Curation funnel: quality → exact dedup → near-dup clusters →
     * decontamination over the documents table (every 10th doc plays
     * the held-out benchmark), reporting survivors per stage. */
@@ -780,6 +795,8 @@ object PipelineQueries {
     "d_token_quantiles"   -> (tokenLenQuantiles _),
     "d_curation_funnel"   -> (curationFunnel _),
     "d_dup_clusters"      -> (dupClusters _),
+    "d_dedup_cap"         -> (dedupCap _),
+    "d_epoch_shuffle"     -> (epochShuffleQ _),
     "d_hash_sample"       -> (hashSample _),
     "d_stratified_sample" -> (stratifiedSample _),
     "d_mixture_sample"    -> (mixtureSample _),
@@ -1546,6 +1563,34 @@ object PipelineQueries {
          |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u)
          |SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+    "d_dedup_cap" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |rk AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY doc_id ASC) AS rn
+         |       FROM cl)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE rn > 2)
+         |ORDER BY d.doc_id""".stripMargin,
+    "d_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  (doc_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (doc_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM documents)
+        |SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b, k, doc_id) - 1 AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

@@ -1172,6 +1172,50 @@ class OpsSpec extends SparkSpec {
     assert(keptBySrc.forall { case (_, n, k) => n == 0 || k >= 1 })
   }
 
+  test("epoch shuffle is a seeded engine-reproducible permutation") {
+    def posOf(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.epochShuffle(d, seed).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val p1 = posOf(docs, 1L)
+    // bijection onto [0, n)
+    assert(p1.values.toSeq.sorted == (0L until n).toSeq)
+    // deterministic under any partitioning
+    assert(posOf(docs.repartition(7), 1L) == p1)
+    // the two-level prefix path must equal the naive global order
+    val ref = docs.select(col("doc_id"),
+        Sampling.detHashMod(pmod(col("doc_id"), lit(1000000007L)) + lit(1L), 8192L).as("b"),
+        Sampling.detHashMod(pmod(col("doc_id"), lit(1000000007L)) + lit(2L), 1000000007L).as("k"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("b").asc, col("k").asc, col("doc_id").asc)) - 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(3).toLong).toMap
+    assert(p1 == ref)
+    // a different epoch seed permutes differently
+    assert(posOf(docs, 2L) != p1)
+  }
+
+  test("keep-K dedup caps clusters without touching singletons") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z w"), // one cluster
+      (4L, "something else entirely here")               // singleton
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairsAdaptive(d, k = 3, threshold = 0.5))
+    val cap2 = Dedup.capClusters(d, clusters, keepPerCluster = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cap2 == Seq(1L, 2L, 4L)) // two lowest ids survive, singleton kept
+    // K = 1 degenerates to the exact applyClusters semantics
+    val cap1 = Dedup.capClusters(d, clusters, keepPerCluster = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val applied = Dedup.applyClusters(d, clusters)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cap1 == applied && cap1 == Seq(1L, 4L))
+    // a cap above the largest cluster keeps everything
+    assert(Dedup.capClusters(d, clusters, keepPerCluster = 5).count() == 4L)
+  }
+
   test("span decontamination excises benchmark windows only") {
     import spark.implicits._
     val corpus = Seq(
