@@ -43,6 +43,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-killer join shapes:\n${offenders.mkString("\n")}")
   }
 
+  // Unpartitioned windows run on ONE partition — a corpus-sized one is
+  // a scale-killer. These four are the documented exceptions; each
+  // global window sits above a frame bounded by construction, never by
+  // the corpus:
+  private val boundedGlobalWindow = Set(
+    "d_pack_contexts", // bucket-total prefix sum: n / 4096 rows
+    "d_epoch_shuffle", // bucket-count prefix sum: <= 8192 rows
+    "d_mixture_plan",  // grand-total over the per-group token frame
+    "d_source_mix"     // grand-total over the (source, lang) frame
+  )
+
+  test("unpartitioned windows appear only on bounded frames") {
+    // AQE's AdaptiveSparkPlan wrapper hides its subtree from collect —
+    // audit the concrete tree of a no-AQE session instead
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedGlobalWindow(name)) None
+      else {
+        val globals = fn(s2, sf).queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(s"$name (${globals.size})") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized single-partition windows:\n${offenders.mkString("\n")}")
+    // the whitelist itself must stay honest: each listed query really
+    // does plan its documented bounded global window
+    boundedGlobalWindow.foreach { name =>
+      val globals = SparkEntry.queries(name)(s2, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, s"$name no longer plans a global window — drop it from the whitelist")
+    }
+  }
+
   /** True when a join condition contains at least one equality that a
     * hash join could use (approximation: any EqualTo between the two
     * sides — good enough to separate folded-constant/cross joins from
