@@ -154,15 +154,20 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** Mutual-kNN edges at the oracle-exact probe configuration. */
+  /** Mutual-kNN edges at the oracle-exact probe configuration, over a
+    * bounded corpus slice (the e_ivf_topk restriction pattern — the
+    * exact config is quadratic by definition; §G3's e_knn_graph_real
+    * measures the pruned config on the full scale corpus). */
   def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.mutualKnnPairs(Tables.embeddings(spark, dir), k = 5,
+    Similarity.mutualKnnPairs(
+      Tables.embeddings(spark, dir).where(col("vec_id") < 1000), k = 5,
       nlist = 16, nprobe = 16)
       .orderBy("id_a", "id_b")
 
   /** Connected components over the mutual-kNN graph (min-id labels). */
   def semanticClustersQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semanticClusters(Tables.embeddings(spark, dir), k = 5,
+    Similarity.semanticClusters(
+      Tables.embeddings(spark, dir).where(col("vec_id") < 1000), k = 5,
       nlist = 16, nprobe = 16)
       .orderBy("vec_id")
 
@@ -1429,7 +1434,7 @@ object PipelineQueries {
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     "e_knn_graph" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |        list_cosine_similarity(a.v, b.v) AS sim
         |      FROM c a, c b WHERE a.vec_id <> b.vec_id),
@@ -1441,7 +1446,7 @@ object PipelineQueries {
         |JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
         |WHERE a.q_id < a.n_id ORDER BY id_a, id_b""".stripMargin,
     "e_semantic_clusters" ->
-      """WITH RECURSIVE c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH RECURSIVE c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |        list_cosine_similarity(a.v, b.v) AS sim
         |      FROM c a, c b WHERE a.vec_id <> b.vec_id),
