@@ -63,7 +63,9 @@ object Curation {
                     semanticIvfNlist: Option[Int] = None,
                     semanticIvfNprobe: Int = 2,
                     qualityKeepFrac: Option[Double] = None,
-                    qualityGroupCol: String = "source")
+                    qualityGroupCol: String = "source",
+                    exciseSpans: Boolean = false,
+                    spanN: Int = 8)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -120,16 +122,36 @@ object Curation {
     }
     val nearDup = Dedup.applyClusters(exact, Dedup.dupClusters(pairs), idCol)
       .sharedCheckpoint()
-    val clean = nearDup.join(
-      Dedup.contamination(nearDup, benchmark, p.shingleK, p.minSharedShingles,
+    // Optional exact-substring excision between near-dup and decontam
+    // (the ExactSubstr position in real pipelines): document COUNT is
+    // unchanged — text is rewritten, fully-excised docs become empty —
+    // so the funnel's token column shows what the stage actually cut.
+    // Decontamination then sees the rewritten text.
+    val afterSpans =
+      if (!p.exciseSpans) nearDup
+      else {
+        val ex = TextAnalysis.spanDedup(nearDup, p.spanN, idCol, textCol)
+          .select(col(idCol), col("text_dedup"),
+            (col("n_tokens") - col("n_removed")).as("__newtok"))
+        nearDup.join(ex, idCol)
+          .select(nearDup.columns.map {
+            case c if c == textCol => col("text_dedup").as(textCol)
+            case c if c == TokCol  => col("__newtok").as(TokCol)
+            case c                 => col(c)
+          }.toSeq: _*)
+          .sharedCheckpoint()
+      }
+    val clean = afterSpans.join(
+      Dedup.contamination(afterSpans, benchmark, p.shingleK, p.minSharedShingles,
         idCol, textCol).select(idCol),
       Seq(idCol), "left_anti")
     Seq(
       "1_total" -> withTok.drop("__q"),
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,
-      "4_near_dup" -> nearDup,
-      "5_decontaminated" -> clean)
+      "4_near_dup" -> nearDup) ++
+      (if (p.exciseSpans) Seq("4b_span_excise" -> afterSpans) else Nil) ++
+      Seq("5_decontaminated" -> clean)
   }
 
   /** Internal carried-token-count column (see [[stageFrames]]). */

@@ -1237,6 +1237,30 @@ class OpsSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("curation optional span-excision stage rewrites text between near-dup and decontam") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val p = Curation.Params(exciseSpans = true)
+    def stagesOf(pp: Curation.Params) = Curation.funnel(corpus, bench, pp)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m = stagesOf(p)
+    // excision rewrites text, never drops documents; tokens only shrink
+    assert(m("4b_span_excise")._1 == m("4_near_dup")._1)
+    assert(m("4b_span_excise")._2 <= m("4_near_dup")._2)
+    // the upstream stages are byte-identical to the default funnel
+    val m0 = stagesOf(Curation.Params())
+    Seq("1_total", "2_quality", "3_exact_dedup", "4_near_dup")
+      .foreach(s => assert(m(s) == m0(s), s"stage $s diverged"))
+    // the funnel's token bookkeeping survives the rewrite: stage-5
+    // token sum equals re-tokenizing the curated output
+    val curated = Curation.curate(corpus, bench, p)
+    assert(curated.count() == m("5_decontaminated")._1)
+    val tokSum = curated
+      .select(sum(size(Dedup.tokens(col("text"))).cast("long")).as("t"))
+      .collect()(0).getLong(0)
+    assert(tokSum == m("5_decontaminated")._2)
+  }
+
   test("quality calibration plans the cutoff frame as a broadcast build side") {
     // the cutoff aggregate is |sources| rows — a shuffle join here
     // would re-shuffle the whole scored corpus for a handful of rows

@@ -37,6 +37,68 @@ class PipelineOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: bijection and determinism for any id set, incl. overflow-adjacent") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val genIds = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0L, 100L),
+        Gen.choose(1000000000L, 1000000014L),   // around the mix prime
+        Gen.choose(Long.MaxValue - 20L, Long.MaxValue))) // ANSI-overflow edge
+    } yield ids.distinct
+    forAllSeeded(genIds, trials = 8) { ids =>
+      val df = ids.toDF("doc_id")
+      val out = Sampling.epochShuffle(df, seed = 3L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // total, positions a bijection onto [0, n)
+      assert(out.keySet == ids.toSet)
+      assert(out.values.toSeq.sorted == ids.indices.map(_.toLong))
+      // stable under partitioning
+      val out2 = Sampling.epochShuffle(df.repartition(5), seed = 3L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out2 == out)
+    }
+  }
+
+  test("span dedup: token conservation and idempotence on any corpus") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val genDocs = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 10)
+        ws <- Gen.listOfN(len, word)
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(genDocs, trials = 8) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val out = TextAnalysis.spanDedup(df, n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // kept tokens reconcile: |text_dedup| = n_tokens - n_removed
+      out.foreach { case (_, n, rem, txt) =>
+        val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+        assert(kept == n - rem && rem >= 0 && rem <= n)
+      }
+      // re-running on the survivor text removes nothing new WITHIN a
+      // document (cross-doc windows can newly align after excision, so
+      // idempotence is per-doc: a doc with no removals stays fixed)
+      val untouched = out.filter(_._3 == 0L).map(x => x._1 -> x._4).toMap
+      if (untouched.nonEmpty) {
+        val again = TextAnalysis.spanDedup(
+            untouched.toSeq.toDF("doc_id", "text"), n = 3)
+          .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+        // the untouched docs' MUTUAL duplicates may still trigger; only
+        // pin that tokenization round-trips (normalization stability)
+        again.foreach { case (id, txt) =>
+          assert(txt.split(" ").filter(_.nonEmpty).length <=
+            untouched(id).split(" ").filter(_.nonEmpty).length)
+        }
+      }
+    }
+  }
+
   test("detHash lands in [0, Buckets) and is stable for any non-negative id") {
     import graft.ops.Sampling
     import spark.implicits._
