@@ -127,7 +127,20 @@ object ScaleBench {
         graft.ops.TextAnalysis.spanGramStore(docs.where("doc_id % 2 = 0"))))
       ("d_span_incremental_real", (System.nanoTime() - t) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++ knn ++ spanInc
+    // funnel with the opt-in exact-substring excision stage (MinHash
+    // pair source so the near-dup stage rides its scale path too)
+    val spansFunnel = if (!want("d_curation_funnel_spans")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.Curation.funnel(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        graft.ops.Curation.Params(
+          pairSource = graft.ops.Curation.PairSource.MinHash(),
+          exciseSpans = true)))
+      ("d_curation_funnel_spans", (System.nanoTime() - t) / 1e9)
+    }
+    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++ knn ++
+      spanInc ++ spansFunnel
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
