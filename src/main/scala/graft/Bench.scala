@@ -104,8 +104,14 @@ object Bench {
     val spreadJson =
       if (repeat == 1) ""
       else {
+        // envelope over SUCCESSFUL rounds only — a partial failure is
+        // already visible in `failed`/-1, and mixing the sentinel into
+        // min/max would read as a negative timing bound
         val sp = results.map { case (k, ts) =>
-          "\"" + k + "\":[" + fmt(ts.min) + "," + fmt(ts.max) + "]"
+          val ok = ts.filter(_ >= 0)
+          val lo = if (ok.isEmpty) -1.0 else ok.min
+          val hi = if (ok.isEmpty) -1.0 else ok.max
+          "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
         }.mkString("{", ",", "}")
         s""","repeat":$repeat,"spread":$sp"""
       }

@@ -248,6 +248,10 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
 
   require(m >= 1 && ksub >= 1, s"m/ksub must be >= 1, got $m/$ksub")
   private val bits = PqCodec.codeBits(ksub)
+  // same packing bound PqEncode enforces — without it a mis-sized
+  // (m, ksub) pair would wrap shifts mod 64 and read garbage LUT slots
+  require(m * bits <= 64,
+    s"pq_adc: $m subspaces x $bits bits/code exceed one 64-bit word")
   private val mask = if (bits == 0) 0L else (1L << bits) - 1L
 
   override def dataType: DataType = DoubleType

@@ -32,6 +32,10 @@ object Checkpoints {
 
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Whether this session opted into reliable checkpoints. */
+  def reliableOn(ss: org.apache.spark.sql.SparkSession): Boolean =
+    ss.conf.getOption(ReliableKey).exists(_.toBoolean)
+
   /** Share `df` across multiple downstream consumers; see class doc.
     * `eager` mirrors the Dataset API (iterative loops checkpoint
     * eagerly so the convergence probe rides materialized blocks). */

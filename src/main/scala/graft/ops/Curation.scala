@@ -103,11 +103,12 @@ object Curation {
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
         val scored = withTok.sharedCheckpoint()
-        val cuts = scored.groupBy(p.qualityGroupCol)
+        val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
-        scored.join(cuts, p.qualityGroupCol)
+        // null-safe: NULL-group docs must face their cutoff, not vanish
+        scored.join(cuts, col(p.qualityGroupCol) <=> col("__grp"))
           .where(col("__q") >= col("__cut"))
-    }) // a using-column join fronts the group column — restore order
+    }) // restore the original column order / drop the internals
       .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
       .sharedCheckpoint()
     val exact = quality.join(

@@ -538,7 +538,12 @@ object Dedup {
       labels = next.select("u", "l")
       round += 1
     }
-    labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+    val out = labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+    // the final frame OUTLIVES the loop: in reliable mode it must not
+    // ride the last round's executor-local blocks (Checkpoints.iterative
+    // doc) — re-anchor it through the reliable-aware share. Non-reliable
+    // sessions keep the already-materialized local blocks as-is.
+    if (Checkpoints.reliableOn(pairs.sparkSession)) out.sharedCheckpoint() else out
   }
 
   /** Bounded driver-side path of [[dupClusters]]: union-find with path

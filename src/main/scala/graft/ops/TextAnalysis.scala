@@ -272,7 +272,7 @@ object TextAnalysis {
     require(n > 1, s"span length must be > 1, got $n")
     val toked = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     val occ = spanOccurrences(toked, n)
-    val dups = occ.join(spanGramStore(benchmark, n, idCol, textCol),
+    val dups = occ.join(spanGramStore(benchmark, n, textCol),
         Seq("h"), "left_semi")
       .select(col("id"), col("s"))
     exciseSpans(toked, dups, n, idCol)
@@ -298,9 +298,11 @@ object TextAnalysis {
     val scored = docs.select(col(idCol), col(groupCol),
         round(qualityScoreOf(tokens(col(textCol)), col(textCol)), 4).as("score"))
       .sharedCheckpoint() // one score pass: cutoff agg + tag join
-    val cuts = scored.groupBy(groupCol)
+    val cuts = scored.groupBy(col(groupCol).as("__g"))
       .agg(expr(s"percentile(score, ${1.0 - keepFrac})").as("cut"))
-    scored.join(cuts, groupCol)
+    // null-safe equality: a NULL group is a group like any other — a
+    // plain using-column join would silently drop its documents
+    scored.join(cuts, col(groupCol) <=> col("__g"))
       .select(col(idCol), col(groupCol), col("score"),
         round(col("cut"), 4).as("cutoff"),
         (col("score") >= col("cut")).as("keep"))
@@ -311,7 +313,7 @@ object TextAnalysis {
     * length-n gram ever observed, not per occurrence, and never the
     * text. The streaming twin appends each batch's novel hashes. */
   def spanGramStore(docs: DataFrame, n: Int = 8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                    textCol: String = "text"): DataFrame =
     docs.select(tokens(col(textCol)).as("w"))
       .select(explode(ngramsAll(col("w"), n)).as("g"))
       .select(xxhash64(col("g")).as("h")).distinct()

@@ -77,7 +77,7 @@ class StreamingSpanDedup(spark: SparkSession, baseDir: String, n: Int = 8,
         // output BEFORE state (the docs-before-store ordering all the
         // streaming twins share); novel hashes only keep the store
         // distinct across batches
-        TextAnalysis.spanGramStore(b, n, idCol, textCol)
+        TextAnalysis.spanGramStore(b, n, textCol)
           .join(seen, Seq("h"), "left_anti")
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(gramDir)

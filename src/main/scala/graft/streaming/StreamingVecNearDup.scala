@@ -67,11 +67,13 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
     * them, cells skew and candidate volume with it (Σ C(|cell|,2) is
     * minimized by balanced cells), so a deployment retrains in a
     * maintenance window — run between triggers or with the stream
-    * stopped, like [[compactStore]]. The version stamp makes the swap
-    * safe: every assignment row written under the OLD partition is
-    * rewritten (atomically per store, old files dropped by the
-    * overwrite), so a crash mid-retrain is recovered by re-running —
-    * probes never mix Voronoi generations. `newNlist` defaults to the
+    * stopped, like [[compactStore]]. Crash-safe by ordering, not by
+    * atomicity: new-generation assignment rows APPEND behind the
+    * version pin first (invisible until commit), then the quantizer
+    * swaps via staged renames with an `__old` fallback — every crash
+    * point leaves some complete (version, cells) pair readable, and a
+    * re-run converges. Probes never mix Voronoi generations; old
+    * rows linger as disk until compaction. `newNlist` defaults to the
     * construction-time nlist; pass the grown value as the corpus
     * scales (the nlist ∝ n rule). No-op false when nothing was kept
     * yet. Returns true when the index was rebuilt. */
@@ -86,20 +88,36 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
     val cents = Similarity.ivfCentroids(kept,
       math.min(newNlist.toLong, n).toInt, iters, idCol, vecCol)
     val storeWidth = math.min(assignNprobe, cents.length)
-    // write assignments FIRST under a temp dir, then centroids, then
-    // swap: a crash before the final rename leaves the old coherent
-    // (version, cells) pair fully intact
-    val tmpCells = s"$cellDir.__retrain"
+    // 1. APPEND the new generation's assignment rows alongside the old
+    //    ones — never delete before the commit point. The version pin
+    //    keeps them structurally invisible until the quantizer swaps,
+    //    so a crash anywhere in this write leaves the old pair live.
     assignRows(kept.select(col(idCol), col(vecCol)), cents, storeWidth, version)
       .drop("pos")
-      .write.mode("overwrite").parquet(tmpCells)
+      .write.mode("append").parquet(cellDir)
+    // 2. COMMIT: stage the new quantizer beside the old, then two
+    //    renames. loadCentroids falls back to the __old dir when the
+    //    primary is missing, so EVERY crash point reads a coherent
+    //    (version, cells) pair: before the primary rename → the old
+    //    generation (its rows untouched above); after → the new one
+    //    (its rows already appended). A re-run after a crash appends
+    //    duplicate rows for the same version — harmless to the store
+    //    joins, reclaimed by compactStore.
+    val tmpCent = s"$centDir.__retrain"
+    val oldCent = s"$centDir.__old"
     import spark.implicits._
     cents.zipWithIndex.flatMap { case (row, cell) =>
       row.zipWithIndex.map { case (x, d) => (version, cell, d, x) }
     }.toDF("version", "cell", "dim", "value")
-      .coalesce(1).write.mode("overwrite").parquet(centDir)
-    graft.sources.TierStore.deleteTree(new java.io.File(cellDir))
-    Files.move(Paths.get(tmpCells), Paths.get(cellDir))
+      .coalesce(1).write.mode("overwrite").parquet(tmpCent)
+    if (Files.exists(Paths.get(centDir))) {
+      graft.sources.TierStore.deleteTree(new java.io.File(oldCent))
+      Files.move(Paths.get(centDir), Paths.get(oldCent))
+    }
+    Files.move(Paths.get(tmpCent), Paths.get(centDir))
+    graft.sources.TierStore.deleteTree(new java.io.File(oldCent))
+    // 3. the old generation's cell rows stay behind the version pin —
+    //    a disk-only cost until compaction, never a correctness one
     spark.catalog.refreshByPath(cellDir)
     spark.catalog.refreshByPath(centDir)
     true
@@ -108,11 +126,17 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
   /** The persisted coarse quantizer, or None before the first batch.
     * Tiny by construction (nlist × dims rows) — the same driver-side
     * footprint [[Similarity.ivfCentroids]] already pays. */
-  private def loadCentroids(s: SparkSession): Option[(Long, Seq[Seq[Double]])] =
-    if (!Files.exists(Paths.get(centDir))) None
-    else {
-      s.catalog.refreshByPath(centDir)
-      val rows = s.read.parquet(centDir)
+  private def loadCentroids(s: SparkSession): Option[(Long, Seq[Seq[Double]])] = {
+    // primary first; the __old staging dir only exists inside retrain's
+    // two-rename commit window — falling back to it makes every crash
+    // point readable (see retrain)
+    val dir =
+      if (Files.exists(Paths.get(centDir))) Some(centDir)
+      else if (Files.exists(Paths.get(s"$centDir.__old"))) Some(s"$centDir.__old")
+      else None
+    dir.flatMap { d =>
+      s.catalog.refreshByPath(d)
+      val rows = s.read.parquet(d)
         .collect().map(r => (r.getAs[Long]("version"), r.getAs[Int]("cell"),
           r.getAs[Int]("dim"), r.getAs[Double]("value")))
       if (rows.isEmpty) None
@@ -125,6 +149,7 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
         Some((version, cents))
       }
     }
+  }
 
   /** (id, cell, pos, v, nrm, version) assignment rows for a vector
     * frame — `pos` is the probe rank (0 = nearest cell), so one

@@ -1145,6 +1145,17 @@ class OpsSpec extends SparkSpec {
     // keepFrac = 1 keeps everything (cutoff is the minimum score)
     val all = TextAnalysis.qualityCalibration(docs, keepFrac = 1.0).collect()
     assert(all.forall(_.getBoolean(4)))
+    // a NULL group is a group like any other — a plain equi-join on the
+    // group column would silently drop its documents
+    import spark.implicits._
+    val nullDocs = Seq(
+      (1L, "a",  "the a of and to in is for on with more good text"),
+      (2L, null, "the quick brown fox jumps over a lazy dog for fun"),
+      (3L, null, "x")
+    ).toDF("doc_id", "source", "text")
+    val outN = TextAnalysis.qualityCalibration(nullDocs, keepFrac = 0.5)
+    assert(outN.count() == 3L, "null-source documents were dropped")
+    assert(outN.where(col("source").isNull && col("keep")).count() >= 1L)
   }
 
   test("curation quality stage can calibrate per-source keep fractions") {

@@ -316,13 +316,17 @@ class StreamingSpec extends SparkSpec {
     // pre-retrain survivors
     val s3 = mkStream()
     assert(s3.retrain(newNlist = 3))
+    spark.catalog.refreshByPath(s"$base/centroids")
+    val centVers = spark.read.parquet(s"$base/centroids")
+      .select("version").distinct().collect().map(_.getLong(0))
+    assert(centVers.length == 1, s"${centVers.length} centroid versions")
+    // the CURRENT generation fully re-keys the kept corpus; the prior
+    // generation's rows stay parked behind the version pin (append-
+    // then-commit ordering — disk until compaction, never read)
     spark.catalog.refreshByPath(s"$base/cells")
     val retrained = spark.read.parquet(s"$base/cells")
-    assert(retrained.select("version").distinct().count() == 1L)
-    assert(retrained.select("id").distinct().count() == 3L)
-    spark.catalog.refreshByPath(s"$base/centroids")
-    assert(spark.read.parquet(s"$base/centroids")
-      .select("version").distinct().count() == 1L)
+    assert(retrained.where(col("version") === centVers.head)
+      .select("id").distinct().count() == 3L)
     val q3 = s3.start(s3.readJsonVecs(in),
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
     try {
@@ -335,6 +339,25 @@ class StreamingSpec extends SparkSpec {
       assert(kept3.toSeq == Seq(1L, 3L, 5L, 7L),
         s"post-retrain index missed a cross dup: kept ${kept3.toSeq}")
     } finally q3.stop()
+    // CRASH WINDOW: die between retrain's two commit renames — the
+    // primary centroid dir is gone, only the __old staging dir exists.
+    // loadCentroids' fallback must keep the OLD generation serving
+    // (cells for it are intact), not bootstrap a fresh index that
+    // forgets the store.
+    Files.move(Paths.get(s"$base/centroids"), Paths.get(s"$base/centroids.__old"))
+    val s4 = mkStream()
+    val q4 = s4.start(s4.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b4.json", Seq(
+        vec(8, Seq(0.996, 0.07, 0.0, 0.0)),  // near-dups the stored A-cluster
+        vec(9, Seq(0.5, 0.5, 0.0, 0.5))))    // fresh (cos < 0.7 vs all kept)
+      q4.processAllAvailable()
+      spark.catalog.refreshByPath(s4.keptPath)
+      val kept4 = spark.read.parquet(s4.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept4.toSeq == Seq(1L, 3L, 5L, 7L, 9L),
+        s"mid-commit crash state lost the index: kept ${kept4.toSeq}")
+    } finally q4.stop()
   }
 
   test("counter streaming path: 5s sums, cascade adds") {
