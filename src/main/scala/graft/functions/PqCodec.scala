@@ -63,7 +63,13 @@ private[functions] trait PqCodebooks {
   final def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Read + unit-normalize the input vector (interpreted path). */
+  /** Whether the input vector is unit-normalized before encoding.
+    * True for raw vectors (cosine ≡ L2 on the unit sphere); FALSE for
+    * residual inputs (v − centroid), whose norms carry the geometry —
+    * renormalizing a residual would destroy it. */
+  def normalizeInput: Boolean
+
+  /** Read (and optionally unit-normalize) the input vector. */
   final def normalizedVec(v: ArrayData, fl: Boolean, name: String): Array[Double] = {
     if (v.numElements() != dims)
       throw new IllegalArgumentException(
@@ -75,28 +81,51 @@ private[functions] trait PqCodebooks {
       val xv = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
       x(i) = xv; s += xv * xv; i += 1
     }
-    val nrm = math.sqrt(s) max 1e-12
-    i = 0
-    while (i < dims) { x(i) /= nrm; i += 1 }
+    if (normalizeInput) {
+      val nrm = math.sqrt(s) max 1e-12
+      i = 0
+      while (i < dims) { x(i) /= nrm; i += 1 }
+    }
     x
   }
 
-  /** Codegen fragment: `double[] x` = the unit-normalized input. */
-  final def normalizeGen(v: String, get: String, name: String): String =
-    s"""
-       |if ($v.numElements() != $dims) {
-       |  throw new IllegalArgumentException(
-       |    "$name: vector has " + $v.numElements() + " dims, expected $dims");
-       |}
-       |double[] x = new double[$dims];
-       |double ss = 0.0;
-       |for (int i = 0; i < $dims; i++) {
-       |  double xv = (double) $v.$get(i);
-       |  x[i] = xv; ss += xv * xv;
-       |}
-       |double nrm = java.lang.Math.max(java.lang.Math.sqrt(ss), 1e-12);
-       |for (int i = 0; i < $dims; i++) { x[i] /= nrm; }
-     """.stripMargin
+  /** Codegen fragment reading (and optionally normalizing) the input
+    * into a fresh `double[]`; returns (code, arrayVarName). EVERY
+    * local is freshName'd: with a CodegenFallback sibling (e.g. a
+    * zip_with residual child) the projection compiles in non-whole-
+    * stage mode, where the input ROW parameter is literally named `i`
+    * — a bare `for (int i ...)` is a compile-time redefinition. */
+  final def normalizeGen(ctx: CodegenContext, v: String, get: String,
+                         name: String): (String, String) = {
+    val x = ctx.freshName("pqX")
+    val ss = ctx.freshName("pqSs")
+    val ix = ctx.freshName("pqI")
+    val xv = ctx.freshName("pqXv")
+    val nrm = ctx.freshName("pqNrm")
+    val ix2 = ctx.freshName("pqI")
+    val normPart =
+      if (!normalizeInput) ""
+      else
+        s"""
+           |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($ss), 1e-12);
+           |for (int $ix2 = 0; $ix2 < $dims; $ix2++) { $x[$ix2] /= $nrm; }
+         """.stripMargin
+    val code =
+      s"""
+         |if ($v.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "$name: vector has " + $v.numElements() + " dims, expected $dims");
+         |}
+         |double[] $x = new double[$dims];
+         |double $ss = 0.0;
+         |for (int $ix = 0; $ix < $dims; $ix++) {
+         |  double $xv = (double) $v.$get($ix);
+         |  $x[$ix] = $xv; $ss += $xv * $xv;
+         |}
+         |$normPart
+       """.stripMargin
+    (code, x)
+  }
 }
 
 private[functions] object PqCodec {
@@ -113,7 +142,8 @@ private[functions] object PqCodec {
   * shuffles and holds per corpus vector — vs 4·d bytes of float32 — and
   * it lays out flat in UnsafeRow where an array<int> carries header +
   * width overhead. This runs once per corpus vector. */
-case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
+                    normalizeInput: Boolean = true)
   extends UnaryExpression with PqCodebooks {
 
   private val bits = PqCodec.codeBits(ksub)
@@ -154,24 +184,34 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     val get = if (isFloat(child)) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
+      val (readCode, x) = normalizeGen(ctx, v, get, "pq_encode")
+      val packed = ctx.freshName("pqPacked")
+      val j = ctx.freshName("pqJ")
+      val best = ctx.freshName("pqBest")
+      val bestD = ctx.freshName("pqBestD")
+      val c = ctx.freshName("pqC")
+      val dist = ctx.freshName("pqDist")
+      val off = ctx.freshName("pqOff")
+      val d = ctx.freshName("pqD")
+      val diff = ctx.freshName("pqDiff")
       s"""
-         |${normalizeGen(v, get, "pq_encode")}
-         |long packed = 0L;
-         |for (int j = 0; j < $m; j++) {
-         |  int best = 0;
-         |  double bestD = Double.POSITIVE_INFINITY;
-         |  for (int c = 0; c < $ksub; c++) {
-         |    double dist = 0.0;
-         |    int off = (j * $ksub + c) * $dsub;
-         |    for (int d = 0; d < $dsub; d++) {
-         |      double diff = x[j * $dsub + d] - $cbRef[off + d];
-         |      dist += diff * diff;
+         |$readCode
+         |long $packed = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $dist = 0.0;
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      double $diff = $x[$j * $dsub + $d] - $cbRef[$off + $d];
+         |      $dist += $diff * $diff;
          |    }
-         |    if (dist < bestD) { best = c; bestD = dist; }
+         |    if ($dist < $bestD) { $best = $c; $bestD = $dist; }
          |  }
-         |  packed |= ((long) best) << (j * $bits);
+         |  $packed |= ((long) $best) << ($j * $bits);
          |}
-         |${ev.value} = packed;
+         |${ev.value} = $packed;
        """.stripMargin
     })
   }
@@ -183,7 +223,8 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 /** Query-side ADC lookup table: ‖q_sub_j − codeword_c‖² for every
   * (subspace j, codeword c), subspace-major. Computed once per query
   * (m·ksub·dsub work), amortized over every candidate it scores. */
-case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
+                 normalizeInput: Boolean = true)
   extends UnaryExpression with PqCodebooks {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -216,21 +257,29 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     val get = if (isFloat(child)) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
+      val (readCode, x) = normalizeGen(ctx, v, get, "pq_lut")
+      val lut = ctx.freshName("pqLut")
+      val j = ctx.freshName("pqJ")
+      val c = ctx.freshName("pqC")
+      val dist = ctx.freshName("pqDist")
+      val off = ctx.freshName("pqOff")
+      val d = ctx.freshName("pqD")
+      val diff = ctx.freshName("pqDiff")
       s"""
-         |${normalizeGen(v, get, "pq_lut")}
-         |double[] lut = new double[${m * ksub}];
-         |for (int j = 0; j < $m; j++) {
-         |  for (int c = 0; c < $ksub; c++) {
-         |    double dist = 0.0;
-         |    int off = (j * $ksub + c) * $dsub;
-         |    for (int d = 0; d < $dsub; d++) {
-         |      double diff = x[j * $dsub + d] - $cbRef[off + d];
-         |      dist += diff * diff;
+         |$readCode
+         |double[] $lut = new double[${m * ksub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $dist = 0.0;
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      double $diff = $x[$j * $dsub + $d] - $cbRef[$off + $d];
+         |      $dist += $diff * $diff;
          |    }
-         |    lut[j * $ksub + c] = dist;
+         |    $lut[$j * $ksub + $c] = $dist;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lut);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($lut);
        """.stripMargin
     })
   }
@@ -279,12 +328,14 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sum = ctx.freshName("adcSum")
+      val j = ctx.freshName("adcJ")
       s"""
-         |double sum = 0.0;
-         |for (int j = 0; j < $m; j++) {
-         |  sum += $a.getDouble(j * $ksub + (int) (($b >>> (j * $bits)) & ${mask}L));
+         |double $sum = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $sum += $a.getDouble($j * $ksub + (int) (($b >>> ($j * $bits)) & ${mask}L));
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 

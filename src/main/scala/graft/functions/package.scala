@@ -62,9 +62,11 @@ package object functions {
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
       reg.createOrReplaceTempFunction(
-        "pq_encode", exprs => PqEncode(exprs.head, codebooksOf(exprs(1))), "scala_udf")
+        "pq_encode", exprs => PqEncode(exprs.head, codebooksOf(exprs(1)),
+          exprs.lift(2).forall(_.eval().asInstanceOf[Boolean])), "scala_udf")
       reg.createOrReplaceTempFunction(
-        "pq_lut", exprs => PqLut(exprs.head, codebooksOf(exprs(1))), "scala_udf")
+        "pq_lut", exprs => PqLut(exprs.head, codebooksOf(exprs(1)),
+          exprs.lift(2).forall(_.eval().asInstanceOf[Boolean])), "scala_udf")
       reg.createOrReplaceTempFunction(
         "pq_adc", exprs => PqAdc(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -144,16 +146,19 @@ package object functions {
   }
 
   /** PQ codes of a vector, packed into one long (code j at bit j·⌈log2
-    * ksub⌉) — the 8-byte scan-side representation. */
-  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    call_function("pq_encode", vec, typedlit(codebooks))
+    * ksub⌉) — the 8-byte scan-side representation. `normalize = false`
+    * for residual inputs (their norms carry the geometry). */
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+                normalize: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_encode", vec, typedlit(codebooks), lit(normalize))
   }
 
   /** Per-query ADC lookup table (m·ksub squared subspace distances). */
-  def pq_lut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    call_function("pq_lut", vec, typedlit(codebooks))
+  def pq_lut(vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+             normalize: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_lut", vec, typedlit(codebooks), lit(normalize))
   }
 
   /** Codegen'd ADC distance of packed codes against a query LUT. */

@@ -580,12 +580,15 @@ object Similarity {
     * per iteration covers all m subspaces (posexplode of the code
     * array, then of the assigned subvector). */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 1,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  normalize: Boolean = true): Seq[Seq[Seq[Double]]] = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    def normalized(v: Seq[Double]): Seq[Double] = {
-      val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
-      v.map(_ / nrm)
-    }
+    def normalized(v: Seq[Double]): Seq[Double] =
+      if (!normalize) v
+      else {
+        val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
+        v.map(_ / nrm)
+      }
     val init = corpus.orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
       .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
@@ -599,9 +602,11 @@ object Similarity {
     for (_ <- 0 until iters) {
       val assigned = corpus
         .select(col(vecCol).as("v"),
-          greatest(norm(col(vecCol)), lit(1e-12)).as("nrm"),
+          (if (normalize) greatest(norm(col(vecCol)), lit(1e-12))
+           else lit(1.0)).as("nrm"),
           posexplode(graft.functions.pq_unpack(
-            graft.functions.pq_encode(col(vecCol), cbs), m, kEff)).as(Seq("j", "code")))
+            graft.functions.pq_encode(col(vecCol), cbs, normalize), m, kEff))
+            .as(Seq("j", "code")))
         .select(col("j"), col("code"),
           posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub))
             .cast("array<double>")).as(Seq("d", "x")),
@@ -642,22 +647,56 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 rerank: Int = 50, iters: Int = 1,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                residual: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
-    val cbs = pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+    // Residual mode = classic IVFADC: encode v − centroid(cell) of the
+    // UNIT-normalized vector rather than the vector itself. ADC then
+    // approximates ‖(q−c) − (v−c)‖² = ‖q−v‖² — the same cosine order —
+    // but the codewords quantize residuals, which concentrate near the
+    // origin when cells capture structure, so the same m·ksub budget
+    // buys materially less quantization error on clustered corpora.
+    // The query-side LUT becomes per PROBED CELL (q's residual differs
+    // per cell) — nprobe LUT builds per query instead of one.
+    val centsLit = typedlit(cents)
+    def unitV(v: Column): Column =
+      transform(v.cast("array<double>"), x => x / greatest(norm(v), lit(1e-12)))
+    def residOf(v: Column, cell: Column): Column =
+      zip_with(unitV(v), element_at(centsLit, cell + 1), (a, b) => a - b)
+    val cbs =
+      if (!residual) pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+      else pqCodebooks(
+        corpus.select(col(idCol), residOf(col(vecCol),
+          element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1)).as("__res")),
+        m, ksub, iters, idCol, "__res", normalize = false)
     val kEff = cbs.head.length // < ksub on a tiny corpus
-    val encoded = corpus.select(col(idCol).as("n_id"),
-      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
-      graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
-    val probed = queries.select(col(idCol).as("q_id"),
-      graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents,
-        math.min(nprobe, cents.length))).as("cell"))
+    val encoded =
+      if (!residual) corpus.select(col(idCol).as("n_id"),
+        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+        graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
+      else corpus
+        .select(col(idCol).as("n_id"), col(vecCol).as("__v"),
+          element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+        .select(col("n_id"), col("cell"),
+          graft.functions.pq_encode(residOf(col("__v"), col("cell")), cbs,
+            normalize = false).as("codes"))
+    val probed =
+      if (!residual) queries.select(col(idCol).as("q_id"),
+        graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
+        explode(graft.functions.ivf_probe(col(vecCol), cents,
+          math.min(nprobe, cents.length))).as("cell"))
+      else queries
+        .select(col(idCol).as("q_id"), col(vecCol).as("__v"),
+          explode(graft.functions.ivf_probe(col(vecCol), cents,
+            math.min(nprobe, cents.length))).as("cell"))
+        .select(col("q_id"), col("cell"),
+          graft.functions.pq_lut(residOf(col("__v"), col("cell")), cbs,
+            normalize = false).as("lut"))
     val adc = probed.join(encoded, "cell")
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("cell"), col("n_id"),

@@ -182,6 +182,18 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVFADC (residual-encoded) twin of [[pqTopK]], same exact
+    * configuration — the recall edge of residual codes is spec-pinned
+    * on clustered fixtures (OpsSpec); here the oracle checks the
+    * whole residual plumbing end-to-end. */
+  def pqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 1000000,
+      residual = true)
+      .orderBy("q_id", "rank")
+  }
+
   def quantizeEmb(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
 
@@ -823,6 +835,7 @@ object PipelineQueries {
     "e_lsh_topk"        -> (lshTopK _),
     "e_ivf_topk"        -> (ivfTopK _),
     "e_pq_topk"         -> (pqTopK _),
+    "e_pq_residual"     -> (pqResidualTopK _),
     "e_knn_graph"       -> (knnGraphQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
@@ -1463,6 +1476,16 @@ object PipelineQueries {
         |                SELECT r2.u, s2.v FROM reach r2 JOIN sym s2 ON r2.v = s2.u)
         |SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach
         |GROUP BY u ORDER BY vec_id""".stripMargin,
+    "e_pq_residual" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "e_pq_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),

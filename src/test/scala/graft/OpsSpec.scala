@@ -560,6 +560,54 @@ class OpsSpec extends SparkSpec {
       k = 1, rerank = 5).count() >= 0)
   }
 
+  test("IVF-PQ residual encoding beats plain encoding on clustered corpora") {
+    import spark.implicits._
+    // 8 tight clusters: cells align with anchors, so residuals
+    // concentrate near the origin — the regime IVFADC exists for. A
+    // deliberately starved codebook (ksub = 4) makes plain encoding
+    // lossy enough to expose the difference.
+    val rnd = new scala.util.Random(123)
+    val anchors = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    // 400 cluster members (noise 0.1) + 40 probes that are NEAR-COPIES
+    // (noise 0.02) of members 0..39: the probe's true NN is its source
+    // at a 10x distance margin over the rest of its cluster — exactly
+    // the margin plain PQ collapses (same-cluster members share codes,
+    // ADC ties) and residual PQ resolves
+    val members = (0 until 400).map { i =>
+      anchors(i % 8).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    }
+    val probes = (0 until 40).map { i =>
+      members(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val vecs = members ++ probes
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val queries = df.where(col("vec_id") >= 400)
+    def top1(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val truth = top1(Similarity.bruteForceTopK(df, queries, k = 1))
+    def recallOf(res: Boolean) = {
+      val got = top1(Similarity.ivfPqTopK(df, queries, k = 1,
+        nlist = 8, nprobe = 2, m = 8, ksub = 4, rerank = 2, residual = res))
+      truth.count { case (q, n) => got.get(q).contains(n) }.toDouble / truth.size
+    }
+    // measured on this seeded fixture: plain 0.40, residual 1.00 — the
+    // 2-bit codebook forces the gap wide open
+    val plain = recallOf(res = false)
+    val resid = recallOf(res = true)
+    assert(resid >= plain + 0.3,
+      s"residual recall $resid not clearly above plain $plain on clustered data")
+    assert(resid >= 0.9, s"residual recall $resid < 0.9")
+    // the exact configuration is exact in residual mode too
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(df, queries, k = 3))
+    assert(rows(Similarity.ivfPqTopK(df, queries, k = 3, nlist = 8, nprobe = 8,
+      m = 8, ksub = 16, rerank = 1000000, residual = true)) == exact)
+  }
+
   test("mutual-kNN graph and semantic clusters recover planted structure") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
