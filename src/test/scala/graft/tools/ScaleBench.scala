@@ -91,21 +91,23 @@ object ScaleBench {
     // side carries m-byte codes instead of full vectors, candidates
     // score by LUT lookups instead of d-dim dots, and only the
     // rerank survivors touch full precision
-    def annPair(name: String, pq: Boolean) = if (!want(name)) None else Some {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .selectExpr("vec_id", "embedding")
-      val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
-      val qs = emb.where(s"vec_id < 1000")
-      val t = System.nanoTime()
-      Bench.force(
-        if (pq) Similarity.ivfPqTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
-          m = 8, ksub = 256, rerank = 100)
-        else Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8))
-      (name, (System.nanoTime() - t) / 1e9)
-    }
+    def annPair(name: String, pq: Boolean, residual: Boolean = false) =
+      if (!want(name)) None else Some {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("vec_id", "embedding")
+        val n = emb.count()
+        val nlist = math.max(16L, n / 256L).toInt
+        val qs = emb.where(s"vec_id < 1000")
+        val t = System.nanoTime()
+        Bench.force(
+          if (pq) Similarity.ivfPqTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
+            m = 8, ksub = 256, rerank = 100, residual = residual)
+          else Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8))
+        (name, (System.nanoTime() - t) / 1e9)
+      }
     val annFlat = annPair("e_ivf_topk_real", pq = false)
     val annPq = annPair("e_pq_topk_real", pq = true)
+    val annPqRes = annPair("e_pq_residual_real", pq = true, residual = true)
     // mutual-kNN graph at a pruning config: k·n edges, cell-bounded
     // candidates, one self-join for mutualization
     val knn = if (!want("e_knn_graph_real")) None else Some {
@@ -139,8 +141,8 @@ object ScaleBench {
           exciseSpans = true)))
       ("d_curation_funnel_spans", (System.nanoTime() - t) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++ knn ++
-      spanInc ++ spansFunnel
+    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++
+      annPqRes ++ knn ++ spanInc ++ spansFunnel
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
