@@ -56,6 +56,12 @@ object Bench {
       val t0 = System.nanoTime()
       try graft.planner.MaterializedTiers.ensure(spark, sfDir)
       catch { case _: Throwable => () }
+      // bucketed-table setup is the same kind of one-time amortized
+      // write as the tiers: build it here so q9's first timed repeat
+      // measures the join, not the bucket-table write (the r6 artifact
+      // showed a 14x first-iteration spread on q9 from exactly this)
+      try graft.ops.Bucketing.ensureOrderTables(spark, sfDir)
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // Repeat mode (SPARK_GRAFT_REPEAT=N, default 3): every query timed
@@ -104,13 +110,14 @@ object Bench {
     val spreadJson =
       if (repeat == 1) ""
       else {
-        // envelope over SUCCESSFUL rounds only — a partial failure is
-        // already visible in `failed`/-1, and mixing the sentinel into
-        // min/max would read as a negative timing bound
+        // a query flagged failed reports [-1,-1] here too — "queries"
+        // carries -1 for any partial failure, and the two fields must
+        // agree about whether the query ran (a real [min,max] next to a
+        // -1 median reads as a contradiction in the artifact)
         val sp = results.map { case (k, ts) =>
           val ok = ts.filter(_ >= 0)
-          val lo = if (ok.isEmpty) -1.0 else ok.min
-          val hi = if (ok.isEmpty) -1.0 else ok.max
+          val lo = if (ts.contains(-1.0) || ok.isEmpty) -1.0 else ok.min
+          val hi = if (ts.contains(-1.0) || ok.isEmpty) -1.0 else ok.max
           "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
         }.mkString("{", ",", "}")
         s""","repeat":$repeat,"spread":$sp"""

@@ -94,33 +94,46 @@ case class IvfProbe(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     val get = if (isFloat) "getFloat" else "getDouble"
     val centRef = ctx.addReferenceObj("centroids", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
+      // every local freshName'd — non-whole-stage projections name the
+      // input ROW parameter `i`, so a bare loop variable is a Janino
+      // compile error that silently drops to interpreted eval (the
+      // PqCodec.normalizeGen convention)
+      val dots = ctx.freshName("ivfDots")
+      val c = ctx.freshName("ivfC")
+      val s = ctx.freshName("ivfS")
+      val off = ctx.freshName("ivfOff")
+      val i = ctx.freshName("ivfI")
+      val sel = ctx.freshName("ivfSel")
+      val used = ctx.freshName("ivfUsed")
+      val k = ctx.freshName("ivfK")
+      val best = ctx.freshName("ivfBest")
+      val bestDot = ctx.freshName("ivfBestDot")
       s"""
          |if ($v.numElements() != $dims) {
          |  throw new IllegalArgumentException(
          |    "ivf_probe: vector has " + $v.numElements() + " dims, expected $dims");
          |}
-         |int n = $dims;
-         |double[] dots = new double[$nlist];
-         |for (int c = 0; c < $nlist; c++) {
-         |  double s = 0.0;
-         |  int off = c * $dims;
-         |  for (int i = 0; i < n; i++) {
-         |    s += $centRef[off + i] * (double) $v.$get(i);
+         |double[] $dots = new double[$nlist];
+         |for (int $c = 0; $c < $nlist; $c++) {
+         |  double $s = 0.0;
+         |  int $off = $c * $dims;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $s += $centRef[$off + $i] * (double) $v.$get($i);
          |  }
-         |  dots[c] = s;
+         |  $dots[$c] = $s;
          |}
-         |int[] sel = new int[$nprobe];
-         |boolean[] used = new boolean[$nlist];
-         |for (int k = 0; k < $nprobe; k++) {
-         |  int best = -1;
-         |  double bestDot = Double.NEGATIVE_INFINITY;
-         |  for (int c = 0; c < $nlist; c++) {
-         |    if (!used[c] && (best == -1 || dots[c] > bestDot)) { best = c; bestDot = dots[c]; }
+         |int[] $sel = new int[$nprobe];
+         |boolean[] $used = new boolean[$nlist];
+         |for (int $k = 0; $k < $nprobe; $k++) {
+         |  int $best = -1;
+         |  double $bestDot = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $nlist; $c++) {
+         |    if (!$used[$c] && ($best == -1 || $dots[$c] > $bestDot)) { $best = $c; $bestDot = $dots[$c]; }
          |  }
-         |  used[best] = true;
-         |  sel[k] = best;
+         |  $used[$best] = true;
+         |  $sel[$k] = $best;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sel);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sel);
        """.stripMargin
     })
   }

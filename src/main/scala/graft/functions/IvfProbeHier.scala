@@ -237,60 +237,84 @@ case class IvfProbeHier(child: Expression, centroids: Seq[Seq[Double]],
     val k = nsuper
     val sp = math.min(superProbe max 1, k)
     nullSafeCodeGen(ctx, ev, v => {
+      // every local freshName'd — non-whole-stage projections name the
+      // input ROW parameter `i`, so a bare loop variable is a Janino
+      // compile error that silently drops to interpreted eval (the
+      // PqCodec.normalizeGen convention)
+      val x = ctx.freshName("hierX")
+      val i = ctx.freshName("hierI")
+      val sDots = ctx.freshName("hierSDots")
+      val s = ctx.freshName("hierS")
+      val d = ctx.freshName("hierD")
+      val soff = ctx.freshName("hierSoff")
+      val selSup = ctx.freshName("hierSelSup")
+      val usedSup = ctx.freshName("hierUsedSup")
+      val j = ctx.freshName("hierJ")
+      val best = ctx.freshName("hierBest")
+      val bestDot = ctx.freshName("hierBestDot")
+      val candN = ctx.freshName("hierCandN")
+      val candIds = ctx.freshName("hierCandIds")
+      val candDots = ctx.freshName("hierCandDots")
+      val c = ctx.freshName("hierC")
+      val coff = ctx.freshName("hierCoff")
+      val p = ctx.freshName("hierP")
+      val mm = ctx.freshName("hierM")
+      val sel = ctx.freshName("hierSel")
+      val used = ctx.freshName("hierUsed")
       s"""
          |if ($v.numElements() != $dims) {
          |  throw new IllegalArgumentException(
          |    "ivf_probe_hier: vector has " + $v.numElements() + " dims, expected $dims");
          |}
-         |double[] x = new double[$dims];
-         |for (int i = 0; i < $dims; i++) { x[i] = (double) $v.$get(i); }
-         |double[] sDots = new double[$k];
-         |for (int s = 0; s < $k; s++) {
-         |  double d = 0.0; int soff = s * $dims;
-         |  for (int i = 0; i < $dims; i++) { d += $supRef[soff + i] * x[i]; }
-         |  sDots[s] = d;
+         |double[] $x = new double[$dims];
+         |for (int $i = 0; $i < $dims; $i++) { $x[$i] = (double) $v.$get($i); }
+         |double[] $sDots = new double[$k];
+         |for (int $s = 0; $s < $k; $s++) {
+         |  double $d = 0.0; int $soff = $s * $dims;
+         |  for (int $i = 0; $i < $dims; $i++) { $d += $supRef[$soff + $i] * $x[$i]; }
+         |  $sDots[$s] = $d;
          |}
-         |int[] selSup = new int[$sp];
-         |boolean[] usedSup = new boolean[$k];
-         |for (int j = 0; j < $sp; j++) {
-         |  int best = -1; double bestDot = Double.NEGATIVE_INFINITY;
-         |  for (int s = 0; s < $k; s++) {
-         |    if (!usedSup[s] && (best == -1 || sDots[s] > bestDot)) { best = s; bestDot = sDots[s]; }
+         |int[] $selSup = new int[$sp];
+         |boolean[] $usedSup = new boolean[$k];
+         |for (int $j = 0; $j < $sp; $j++) {
+         |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    if (!$usedSup[$s] && ($best == -1 || $sDots[$s] > $bestDot)) { $best = $s; $bestDot = $sDots[$s]; }
          |  }
-         |  usedSup[best] = true; selSup[j] = best;
+         |  $usedSup[$best] = true; $selSup[$j] = $best;
          |}
-         |int candN = 0;
-         |for (int j = 0; j < $sp; j++) { candN += $offRef[selSup[j] + 1] - $offRef[selSup[j]]; }
-         |int[] candIds; double[] candDots;
-         |if (candN < $nprobe) {
-         |  candIds = new int[$nlist]; candDots = new double[$nlist];
-         |  for (int c = 0; c < $nlist; c++) {
-         |    double d = 0.0; int coff = c * $dims;
-         |    for (int i = 0; i < $dims; i++) { d += $centRef[coff + i] * x[i]; }
-         |    candIds[c] = c; candDots[c] = d;
+         |int $candN = 0;
+         |for (int $j = 0; $j < $sp; $j++) { $candN += $offRef[$selSup[$j] + 1] - $offRef[$selSup[$j]]; }
+         |int[] $candIds; double[] $candDots;
+         |if ($candN < $nprobe) {
+         |  $candIds = new int[$nlist]; $candDots = new double[$nlist];
+         |  for (int $c = 0; $c < $nlist; $c++) {
+         |    double $d = 0.0; int $coff = $c * $dims;
+         |    for (int $i = 0; $i < $dims; $i++) { $d += $centRef[$coff + $i] * $x[$i]; }
+         |    $candIds[$c] = $c; $candDots[$c] = $d;
          |  }
          |} else {
-         |  candIds = new int[candN]; candDots = new double[candN];
-         |  int p = 0;
-         |  for (int j = 0; j < $sp; j++) {
-         |    for (int m = $offRef[selSup[j]]; m < $offRef[selSup[j] + 1]; m++) {
-         |      int c = $idxRef[m];
-         |      double d = 0.0; int coff = c * $dims;
-         |      for (int i = 0; i < $dims; i++) { d += $centRef[coff + i] * x[i]; }
-         |      candIds[p] = c; candDots[p] = d; p++;
+         |  $candIds = new int[$candN]; $candDots = new double[$candN];
+         |  int $p = 0;
+         |  for (int $j = 0; $j < $sp; $j++) {
+         |    for (int $mm = $offRef[$selSup[$j]]; $mm < $offRef[$selSup[$j] + 1]; $mm++) {
+         |      int $c = $idxRef[$mm];
+         |      double $d = 0.0; int $coff = $c * $dims;
+         |      for (int $i = 0; $i < $dims; $i++) { $d += $centRef[$coff + $i] * $x[$i]; }
+         |      $candIds[$p] = $c; $candDots[$p] = $d; $p++;
          |    }
          |  }
          |}
-         |int[] sel = new int[$nprobe];
-         |boolean[] used = new boolean[candIds.length];
-         |for (int j = 0; j < $nprobe; j++) {
-         |  int best = -1; double bestDot = Double.NEGATIVE_INFINITY;
-         |  for (int p = 0; p < candIds.length; p++) {
-         |    if (!used[p] && (best == -1 || candDots[p] > bestDot)) { best = p; bestDot = candDots[p]; }
+         |int[] $sel = new int[$nprobe];
+         |boolean[] $used = new boolean[$candIds.length];
+         |for (int $j = 0; $j < $nprobe; $j++) {
+         |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+         |  for (int $p = 0; $p < $candIds.length; $p++) {
+         |    if (!$used[$p] && ($best == -1 || $candDots[$p] > $bestDot)) { $best = $p; $bestDot = $candDots[$p]; }
          |  }
-         |  used[best] = true; sel[j] = candIds[best];
+         |  $used[$best] = true; $sel[$j] = $candIds[$best];
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sel);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sel);
        """.stripMargin
     })
   }

@@ -89,27 +89,37 @@ case class LshSigs(child: Expression, dims: Int, bits: Int, tables: Int, seed: I
     val get = if (isFloat) "getFloat" else "getDouble"
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
+      // every local freshName'd — non-whole-stage projections name the
+      // input ROW parameter `i`, so a bare loop variable is a Janino
+      // compile error that silently drops to interpreted eval (the
+      // PqCodec.normalizeGen convention; pinned by CodegenSpec)
+      val sigs = ctx.freshName("lshSigs")
+      val off = ctx.freshName("lshOff")
+      val t = ctx.freshName("lshT")
+      val sig = ctx.freshName("lshSig")
+      val b = ctx.freshName("lshB")
+      val s = ctx.freshName("lshS")
+      val i = ctx.freshName("lshI")
       s"""
          |if ($v.numElements() != $dims) {
          |  throw new IllegalArgumentException(
          |    "lsh_sigs: vector has " + $v.numElements() + " dims, expected $dims");
          |}
-         |int n = $dims;
-         |long[] sigs = new long[$tables];
-         |int off = 0;
-         |for (int t = 0; t < $tables; t++) {
-         |  long sig = 0L;
-         |  for (int b = 0; b < $bits; b++) {
-         |    double s = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      s += $planesRef[off + i] * (double) $v.$get(i);
+         |long[] $sigs = new long[$tables];
+         |int $off = 0;
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      $s += $planesRef[$off + $i] * (double) $v.$get($i);
          |    }
-         |    off += $dims;
-         |    sig = sig * 2 + (s >= 0 ? 1L : 0L);
+         |    $off += $dims;
+         |    $sig = $sig * 2 + ($s >= 0 ? 1L : 0L);
          |  }
-         |  sigs[t] = sig;
+         |  $sigs[$t] = $sig;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
        """.stripMargin
     })
   }

@@ -317,6 +317,11 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]
     val packed = b.asInstanceOf[Long]
+    // UnsafeArrayData does no bounds check — a LUT built under different
+    // (m, ksub) would silently yield garbage distances, not an error
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"pq_adc: LUT has ${lut.numElements()} entries, expected m*ksub = ${m * ksub}")
     var s = 0.0
     var j = 0
     while (j < m) {
@@ -331,6 +336,10 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
       val sum = ctx.freshName("adcSum")
       val j = ctx.freshName("adcJ")
       s"""
+         |if ($a.numElements() != ${m * ksub}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc: LUT has " + $a.numElements() + " entries, expected m*ksub = ${m * ksub}");
+         |}
          |double $sum = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
          |  $sum += $a.getDouble($j * $ksub + (int) (($b >>> ($j * $bits)) & ${mask}L));

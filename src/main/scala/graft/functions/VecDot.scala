@@ -52,13 +52,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local freshName'd — non-whole-stage projections name the
+      // input ROW parameter `i`, so a bare loop variable is a Janino
+      // compile error that silently drops to interpreted eval (the
+      // PqCodec.normalizeGen convention; pinned by CodegenSpec)
+      val n = ctx.freshName("dotN")
+      val sum = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += (double) $a.$lGet(i) * (double) $b.$rGet(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
   }

@@ -207,6 +207,26 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("id_b"))
   }
 
+  /** The diagnostic [[nearDupPairsAdaptive]] WARNs with when it takes
+    * the exact block-partitioned arm — the O(n²) plan must be as loud
+    * as the LSH arm's degenerate WARN (a caller at threshold 0.45 on
+    * 10⁹ vectors is launching a ~5·10¹⁷-pair job and deserves the
+    * number's shape in the log). Pure function of the routing inputs
+    * (n is unknown at plan time — the blocks+1 replication is the
+    * plan-time-known cost) so specs pin the message without running a
+    * job; callers with a corpus estimate can price C(n,2) themselves. */
+  def exactBlockDiagnostic(threshold: Double, bits: Int, tables: Int,
+                           blocks: Int): String =
+    f"nearDupPairsAdaptive routed threshold $threshold%.2f to the EXACT " +
+    f"block-partitioned plan (recall-sized LSH here retains " +
+    f"~${100.0 * lshRetainedFraction(bits, tables)}%.1f%% of ALL pairs incl. " +
+    f"cross-table repeats, so bucket machinery only adds fan-out): every one " +
+    f"of the C(n,2) pairs is evaluated exactly once, with ${blocks + 1} " +
+    "replicas per row across the block join. Nothing with recall ~1 is " +
+    "sub-quadratic in this regime — for BOUNDED-candidate approximate dedup " +
+    "at scale use ivfNearDupPairs (cell-bounded candidates, probabilistic " +
+    "recall)."
+
   /** [[nearDupPairs]] with the degenerate regime routed to
     * [[bruteForcePairs]] — the variant naive callers should use. The
     * decision is the same scale-free retained-fraction test the WARN
@@ -215,16 +235,19 @@ object Similarity {
     * [[DegenerateLshBits]] signature bits), bucket machinery only adds
     * fan-out over an honest exact block plan, so exactness comes free;
     * otherwise the sub-quadratic LSH path runs with its sized
-    * near-perfect recall. For bounded-candidate approximate dedup at
-    * genuinely low thresholds, use [[ivfNearDupPairs]] instead. */
+    * near-perfect recall. The exact arm WARNs with
+    * [[exactBlockDiagnostic]] — it is still an O(n²) job, just the
+    * cheapest one. For bounded-candidate approximate dedup at genuinely
+    * low thresholds, use [[ivfNearDupPairs]] instead. */
   def nearDupPairsAdaptive(corpus: DataFrame, threshold: Double,
                            idCol: String = "vec_id", vecCol: String = "embedding",
-                           dims: Int = 64): DataFrame = {
+                           dims: Int = 64, blocks: Int = 32): DataFrame = {
     val (bits, tables) = lshParamsFor(threshold)
     if (bits <= DegenerateLshBits ||
-        lshRetainedFraction(bits, tables) >= DegenerateLshRetainedFraction)
-      bruteForcePairs(corpus, threshold, idCol, vecCol)
-    else nearDupPairs(corpus, threshold, idCol, vecCol, dims)
+        lshRetainedFraction(bits, tables) >= DegenerateLshRetainedFraction) {
+      log.warn(exactBlockDiagnostic(threshold, bits, tables, blocks))
+      bruteForcePairs(corpus, threshold, idCol, vecCol, blocks)
+    } else nearDupPairs(corpus, threshold, idCol, vecCol, dims)
   }
 
   /** Near-duplicate pairs via IVF bucketing — the BUCKET-BOUNDED scale

@@ -400,6 +400,13 @@ class OpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
     assert(Similarity.bruteForcePairs(z, 0.0).isEmpty)
+    // the exact arm is as loud as the LSH arm: the routing WARN names
+    // the quadratic shape, the replication factor, and the bounded
+    // alternative (n is unknown at plan time, so no job runs to warn)
+    val (loB, loT) = Similarity.lshParamsFor(0.45)
+    val blockDiag = Similarity.exactBlockDiagnostic(0.45, loB, loT, blocks = 32)
+    assert(blockDiag.contains("C(n,2)") && blockDiag.contains("33") &&
+      blockDiag.contains("ivfNearDupPairs"))
   }
 
   test("IVF near-dup: exact-verified subset of brute force with high recall on planted pairs") {
