@@ -288,20 +288,125 @@ object Similarity {
   private def noPairs(corpus: DataFrame, idCol: String): DataFrame =
     corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
 
+  /** A probed cell holding more than `hotCellFactor` × the balanced
+    * membership (total/nlist, floored at [[HotCellMinTarget]]) is HOT
+    * and gets split. 4× is far outside the spread balanced isotropic
+    * assignments show, and far inside the 1–5%-of-corpus capture a
+    * clustered corpus' dominant Voronoi cell exhibits at grown nlist —
+    * the regime where one cell's Σ C(|cell|,2) silently re-introduces
+    * the quadratic term the IVF family exists to avoid. */
+  val DefaultHotCellFactor = 4.0
+
+  /** Below this balanced size, cell imbalance is statistical noise on a
+    * tiny corpus, not clustering structure — never split. */
+  val HotCellMinTarget = 64L
+
+  /** Sub-quantizer width cap: keeps the per-hot-cell Lloyd training
+    * a bounded driver job even when one cell holds half the corpus. */
+  val MaxSubCells = 256
+
+  /** One hot cell's recursive split: its members re-quantize under
+    * `cents` (sub-centroid ids re-keyed to `offset + subId`, ranges
+    * disjoint from [0, nlist) and from every other split). */
+  private[graft] case class HotSplit(cell: Int, offset: Int, cents: Seq[Seq[Double]])
+
+  /** The WARN the hot-cell guard logs before splitting: the projected
+    * candidate volume Σ C(|cell|,2) is the number the silent quadratic
+    * blowup hides. Pure function of the measured counts so specs pin
+    * it without a fixture job. */
+  def hotCellDiagnostic(opName: String, counts: Map[Int, Long], nlist: Int,
+                        cap: Long): String = {
+    val total = counts.values.sum
+    val projected = counts.values.map(c => c.toDouble * (c.toDouble - 1) / 2).sum
+    val hot = counts.filter(_._2 > cap)
+    val (hc, hn) = if (hot.isEmpty) (-1, 0L) else hot.maxBy(_._2)
+    f"$opName hot-cell guard: ${hot.size} of ${counts.size} cells exceed the " +
+    f"size cap $cap (hottest: cell $hc with $hn of $total probed members; " +
+    f"balanced ≈ ${total / math.max(nlist, 1)}); projected candidate volume " +
+    f"Σ C(|cell|,2) ≈ $projected%.3g pairs. Splitting each hot cell with a " +
+    "recursive sub-quantizer (cell → offset+subcell) to re-bound the join — " +
+    "cell-size skew on clustered corpora is exactly the regime IVF is " +
+    "deployed for, and unsplit it is a silent quadratic term plus maximal " +
+    "shuffle skew on the cell key."
+  }
+
+  /** Detect hot cells in an assignment frame and train one recursive
+    * sub-quantizer per hot cell. The detection aggregate shuffles only
+    * (cell, count) pairs — ≤ nlist rows reach the driver — and each
+    * training job runs [[ivfCentroids]] over one cell's members (hot
+    * cells are few by construction). `factor = ∞` disables the guard
+    * and costs nothing. Returns Nil when nothing is hot. */
+  private[graft] def detectHotSplits(assigned: DataFrame, nlist: Int,
+                              idName: String, vName: String, iters: Int,
+                              factor: Double, opName: String): Seq[HotSplit] = {
+    if (!(factor > 0) || factor.isInfinite) return Nil
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total == 0) return Nil
+    val target = math.max(HotCellMinTarget,
+      math.ceil(total.toDouble / math.max(nlist, 1)).toLong)
+    val cap = math.ceil(factor * target).toLong
+    val hot = counts.filter(_._2 > cap).toSeq.sortBy(_._1)
+    if (hot.isEmpty) return Nil
+    log.warn(hotCellDiagnostic(opName, counts, nlist, cap))
+    var offset = nlist
+    hot.map { case (cellId, cnt) =>
+      val nsplit = math.max(2, math.min(MaxSubCells,
+        math.ceil(cnt.toDouble / target).toInt))
+      val members = assigned.where(col("cell") === cellId)
+        .select(col(idName), col(vName))
+      val cents = ivfCentroids(members, nsplit, iters, idName, vName)
+      val s = HotSplit(cellId, offset, cents)
+      offset += cents.length
+      s
+    }
+  }
+
+  /** Re-key an assignment frame's `cell` column under the hot splits:
+    * rows in a hot cell re-probe that cell's sub-quantizer (`width`
+    * nearest sub-cells, re-keyed past nlist), everything else keeps
+    * its id. `width = 1` preserves partitioning (corpus side of a
+    * top-k index); `width ≥ 2` is the boundary-straddle probe (query
+    * side, pair generation); `Int.MaxValue` probes every sub-cell —
+    * the exhaustive configuration that keeps `nprobe = nlist` exact. */
+  private[graft] def applyHotSplits(df: DataFrame, splits: Seq[HotSplit],
+                             vName: String, width: Int): DataFrame =
+    if (splits.isEmpty) df
+    else {
+      val refined = splits.foldLeft(array(col("cell")): Column) { case (acc, s) =>
+        val w = math.max(1, math.min(width, s.cents.length))
+        when(col("cell") === s.cell,
+          transform(graft.functions.ivf_probe(col(vName), s.cents, w),
+            x => x + lit(s.offset)))
+          .otherwise(acc)
+      }
+      df.withColumn("cell", explode(refined))
+    }
+
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       centroids: Option[Seq[Seq[Double]]] = None,
-                      superProbe: Option[Int] = None): DataFrame = {
+                      superProbe: Option[Int] = None,
+                      hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
     // an empty corpus trains zero centroids; fewer vectors than nprobe
     // train fewer cells than the probe width — clamp, don't crash
     if (cents.isEmpty) return noPairs(corpus, idCol)
-    val probed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val probed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"),
         explode(probeExpr(col(vecCol), cents, math.min(nprobe, cents.length),
           superProbe)).as("cell"))
+    // hot-cell guard: counts run over PROBED membership (that is the
+    // Σ C(|cell|,2) candidate bound); both join legs re-key under the
+    // same splits, with a 2-wide sub-probe for boundary straddles —
+    // the same recall lever nprobe ≥ 2 is at the top level
+    val splits = detectHotSplits(probed0, cents.length, "id", "v", iters,
+      hotCellFactor, "ivfNearDupPairs")
+    val pairWidth = if (nprobe >= cents.length) Int.MaxValue else 2
+    val probed = applyHotSplits(probed0, splits, "v", width = pairWidth)
     probed.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
@@ -516,20 +621,33 @@ object Similarity {
     * partition-pruned ANN; clustered real corpora are the win case). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
     // empty corpus ⇒ no index ⇒ no neighbors for any query
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
-    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val assigned0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"),
       element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
-    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents,
-        math.min(nprobe, cents.length))).as("cell"))
+    // hot-cell guard: a hot cell here means every query probing it
+    // scans |cell| candidates (and corpus-as-queries kNN builds go
+    // quadratic in it). Corpus side re-keys at width 1 — cells stay a
+    // partition of the corpus, candidates stay dedup-free; the query
+    // side probes 2 sub-cells for boundary recall, or EVERY sub-cell
+    // when nprobe = nlist so the exhaustive configuration stays exact.
+    val splits = detectHotSplits(assigned0, cents.length, "n_id", "n_vec", iters,
+      hotCellFactor, "ivfTopK")
+    val assigned = applyHotSplits(assigned0, splits, "n_vec", width = 1)
+    val qWidth = if (nprobe >= cents.length) Int.MaxValue else 2
+    val probed = applyHotSplits(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_nrm"),
+        explode(graft.functions.ivf_probe(col(vecCol), cents,
+          math.min(nprobe, cents.length))).as("cell")),
+      splits, "q_vec", width = qWidth)
     // join strategy left to the planner (small probe sets auto-broadcast);
     // norms precomputed per vector — see lshTopK
     val scored = probed.join(assigned, "cell")
@@ -560,8 +678,9 @@ object Similarity {
     * degenerate configuration at `nprobe = nlist`. */
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                iters: Int = 1,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfTopK(corpus, corpus, k, nlist, nprobe, iters, idCol, vecCol)
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
+    ivfTopK(corpus, corpus, k, nlist, nprobe, iters, idCol, vecCol, hotCellFactor)
 
   /** Mutual-kNN edges: unordered pairs (id_a < id_b) where EACH vector
     * lists the other in its top-k — the standard symmetrization that
@@ -671,7 +790,8 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 rerank: Int = 50, iters: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                residual: Boolean = false): DataFrame = {
+                residual: Boolean = false,
+                hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
@@ -698,18 +818,27 @@ object Similarity {
           element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1)).as("__res")),
         m, ksub, iters, idCol, "__res", normalize = false)
     val kEff = cbs.head.length // < ksub on a tiny corpus
-    val encoded =
-      if (!residual) corpus.select(col(idCol).as("n_id"),
+    // codes and LUTs are computed under the TOP-LEVEL cell (residual
+    // geometry is per Voronoi cell of the coarse quantizer); the
+    // hot-cell guard then re-keys only the JOIN key, so a split never
+    // changes what a code means — it only re-bounds which rows meet
+    val encodedBase =
+      if (!residual) corpus.select(col(idCol).as("n_id"), col(vecCol).as("__v"),
         element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
         graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
       else corpus
         .select(col(idCol).as("n_id"), col(vecCol).as("__v"),
           element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
-        .select(col("n_id"), col("cell"),
+        .select(col("n_id"), col("__v"), col("cell"),
           graft.functions.pq_encode(residOf(col("__v"), col("cell")), cbs,
             normalize = false).as("codes"))
-    val probed =
-      if (!residual) queries.select(col(idCol).as("q_id"),
+    val splits = detectHotSplits(
+      encodedBase.select(col("n_id"), col("__v"), col("cell")),
+      cents.length, "n_id", "__v", iters, hotCellFactor, "ivfPqTopK")
+    val encoded = applyHotSplits(encodedBase, splits, "__v", width = 1).drop("__v")
+    val qWidth = if (nprobe >= cents.length) Int.MaxValue else 2
+    val probedBase =
+      if (!residual) queries.select(col(idCol).as("q_id"), col(vecCol).as("__v"),
         graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
         explode(graft.functions.ivf_probe(col(vecCol), cents,
           math.min(nprobe, cents.length))).as("cell"))
@@ -717,9 +846,11 @@ object Similarity {
         .select(col(idCol).as("q_id"), col(vecCol).as("__v"),
           explode(graft.functions.ivf_probe(col(vecCol), cents,
             math.min(nprobe, cents.length))).as("cell"))
-        .select(col("q_id"), col("cell"),
+        .select(col("q_id"), col("__v"), col("cell"),
           graft.functions.pq_lut(residOf(col("__v"), col("cell")), cbs,
             normalize = false).as("lut"))
+    val probed = applyHotSplits(probedBase, splits, "__v", width = qWidth)
+      .drop("__v")
     val adc = probed.join(encoded, "cell")
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("cell"), col("n_id"),

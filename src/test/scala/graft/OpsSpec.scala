@@ -501,6 +501,94 @@ class OpsSpec extends SparkSpec {
       s"hierarchical IVF recall $hierRecall < 0.9 (${hierPairs.size}/${truth.size})")
   }
 
+  test("hot-cell guard: planted hot cluster splits, candidates re-bound, recall holds") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    // 5000 vectors, dims 32: 30% form one planted gaussian cluster
+    // around base B (the hot Voronoi cell a CLUSTERED corpus hands an
+    // IVF index — the regime where Σ C(|cell|,2) silently goes
+    // quadratic); 50 near-dup pairs planted INSIDE the cluster.
+    val dims = 32
+    val n = 5000
+    val rnd = new scala.util.Random(99)
+    val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    val bn = math.sqrt(base.map(x => x * x).sum).toFloat
+    (0 until dims).foreach(i => base(i) /= bn)
+    val vecs = new Array[Array[Float]](n)
+    (0 until n).foreach { i =>
+      vecs(i) =
+        if (i % 10 < 3) base.map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+        else Array.fill(dims)(rnd.nextGaussian().toFloat)
+    }
+    // planted near-dups: 50 cluster ids copy an earlier cluster id
+    val planted = (0 until 50).map { p =>
+      val src = 10 * p        // i % 10 == 0 → cluster member
+      val dst = 10 * (p + 100) // distinct cluster member
+      vecs(dst) = vecs(src).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (src.toLong, dst.toLong)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    // pinned quantizer: cell 0 = the cluster base, 63 isotropic cells —
+    // deterministic hot assignment without depending on Lloyd dynamics
+    val cRnd = new scala.util.Random(7)
+    val cents: Seq[Seq[Double]] = Seq(base.map(_.toDouble).toSeq) ++
+      Seq.fill(63)(Seq.fill(dims)(cRnd.nextGaussian()))
+
+    // the guard detects the hot cell and its splits re-bound membership
+    val probed = df.select(col("vec_id").as("id"), col("embedding").as("v"),
+      explode(graft.functions.ivf_probe(col("embedding"), cents, 2)).as("cell"))
+    def cellCounts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = cellCounts(probed)
+    val total = before.values.sum
+    val target = math.max(Similarity.HotCellMinTarget, total / 64)
+    val cap = (Similarity.DefaultHotCellFactor * target).toLong
+    assert(before(0) > cap, s"fixture not hot: cell 0 holds ${before(0)}, cap $cap")
+    val splits = Similarity.detectHotSplits(probed, 64, "id", "v", iters = 1,
+      factor = Similarity.DefaultHotCellFactor, opName = "spec")
+    assert(splits.nonEmpty && splits.head.cell == 0)
+    val after = cellCounts(Similarity.applyHotSplits(probed, splits, "v", width = 1))
+    assert(!after.contains(0), "hot cell id survived the re-key")
+    assert(after.keys.max >= 64, "sub-cells not re-keyed past nlist")
+    def projected(m: Map[Int, Long]) =
+      m.values.map(c => c.toDouble * (c - 1) / 2).sum
+    assert(after.values.max <= before(0) / 2,
+      s"hottest after split ${after.values.max} not re-bound vs ${before(0)}")
+    assert(projected(after) <= projected(before) / 2,
+      s"candidate volume ${projected(after)} not re-bound vs ${projected(before)}")
+    // the WARN carries the projected quadratic term
+    assert(Similarity.hotCellDiagnostic("spec", before, 64, cap)
+      .contains("C(|cell|,2)"))
+
+    // recall through the guard: guard-on pairs ⊆ guard-off pairs (both
+    // exact-verified; the guard only re-bounds candidates), planted
+    // pairs survive, and overall recall vs the unguarded run holds
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val off = pairs(Similarity.ivfNearDupPairs(df, threshold = 0.95, nlist = 64,
+      nprobe = 2, centroids = Some(cents), hotCellFactor = Double.PositiveInfinity))
+    val on = pairs(Similarity.ivfNearDupPairs(df, threshold = 0.95, nlist = 64,
+      nprobe = 2, centroids = Some(cents)))
+    assert(on.subsetOf(off), s"guard invented pairs: ${on -- off}")
+    val plantedNorm = planted.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val foundPlanted = plantedNorm.intersect(on).size.toDouble / plantedNorm.size
+    assert(foundPlanted >= 0.95,
+      s"planted-pair recall through the guard $foundPlanted < 0.95")
+    assert(off.nonEmpty && on.size.toDouble / off.size >= 0.9,
+      s"guarded recall ${on.size}/${off.size} < 0.9")
+
+    // exhaustive configuration stays EXACT even when the guard splits:
+    // nprobe = nlist probes every sub-cell of a split cell
+    val qs = df.where(col("vec_id") % 500 === 0)
+    def topk(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = topk(Similarity.bruteForceTopK(df, qs, k = 5))
+    val ivf = topk(Similarity.ivfTopK(df, qs, k = 5, nlist = 64, nprobe = 64))
+    assert(ivf == bf, "exhaustive ivfTopK diverged from brute force under hot split")
+  }
+
   test("IVF-PQ top-k: exact configuration equals brute force; codes deterministic") {
     val queries = emb.where(col("vec_id") < 20)
     def rows(d: org.apache.spark.sql.DataFrame) =

@@ -11,8 +11,18 @@ import scala.util.Random
   * near-dup pairs at cosine ≈ 0.9). Same process at every size, so
   * timings across sizes isolate the PLAN's scaling, not corpus drift.
   *
-  * Usage: Test/runMain graft.tools.GenScaleData <outDir> <nDocs>
+  * Usage: Test/runMain graft.tools.GenScaleData <outDir> <nDocs> [clustered]
   * (embeddings count = nDocs * 2 / 5, matching sf0.1's 5000/2000).
+  *
+  * `clustered` switches the embeddings from isotropic gaussians to the
+  * PRODUCTION regime ANN indexes are deployed for (BASELINE.md §G4):
+  * 1000 gaussian clusters with zipf(1) mass — the head cluster captures
+  * ~13% of the corpus, so the coarse quantizer's head Voronoi cell is
+  * genuinely hot (the regime the hot-cell guard exists for). Cluster
+  * σ = 0.1 against unit centers ⇒ member↔center cosine ≈ 0.78,
+  * member↔member ≈ 0.61 — clustered enough to shape cells, loose
+  * enough that 0.7-threshold near-dups stay the planted pairs. Planted
+  * near-dup rate matches the isotropic mode.
   */
 object GenScaleData {
 
@@ -25,9 +35,33 @@ object GenScaleData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val nDocs = args(1).toInt
+    val clustered = args.lift(2).contains("clustered")
     val nVecs = nDocs * 2 / 5
     val dims = 64
     val rnd = new Random(4242)
+
+    // zipf(1)-weighted cluster centers for the clustered mode: center
+    // sampling via inverse-CDF over the harmonic weights
+    val nClusters = 1000
+    val centers: Array[Array[Float]] =
+      if (!clustered) Array.empty
+      else Array.fill(nClusters) {
+        val c = Array.fill(dims)(rnd.nextGaussian().toFloat)
+        val nrm = math.sqrt(c.map(x => x * x).sum).toFloat
+        c.map(_ / nrm)
+      }
+    val zipfCdf: Array[Double] =
+      if (!clustered) Array.empty
+      else {
+        val w = Array.tabulate(nClusters)(c => 1.0 / (c + 1))
+        val s = w.sum
+        w.scanLeft(0.0)(_ + _).tail.map(_ / s)
+      }
+    def sampleCluster(): Int = {
+      val u = rnd.nextDouble()
+      val i = java.util.Arrays.binarySearch(zipfCdf, u)
+      math.min(nClusters - 1, if (i >= 0) i else -i - 1)
+    }
 
     val langs = Vector("en", "en", "en", "en", "zh", "zh", "es", "es", "fr", "fr", "de")
     val texts = new Array[String](nDocs)
@@ -55,8 +89,15 @@ object GenScaleData {
           // planted near-dup: small gaussian perturbation keeps
           // cosine ≈ 0.9 against the base vector
           val base = vecs(rnd.nextInt(i))
-          base.map(x => x + 0.22f * rnd.nextGaussian().toFloat)
-        } else Array.fill(dims)(rnd.nextGaussian().toFloat)
+          // clustered bases have norm ≈ 1.28 (unit center + σ 0.1
+          // noise) vs ≈ 8 isotropic, so the same absolute perturbation
+          // would push far past the near-dup band — 0.08 keeps the
+          // planted pair at cosine ≈ 0.9 in that geometry
+          base.map(x => x + (if (clustered) 0.08f else 0.22f) *
+            rnd.nextGaussian().toFloat)
+        } else if (clustered)
+          centers(sampleCluster()).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+        else Array.fill(dims)(rnd.nextGaussian().toFloat)
       vecs(i) = v
       (i.toLong, v.toSeq, rnd.nextInt(10))
     }

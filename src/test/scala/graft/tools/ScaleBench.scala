@@ -61,6 +61,20 @@ object ScaleBench {
       Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist))
       ("e_ivf_near_dup_0.7", (System.nanoTime() - t2) / 1e9)
     }
+    // the same IVF pass with the hot-cell guard DISABLED — on a
+    // clustered GenScaleData corpus the delta is what the guard buys
+    // (Σ C(|cell|,2) re-bounded); on isotropic corpora the two rows
+    // should agree to noise (guard never fires, counts pass is cheap)
+    val ivfNdNoGuard = if (!want("e_ivf_near_dup_0.7_noguard")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val t = System.nanoTime()
+      Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist,
+        hotCellFactor = Double.PositiveInfinity))
+      ("e_ivf_near_dup_0.7_noguard", (System.nanoTime() - t) / 1e9)
+    }
     // same pass through the two-level quantizer: assignment drops from
     // nlist to ≈ 3·√nlist dots per vector (the n × nlist escape hatch);
     // prints the pair-count delta so the recall cost is visible
@@ -141,8 +155,8 @@ object ScaleBench {
           exciseSpans = true)))
       ("d_curation_funnel_spans", (System.nanoTime() - t) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ ivfNdHier ++ mh ++ annFlat ++ annPq ++
-      annPqRes ++ knn ++ spanInc ++ spansFunnel
+    val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ mh ++
+      annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
