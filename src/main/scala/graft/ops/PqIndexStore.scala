@@ -1,0 +1,203 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, versioned IVF-PQ index — the artifact a 100 TB corpus
+  * actually serves ANN queries from. [[Similarity.ivfPqTopK]] without
+  * an index runs TWO driver-coordinated Lloyd trainings per call
+  * (centroids + codebooks); a deployment trains ONCE, encodes each
+  * vector at ingest, and answers every query by scanning 8-byte codes.
+  * This store makes that shape a first-class API:
+  *
+  *  - `quantizer/` — one parquet holding BOTH trained artifact families
+  *    under a version stamp (kind = 'cent': (cell, dim) → value;
+  *    kind = 'cb': (subspace j, codeword c, dim) → value). One dir so
+  *    the commit is ONE atomic rename — no window where centroids and
+  *    codebooks disagree about the generation.
+  *  - `codes/` — (version, n_id, cell, codes) rows: the 8-byte packed
+  *    PQ codes plus the build-generation cell assignment, appended at
+  *    ingest. 16 B of hot state per vector (vs 4·d bytes of float32) —
+  *    the scan payload math that makes PQ the 100 TB move.
+  *
+  * Crash safety follows [[graft.streaming.StreamingVecNearDup.retrain]]:
+  * codes APPEND behind the version pin first (structurally invisible —
+  * reads filter `version = quantizer version`), then the quantizer
+  * swaps via staged renames with an `__old` fallback, so every crash
+  * point leaves some complete (quantizer, codes) generation readable
+  * and a re-run converges. Stale-generation code rows linger as disk
+  * until [[compact]], never as a correctness hazard.
+  *
+  * The hot-cell guard runs at BUILD time (where it belongs for a
+  * persisted partition): [[build]] WARNs with the projected
+  * Σ C(|cell|,2) when the trained quantizer's cells skew — the
+  * re-balance lever for a store is retraining at larger nlist, not a
+  * serve-time re-key the stored assignments would disagree with.
+  *
+  * No reference analog (khronus is a metrics store); geometry follows
+  * Jégou et al. 2011 (IVFADC) as in [[Similarity.ivfPqTopK]].
+  */
+class PqIndexStore(spark: SparkSession, baseDir: String,
+                   nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                   residual: Boolean = false, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding") {
+
+  private val quantDir = s"$baseDir/quantizer"
+  private val codesDir = s"$baseDir/codes"
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def codesPath: String = codesDir
+
+  /** Train the coarse quantizer + codebooks on `corpus`, encode it, and
+    * commit the new generation — the ONE training event in the index's
+    * life (re-run = retrain: the standard maintenance op as the corpus
+    * outgrows its cells; pass a larger `nlist` via a new store instance
+    * or rebuild after the hot-cell WARN fires). Returns the committed
+    * version. */
+  def build(corpus: DataFrame): Long = {
+    graft.functions.ensureRegistered(spark)
+    val version = System.currentTimeMillis()
+    val cents = Similarity.ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
+    val cbs = Similarity.trainPqCodebooks(corpus, cents, m, ksub, iters,
+      residual, idCol, vecCol)
+    val encoded = Similarity.pqEncodedBase(corpus, cents, cbs, residual,
+      idCol, vecCol)
+    // 1. codes first, behind the version pin (invisible until commit)
+    encoded.select(lit(version).as("version"), col("n_id"), col("cell"),
+        col("codes"))
+      .write.mode("append").parquet(codesDir)
+    // build-time hot-cell audit: counts ride the codes just written
+    // (no second corpus pass); the WARN names the skew and the lever
+    spark.catalog.refreshByPath(codesDir)
+    val counts = spark.read.parquet(codesDir)
+      .where(col("version") === version)
+      .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val target = math.max(Similarity.HotCellMinTarget,
+      math.ceil(total.toDouble / math.max(cents.length, 1)).toLong)
+    val cap = math.ceil(Similarity.DefaultHotCellFactor * target).toLong
+    if (counts.values.exists(_ > cap))
+      log.warn(Similarity.hotCellDiagnostic("PqIndexStore.build", counts,
+        cents.length, cap) +
+        " For a persisted index the re-balance lever is retraining at a" +
+        " larger nlist (nlist ∝ n keeps E|cell| constant), not a serve-time" +
+        " re-key.")
+    // 2. COMMIT: stage the quantizer beside the old, then two renames
+    //    (load falls back to __old inside the rename window)
+    import spark.implicits._
+    val centRows = cents.zipWithIndex.flatMap { case (row, cell) =>
+      row.zipWithIndex.map { case (x, d) => (version, "cent", cell, 0, d, x) }
+    }
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.flatMap { case (cw, c) =>
+        cw.zipWithIndex.map { case (x, d) => (version, "cb", j, c, d, x) }
+      }
+    }
+    val tmp = s"$quantDir.__stage"
+    val old = s"$quantDir.__old"
+    (centRows ++ cbRows).toDF("version", "kind", "a", "b", "d", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (Files.exists(Paths.get(quantDir))) {
+      graft.sources.TierStore.deleteTree(new java.io.File(old))
+      Files.move(Paths.get(quantDir), Paths.get(old))
+    }
+    Files.move(Paths.get(tmp), Paths.get(quantDir))
+    graft.sources.TierStore.deleteTree(new java.io.File(old))
+    spark.catalog.refreshByPath(quantDir)
+    version
+  }
+
+  /** The persisted artifacts, or None before the first [[build]]. The
+    * quantizer collect is bounded (nlist·dims + m·ksub·dsub rows); the
+    * codes frame stays LAZY — it is the scan side of the serve join,
+    * filtered to the loaded generation. */
+  def load(): Option[(Long, Similarity.PqIndexArtifacts)] = {
+    val dir =
+      if (Files.exists(Paths.get(quantDir))) Some(quantDir)
+      else if (Files.exists(Paths.get(s"$quantDir.__old"))) Some(s"$quantDir.__old")
+      else None
+    dir.flatMap { d =>
+      spark.catalog.refreshByPath(d)
+      val rows = spark.read.parquet(d).collect()
+        .map(r => (r.getAs[Long]("version"), r.getAs[String]("kind"),
+          r.getAs[Int]("a"), r.getAs[Int]("b"), r.getAs[Int]("d"),
+          r.getAs[Double]("value")))
+      if (rows.isEmpty) None
+      else {
+        val version = rows.head._1
+        require(rows.forall(_._1 == version),
+          s"quantizer store $quantDir holds mixed versions — rebuild the index")
+        val cents = rows.filter(_._2 == "cent").groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (_, rs) => rs.sortBy(_._5).map(_._6).toSeq }
+        val cbs = rows.filter(_._2 == "cb").groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (_, js) =>
+            js.groupBy(_._4).toSeq.sortBy(_._1)
+              .map { case (_, cs) => cs.sortBy(_._5).map(_._6).toSeq }
+          }
+        spark.catalog.refreshByPath(codesDir)
+        val codes = spark.read.parquet(codesDir)
+          .where(col("version") === version)
+          .select(col("n_id"), col("cell"), col("codes"))
+        Some((version, Similarity.PqIndexArtifacts(cents, cbs, Some(codes), residual)))
+      }
+    }
+  }
+
+  /** Encode a NEW batch under the pinned artifacts and append its code
+    * rows — the nightly-ingest op. ZERO training jobs: one codegen'd
+    * encode pass per vector. Rows for an already-indexed id append
+    * alongside the old ones (at-least-once ingest semantics — the
+    * serve join's candidates dedup by (q_id, n_id) ranking, and
+    * [[compact]] reclaims). */
+  def append(newVecs: DataFrame): Unit = {
+    val (version, art) = load().getOrElse(
+      throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
+    Similarity.pqEncodedBase(newVecs, art.centroids, art.codebooks, residual,
+        idCol, vecCol)
+      .select(lit(version).as("version"), col("n_id"), col("cell"), col("codes"))
+      .write.mode("append").parquet(codesDir)
+    spark.catalog.refreshByPath(codesDir)
+  }
+
+  /** Serve top-k from the persisted index: probe, ADC-scan the stored
+    * codes, exact-rerank survivors against `corpus` (the store holds
+    * codes, not vectors — full precision lives in the corpus table and
+    * is only read for |queries|·rerank survivor rows). No training, no
+    * encoding of the corpus — the only per-call work on the corpus
+    * side is the survivors' vector lookup. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val (_, art) = load().getOrElse(
+      throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
+    Similarity.ivfPqTopK(corpus, queries, k,
+      nlist = art.centroids.length, nprobe = nprobe, m = art.codebooks.length,
+      ksub = art.codebooks.head.length, rerank = rerank, iters = iters,
+      idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art))
+  }
+
+  /** Compact the codes store's per-batch slivers and drop rows from
+    * superseded generations (maintenance-window op). */
+  def compact(maxFiles: Int = 8): Boolean = {
+    val keep = load().map(_._1)
+    keep.exists { version =>
+      if (!Files.exists(Paths.get(codesDir))) false
+      else {
+        spark.catalog.refreshByPath(codesDir)
+        val live = spark.read.parquet(codesDir).where(col("version") === version)
+        val tmp = s"$codesDir.__compact"
+        live.coalesce(math.max(1, maxFiles)).write.mode("overwrite").parquet(tmp)
+        val old = s"$codesDir.__oldc"
+        graft.sources.TierStore.deleteTree(new java.io.File(old))
+        Files.move(Paths.get(codesDir), Paths.get(old))
+        Files.move(Paths.get(tmp), Paths.get(codesDir))
+        graft.sources.TierStore.deleteTree(new java.io.File(old))
+        spark.catalog.refreshByPath(codesDir)
+        true
+      }
+    }
+  }
+}

@@ -786,15 +786,76 @@ object Similarity {
     * exact scan (the oracle configuration — see [[ivfTopK]]'s note on
     * unclustered corpora); realistic configs trade recall for a scan
     * that reads 1/32nd the bytes of IVF-Flat. */
+  /** Trained IVF-PQ artifacts — what a PERSISTED index pins so that
+    * serving a query runs ZERO training jobs. `centroids` is the coarse
+    * quantizer, `codebooks` the m per-subspace codeword sets, `codes`
+    * (when present) the pre-encoded corpus frame (n_id, cell, codes) —
+    * the encode-once-at-ingest artifact; without it the corpus is
+    * re-encoded per call (one codegen'd pass, no training). `residual`
+    * records which encoding the codebooks were trained for — mixing
+    * modes would ADC-score garbage, so [[ivfPqTopK]] asserts it.
+    * [[PqIndexStore]] persists and versions all three. */
+  case class PqIndexArtifacts(centroids: Seq[Seq[Double]],
+                              codebooks: Seq[Seq[Seq[Double]]],
+                              codes: Option[DataFrame] = None,
+                              residual: Boolean = false)
+
+  /** The residual of a vector against its cell centroid, on the unit
+    * sphere — classic IVFADC geometry (see [[ivfPqTopK]]). */
+  private def residCol(cents: Seq[Seq[Double]])(v: Column, cell: Column): Column = {
+    val centsLit = typedlit(cents)
+    val unit = transform(v.cast("array<double>"), x => x / greatest(norm(v), lit(1e-12)))
+    zip_with(unit, element_at(centsLit, cell + 1), (a, b) => a - b)
+  }
+
+  /** (n_id, __v, cell, codes) for a corpus under pinned artifacts: the
+    * single-assignment cell and the packed PQ codes (of the vector, or
+    * of its cell residual). One codegen'd pass, no training — shared
+    * by [[ivfPqTopK]]'s inline path and [[PqIndexStore]]'s
+    * build/append (encode-at-ingest). */
+  private[graft] def pqEncodedBase(corpus: DataFrame, cents: Seq[Seq[Double]],
+                                   cbs: Seq[Seq[Seq[Double]]], residual: Boolean,
+                                   idCol: String, vecCol: String): DataFrame =
+    if (!residual) corpus.select(col(idCol).as("n_id"), col(vecCol).as("__v"),
+      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+      graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
+    else corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("__v"),
+        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+      .select(col("n_id"), col("__v"), col("cell"),
+        graft.functions.pq_encode(residCol(cents)(col("__v"), col("cell")), cbs,
+          normalize = false).as("codes"))
+
+  /** Train the PQ codebooks for a corpus (plain or residual mode) —
+    * the second of the two training events a fresh [[ivfPqTopK]] call
+    * runs, and the one [[PqIndexStore.build]] persists. */
+  private[graft] def trainPqCodebooks(corpus: DataFrame, cents: Seq[Seq[Double]],
+                                      m: Int, ksub: Int, iters: Int,
+                                      residual: Boolean,
+                                      idCol: String, vecCol: String): Seq[Seq[Seq[Double]]] =
+    if (!residual) pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+    else pqCodebooks(
+      corpus.select(col(idCol), residCol(cents)(col(vecCol),
+        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1)).as("__res")),
+      m, ksub, iters, idCol, "__res", normalize = false)
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 rerank: Int = 50, iters: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 residual: Boolean = false,
-                hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
+                hotCellFactor: Double = DefaultHotCellFactor,
+                index: Option[PqIndexArtifacts] = None): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    index.foreach { art =>
+      require(art.residual == residual,
+        s"index artifacts encoded with residual=${art.residual}, call asks $residual")
+      require(art.codebooks.isEmpty || art.codebooks.length == m,
+        s"index has ${art.codebooks.length} subspaces, call asks $m")
+    }
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val cents = index.map(_.centroids)
+      .getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
@@ -806,36 +867,27 @@ object Similarity {
     // buys materially less quantization error on clustered corpora.
     // The query-side LUT becomes per PROBED CELL (q's residual differs
     // per cell) — nprobe LUT builds per query instead of one.
-    val centsLit = typedlit(cents)
-    def unitV(v: Column): Column =
-      transform(v.cast("array<double>"), x => x / greatest(norm(v), lit(1e-12)))
-    def residOf(v: Column, cell: Column): Column =
-      zip_with(unitV(v), element_at(centsLit, cell + 1), (a, b) => a - b)
-    val cbs =
-      if (!residual) pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
-      else pqCodebooks(
-        corpus.select(col(idCol), residOf(col(vecCol),
-          element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1)).as("__res")),
-        m, ksub, iters, idCol, "__res", normalize = false)
+    val residOf = residCol(cents) _
+    val cbs = index.map(_.codebooks)
+      .getOrElse(trainPqCodebooks(corpus, cents, m, ksub, iters, residual, idCol, vecCol))
     val kEff = cbs.head.length // < ksub on a tiny corpus
     // codes and LUTs are computed under the TOP-LEVEL cell (residual
     // geometry is per Voronoi cell of the coarse quantizer); the
     // hot-cell guard then re-keys only the JOIN key, so a split never
     // changes what a code means — it only re-bounds which rows meet
-    val encodedBase =
-      if (!residual) corpus.select(col(idCol).as("n_id"), col(vecCol).as("__v"),
-        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
-        graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
-      else corpus
-        .select(col(idCol).as("n_id"), col(vecCol).as("__v"),
-          element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
-        .select(col("n_id"), col("__v"), col("cell"),
-          graft.functions.pq_encode(residOf(col("__v"), col("cell")), cbs,
-            normalize = false).as("codes"))
-    val splits = detectHotSplits(
-      encodedBase.select(col("n_id"), col("__v"), col("cell")),
-      cents.length, "n_id", "__v", iters, hotCellFactor, "ivfPqTopK")
-    val encoded = applyHotSplits(encodedBase, splits, "__v", width = 1).drop("__v")
+    val (encoded, splits) = index.flatMap(_.codes) match {
+      case Some(stored) =>
+        // persisted codes carry their build-time cells: the hot-cell
+        // guard belongs to index BUILD/retrain ([[PqIndexStore]] WARNs
+        // there) — a serve path must not re-shape a stored Voronoi
+        // partition it would then disagree with
+        (stored.select(col("n_id"), col("cell"), col("codes")), Seq.empty[HotSplit])
+      case None =>
+        val base = pqEncodedBase(corpus, cents, cbs, residual, idCol, vecCol)
+        val s = detectHotSplits(base.select(col("n_id"), col("__v"), col("cell")),
+          cents.length, "n_id", "__v", iters, hotCellFactor, "ivfPqTopK")
+        (applyHotSplits(base, s, "__v", width = 1).drop("__v"), s)
+    }
     val qWidth = if (nprobe >= cents.length) Int.MaxValue else 2
     val probedBase =
       if (!residual) queries.select(col(idCol).as("q_id"), col(vecCol).as("__v"),

@@ -194,6 +194,27 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Build-then-serve through the PERSISTED IVF-PQ index
+    * ([[graft.ops.PqIndexStore]]): train + encode once into a
+    * versioned on-disk store, then answer top-k by scanning the
+    * persisted 8-byte code rows — the encode-at-ingest/serve-per-query
+    * shape a 100 TB deployment runs, with ZERO training jobs on the
+    * serve path (job-count spec-pinned, PqIndexStoreSpec). Exact
+    * configuration ⇒ equals brute-force cosine, so the oracle is the
+    * same SQL as [[pqTopK]]'s. A fresh store dir per call keeps the
+    * query self-contained and deterministic (training is
+    * bit-deterministic, and the version stamp never enters the
+    * result). */
+  def pqIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_serve").toString
+    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    store.topK(emb, emb.where(col("vec_id") < 20), k = 5, nprobe = 16,
+      rerank = 1000000)
+      .orderBy("q_id", "rank")
+  }
+
   def quantizeEmb(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
 
@@ -836,6 +857,7 @@ object PipelineQueries {
     "e_ivf_topk"        -> (ivfTopK _),
     "e_pq_topk"         -> (pqTopK _),
     "e_pq_residual"     -> (pqResidualTopK _),
+    "e_pq_index_serve"  -> (pqIndexServe _),
     "e_knn_graph"       -> (knnGraphQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
@@ -1487,6 +1509,16 @@ object PipelineQueries {
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     "e_pq_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "e_pq_index_serve" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{PqIndexStore, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index: build-once/serve-many semantics, the
+  * zero-training serve contract (asserted by JOB COUNT, not by reading
+  * the code), encode-only append, restart durability, and compaction.
+  */
+class PqIndexStoreSpec extends SparkSpec {
+
+  private lazy val emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = Array.fill(400)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+      .localCheckpoint()
+  }
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"pqindex_$tag").toString
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Spark jobs launched while `body` runs, measured through a job
+    * group + status tracker (polled to quiescence — the status store
+    * is fed asynchronously). */
+  private def jobsDuring[T](group: String)(body: => T): (T, Int) = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group, interruptOnCancel = false)
+    val out = try body finally sc.clearJobGroup()
+    var last = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    var spins = 0
+    while (cur != last && spins < 50) {
+      Thread.sleep(100); last = cur
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+      spins += 1
+    }
+    (out, cur)
+  }
+
+  test("serve from a persisted index: zero training jobs, exact-config parity") {
+    val dir = tmpDir("serve")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    val queries = emb.where(col("vec_id") < 20)
+    // exact configuration (all cells probed, rerank ≥ corpus) must equal
+    // brute force — through the persisted codes
+    val served = store.topK(emb, queries, k = 5, nprobe = 16, rerank = 1000000)
+    assert(rows(served) == rows(Similarity.bruteForceTopK(emb, queries, 5)))
+    // the serve call builds its plan WITHOUT training: the only eager
+    // work is the bounded quantizer read (collect) — a fresh ivfPqTopK
+    // call runs two Lloyd loops plus guard counts on the same corpus
+    val (_, serveJobs) = jobsDuring("pq_serve") {
+      store.topK(emb, queries, k = 5, nprobe = 16, rerank = 1000000)
+    }
+    val (_, freshJobs) = jobsDuring("pq_fresh") {
+      Similarity.ivfPqTopK(emb, queries, k = 5, nlist = 16, nprobe = 16,
+        rerank = 1000000)
+    }
+    assert(serveJobs <= 3,
+      s"serve-plan construction ran $serveJobs jobs — training leaked into the serve path")
+    assert(freshJobs > serveJobs,
+      s"fresh call ran $freshJobs jobs vs serve $serveJobs — job-count probe is broken")
+  }
+
+  test("append encodes only the batch; restart re-opens the same generation") {
+    val dir = tmpDir("append")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    val v1 = store.build(emb.where(col("vec_id") < 300))
+    // nightly batch: encode-only (no training at any width)
+    val (_, appendJobs) = jobsDuring("pq_append") {
+      store.append(emb.where(col("vec_id") >= 300))
+    }
+    // quantizer read + one encode-write pass (+ a refresh) — far below
+    // a training loop's job count
+    assert(appendJobs <= 4, s"append ran $appendJobs jobs — training leaked into ingest")
+    // the grown index answers over the full corpus, exact config
+    val queries = emb.where(col("vec_id") % 40 === 0)
+    val served = store.topK(emb, queries, k = 5, nprobe = 16, rerank = 1000000)
+    assert(rows(served) == rows(Similarity.bruteForceTopK(emb, queries, 5)))
+    // restart: a NEW instance over the same dir resumes the same
+    // generation and returns identical results
+    val reopened = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    val (v2, _) = reopened.load().get
+    assert(v2 == v1, "restart lost the committed generation")
+    assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(served))
+    // retrain (= rebuild) commits a NEW generation; old code rows are
+    // structurally invisible and compaction reclaims them
+    val v3 = reopened.build(emb)
+    assert(v3 != v1)
+    assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(served))
+    assert(reopened.compact(maxFiles = 2))
+    spark.catalog.refreshByPath(reopened.codesPath)
+    val codes = spark.read.parquet(reopened.codesPath)
+    assert(codes.select("version").distinct().count() == 1)
+    assert(codes.count() == 400)
+    assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(served))
+  }
+
+  test("residual-mode store round-trips the IVFADC geometry") {
+    val dir = tmpDir("resid")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16,
+      residual = true)
+    store.build(emb)
+    val queries = emb.where(col("vec_id") < 10)
+    val served = store.topK(emb, queries, k = 5, nprobe = 16, rerank = 1000000)
+    assert(rows(served) == rows(Similarity.bruteForceTopK(emb, queries, 5)))
+    // mode mismatch is an error, not garbage distances
+    val (_, art) = store.load().get
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, 5, nprobe = 16, rerank = 1000000,
+        residual = false, index = Some(art))
+    }
+    assert(ex.getMessage.contains("residual"))
+  }
+}
