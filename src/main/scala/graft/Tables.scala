@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -21,17 +21,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark only
-    * reads with spark.sql.legacy.parquet.nanosAsLong=true (set in all
-    * our session builders). Normalizes to:
-    *   ts    — TimestampType (microsecond, ns floor-truncated)
+  /** events.parquet has carried three physical ts encodings across
+    * driver generations — INT64 TIMESTAMP(NANOS) (readable only with
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in all our session
+    * builders), tz-adjusted TIMESTAMP(MICROS), and tz-NAIVE
+    * TIMESTAMP(MICROS) (which Spark 4 infers as TIMESTAMP_NTZ). All
+    * three normalize to the same two columns:
+    *   ts    — TimestampType (microsecond; ns floor-truncated; naive
+    *           values pinned to the session's UTC zone, which is how
+    *           every tz-adjusted generation read back anyway)
     *   ts_ms — epoch millis Long (the engine's native time unit,
     *           matching the reference's epoch-ms model)
     * Integer `DIV` keeps the arithmetic exact (double math would lose
     * precision on ~1.7e18 nanos).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+    val raw0 = load(spark, dir, "events")
+    val raw =
+      if (raw0.schema("ts").dataType == TimestampNTZType)
+        raw0.withColumn("ts", col("ts").cast(TimestampType))
+      else raw0
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_ms", expr("ts DIV 1000000"))
          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
