@@ -50,10 +50,13 @@ object Curation {
     * pair generation onto the IVF-bucketed path
     * ([[Similarity.ivfNearDupPairs]]) — candidates bounded by
     * Σ C(|cell|, 2) instead of hyperplane LSH's fixed fraction of ALL
-    * pairs; this is THE knob a 100 TB semantic-dedup run sets (grow
-    * nlist with corpus size — see [[Similarity.ivfNearDupPairs]]).
-    * None keeps the recall-sized LSH source, exact on small corpora
-    * but degenerate-quadratic at low cosine thresholds. */
+    * pairs; this is THE knob a 100 TB semantic-dedup run sets.
+    * `Some(0)` derives nlist from the survivor-embedding count via
+    * [[Similarity.suggestNlist]] — the "grow nlist with corpus size"
+    * rule as default behavior, the right setting when the corpus size
+    * isn't known at config time. None keeps the recall-sized LSH
+    * source, exact on small corpora but degenerate-quadratic at low
+    * cosine thresholds. */
   case class Params(minQuality: Double = 0.15,
                     shingleK: Int = 3,
                     jaccardThreshold: Double = 0.5,

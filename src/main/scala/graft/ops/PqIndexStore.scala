@@ -59,7 +59,11 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   def build(corpus: DataFrame): Long = {
     graft.functions.ensureRegistered(spark)
     val version = System.currentTimeMillis()
-    val cents = Similarity.ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    // nlist ≤ 0 derives via the nlist ∝ n rule — the right default for
+    // a store whose corpus size is only known at build time
+    val cents = Similarity.ivfCentroids(corpus,
+      Similarity.resolveNlist(corpus, nlist, "PqIndexStore.build"),
+      iters, idCol, vecCol)
     require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
     val cbs = Similarity.trainPqCodebooks(corpus, cents, m, ksub, iters,
       residual, idCol, vecCol)

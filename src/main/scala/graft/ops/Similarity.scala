@@ -305,6 +305,40 @@ object Similarity {
     * a bounded driver job even when one cell holds half the corpus. */
   val MaxSubCells = 256
 
+  /** Expected cell membership the nlist ∝ n rule targets. 256 keeps
+    * the per-cell candidate term C(E|cell|,2) ≈ 3·10⁴ pairs — small
+    * enough that even the pair self-join's worst cell fits one task —
+    * while leaving enough members per cell that nprobe = 2 recall
+    * holds (the §G3 measurements all ran at this target). */
+  val DefaultIvfCellTarget = 256L
+
+  /** The documented "grow nlist with the corpus" practice as a
+    * function: nlist ≈ ⌈n / targetCellSize⌉ keeps E|cell| CONSTANT as
+    * the corpus scales, so the Σ C(|cell|,2) candidate bound grows
+    * linearly in n instead of quadratically. Floored at 16 so tiny
+    * corpora keep enough cell keys for join parallelism. Every IVF
+    * entry point accepts `nlist ≤ 0` to mean "derive via this rule
+    * from the corpus count" — turning the documented practice into
+    * default behavior instead of a knob a caller must remember. */
+  def suggestNlist(n: Long, targetCellSize: Long = DefaultIvfCellTarget): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val raw = (n + targetCellSize - 1) / targetCellSize
+    math.max(16L, math.min(Int.MaxValue.toLong, raw)).toInt
+  }
+
+  /** `nlist ≤ 0` ⇒ derive via [[suggestNlist]]. The count is one
+    * columnar aggregate (parquet row-group metadata when the corpus is
+    * a plain scan) against an operator that was about to run Lloyd
+    * iterations over the same frame — noise, not a new pass. */
+  private[ops] def resolveNlist(corpus: DataFrame, nlist: Int, opName: String): Int =
+    if (nlist > 0) nlist
+    else {
+      val derived = suggestNlist(corpus.count())
+      log.info(s"$opName: nlist ≤ 0 ⇒ derived nlist = $derived " +
+        s"(target E|cell| = $DefaultIvfCellTarget; the nlist ∝ n rule)")
+      derived
+    }
+
   /** One hot cell's recursive split: its members re-quantize under
     * `cents` (sub-centroid ids re-keyed to `offset + subId`, ranges
     * disjoint from [0, nlist) and from every other split). */
@@ -391,7 +425,8 @@ object Similarity {
                       superProbe: Option[Int] = None,
                       hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
+    val cents = centroids.getOrElse(ivfCentroids(corpus,
+      resolveNlist(corpus, nlist, "ivfNearDupPairs"), iters, idCol, vecCol))
     // an empty corpus trains zero centroids; fewer vectors than nprobe
     // train fewer cells than the probe width — clamp, don't crash
     if (cents.isEmpty) return noPairs(corpus, idCol)
@@ -624,7 +659,8 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val cents = ivfCentroids(corpus, resolveNlist(corpus, nlist, "ivfTopK"),
+      iters, idCol, vecCol)
     // empty corpus ⇒ no index ⇒ no neighbors for any query
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
@@ -855,7 +891,8 @@ object Similarity {
     }
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = index.map(_.centroids)
-      .getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
+      .getOrElse(ivfCentroids(corpus,
+        resolveNlist(corpus, nlist, "ivfPqTopK"), iters, idCol, vecCol))
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
@@ -970,7 +1007,9 @@ object Similarity {
     * no cartesian node either way) or, when `ivfNlist` is set, from
     * [[ivfNearDupPairs]] — the bucket-bounded scale path for large
     * unclustered corpora (see the retained-fraction discussion on
-    * [[degenerateLshDiagnostic]]);
+    * [[degenerateLshDiagnostic]]); `Some(0)` derives nlist from the
+    * corpus count via [[suggestNlist]] (the nlist ∝ n rule as default
+    * behavior);
     * components from [[Dedup.dupClusters]] (bounded driver union-find,
     * else distributed min-label propagation). At 100 TB the only
     * frames that shuffle are (long, long) pairs and the loser-id

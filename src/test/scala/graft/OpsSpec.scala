@@ -589,6 +589,49 @@ class OpsSpec extends SparkSpec {
     assert(ivf == bf, "exhaustive ivfTopK diverged from brute force under hot split")
   }
 
+  test("suggestNlist: derived nlist keeps E|cell| on target across corpus sizes") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    // the rule itself: above the floor, E|cell| = n/nlist stays within
+    // (target/2, target] — constant as the corpus grows, which is the
+    // whole point (Σ C(|cell|,2) then grows ∝ n, not n²)
+    val target = Similarity.DefaultIvfCellTarget.toDouble
+    Seq(10_000L, 100_000L, 1_000_000L, 1_000_000_000L).foreach { n =>
+      val e = n.toDouble / Similarity.suggestNlist(n)
+      assert(e > target / 2 && e <= target,
+        s"E|cell| $e off target $target at n=$n (nlist ${Similarity.suggestNlist(n)})")
+    }
+    // tiny corpora floor at 16 cells (join-key parallelism, not cell size)
+    assert(Similarity.suggestNlist(0) == 16 && Similarity.suggestNlist(500) == 16)
+
+    // derived behavior: nlist ≤ 0 at an entry point ≡ the explicit rule
+    // (ivfCentroids is deterministic, so the plans are identical) —
+    // checked on two corpus sizes so the derivation actually moves
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(31 + n)
+      (0 until n).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    }
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(400, 2000).foreach { n =>
+      val df = corpus(n).localCheckpoint()
+      val derived = Similarity.suggestNlist(n.toLong)
+      assert(pairs(Similarity.ivfNearDupPairs(df, threshold = 0.8, nlist = 0)) ==
+        pairs(Similarity.ivfNearDupPairs(df, threshold = 0.8, nlist = derived)),
+        s"derived-nlist pairs diverged from the explicit rule at n=$n")
+    }
+    // and the derived quantizer's MEASURED mean assignment stays within
+    // the rule's bounds on the larger corpus (cells can be uneven;
+    // the mean over trained cells is what the rule pins)
+    val big = corpus(2000).localCheckpoint()
+    val cents = Similarity.ivfCentroids(big, Similarity.suggestNlist(2000L))
+    val meanCell = 2000.0 / cents.length
+    assert(meanCell <= target && cents.length >= 16,
+      s"derived quantizer: ${cents.length} cells, mean $meanCell")
+  }
+
   test("IVF-PQ top-k: exact configuration equals brute force; codes deterministic") {
     val queries = emb.where(col("vec_id") < 20)
     def rows(d: org.apache.spark.sql.DataFrame) =

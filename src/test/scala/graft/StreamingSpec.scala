@@ -707,4 +707,105 @@ class StreamingSpec extends SparkSpec {
       assert(emitted().filter(_.key == "a") == strm)
     } finally q.stop()
   }
+
+  test("reliable-checkpoint mode: streaming twins hold store integrity across restarts") {
+    // The batch pipelines have their block-loss spec (OpsSpec); here
+    // each persistent-store streaming twin runs its two-batch +
+    // process-restart lifecycle with spark.graft.checkpoint.reliable
+    // on, so every Checkpoints.shared the foreachBatch internals reach
+    // (the vec twin's pair→cluster path crosses Dedup.dupClusters)
+    // upgrades to a reliable checkpoint — and would THROW if a twin
+    // hit shared() without the dir. Store integrity must be
+    // indistinguishable from the default-mode lifecycles above.
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val ckDir = Files.createTempDirectory("graft_sck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+    try {
+      // --- vec near-dup: batch 1 trains + dedups, RESTARTED instance
+      // must drop batch 2's near-dup of a batch-1 survivor
+      locally {
+        val base = Files.createTempDirectory("graft_svnd_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        def vec(id: Long, v: Seq[Double]) =
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+        def mk() = new graft.streaming.StreamingVecNearDup(spark, base,
+          threshold = 0.7, nlist = 4, nprobe = 2)
+        val s1 = mk()
+        val q1 = s1.start(s1.readJsonVecs(in), trig)
+        try {
+          dropFile(in, "b1.json", Seq(vec(2, Seq(1.0, 0.0, 0.0, 0.0)),
+            vec(1, Seq(0.999, 0.04, 0.0, 0.0)), vec(3, Seq(0.0, 1.0, 0.0, 0.0))))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val s2 = mk()
+        val q2 = s2.start(s2.readJsonVecs(in), trig)
+        try {
+          dropFile(in, "b2.json", Seq(vec(4, Seq(0.998, -0.05, 0.0, 0.0))))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        spark.catalog.refreshByPath(s2.keptPath)
+        val kept = spark.read.parquet(s2.keptPath).collect().map(_.getLong(0)).sorted.toSeq
+        assert(kept == Seq(1L, 3L), s"reliable-mode vec twin kept $kept")
+      }
+      // --- span dedup: restarted instance must excise via the
+      // persisted gram store
+      locally {
+        val base = Files.createTempDirectory("graft_sspan_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+        val ss = new graft.streaming.StreamingSpanDedup(spark, base, n = 3)
+        val q = ss.start(ss.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b1.json", Seq(doc(1, "p q r s t u")))
+          q.processAllAvailable()
+        } finally q.stop()
+        val ss2 = new graft.streaming.StreamingSpanDedup(spark, base, n = 3)
+        val q2 = ss2.start(ss2.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b2.json", Seq(doc(10, "s t u k1 k2")))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        spark.catalog.refreshByPath(ss2.dedupedPath)
+        val o = spark.read.parquet(ss2.dedupedPath).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        assert(o(10L) == ((5L, 3L, "k1 k2")), s"reliable-mode span twin rows $o")
+      }
+      // --- heavy hitters: restarted instance must merge onto the
+      // swapped summary store
+      locally {
+        val base = Files.createTempDirectory("graft_stopk_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+        val st = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+        val q = st.start(st.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b1.json",
+            Seq(doc(1, ("hot " * 8).trim + " warm warm warm rare")))
+          q.processAllAvailable()
+        } finally q.stop()
+        val st2 = new graft.streaming.StreamingTopK(spark, base, capacity = 4)
+        val q2 = st2.start(st2.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b2.json", Seq(doc(2, "hot hot hot hot x y z")))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val (s2, n2) = st2.summary()
+        assert(n2 == 19L, s"reliable-mode topk twin n $n2")
+        val hot = s2.toMap.getOrElse("hot", 0L)
+        assert(hot >= 9L && hot <= 12L, s"hot estimate $hot outside [9, 12]")
+      }
+      // evidence the reliable path ran inside foreachBatch: checkpoint
+      // files landed under the configured dir
+      val wrote = java.nio.file.Files.walk(Paths.get(ckDir))
+        .filter(p => p.toFile.isFile).count()
+      assert(wrote > 0, s"no reliable checkpoint files under $ckDir")
+    } finally {
+      spark.conf.unset(graft.ops.Checkpoints.ReliableKey)
+      graft.sources.TierStore.deleteTree(new java.io.File(ckDir))
+    }
+  }
 }

@@ -56,7 +56,7 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .selectExpr("vec_id", "embedding")
       val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
+      val nlist = Similarity.suggestNlist(n)
       val t2 = System.nanoTime()
       Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist))
       ("e_ivf_near_dup_0.7", (System.nanoTime() - t2) / 1e9)
@@ -69,7 +69,7 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .selectExpr("vec_id", "embedding")
       val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
+      val nlist = Similarity.suggestNlist(n)
       val t = System.nanoTime()
       Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist,
         hotCellFactor = Double.PositiveInfinity))
@@ -82,7 +82,7 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .selectExpr("vec_id", "embedding")
       val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
+      val nlist = Similarity.suggestNlist(n)
       val t3 = System.nanoTime()
       Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist,
         superProbe = Some(2)))
@@ -110,7 +110,7 @@ object ScaleBench {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           .selectExpr("vec_id", "embedding")
         val n = emb.count()
-        val nlist = math.max(16L, n / 256L).toInt
+        val nlist = Similarity.suggestNlist(n)
         val qs = emb.where(s"vec_id < 1000")
         val t = System.nanoTime()
         Bench.force(
@@ -128,7 +128,7 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .selectExpr("vec_id", "embedding")
       val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
+      val nlist = Similarity.suggestNlist(n)
       val t = System.nanoTime()
       Bench.force(Similarity.mutualKnnPairs(emb, k = 10, nlist = nlist, nprobe = 4))
       ("e_knn_graph_real", (System.nanoTime() - t) / 1e9)
