@@ -146,4 +146,91 @@ object Sampling {
       .withColumn("pos", col("__off") + row_number().over(wL) - 1)
       .select(col(idCol), col("pos").cast("long").as("pos"))
   }
+
+  /** Hashed-ngram (id, bucket) frame shared by the DSIR estimators:
+    * unigrams plus word bigrams (the DSIR feature set), [[TextAnalysis
+    * .polyHash]]'d into [0, nBuckets) so any engine replays the
+    * bucketing. Short docs follow [[TextAnalysis.ngramsAll]]'s
+    * collapse (a < 2-token doc contributes its whole text as the one
+    * bigram), so the SQL twin stays a CASE expression. */
+  private def gramBuckets(docs: DataFrame, nBuckets: Int,
+                          idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        explode(concat(col("__w"), TextAnalysis.ngramsAll(col("__w"), 2))).as("__g"))
+      // an empty doc's collapse gram is "" — hashing it would pin
+      // engine-specific empty-split semantics into the bucket space;
+      // a doc with no grams simply has no weight rows
+      .where(length(col("__g")) > 0)
+      .select(col(idCol),
+        pmod(TextAnalysis.polyHash(col("__g")), lit(nBuckets.toLong))
+          .cast("int").as("bucket"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how target-like its hashed-ngram distribution is —
+    * log p̂(d) − log q̂(d) under bag-of-hashed-ngrams multinomials with
+    * add-α smoothing, p̂ fit on a small high-quality TARGET corpus and
+    * q̂ on the raw corpus itself. The standard pretraining
+    * data-selection move: fit on the target set, weight the raw crawl,
+    * resample ([[importanceSelect]]).
+    *
+    * Returns (idCol, n_grams, logratio) per raw doc — logratio is the
+    * exact integer sum of 1e-6-quantized per-bucket log-ratios (the
+    * [[TextAnalysis.unigramLogProb]] pattern: order-independent, so
+    * engines agree bit-for-bit), rounded to 4 dp.
+    *
+    * Scale: ONE gram explode over the raw corpus — the per-doc bucket
+    * count frame is shared (checkpoint) between the raw-side marginal
+    * and the weight sum, and only (id, bucket, count) rows ever
+    * shuffle; text never moves. The λ frame is ≤ nBuckets rows (joins
+    * broadcast), the two totals are audited single-row cross joins,
+    * and the target corpus — small by construction — contributes one
+    * bounded aggregate. At 100 TB the cost is the token explode, same
+    * as every other corpus statistic here. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        nBuckets: Int = 4096, alpha: Double = 1.0,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    import graft.ops.Checkpoints.SharedOps
+    val db = gramBuckets(raw, nBuckets, idCol, textCol)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .sharedCheckpoint()
+    val qb = db.groupBy("bucket").agg(sum("c").as("cq"))
+    val pb = gramBuckets(target, nBuckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cp"))
+    val qt = qb.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
+    val pt = pb.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
+    val am = alpha * nBuckets
+    // buckets no raw doc references never join back — a LEFT join from
+    // the raw marginal is the whole λ domain that matters
+    val lam = qb.join(pb, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
+      .select(col("bucket"),
+        round((log((coalesce(col("cp"), lit(0L)).cast("double") + lit(alpha)) /
+                   (col("tp").cast("double") + lit(am))) -
+               log((col("cq").cast("double") + lit(alpha)) /
+                   (col("tq").cast("double") + lit(am)))) * 1e6)
+          .cast("long").as("lam_e6"))
+    db.join(lam, "bucket")
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_e6")).as("s"))
+      .select(col(idCol), col("n_grams"),
+        round(col("s").cast("double") / 1e6, 4).as("logratio"))
+  }
+
+  /** Deterministic DSIR selection: the k most target-like raw docs by
+    * [[importanceWeights]], ties broken by id — the "resampling"
+    * reduced to its reproducible core (heated Gumbel resampling is a
+    * seeded-noise column away; the deterministic top-k is what
+    * ablations can replay). Plans as TakeOrderedAndProject: k-bounded
+    * driver result, no global sort materialization. */
+  def importanceSelect(raw: DataFrame, target: DataFrame, k: Int,
+                       nBuckets: Int = 4096, alpha: Double = 1.0,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    importanceWeights(raw, target, nBuckets, alpha, idCol, textCol)
+      .orderBy(col("logratio").desc, col(idCol).asc).limit(k)
+  }
 }

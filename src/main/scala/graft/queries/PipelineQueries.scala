@@ -346,6 +346,25 @@ object PipelineQueries {
     TextAnalysis.hashedLinearScore(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** DSIR importance weights: src0 is the high-quality TARGET set, the
+    * other 19 sources are the raw corpus to be re-weighted toward it. */
+  def dsirWeightsQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.importanceWeights(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic DSIR selection: the 50 most target-like raw docs. */
+  def dsirSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.importanceSelect(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), k = 50)
+      .orderBy("doc_id")
+  }
+
   /** Token-budget mixture plan: spend 50% of the corpus's tokens with
     * source shares src0 50 / src1 30 / default 5 (percent). */
   def mixturePlanQ(spark: SparkSession, dir: String): DataFrame =
@@ -868,6 +887,8 @@ object PipelineQueries {
     "d_postings"        -> (postingsQ _),
     "d_approx_quantiles" -> (approxQuantilesQ _),
     "d_quality_clf"     -> (qualityClfQ _),
+    "d_dsir_weights"    -> (dsirWeightsQ _),
+    "d_dsir_select"     -> (dsirSelectQ _),
     "d_mixture_plan"    -> (mixturePlanQ _),
     "d_split_assign"    -> (splitAssignQ _),
     "d_repeated_spans"  -> (repeatedSpansQ _),
@@ -894,6 +915,40 @@ object PipelineQueries {
     """list_reduce(list_prepend(CAST(7 AS BIGINT),
       |    list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** Shared CTE chain of the DSIR oracles — the SQL twin of
+    * Sampling.importanceWeights at the driver config (target = src0,
+    * nBuckets = 4096, α = 1): unigram+bigram grams with the ngramsAll
+    * short-doc collapse, polyHash bucketing, smoothed log-ratio
+    * quantized to 1e-6 integers, exact per-doc sums. */
+  private val DsirCte =
+    s"""WITH t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
+       |g AS (SELECT doc_id, source, unnest(w ||
+       |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+       |             ELSE list_transform(generate_series(1, len(w) - 1),
+       |                    i -> w[i] || ' ' || w[i + 1]) END) AS gm
+       |      FROM t),
+       |h AS (SELECT doc_id, source,
+       |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |          list_transform(string_split(gm, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket
+       |      FROM g WHERE len(gm) > 0),
+       |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM h
+       |       WHERE source <> 'src0' GROUP BY 1, 2),
+       |qb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cq FROM db GROUP BY 1),
+       |pb AS (SELECT bucket, COUNT(*) AS cp FROM h WHERE source = 'src0' GROUP BY 1),
+       |qt AS (SELECT CAST(COALESCE(SUM(cq), 0) AS BIGINT) AS tq FROM qb),
+       |pt AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS tp FROM pb),
+       |lam AS (SELECT qb.bucket,
+       |          CAST(round((ln((CAST(COALESCE(pb.cp, 0) AS DOUBLE) + 1.0) /
+       |                         (CAST(tp AS DOUBLE) + 4096.0)) -
+       |                      ln((CAST(qb.cq AS DOUBLE) + 1.0) /
+       |                         (CAST(tq AS DOUBLE) + 4096.0))) * 1000000.0)
+       |            AS BIGINT) AS lam_e6
+       |        FROM qb LEFT JOIN pb USING (bucket) CROSS JOIN pt CROSS JOIN qt),
+       |sm AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |         CAST(SUM(c * lam_e6) AS BIGINT) AS s
+       |       FROM db JOIN lam USING (bucket) GROUP BY 1)""".stripMargin
 
   private val SimhashOracle: String = {
     val bitSums = (0 until 30).map(b =>
@@ -1219,6 +1274,17 @@ object PipelineQueries {
          |    AS quality_w,
          |  (CAST(s AS DOUBLE) / CAST(n * 1000003 AS DOUBLE)) > 0.5 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+    "d_dsir_weights" ->
+      s"""$DsirCte
+         |SELECT doc_id, n_grams,
+         |       round(CAST(s AS DOUBLE) / 1000000.0, 4) AS logratio
+         |FROM sm ORDER BY doc_id""".stripMargin,
+    "d_dsir_select" ->
+      s"""$DsirCte,
+         |r AS (SELECT doc_id, n_grams,
+         |        round(CAST(s AS DOUBLE) / 1000000.0, 4) AS logratio
+         |      FROM sm ORDER BY logratio DESC, doc_id ASC LIMIT 50)
+         |SELECT doc_id, n_grams, logratio FROM r ORDER BY doc_id""".stripMargin,
     "d_mixture_plan" ->
       s"""WITH t AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS n FROM documents),
          |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),

@@ -589,6 +589,43 @@ class OpsSpec extends SparkSpec {
     assert(ivf == bf, "exhaustive ivfTopK diverged from brute force under hot split")
   }
 
+  test("DSIR importance weights: target-like docs outrank off-distribution docs") {
+    import spark.implicits._
+    // target distribution: spark-y vocabulary; raw corpus holds two
+    // target-like docs, two off-distribution docs, one empty doc
+    val target = Seq(
+      (100L, "spark table merge spark window", "t"),
+      (101L, "spark window merge table scan", "t"),
+      (102L, "merge table spark scan window", "t")).toDF("doc_id", "text", "source")
+    val raw = Seq(
+      (1L, "spark table merge window scan", "r"),   // target-like
+      (2L, "spark window table merge", "r"),        // target-like
+      (3L, "zebra quokka lemur wombat okapi", "r"), // off-distribution
+      (4L, "banana kiwi mango papaya", "r"),        // off-distribution
+      (5L, "", "r")).toDF("doc_id", "text", "source")
+    val w = Sampling.importanceWeights(raw, target, nBuckets = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // empty doc contributes no grams — absent, not zero-scored
+    assert(!w.contains(5L), s"empty doc got a weight: $w")
+    // gram count = tokens + bigrams = 2·n − 1 for n ≥ 2
+    assert(w(1L)._1 == 9L && w(4L)._1 == 7L, s"gram counts off: $w")
+    // every target-like doc outranks every off-distribution doc
+    val likes = Seq(w(1L)._2, w(2L)._2)
+    val offs = Seq(w(3L)._2, w(4L)._2)
+    assert(likes.min > offs.max,
+      s"target-like docs did not outrank: like=$likes off=$offs")
+    // partitioning invariance: the quantized integer sums make the
+    // score independent of how the corpus is split
+    val w12 = Sampling.importanceWeights(raw.repartition(12), target.repartition(5),
+      nBuckets = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w12 == w, "weights changed under repartitioning")
+    // deterministic selection: top-2 is exactly the target-like pair
+    val top = Sampling.importanceSelect(raw, target, k = 2, nBuckets = 512)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L), s"top-2 selection $top")
+  }
+
   test("suggestNlist: derived nlist keeps E|cell| on target across corpus sizes") {
     import spark.implicits._
     graft.functions.ensureRegistered(spark)
