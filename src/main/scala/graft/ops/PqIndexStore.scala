@@ -75,21 +75,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       .write.mode("append").parquet(codesDir)
     // build-time hot-cell audit: counts ride the codes just written
     // (no second corpus pass); the WARN names the skew and the lever
-    spark.catalog.refreshByPath(codesDir)
-    val counts = spark.read.parquet(codesDir)
-      .where(col("version") === version)
-      .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    val target = math.max(Similarity.HotCellMinTarget,
-      math.ceil(total.toDouble / math.max(cents.length, 1)).toLong)
-    val cap = math.ceil(Similarity.DefaultHotCellFactor * target).toLong
-    if (counts.values.exists(_ > cap))
-      log.warn(Similarity.hotCellDiagnostic("PqIndexStore.build", counts,
-        cents.length, cap) +
-        " For a persisted index the re-balance lever is retraining at a" +
-        " larger nlist (nlist ∝ n keeps E|cell| constant), not a serve-time" +
-        " re-key.")
+    cellAuditOf(version, cents.length, Similarity.DefaultHotCellFactor,
+      "PqIndexStore.build")
     // 2. COMMIT: stage the quantizer beside the old, then two renames
     //    (load falls back to __old inside the rename window)
     import spark.implicits._
@@ -203,5 +190,56 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
         true
       }
     }
+  }
+
+  /** Audit the CURRENT generation's cell occupancy — build rows plus
+    * everything [[append]]ed since. This is the drift check §G4
+    * motivates: Lloyd absorbs corpus skew at TRAIN time (the measured
+    * head cell on a 13%-head-cluster corpus is 0.74%), so the regime
+    * where one Voronoi cell silently goes quadratic is a persisted
+    * quantizer serving data it was not trained on — i.e. skew
+    * accumulated through appends. [[build]] runs this once at train
+    * time; a deployment re-runs it from the maintenance window (cost:
+    * one (cell, count) aggregate over the codes store, ≤ nlist rows to
+    * the driver) and retrains at a larger nlist when `drifted` — a
+    * serve-time re-key is deliberately not offered, because stored
+    * assignments would disagree with it. None before the first build. */
+  def audit(hotCellFactor: Double = Similarity.DefaultHotCellFactor): Option[PqIndexStore.CellAudit] =
+    load().map { case (version, art) =>
+      cellAuditOf(version, art.centroids.length, hotCellFactor,
+        "PqIndexStore.audit")
+    }
+
+  private def cellAuditOf(version: Long, nlistEff: Int, factor: Double,
+                          opName: String): PqIndexStore.CellAudit = {
+    spark.catalog.refreshByPath(codesDir)
+    val counts = spark.read.parquet(codesDir)
+      .where(col("version") === version)
+      .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val target = math.max(Similarity.HotCellMinTarget,
+      math.ceil(total.toDouble / math.max(nlistEff, 1)).toLong)
+    val cap = math.ceil(factor * target).toLong
+    val hot = counts.count(_._2 > cap)
+    if (hot > 0)
+      log.warn(Similarity.hotCellDiagnostic(opName, counts, nlistEff, cap) +
+        " For a persisted index the re-balance lever is retraining at a" +
+        " larger nlist (nlist ∝ n keeps E|cell| constant), not a serve-time" +
+        " re-key.")
+    PqIndexStore.CellAudit(counts.size, total,
+      if (counts.isEmpty) 0L else counts.values.max, cap, hot,
+      counts.values.map(c => c.toDouble * (c.toDouble - 1) / 2).sum)
+  }
+}
+
+object PqIndexStore {
+  /** One generation's cell-occupancy report: `drifted` is the retrain
+    * signal ([[PqIndexStore.audit]]); `projectedPairs` is the
+    * Σ C(|cell|,2) candidate bound a pair build over these cells would
+    * face — the quantity the hot-cell WARN names. */
+  final case class CellAudit(nCells: Int, total: Long, maxCell: Long,
+                             cap: Long, hotCells: Int, projectedPairs: Double) {
+    def drifted: Boolean = hotCells > 0
   }
 }

@@ -123,4 +123,37 @@ class PqIndexStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("residual"))
   }
+
+  test("audit flags drift accumulated through appends; clean before") {
+    import spark.implicits._
+    val dir = tmpDir("audit")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    val before = store.audit().get
+    assert(before.total == 400L && before.nCells <= 16)
+    assert(!before.drifted,
+      s"balanced build reported drift: $before")
+    // drift: append 4× the corpus, every vector a near-copy of ONE
+    // build vector — all land in that vector's cell (the quantizer
+    // cannot re-balance data it was not trained on)
+    val base = emb.where(col("vec_id") === 0)
+      .collect().head.getSeq[Float](1).toArray
+    val rnd = new scala.util.Random(77)
+    val skew = (0 until 1600).map { i =>
+      (1000L + i, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    store.append(skew)
+    val after = store.audit().get
+    assert(after.total == 2000L)
+    assert(after.drifted, s"appended skew not flagged: $after")
+    // the hot cell holds (at least) the whole appended batch, far over
+    // the cap, and the projected candidate volume names the quadratic
+    assert(after.maxCell >= 1600L && after.maxCell > after.cap, s"$after")
+    assert(after.projectedPairs >= 1600.0 * 1599 / 2, s"$after")
+    // audit is read-only: the serve path still answers from the store
+    val queries = emb.where(col("vec_id") < 5)
+    assert(store.topK(emb, queries, k = 3, nprobe = 4, rerank = 1000000)
+      .count() > 0)
+  }
 }
