@@ -202,20 +202,82 @@ object Sampling {
       .groupBy("bucket").agg(count(lit(1)).as("cp"))
     val qt = qb.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
     val pt = pb.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
-    val am = alpha * nBuckets
     // buckets no raw doc references never join back — a LEFT join from
     // the raw marginal is the whole λ domain that matters
     val lam = qb.join(pb, Seq("bucket"), "left_outer")
       .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
       .select(col("bucket"),
-        round((log((coalesce(col("cp"), lit(0L)).cast("double") + lit(alpha)) /
-                   (col("tp").cast("double") + lit(am))) -
-               log((col("cq").cast("double") + lit(alpha)) /
-                   (col("tq").cast("double") + lit(am)))) * 1e6)
-          .cast("long").as("lam_e6"))
+        lamE6(coalesce(col("cp"), lit(0L)), col("cq"), nBuckets, alpha).as("lam_e6"))
     db.join(lam, "bucket")
       .groupBy(col(idCol))
       .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_e6")).as("s"))
+      .select(col(idCol), col("n_grams"),
+        round(col("s").cast("double") / 1e6, 4).as("logratio"))
+  }
+
+  /** The 1e-6-quantized smoothed log-ratio of one bucket — expects the
+    * totals as `tp`/`tq` columns in scope (the cross-joined single-row
+    * aggregates). Shared by [[importanceWeights]] and [[lambdaFrame]]
+    * so the two paths can never disagree about the formula. */
+  private def lamE6(cp: Column, cq: Column, nBuckets: Int, alpha: Double): Column = {
+    val am = alpha * nBuckets
+    round((log((cp.cast("double") + lit(alpha)) /
+               (col("tp").cast("double") + lit(am))) -
+           log((cq.cast("double") + lit(alpha)) /
+               (col("tq").cast("double") + lit(am)))) * 1e6).cast("long")
+  }
+
+  /** The DSIR model as a persistable frame: (bucket, lam_e6) over
+    * every bucket either fit corpus touched, plus a sentinel row
+    * `bucket = -1` carrying the both-unseen default (smoothing gives
+    * unseen buckets ln((tq+αm)/(tp+αm)) — a constant). This is the
+    * fit-once/serve-many shape: fit on a target corpus and a raw
+    * REFERENCE SAMPLE, persist ≤ nBuckets+1 rows, then score any
+    * stream of batches against the frozen model
+    * ([[graft.streaming.StreamingDsir]]). [[importanceWeights]] is the
+    * self-contained batch variant (q̂ fit on the scored corpus
+    * itself); both ride the same gram, hash and quantization path. */
+  def lambdaFrame(rawSample: DataFrame, target: DataFrame,
+                  nBuckets: Int = 4096, alpha: Double = 1.0,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val qb = gramBuckets(rawSample, nBuckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cq"))
+    val pb = gramBuckets(target, nBuckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cp"))
+    val qt = qb.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
+    val pt = pb.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
+    // full outer: serve-time batches may hit buckets only one fit
+    // corpus touched; the sentinel covers buckets neither did
+    val lam = qb.join(pb, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
+      .select(col("bucket"),
+        lamE6(coalesce(col("cp"), lit(0L)), coalesce(col("cq"), lit(0L)),
+          nBuckets, alpha).as("lam_e6"))
+    val dflt = pt.crossJoin(qt)
+      .select(lit(-1).as("bucket"), lamE6(lit(0L), lit(0L), nBuckets, alpha).as("lam_e6"))
+    lam.unionAll(dflt)
+  }
+
+  /** Score documents against a frozen [[lambdaFrame]]: the serve half
+    * of fit-once/serve-many. Same output shape as
+    * [[importanceWeights]]; buckets outside the model fall back to the
+    * sentinel default. The model frame is ≤ nBuckets+1 rows — the join
+    * broadcasts. */
+  def scoreAgainst(docs: DataFrame, lambda: DataFrame,
+                   nBuckets: Int = 4096,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dflt = lambda.where(col("bucket") === -1)
+      .agg(coalesce(min("lam_e6"), lit(0L)).as("__dflt"))
+    val model = broadcast(lambda.where(col("bucket") =!= -1))
+    gramBuckets(docs, nBuckets, idCol, textCol)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(model, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(dflt))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * coalesce(col("lam_e6"), col("__dflt"))).as("s"))
       .select(col(idCol), col("n_grams"),
         round(col("s").cast("double") / 1e6, 4).as("logratio"))
   }

@@ -624,6 +624,20 @@ class OpsSpec extends SparkSpec {
     val top = Sampling.importanceSelect(raw, target, k = 2, nBuckets = 512)
       .collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L), s"top-2 selection $top")
+    // fit-once/serve-many parity: scoring against a persisted-model
+    // frame fit on the SAME (raw, target) pair reproduces the
+    // self-contained batch weights exactly
+    val lam = Sampling.lambdaFrame(raw, target, nBuckets = 512)
+    val served = Sampling.scoreAgainst(raw, lam, nBuckets = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(served == w, s"serve path diverged from batch weights: $served vs $w")
+    // the sentinel default covers buckets neither fit corpus touched:
+    // an unseen-vocabulary doc still scores (finite, negative here
+    // since the raw fit corpus is smaller than none... just: finite)
+    val alien = Seq((9L, "xylophone quasar", "r")).toDF("doc_id", "text", "source")
+    val aw = Sampling.scoreAgainst(alien, lam, nBuckets = 512).collect()
+    assert(aw.length == 1 && aw.head.getLong(1) == 3L,
+      s"alien doc not scored through the sentinel: ${aw.toSeq}")
   }
 
   test("suggestNlist: derived nlist keeps E|cell| on target across corpus sizes") {

@@ -708,6 +708,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR: frozen model filters batches; restart serves the persisted model") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdsir").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val target = Seq(
+      (100L, "spark table merge spark window"),
+      (101L, "spark window merge table scan"),
+      (102L, "merge table spark scan window")).toDF("doc_id", "text")
+    val rawSample = Seq(
+      (200L, "spark table merge window scan"),
+      (201L, "zebra quokka lemur wombat okapi"),
+      (202L, "banana kiwi mango papaya")).toDF("doc_id", "text")
+    def mk() = new graft.streaming.StreamingDsir(spark, base,
+      threshold = 0.0, nBuckets = 512)
+    // start() before fit() is a loud error, not silent garbage
+    val unfit = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = mk().start(mk().readJsonDocs(in),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      try { dropFile(in, "b0.json", Seq(doc(0, "x y"))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val unfitMsgs = Iterator.iterate(unfit: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(unfitMsgs.contains("no fitted model"), unfitMsgs)
+    val s1 = mk()
+    s1.fit(target, rawSample)
+    def kept() = {
+      spark.catalog.refreshByPath(s1.keptPath)
+      spark.read.parquet(s1.keptPath).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    }
+    // fresh checkpoint dir so the fitted stream re-reads b0 too
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/chk"))
+    val q1 = s1.start(s1.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "spark window table merge"),            // target-like → kept
+        doc(2, "zebra quokka wombat lemur")))          // off-distribution → dropped
+      q1.processAllAvailable()
+      val k1 = kept()
+      assert(k1.contains(1L) && k1(1L) > 0.0, s"target-like doc dropped: $k1")
+      assert(!k1.contains(2L), s"off-distribution doc kept: $k1")
+      assert(!k1.contains(0L), s"pre-fit replayed doc 'x y' kept: $k1")
+    } finally q1.stop()
+    // restart: a NEW instance serves the persisted λ without re-fitting
+    val s2 = mk()
+    val q2 = s2.start(s2.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b2.json", Seq(
+        doc(10, "merge table spark scan"), doc(11, "banana kiwi papaya")))
+      q2.processAllAvailable()
+      val k2 = kept()
+      assert(k2.contains(10L) && !k2.contains(11L),
+        s"restarted model filter wrong: $k2")
+    } finally q2.stop()
+  }
+
   test("reliable-checkpoint mode: streaming twins hold store integrity across restarts") {
     // The batch pipelines have their block-loss spec (OpsSpec); here
     // each persistent-store streaming twin runs its two-batch +
