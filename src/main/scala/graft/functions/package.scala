@@ -71,6 +71,11 @@ package object functions {
         "pq_adc", exprs => PqAdc(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "gram_buckets", exprs => GramBuckets(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
   }
 
@@ -99,6 +104,16 @@ package object functions {
   /** Distinct word k-shingles of normalized text, single pass. */
   def word_shingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
+
+  /** Codegen'd engine-portable polynomial string hash (seed 7, ×31,
+    * mod 1e9+7 over code points; `''` hashes to 217 — see
+    * [[PolyHash]]). */
+  def poly_hash(s: Column): Column = call_function("poly_hash", s)
+
+  /** Hashed unigram+bigram buckets of a token array in one pass (the
+    * DSIR featurizer — see [[GramBuckets]]). */
+  def gram_buckets(toks: Column, nBuckets: Int): Column =
+    call_function("gram_buckets", toks, org.apache.spark.sql.functions.lit(nBuckets))
 
   /** All multi-table random-hyperplane LSH signatures of a vector
     * (tables × bits, planes seeded per table), one codegen'd pass. */

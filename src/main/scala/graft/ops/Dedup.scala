@@ -639,6 +639,7 @@ object Dedup {
     * (the driver-oracle configuration). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession) // polyHash configs
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", tokenHash(col("t")))
     val bitSums = (0 until bits).map { b =>

@@ -157,14 +157,7 @@ object Sampling {
                           idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
       .select(col(idCol),
-        explode(concat(col("__w"), TextAnalysis.ngramsAll(col("__w"), 2))).as("__g"))
-      // an empty doc's collapse gram is "" — hashing it would pin
-      // engine-specific empty-split semantics into the bucket space;
-      // a doc with no grams simply has no weight rows
-      .where(length(col("__g")) > 0)
-      .select(col(idCol),
-        pmod(TextAnalysis.polyHash(col("__g")), lit(nBuckets.toLong))
-          .cast("int").as("bucket"))
+        explode(graft.functions.gram_buckets(col("__w"), nBuckets)).as("bucket"))
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each raw
@@ -180,52 +173,64 @@ object Sampling {
     * [[TextAnalysis.unigramLogProb]] pattern: order-independent, so
     * engines agree bit-for-bit), rounded to 4 dp.
     *
-    * Scale: ONE gram explode over the raw corpus — the per-doc bucket
-    * count frame is shared (checkpoint) between the raw-side marginal
-    * and the weight sum, and only (id, bucket, count) rows ever
-    * shuffle; text never moves. The λ frame is ≤ nBuckets rows (joins
-    * broadcast), the two totals are audited single-row cross joins,
-    * and the target corpus — small by construction — contributes one
-    * bounded aggregate. At 100 TB the cost is the token explode, same
-    * as every other corpus statistic here. */
+    * Scale: two SCANS and no wide state. Pass 1 aggregates the two
+    * bucket marginals — map-side combine means the shuffle is
+    * nBuckets × partitions rows — and the ≤ nBuckets λ values come to
+    * the driver (the capped-lexicon pattern) where the quantized
+    * log-ratio is computed bit-identically to the SQL oracle
+    * (Math.log IS Spark's log; HALF_UP IS Spark's round). Pass 2
+    * scores: the λ array rides the plan as a literal (the bloom-filter
+    * pattern), each doc's grams look it up in place, and the only
+    * shuffle is the map-side-combined per-DOC sum — no (id, bucket)
+    * aggregate, no join, nothing keyed wider than the corpus's ids.
+    * Text never moves in either pass. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         nBuckets: Int = 4096, alpha: Double = 1.0,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    import graft.ops.Checkpoints.SharedOps
-    val db = gramBuckets(raw, nBuckets, idCol, textCol)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-      .sharedCheckpoint()
-    val qb = db.groupBy("bucket").agg(sum("c").as("cq"))
-    val pb = gramBuckets(target, nBuckets, idCol, textCol)
-      .groupBy("bucket").agg(count(lit(1)).as("cp"))
-    val qt = qb.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
-    val pt = pb.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
-    // buckets no raw doc references never join back — a LEFT join from
-    // the raw marginal is the whole λ domain that matters
-    val lam = qb.join(pb, Seq("bucket"), "left_outer")
-      .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
-      .select(col("bucket"),
-        lamE6(coalesce(col("cp"), lit(0L)), col("cq"), nBuckets, alpha).as("lam_e6"))
-    db.join(lam, "bucket")
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_e6")).as("s"))
-      .select(col(idCol), col("n_grams"),
-        round(col("s").cast("double") / 1e6, 4).as("logratio"))
+    graft.functions.ensureRegistered(raw.sparkSession)
+    val cq = bucketMarginal(raw, nBuckets, idCol, textCol)
+    val cp = bucketMarginal(target, nBuckets, idCol, textCol)
+    val lam = Array.tabulate(nBuckets)(b =>
+      lamE6Of(cp.getOrElse(b, 0L), cq.getOrElse(b, 0L),
+        cp.values.sum, cq.values.sum, nBuckets, alpha))
+    scoreWith(raw, lam, nBuckets, idCol, textCol)
   }
 
-  /** The 1e-6-quantized smoothed log-ratio of one bucket — expects the
-    * totals as `tp`/`tq` columns in scope (the cross-joined single-row
-    * aggregates). Shared by [[importanceWeights]] and [[lambdaFrame]]
-    * so the two paths can never disagree about the formula. */
-  private def lamE6(cp: Column, cq: Column, nBuckets: Int, alpha: Double): Column = {
+  /** One corpus's hashed-gram bucket counts, to the driver — ≤ nBuckets
+    * rows by construction (the whitelisted bounded-collect shape). */
+  private def bucketMarginal(docs: DataFrame, nBuckets: Int,
+                             idCol: String, textCol: String): Map[Int, Long] =
+    gramBuckets(docs, nBuckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** The 1e-6-quantized smoothed log-ratio of one bucket, computed
+    * driver-side EXACTLY as the in-plan expression and the DuckDB
+    * oracle compute it: java.lang.Math.log is the function Spark's
+    * `log` evaluates, and BigDecimal HALF_UP is the rounding Spark's
+    * `round` applies. One formula, three call sites, zero drift. */
+  private[ops] def lamE6Of(cp: Long, cq: Long, tp: Long, tq: Long,
+                           nBuckets: Int, alpha: Double): Long = {
     val am = alpha * nBuckets
-    round((log((cp.cast("double") + lit(alpha)) /
-               (col("tp").cast("double") + lit(am))) -
-           log((cq.cast("double") + lit(alpha)) /
-               (col("tq").cast("double") + lit(am)))) * 1e6).cast("long")
+    val x = (math.log((cp + alpha) / (tp + am)) -
+             math.log((cq + alpha) / (tq + am))) * 1e6
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
   }
+
+  /** Score a corpus against a dense λ array riding the plan as a
+    * literal: explode grams, look λ up in place, sum per doc — the
+    * shuffle is the map-side-combined per-doc sum, nothing else. */
+  private def scoreWith(docs: DataFrame, lam: Array[Long], nBuckets: Int,
+                        idCol: String, textCol: String): DataFrame =
+    gramBuckets(docs, nBuckets, idCol, textCol)
+      .select(col(idCol), element_at(lit(lam), col("bucket") + 1).as("lam_e6"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum("lam_e6").as("s"))
+      .select(col(idCol), col("n_grams"),
+        round(col("s").cast("double") / 1e6, 4).as("logratio"))
 
   /** The DSIR model as a persistable frame: (bucket, lam_e6) over
     * every bucket either fit corpus touched, plus a sentinel row
@@ -242,44 +247,33 @@ object Sampling {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val qb = gramBuckets(rawSample, nBuckets, idCol, textCol)
-      .groupBy("bucket").agg(count(lit(1)).as("cq"))
-    val pb = gramBuckets(target, nBuckets, idCol, textCol)
-      .groupBy("bucket").agg(count(lit(1)).as("cp"))
-    val qt = qb.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
-    val pt = pb.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
-    // full outer: serve-time batches may hit buckets only one fit
-    // corpus touched; the sentinel covers buckets neither did
-    val lam = qb.join(pb, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
-      .select(col("bucket"),
-        lamE6(coalesce(col("cp"), lit(0L)), coalesce(col("cq"), lit(0L)),
-          nBuckets, alpha).as("lam_e6"))
-    val dflt = pt.crossJoin(qt)
-      .select(lit(-1).as("bucket"), lamE6(lit(0L), lit(0L), nBuckets, alpha).as("lam_e6"))
-    lam.unionAll(dflt)
+    graft.functions.ensureRegistered(rawSample.sparkSession)
+    val cq = bucketMarginal(rawSample, nBuckets, idCol, textCol)
+    val cp = bucketMarginal(target, nBuckets, idCol, textCol)
+    val (tp, tq) = (cp.values.sum, cq.values.sum)
+    val spark = rawSample.sparkSession
+    import spark.implicits._
+    // every bucket either fit corpus touched, plus the sentinel for
+    // buckets neither did (serve-time batches can hit any of the three)
+    val rows = (cq.keySet ++ cp.keySet).toSeq.sorted.map { b =>
+      (b, lamE6Of(cp.getOrElse(b, 0L), cq.getOrElse(b, 0L), tp, tq, nBuckets, alpha))
+    } :+ ((-1, lamE6Of(0L, 0L, tp, tq, nBuckets, alpha)))
+    rows.toDF("bucket", "lam_e6")
   }
 
   /** Score documents against a frozen [[lambdaFrame]]: the serve half
-    * of fit-once/serve-many. Same output shape as
-    * [[importanceWeights]]; buckets outside the model fall back to the
-    * sentinel default. The model frame is ≤ nBuckets+1 rows — the join
-    * broadcasts. */
+    * of fit-once/serve-many, same output shape and same plan as
+    * [[importanceWeights]]'s scoring pass — the ≤ nBuckets+1-row model
+    * collects to a dense array (sentinel default filling the gaps) and
+    * rides the plan as a literal. */
   def scoreAgainst(docs: DataFrame, lambda: DataFrame,
                    nBuckets: Int = 4096,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dflt = lambda.where(col("bucket") === -1)
-      .agg(coalesce(min("lam_e6"), lit(0L)).as("__dflt"))
-    val model = broadcast(lambda.where(col("bucket") =!= -1))
-    gramBuckets(docs, nBuckets, idCol, textCol)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-      .join(model, Seq("bucket"), "left_outer")
-      .crossJoin(broadcast(dflt))
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_grams"),
-        sum(col("c") * coalesce(col("lam_e6"), col("__dflt"))).as("s"))
-      .select(col(idCol), col("n_grams"),
-        round(col("s").cast("double") / 1e6, 4).as("logratio"))
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val m = lambda.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dflt = m.getOrElse(-1, 0L)
+    val arr = Array.tabulate(nBuckets)(b => m.getOrElse(b, dflt))
+    scoreWith(docs, arr, nBuckets, idCol, textCol)
   }
 
   /** Deterministic DSIR selection: the k most target-like raw docs by

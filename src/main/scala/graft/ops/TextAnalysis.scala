@@ -106,19 +106,19 @@ object TextAnalysis {
     * cheap, stable, and reproducible in any engine with 64-bit integer
     * arithmetic (unlike xxhash64, whose exact constants SQL engines
     * don't expose). Values are < 2^30, so bits 0..29 are usable as
-    * independent-ish hash bits. */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(7L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    * independent-ish hash bits. One codegen'd scan expression
+    * ([[graft.functions.PolyHash]] — the per-character lambda chain it
+    * replaces dominated every hashed-feature pass); callers must have
+    * graft functions registered, as with [[Dedup.shingles]]. */
+  def polyHash(s: Column): Column = graft.functions.poly_hash(s)
 
   /** Document fingerprint: [[polyHash]] of the normalized text. */
   def fingerprint(text: Column): Column = polyHash(normText(text))
 
   /** Per-document text stats frame: one tokenizer pass feeds all three
     * token-derived stats (see the CSE note at the top). */
-  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("w"))
       .select(
         col(idCol),
@@ -126,6 +126,7 @@ object TextAnalysis {
         round(meanTokenLenOf(col("w")), 4).as("mean_token_len"),
         round(stopwordRatioOf(col("w")), 4).as("stopword_ratio"),
         fingerprint(col(textCol)).as("fingerprint"))
+  }
 
   /** Word n-grams WITH repetitions (unlike [[Dedup.shingles]], which is
     * the distinct set for Jaccard): the multiset a repetition detector
@@ -669,6 +670,7 @@ object TextAnalysis {
   def hashedLinearScore(docs: DataFrame, dim: Int = 4096,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    graft.functions.ensureRegistered(docs.sparkSession)
     val WM = 1000003L // prime weight modulus
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
     val bucket = pmod(polyHash(col("t")), lit(dim.toLong))

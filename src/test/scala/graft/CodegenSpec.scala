@@ -60,6 +60,28 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("poly_hash compiles in non-whole-stage codegen and matches the pinned semantics") {
+    val str = BoundReference(3, StringType, nullable = true)
+    def rowOf(s: String): InternalRow = new GenericInternalRow(Array[Any](
+      null, null, null, org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    val ph = graft.functions.PolyHash(str)
+    val proj = GenerateUnsafeProjection.generate(Seq(ph, ph))
+    def both(s: String): Long = {
+      val out = proj(rowOf(s))
+      val gen = out.getLong(0)
+      assert(gen == out.getLong(1), "twin instances diverged")
+      assert(gen == ph.eval(rowOf(s)), s"codegen != interpreted for '$s'")
+      gen
+    }
+    // the exact fold the HOF chain and the DuckDB oracles compute
+    def ref(s: String): Long =
+      if (s.isEmpty) 217L
+      else s.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
+    Seq("", "a", "spark table", "漢字 test", "naïve", "🙂🙃").foreach { s =>
+      assert(both(s) == ref(s), s"poly_hash('$s') diverged from the pinned fold")
+    }
+  }
+
   test("pq_adc rejects a LUT sized for different (m, ksub) instead of reading garbage") {
     val adc = graft.functions.PqAdc(lut, codes, m = 2, ksub = 4)
     // interpreted path

@@ -589,6 +589,41 @@ class OpsSpec extends SparkSpec {
     assert(ivf == bf, "exhaustive ivfTopK diverged from brute force under hot split")
   }
 
+  test("poly_hash equals the higher-order fold it replaced, row for row") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val df = Seq("", "a", "spark table merge", "漢字 mixed", "naïve café",
+      "  double  spaced  ", "p q r s t u").toDF("s")
+    val hof = aggregate(
+      transform(split(col("s"), ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+    df.select(col("s"), graft.functions.poly_hash(col("s")).as("a"), hof.as("b"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"poly_hash('${r.getString(0)}') = ${r.getLong(1)} != HOF ${r.getLong(2)}")
+      }
+  }
+
+  test("gram_buckets equals the composed explode/ngrams/poly_hash path") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val m = 512
+    val df = Seq("", "solo", "two tokens", "spark table merge window scan",
+      "naïve café 漢字", "a a a").toDF("text")
+      .select(Dedup.tokens(col("text")).as("w"))
+      .localCheckpoint()
+    def sortedRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getSeq[Int](0).sorted).toSeq
+    val fused = sortedRows(df.select(graft.functions.gram_buckets(col("w"), m)))
+    val composed = sortedRows(df.select(
+      transform(
+        filter(concat(col("w"), TextAnalysis.ngramsAll(col("w"), 2)),
+          g => length(g) > 0),
+        g => pmod(graft.functions.poly_hash(g), lit(m.toLong)).cast("int")).as("b")))
+    assert(fused == composed, s"fused $fused != composed $composed")
+  }
+
   test("DSIR importance weights: target-like docs outrank off-distribution docs") {
     import spark.implicits._
     // target distribution: spark-y vocabulary; raw corpus holds two
