@@ -654,4 +654,43 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Pairwise source content-overlap matrix — the mirror-detection /
+    * provenance report a multi-source corpus release runs before
+    * assigning mixture weights: two crawls of the same site, a dataset
+    * re-hosted under a new name, or a subset re-released as "curated"
+    * all show up as a high-Jaccard source pair. One row per unordered
+    * source pair (a < b): per-source distinct-content counts, the
+    * shared distinct-content count, and the content Jaccard (4 dp).
+    * Pairs with no overlap still report (shared = 0) — absence of
+    * overlap is exactly what the release check wants to see.
+    *
+    * Scale: content travels as 8-byte xxhash64 digests of normalized
+    * text — the one corpus-sized exchange is the (source, digest)
+    * distinct; the digest self-join fans out at most C(|sources|, 2)
+    * pairs per digest, and everything downstream of it is the
+    * |sources|²-bounded matrix (the per-source count frame is
+    * |sources| rows, so its cross pairing is driver-trivial).
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val dig = docs
+      .select(col(srcCol).as("src"), xxhash64(normText(col(textCol))).as("h"))
+      .distinct().sharedCheckpoint()
+    val counts = dig.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = dig.as("a")
+      .join(dig.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val pairs = counts.as("ca").crossJoin(counts.as("cb"))
+      .where(col("ca.src") < col("cb.src"))
+      .select(col("ca.src").as("source_a"), col("cb.src").as("source_b"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("shared"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"), 4).as("jaccard"))
+  }
 }

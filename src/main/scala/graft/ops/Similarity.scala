@@ -748,6 +748,84 @@ object Similarity {
     Dedup.dupClusters(mutualKnnPairs(corpus, k, nlist, nprobe, iters, idCol, vecCol))
       .select(col("doc_id").as(idCol), col("cluster_id"))
 
+  /** PageRank-style centrality over an undirected edge frame (id_a,
+    * id_b) — the "representativeness" score data-selection pipelines
+    * rank by after building the mutual-kNN graph: central vectors sit
+    * in dense, well-connected semantic neighborhoods (prototypical
+    * examples); low-rank vectors are peripheral (outliers, noise, or
+    * rare-but-novel content, depending on what the caller wants to
+    * keep). Damping 0.85 as 17/20 in INTEGER arithmetic: ranks are
+    * ×1e6 longs, each contribution floors `(r·17) div (20·deg)`, so
+    * every iteration is an exact, partition-order-independent integer
+    * sum any engine replays bit-for-bit (same discipline as the text
+    * side's quantized-log scores). Returns (vec_id, degree, rank_e6)
+    * for every endpoint; `iters` fixed power steps (default 3 — ranks
+    * are an ORDERING signal, not a convergence study).
+    *
+    * Scale: per iteration one hash join of the symmetrized edge frame
+    * (2·|E| rows of three longs) against the node-sized rank frame and
+    * one groupBy on the node key — both partition on the same key, and
+    * the frame sizes never grow with iterations. On a mutual-kNN graph
+    * |E| ≤ k·n by construction, so 100 TB cost is iters · O(k·n)
+    * shuffled longs.
+    */
+  def edgeCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .sharedCheckpoint()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).sharedCheckpoint()
+    var rank = deg.select(col("u").as("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      rank = sym
+        .join(rank.select(col("v").as("u"), col("r")), "u")
+        .join(deg, "u")
+        .select(col("v"), expr("(r * 17L) DIV (20L * deg)").as("c"))
+        .groupBy("v").agg((lit(150000L) + sum(col("c"))).as("r"))
+        .sharedCheckpoint()
+    }
+    rank.join(deg.select(col("u").as("v"), col("deg")), "v")
+      .select(col("v").as("vec_id"), col("deg").as("degree"), col("r").as("rank_e6"))
+  }
+
+  /** Cluster-balanced (semantic-stratified) sampling: assign every
+    * vector to its nearest pinned centroid by cosine (ties → lowest
+    * centroid index, the argmax-first rule), then keep the `perCell`
+    * deterministic-lowest-hash members of each cell — the "diversity
+    * sample" that caps any one semantic region's share of a training
+    * mix, where a plain hash sample would reproduce the corpus's own
+    * cluster imbalance. Centroids are caller-pinned (typically
+    * [[ivfCentroids]] output, or k exemplar vectors), so the selection
+    * is reproducible run-to-run and engine-to-engine; the per-cell
+    * pick reuses [[Sampling.stratifiedSample]]'s integer hash order.
+    * Returns (cell, rk, `idCol`), rk = 1-based rank within the cell.
+    *
+    * Scale: assignment is a per-row argmax against plan-literal
+    * centroids — no join, no shuffle, whole-stage codegen; the only
+    * exchange is the per-cell top-k window (k·|cells| survivors). A
+    * hot cell costs one partition's sort, never a candidate blowup —
+    * there is no pair generation here.
+    */
+  def clusterBalancedSample(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                            perCell: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val sims = array(centroids.map(c => cosine(col(vecCol), typedlit(c))): _*)
+    val assigned = corpus
+      .select(col(idCol), (array_position(sims, array_max(sims)) - 1L).as("cell"))
+    Sampling.stratifiedSample(assigned, "cell", perCell, idCol)
+      .select(col("cell"), col("rk"), col(idCol))
+  }
+
+  /** [[edgeCentrality]] over the [[mutualKnnPairs]] graph. */
+  def knnCentrality(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    powerIters: Int = 3, ivfIters: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    edgeCentrality(mutualKnnPairs(corpus, k, nlist, nprobe, ivfIters, idCol, vecCol),
+      powerIters)
+
   /** Deterministic per-subspace PQ codebooks (m × ksub × dsub): init =
     * the ksub lowest-id vectors' subvectors, then `iters` Lloyd steps
     * with squared-L2 assignment over UNIT-NORMALIZED vectors (so ADC

@@ -404,6 +404,40 @@ object TextAnalysis {
     }
   }
 
+  /** Intra-document repeated-line dedup — the within-doc complement of
+    * [[removeBoilerplate]]'s cross-doc stripper: scraped pages repeat
+    * their own nav menus, cookie banners, and list templates dozens of
+    * times inside ONE document, which cross-doc df thresholds can't
+    * see. Keeps the FIRST occurrence of each normalized non-blank line
+    * and every blank line (blank = structure, same rule as
+    * removeBoilerplate); emits (id, n_lines, n_removed, clean_text).
+    *
+    * Scale: pure per-row HOF expressions — NO shuffle, no lexicon, no
+    * join; the whole operator rides whole-stage codegen inside
+    * whatever scan feeds it. Each line normalizes ONCE into an 8-byte
+    * hash array; the first-occurrence test is an O(L²) long-compare
+    * over that array (L = lines per doc, bounded by doc size — at
+    * 100 TB the cost stays embarrassingly parallel and shuffle-free).
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    docs
+      .select(col(idCol), ls.as("ls"))
+      .select(col(idCol), col("ls"),
+        transform(col("ls"), l => xxhash64(normText(l))).as("nh"),
+        transform(col("ls"), l => length(normText(l))).as("bl"))
+      .select(col(idCol),
+        size(col("ls")).cast("long").as("n_lines"),
+        filter(col("ls"), (_, i) =>
+          (element_at(col("bl"), i + 1) === 0) ||
+            !exists(slice(col("nh"), lit(1), i),
+              h => h === element_at(col("nh"), i + 1))).as("kept"))
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("clean_text"))
+  }
+
   /** Sentence statistics: segments split on `[.!?]+` runs, blank
     * segments dropped after space-trimming — sentence count and mean
     * sentence length (chars) are standard fluency/quality inputs (very
@@ -559,6 +593,72 @@ object TextAnalysis {
       .agg(sum("tf").as("n_tokens"), sum("lp_e6").as("s"))
       .select(col(idCol), col("n_tokens"),
         round(col("s").cast("double") / 1e6 / col("n_tokens").cast("double"), 4)
+          .as("mean_logprob"))
+  }
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * interpolated bigram MLE — the CCNet-style perplexity filter one
+    * rung above [[unigramLogProb]]: P̂(w|v) = λ·c(v,w)/c(v,·) +
+    * (1−λ)·freq(w)/total, mean of ln P̂ over a doc's adjacent token
+    * pairs. Fluent prose scores high (its bigrams recur corpus-wide);
+    * shuffled/garbled text with plausible unigrams drops to the
+    * (1−λ)-backoff floor — the signal the unigram filter cannot see.
+    * Docs with fewer than 2 tokens emit no row.
+    *
+    * Numerics: per-pair ln is quantized to 1e-6 and carried as LONG
+    * (exact, order-independent integer sums — same discipline as
+    * [[unigramLogProb]]); λ and 1−λ are interpolated into the plan as
+    * the exact same double literals the oracle SQL carries.
+    *
+    * Plan shape: the token array materializes once per doc; pairs
+    * derive per-row from `transform(sequence(...))` — no self-join, no
+    * window. One (doc,prev,cur) count is lazily checkpointed and feeds
+    * both the bigram lexicon and the per-doc scoring join; the context
+    * counts c(v,·) aggregate the ALREADY-reduced bigram lexicon (a
+    * vocabulary²-bounded frame, not the corpus). The corpus total is
+    * the audited single-row broadcast, not an eager driver count. At
+    * 100 TB the only corpus-sized shuffle is the (prev,cur) string
+    * count — identical in kind to the unigram term shuffle.
+    */
+  def bigramLogProb(docs: DataFrame, lam: Double = 0.7,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
+    val oneMinusLam = 1.0 - lam
+    val w = tokens(col(textCol))
+    val pairStructs = transform(sequence(lit(1), size(col("w")) - 1),
+      i => struct(element_at(col("w"), i).as("prev"),
+        element_at(col("w"), i + 1).as("cur")))
+    val ptf = docs
+      .select(col(idCol), w.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col(idCol), explode(pairStructs).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf"))
+      .sharedCheckpoint()
+    val bf = ptf.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
+      .sharedCheckpoint()
+    val cf = bf.groupBy("prev").agg(sum("bfreq").as("cfreq"))
+    val uf = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ufreq"))
+    // guaranteed-one-row global aggregate, broadcast-attached (the
+    // audited single-row-scalar exception; empty corpus → NULL total →
+    // empty lexicon → empty result, never a bad division)
+    val totFrame = uf.agg(sum("ufreq").cast("double").as("__total"))
+    val lex = bf.join(cf, "prev")
+      .join(uf.withColumnRenamed("token", "cur"), "cur")
+      .crossJoin(broadcast(totFrame))
+      .select(col("prev"), col("cur"),
+        round(log(
+          (lit(lam) * col("bfreq").cast("double")) / col("cfreq").cast("double") +
+          (lit(oneMinusLam) * col("ufreq").cast("double")) / col("__total")) * 1e6)
+          .cast("long").as("lp_e6"))
+    ptf.join(lex, Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("s").cast("double") / 1e6 / col("n_bigrams").cast("double"), 4)
           .as("mean_logprob"))
   }
 

@@ -171,6 +171,29 @@ object PipelineQueries {
       nlist = 16, nprobe = 16)
       .orderBy("vec_id")
 
+  /** Cluster-balanced sample: the first 4 embeddings serve as pinned
+    * centroids (cell ≡ centroid vec_id), 25 lowest-hash picks per
+    * cell — the oracle replays assignment as a rank-1 cosine join and
+    * the pick as the d_stratified_sample hash window. */
+  def clusterSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.clusterBalancedSample(emb, cents, perCell = 25)
+      .orderBy("cell", "rk")
+  }
+
+  /** Integer-exact PageRank centrality over the same pinned mutual-kNN
+    * graph as e_knn_graph (1000-vector slice, full-coverage probe so
+    * IVF ≡ brute force); 3 power steps, damping 17/20 in floored
+    * integer arithmetic — the oracle replays every iteration exactly. */
+  def knnCentralityQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnCentrality(
+      Tables.embeddings(spark, dir).where(col("vec_id") < 1000), k = 5,
+      nlist = 16, nprobe = 16)
+      .orderBy("vec_id")
+
   /** IVF-PQ ANN in its oracle-exact configuration: all cells probed,
     * rerank bound above the corpus size, so ADC prunes nothing and the
     * exact re-rank equals brute force. Realistic (pruning) configs are
@@ -680,6 +703,12 @@ object PipelineQueries {
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Interpolated bigram LM scoring (λ = 0.7) — the perplexity-filter
+    * rung above the unigram signal; the oracle replays the exact
+    * λ/backoff double literals. */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Concat-then-chunk packing of the corpus into 512-token contexts
     * via the two-level distributed prefix sum (see [[graft.ops.Packing]]);
     * small bucket size so the sf corpora actually exercise the
@@ -699,6 +728,16 @@ object PipelineQueries {
     * row_number (the same digest key as [[Dedup.exact]]); the share
     * denominator is a window over the already-aggregated per-source
     * frame (a handful of rows), so nothing wide is single-partition. */
+  /** Intra-document repeated-line dedup: keep-first per normalized
+    * non-blank line, blank lines preserved as structure. */
+  def dedupLinesQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupLines(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Pairwise source content-overlap matrix (mirror detection). */
+  def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(spark, dir))
+      .orderBy("source_a", "source_b")
+
   def sourceMix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -837,9 +876,12 @@ object PipelineQueries {
     "e_event_paths"       -> (eventPaths _),
     "e_anomaly_hourly"    -> (rateAnomalies _),
     "d_unigram_logprob"   -> (unigramLogProb _),
+    "d_bigram_logprob"    -> (bigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
     "d_pmi_pairs"         -> (pmiPairs _),
     "d_source_mix"        -> (sourceMix _),
+    "d_source_overlap"    -> (sourceOverlapQ _),
+    "d_line_dedup"        -> (dedupLinesQ _),
     "d_freq_spectrum"     -> (freqSpectrum _),
     "d_len_hist"          -> (lenHist _),
     "e_knn_labels"        -> (knnLabels _),
@@ -878,6 +920,8 @@ object PipelineQueries {
     "e_pq_residual"     -> (pqResidualTopK _),
     "e_pq_index_serve"  -> (pqIndexServe _),
     "e_knn_graph"       -> (knnGraphQ _),
+    "e_knn_centrality"  -> (knnCentralityQ _),
+    "e_cluster_sample"  -> (clusterSampleQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
@@ -1097,6 +1141,29 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens,
          |       round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS mean_logprob
          |FROM s ORDER BY doc_id""".stripMargin,
+    // λ and 1−λ interpolated from the SAME Scala doubles the operator
+    // plans with (1−0.7 is NOT 0.3 in IEEE — the literal must match
+    // bit-for-bit for the quantized ln to agree at boundaries)
+    "d_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |ix AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
+         |p AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM ix),
+         |ptf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+         |bf AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM ptf GROUP BY 1, 2),
+         |cf AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf GROUP BY 1),
+         |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ufreq
+         |      FROM (SELECT unnest($ToksSql) AS token FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u),
+         |lp AS (SELECT prev, cur,
+         |         CAST(round(ln((${0.7} * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |           + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |       FROM bf JOIN cf USING (prev) JOIN u ON u.token = bf.cur CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |        CAST(SUM(tf * lp_e6) AS BIGINT) AS s
+         |      FROM ptf JOIN lp USING (prev, cur) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE), 4) AS mean_logprob
+         |FROM s ORDER BY doc_id""".stripMargin,
     "d_pack_contexts" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
@@ -1124,6 +1191,40 @@ object PipelineQueries {
          |JOIN v va ON va.token = p.token_a
          |JOIN v vb ON vb.token = p.token_b
          |ORDER BY token_a, token_b""".stripMargin,
+    "d_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |x AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM t),
+         |l AS (SELECT doc_id, pos, ls[pos] AS line,
+         |        regexp_replace(lower(trim(ls[pos])), '\\s+', ' ', 'g') AS norm
+         |      FROM x),
+         |k AS (SELECT doc_id, pos, line, norm,
+         |        MIN(pos) OVER (PARTITION BY doc_id, norm) AS first_pos FROM l),
+         |kept AS (SELECT doc_id, pos, line FROM k WHERE norm = '' OR pos = first_pos),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY 1),
+         |n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM t)
+         |SELECT n.doc_id, n_lines, n_lines - n_kept AS n_removed, clean_text
+         |FROM n JOIN agg ON n.doc_id = agg.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+    // overlap keys are 8-byte xxhash64 digests engine-side; the oracle
+    // groups on the normalized text itself — identical counts unless
+    // two distinct norms collide in 64 bits (~n²/2⁶⁴, ignorable)
+    "d_source_overlap" ->
+      s"""WITH d AS (SELECT DISTINCT source AS src, $NormSql AS norm FROM documents),
+         |c AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |sh AS (SELECT a.src AS source_a, b.src AS source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |       FROM d a JOIN d b ON a.norm = b.norm AND a.src < b.src
+         |       GROUP BY 1, 2),
+         |p AS (SELECT ca.src AS source_a, cb.src AS source_b, ca.n AS n_a, cb.n AS n_b
+         |      FROM c ca, c cb WHERE ca.src < cb.src)
+         |SELECT p.source_a, p.source_b, n_a, n_b,
+         |       CAST(COALESCE(shared, 0) AS BIGINT) AS shared,
+         |       round(CAST(COALESCE(shared, 0) AS DOUBLE) /
+         |             CAST(n_a + n_b - COALESCE(shared, 0) AS DOUBLE), 4) AS jaccard
+         |FROM p LEFT JOIN sh ON p.source_a = sh.source_a AND p.source_b = sh.source_b
+         |ORDER BY p.source_a, p.source_b""".stripMargin,
     "d_source_mix" ->
       s"""WITH t AS (SELECT doc_id, source, len($ToksSql) AS n_toks, $NormSql AS norm
          |           FROM documents),
@@ -1546,6 +1647,49 @@ object PipelineQueries {
         |SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
         |JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
         |WHERE a.q_id < a.n_id ORDER BY id_a, id_b""".stripMargin,
+    "e_cluster_sample" ->
+      """WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 4),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |sims AS (SELECT v.vec_id, cell, list_cosine_similarity(vv, cv) AS sim
+        |         FROM v, cent),
+        |asn AS (SELECT vec_id, cell,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rnk
+        |        FROM sims),
+        |cells AS (SELECT vec_id, cell FROM asn WHERE rnk = 1),
+        |h AS (SELECT vec_id, cell,
+        |        (((vec_id % 1000000007) * 2654435761) % 1000000007) % 97 AS hv
+        |      FROM cells),
+        |r AS (SELECT cell, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY hv, vec_id) AS rk
+        |      FROM h)
+        |SELECT cell, CAST(rk AS BIGINT) AS rk, vec_id FROM r
+        |WHERE rk <= 25 ORDER BY cell, rk""".stripMargin,
+    // replays the engine's integer power iteration exactly: damping
+    // 17/20 via floored integer division, ranks ×1e6 as BIGINTs
+    "e_knn_centrality" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |      FROM c a, c b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s),
+        |t5 AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |m AS (SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
+        |      JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
+        |      WHERE a.q_id < a.n_id),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM m UNION ALL SELECT id_b, id_a FROM m),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |p0 AS (SELECT u AS vv, CAST(1000000 AS BIGINT) AS rr FROM dg),
+        |p1 AS (SELECT s2.v AS vv, CAST(150000 + SUM((p.rr * 17) // (20 * d.deg)) AS BIGINT) AS rr
+        |       FROM sym s2 JOIN p0 p ON s2.u = p.vv JOIN dg d ON s2.u = d.u GROUP BY s2.v),
+        |p2 AS (SELECT s2.v AS vv, CAST(150000 + SUM((p.rr * 17) // (20 * d.deg)) AS BIGINT) AS rr
+        |       FROM sym s2 JOIN p1 p ON s2.u = p.vv JOIN dg d ON s2.u = d.u GROUP BY s2.v),
+        |p3 AS (SELECT s2.v AS vv, CAST(150000 + SUM((p.rr * 17) // (20 * d.deg)) AS BIGINT) AS rr
+        |       FROM sym s2 JOIN p2 p ON s2.u = p.vv JOIN dg d ON s2.u = d.u GROUP BY s2.v)
+        |SELECT dg.u AS vec_id, dg.deg AS degree, p3.rr AS rank_e6
+        |FROM p3 JOIN dg ON p3.vv = dg.u ORDER BY vec_id""".stripMargin,
     "e_semantic_clusters" ->
       """WITH RECURSIVE c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,

@@ -864,6 +864,44 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.semanticClusters(df.limit(0), k = 3).isEmpty)
   }
 
+  test("cluster-balanced sample: nearest-centroid cells, hash-ordered picks") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.05f)),
+      (10L, Seq(0f, 1f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(0.02f, 0.7f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Similarity.clusterBalancedSample(df, cents, perCell = 2)
+      .orderBy("cell", "rk").as[(Long, Long, Long)].collect().toSeq
+    def hv(id: Long) = (((id % 1000000007L) * 2654435761L) % 1000000007L) % 97L
+    val cell0 = Seq(0L, 1L, 2L).sortBy(id => (hv(id), id)).take(2)
+    val cell1 = Seq(10L, 11L, 12L).sortBy(id => (hv(id), id)).take(2)
+    assert(got == (cell0.zipWithIndex.map { case (id, i) => (0L, i + 1L, id) } ++
+      cell1.zipWithIndex.map { case (id, i) => (1L, i + 1L, id) }))
+    // a cell never exceeds perCell even when the corpus is all one cluster
+    val lop = Similarity.clusterBalancedSample(
+      df.where(col("vec_id") < 3), cents, perCell = 2)
+    assert(lop.groupBy("cell").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("edge centrality: hand-computed integer power iteration on a path graph") {
+    import spark.implicits._
+    // path 1—2—3: the bridge node 2 must out-rank the leaves, and every
+    // iteration's floored integer arithmetic is replayed by hand
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Similarity.edgeCentrality(edges, iters = 3).orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // i1: r1=575000 r2=1850000 r3=575000
+    // i2: r1=936250 r2=1127500 r3=936250
+    // i3: r1=150000+(1127500*17)div40=629187
+    //     r2=150000+2*((936250*17)div20)=1741624
+    assert(got == Seq((1L, 1L, 629187L), (2L, 2L, 1741624L), (3L, 1L, 629187L)))
+    // order-independence: repartitioned input yields identical ranks
+    val again = Similarity.edgeCentrality(edges.repartition(7), iters = 3)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("LSH top-k achieves decent recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
@@ -931,6 +969,66 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 3L, r4(3 * -916291L / 1e6 / 3)),
       (2L, 2L, r4((-916291L - 1609438L) / 1e6 / 2))))
+  }
+
+  test("intra-doc line dedup: keep-first, blanks preserved, idempotent") {
+    import spark.implicits._
+    val text = "menu\nhello world\nmenu\n\nMENU \nbody\n\nhello  world"
+    val got = TextAnalysis.dedupLines(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().head
+    // 8 lines; dropped: pos-3 "menu", pos-5 "MENU " (normalizes to
+    // "menu"), pos-8 "hello  world"; both blank lines survive
+    assert(got == ((1L, 8L, 3L, "menu\nhello world\n\nbody\n")))
+    val again = TextAnalysis.dedupLines(
+      Seq((1L, got._4)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().head
+    assert(again._3 == 0L && again._4 == got._4)
+  }
+
+  test("source overlap: hand-computed matrix incl. zero-overlap pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "srcA", "alpha beta"), (2L, "srcA", "gamma"), (3L, "srcA", "ALPHA   beta"),
+      (4L, "srcB", "alpha beta"), (5L, "srcB", "delta"),
+      (6L, "srcC", "epsilon")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(d).orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // srcA's distinct norms are {alpha beta, gamma} — doc 3 normalizes
+    // into doc 1; the A∩B overlap is the one shared norm
+    assert(got == Seq(
+      ("srcA", "srcB", 2L, 2L, 1L, 0.3333),
+      ("srcA", "srcC", 2L, 1L, 0L, 0.0),
+      ("srcB", "srcC", 2L, 1L, 0L, 0.0)))
+  }
+
+  test("bigram log-prob: hand-computed interpolated MLE, short docs drop") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val lam = 0.7; val beta = 1.0 - lam
+    def lpE6(bf: Long, cf: Long, uf: Long, tot: Long): Long =
+      BigDecimal.valueOf(math.log((lam * bf) / cf + (beta * uf) / tot) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a:3 b:2 c:1, total 6; bigrams (a,a):1 (a,b):1 (b,c):1;
+    // contexts c(a,·)=2 c(b,·)=1; doc 3 has one token → no row
+    val laa = lpE6(1, 2, 3, 6); val lab = lpE6(1, 2, 2, 6); val lbc = lpE6(1, 1, 1, 6)
+    assert(got == Seq(
+      (1L, 2L, r4((laa + lab) / 1e6 / 2)),
+      (2L, 1L, r4(lbc / 1e6 / 1))))
+    // garbled text with IDENTICAL unigrams scores strictly below the
+    // fluent original once real bigram structure exists to lose
+    val fluent = (1 to 30).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (31L, "mat the on sat cat the")
+    val scored = TextAnalysis.bigramLogProb(fluent.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(31L) < scored(1L))
+    // empty corpus survives
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLogProb(empty).collect().isEmpty)
   }
 
   test("packing: bucketed prefix sum is exact across bucket boundaries") {
