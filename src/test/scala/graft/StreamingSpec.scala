@@ -769,6 +769,62 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming curation: all four gates per batch, stores survive a reliable-mode restart") {
+    val base = Files.createTempDirectory("graft_scur").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    import spark.implicits._
+    val benchmark = Seq((900L, "eval question alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def mk() = new graft.streaming.StreamingCuration(spark, base, benchmark)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    def keptIds() = {
+      spark.catalog.refreshByPath(s"$base/kept")
+      spark.read.parquet(s"$base/kept").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // batch 1: 2 exact-dups 1 (normalized); 3 is punct junk (quality);
+    // 5 near-dups 4 (one extra token, J ≈ 0.89); 6 carries two
+    // benchmark shingles (decontam)
+    val s1 = mk()
+    val q1 = s1.start(s1.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "the cat sat on the mat today"),
+        doc(2, "THE CAT  SAT ON THE MAT TODAY"),
+        doc(3, "$$$ %%% ###"),
+        doc(4, "the quick brown fox jumps over the lazy dog friend"),
+        doc(5, "the quick brown fox jumps over the lazy dog friend extra"),
+        doc(6, "alpha beta gamma delta appears here in the document text")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(keptIds() == Seq(1L, 4L))
+    spark.catalog.refreshByPath(s"$base/funnel")
+    val f0 = spark.read.parquet(s"$base/funnel")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f0 == Map("1_total" -> 6L, "2_quality" -> 5L, "3_exact_dedup" -> 4L,
+      "4_near_dup" -> 3L, "5_decontaminated" -> 2L))
+    // restart as a NEW instance under reliable-checkpoint mode: batch 2
+    // must dedup against the persisted stores (exact via digests,
+    // near-dup via signatures/buckets) while dupClusters' shared()
+    // frames upgrade to reliable checkpoints
+    val ckDir = Files.createTempDirectory("graft_scur_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+    try {
+      val s2 = mk()
+      val q2 = s2.start(s2.readJsonDocs(in), trig)
+      try {
+        dropFile(in, "b2.json", Seq(
+          doc(10, "the cat sat on the mat today"),
+          doc(11, "the quick brown fox jumps over the lazy dog friend yes"),
+          doc(12, "completely new content about something else worth keeping the end")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } finally spark.conf.set(graft.ops.Checkpoints.ReliableKey, "false")
+    assert(keptIds() == Seq(1L, 4L, 12L))
+  }
+
   test("reliable-checkpoint mode: streaming twins hold store integrity across restarts") {
     // The batch pipelines have their block-loss spec (OpsSpec); here
     // each persistent-store streaming twin runs its two-batch +
