@@ -819,6 +819,42 @@ object Similarity {
       .select(col("cell"), col("rk"), col(idCol))
   }
 
+  /** Per-dimension embedding drift between two corpus snapshots — the
+    * monitoring table an embedding-backed pipeline checks after
+    * re-crawls, encoder upgrades, or source-mix changes: a dimension
+    * whose corpus mean moved is a feature the new data distributes
+    * differently (encoder regressions show up as MANY dimensions
+    * moving at once). One row per dimension: snapshot counts, mean
+    * activation per side (4 dp), and the absolute shift.
+    *
+    * Numerics: per-row values quantize to ×1e6 longs, so the per-dim
+    * sums are exact integers (partition-order-independent — the same
+    * discipline as every quantized mean in this repo); the only float
+    * work is the final rounded divisions, identical in any engine.
+    *
+    * Scale: one posexplode each side — (dim, long) pairs shuffle to a
+    * dims-sized aggregate; nothing grows with corpus size except the
+    * linear scan. The dims-row result joins dims-on-dims.
+    */
+  def dimensionDrift(embA: DataFrame, embB: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def sums(df: DataFrame): DataFrame = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xe6").as("s"))
+    def mean(s: Column, n: Column): Column =
+      round(s.cast("double") / 1e6 / n.cast("double"), 4)
+    sums(embA).as("a").join(sums(embB).as("b"), "dim")
+      .select(col("dim"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        mean(col("a.s"), col("a.n")).as("mean_a"),
+        mean(col("b.s"), col("b.n")).as("mean_b"),
+        round(abs(mean(col("a.s"), col("a.n")) - mean(col("b.s"), col("b.n"))), 4)
+          .as("shift"))
+  }
+
   /** [[edgeCentrality]] over the [[mutualKnnPairs]] graph. */
   def knnCentrality(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                     powerIters: Int = 3, ivfIters: Int = 1,
@@ -1044,6 +1080,95 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+  }
+
+  /** IVF near-dup pairs with a SYMMETRIC-PQ (SDC, Jégou et al. 2011
+    * §III) prefilter — the pair-workload member of the PQ family: the
+    * candidate self-join carries each side's PACKED 8-byte codes
+    * instead of the full vector, approximates the pair distance as
+    * Σ_j T_j[code_a_j][code_b_j] from a plan-literal m·ksub² codeword-
+    * pair table (pure built-in bit-ops + array lookups — whole-stage
+    * codegen, no custom expression needed), and only pairs whose
+    * approximate cosine clears `threshold − sdcMargin` reach the exact
+    * verify. At 10⁹ vectors the wide Σ C(|cell|,2) join shuffles
+    * 16 B/row instead of ~260 B/row, and the exact cosine — the d-mult
+    * term — runs on the SDC-surviving fraction only.
+    *
+    * Both sides are quantized (vs ADC's exact-query side), so the
+    * approximation error is ~2× ADC's: `sdcMargin` is the recall
+    * slack, spec-measured on planted near-dups. A margin ≥ 1 +
+    * threshold disables the prefilter (every pair verifies exactly —
+    * output then equals [[ivfNearDupPairs]] at the same probe
+    * geometry, the oracle configuration). Same hot-cell guard and
+    * multi-probe semantics as [[ivfNearDupPairs]]; pass pinned
+    * `centroids`/`codebooks` (e.g. from [[PqIndexStore]]) to skip both
+    * trainings. */
+  def ivfPqNearDupPairs(corpus: DataFrame, threshold: Double,
+                        nlist: Int = 16, nprobe: Int = 2,
+                        m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centroids: Option[Seq[Seq[Double]]] = None,
+                        codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+                        sdcMargin: Double = 0.3,
+                        hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    val cents = centroids.getOrElse(ivfCentroids(corpus,
+      resolveNlist(corpus, nlist, "ivfPqNearDupPairs"), iters, idCol, vecCol))
+    if (cents.isEmpty) return noPairs(corpus, idCol)
+    val cbs = codebooks.getOrElse(
+      trainPqCodebooks(corpus, cents, m, ksub, iters, residual = false, idCol, vecCol))
+    if (cbs.isEmpty || cbs.head.isEmpty) return noPairs(corpus, idCol)
+    val kEff = cbs.head.length
+    val bits = if (kEff <= 1) 0 else
+      64 - java.lang.Long.numberOfLeadingZeros((kEff - 1).toLong)
+    val mask = if (bits == 0) 0L else (1L << bits) - 1L
+    // codeword-pair distance tables: T[(j·kEff + a)·kEff + b] =
+    // ‖c_ja − c_jb‖² — m·kEff² doubles, a plan literal
+    val tbl: Seq[Double] = (for {
+      j <- 0 until cbs.length; a <- 0 until kEff; b <- 0 until kEff
+    } yield {
+      val ca = cbs(j)(a); val cb = cbs(j)(b)
+      var s = 0.0; var d = 0
+      while (d < ca.length) { val x = ca(d) - cb(d); s += x * x; d += 1 }
+      s
+    }).toVector
+    val tblLit = typedlit(tbl)
+    def sub(codes: Column, j: Int): Column =
+      shiftrightunsigned(codes, j * bits).bitwiseAND(lit(mask))
+    def sdcD2(a: Column, b: Column): Column =
+      (0 until cbs.length).map { j =>
+        element_at(tblLit,
+          ((lit(j.toLong * kEff) + sub(a, j)) * kEff + sub(b, j) + 1L).cast("int"))
+      }.reduce(_ + _)
+    // unit vectors: ‖a−b‖² = 2 − 2·cos ⇒ keep d2 ≤ 2(1 − t + margin)
+    val maxD2 = 2.0 * (1.0 - threshold + sdcMargin)
+    val probed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.pq_encode(col(vecCol), cbs).as("codes"),
+      explode(probeExpr(col(vecCol), cents, math.min(nprobe, cents.length),
+        None)).as("cell"))
+    val splits = detectHotSplits(probed0, cents.length, "id", "v", iters,
+      hotCellFactor, "ivfPqNearDupPairs")
+    val pairWidth = if (nprobe >= cents.length) Int.MaxValue else 2
+    // the wide join carries (id, cell, codes) ONLY — 16 B of payload
+    val slim = applyHotSplits(probed0, splits, "v", width = pairWidth)
+      .select("id", "cell", "codes")
+    val cand = slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(sdcD2(col("a.codes"), col("b.codes")) <= lit(maxD2))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify on survivors only (same scale-free form as
+    // ivfNearDupPairs; zero vectors never pair)
+    val vec = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    cand
+      .join(vec.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vec.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .where(col("na") > 0 && col("nb") > 0 &&
+        dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Embedding-space label consistency: each query's label vs the

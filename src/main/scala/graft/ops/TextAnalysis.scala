@@ -404,6 +404,179 @@ object TextAnalysis {
     }
   }
 
+  /** TRAIN the quality classifier [[hashedLinearScore]] serves: full-
+    * batch logistic regression on hashed unigram+bigram bucket
+    * fractions (the [[graft.functions.gram_buckets]] featurizer DSIR
+    * uses), positive = a curated exemplar set, negative = raw corpus —
+    * the classic "wiki-vs-crawl" quality filter every large pretraining
+    * pipeline trains (CCNet / GPT-3 style; fastText's linear regime).
+    * Returns (bucket, w_e6) for every bucket the pooled corpus
+    * touches; weights are ×1e6 longs.
+    *
+    * Engine-portable determinism, so the ORACLE can replay training:
+    * features quantize to L1 fractions ×1e6 (exact longs); each step's
+    * per-doc margin is one double division; the error quantizes to
+    * ×1e6 before the gradient sum (exact integer, partition-order
+    * independent); the weight update floors `lr·g/(N·1e6)` (floor, not
+    * round — no half-boundary ambiguity across engines).
+    *
+    * Scale: the corpus is featurized ONCE into a lazily-checkpointed
+    * (doc, bucket, c, f_e6) frame; each step is one doc-keyed margin
+    * aggregate (weights ride in as a dim-sized plan literal — no join)
+    * plus one bucket-keyed gradient aggregate, with only dim rows ever
+    * collected. steps·2 passes over the FEATURE frame (not the text),
+    * driver state = one dim-long array.
+    */
+  def trainQualityClassifier(pos: DataFrame, neg: DataFrame, dim: Int = 4096,
+                             steps: Int = 2, lr: Double = 1.0,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0 && steps >= 1, s"dim/steps must be positive, got $dim/$steps")
+    graft.functions.ensureRegistered(pos.sparkSession)
+    val session = pos.sparkSession
+    import session.implicits._
+    def featsOf(df: DataFrame, y: Int): DataFrame = df
+      .select(col(idCol).as("id"), lit(y).as("y"),
+        explode(graft.functions.gram_buckets(tokens(col(textCol)), dim)).as("b0"))
+      .select(col("id"), col("y"), col("b0").cast("long").as("bucket"))
+      .groupBy("id", "y", "bucket").agg(count(lit(1)).as("c"))
+    val fb = featsOf(pos, 1).union(featsOf(neg, 0))
+    val totals = fb.groupBy("id", "y").agg(sum("c").as("n"))
+    val feats = fb.join(totals.select("id", "n"), "id")
+      .select(col("id"), col("y"), col("bucket"), col("c"), col("n"),
+        round(col("c").cast("double") / col("n").cast("double") * 1e6)
+          .cast("long").as("f_e6"))
+      .sharedCheckpoint()
+    val nDocs = feats.select("id").distinct().count()
+    if (nDocs == 0L)
+      return Seq.empty[(Long, Long)].toDF("bucket", "w_e6")
+    val w = Array.fill[Long](dim)(0L)
+    var present: Array[Long] = Array.empty
+    for (_ <- 1 to steps) {
+      val wLit = typedlit(w.toSeq)
+      // margin s = Σ c·w_e6[b] / 1e6 / n; quantized logistic error
+      val docErr = feats.groupBy(col("id"), col("y"), col("n"))
+        .agg(sum(col("c") *
+          element_at(wLit, (col("bucket") + 1).cast("int"))).as("swc"))
+        .select(col("id"),
+          round((lit(1.0) / (lit(1.0) +
+            exp(-(col("swc").cast("double") / 1e6 / col("n").cast("double")))) -
+            col("y").cast("double")) * 1e6).cast("long").as("err_e6"))
+      val grad = feats.join(docErr, "id")
+        .groupBy("bucket").agg(sum(col("err_e6") * col("f_e6")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      present = grad.map(_._1)
+      grad.foreach { case (b, g) =>
+        w(b.toInt) -= math.floor(g.toDouble * lr / (nDocs.toDouble * 1e6)).toLong
+      }
+    }
+    present.sorted.toSeq.map(b => (b, w(b.toInt))).toDF("bucket", "w_e6")
+  }
+
+  /** Serve a [[trainQualityClassifier]] weight frame: per-doc margin
+    * s = Σ c·w/1e6/n over the same hashed-gram features, score = s
+    * rounded 4 dp, keep ⇔ s > 0 (σ(s) > ½). The dim-bounded weight
+    * frame broadcasts into the bucket join; docs with no grams drop. */
+  def classifierScore(docs: DataFrame, weights: DataFrame, dim: Int = 4096,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val fb = docs
+      .select(col(idCol), explode(
+        graft.functions.gram_buckets(tokens(col(textCol)), dim)).as("b0"))
+      .select(col(idCol), col("b0").cast("long").as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    fb.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"),
+        sum(col("c") * coalesce(col("w_e6"), lit(0L))).as("swc"))
+      .select(col(idCol),
+        round(col("swc").cast("double") / 1e6 / col("n").cast("double"), 4)
+          .as("score"),
+        (col("swc") > 0L).as("keep"))
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus (the byte-pair-
+    * encoding training loop of Sennrich et al. 2016, public algorithm)
+    * — the tokenizer-TRAINING side of the [[bpeTokens]] pre-tokenizer:
+    * start from characters, repeatedly merge the most frequent
+    * adjacent symbol pair (ties → lexicographically first), until
+    * `numMerges` merges are learned or no pair reaches `minPairFreq`.
+    * Returns (rank, left, right, pair_count) — byte-for-byte
+    * deterministic for a given corpus, so the merge table is a
+    * reproducible artifact.
+    *
+    * Scale: the corpus is scanned ONCE (word-frequency build); every
+    * iteration then runs on the DISTINCT-WORD frame (vocabulary-sized,
+    * locally checkpointed — at 100 TB that is millions of rows, not
+    * billions), exactly how production BPE trainers work. Each merge
+    * is one pair-count aggregate + argmax on that small frame; the
+    * driver holds only the ≤ numMerges merge list.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
+                textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val session = docs.sparkSession
+    var syms = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val pairStructs = transform(sequence(lit(1), size(col("u")) - 1),
+      j => struct(element_at(col("u"), j).as("l"),
+        element_at(col("u"), j + 1).as("r")))
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = syms.select(split(col("sym"), " ").as("u"), col("freq"))
+        .where(size(col("u")) >= 2)
+        .select(explode(pairStructs).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairFreq) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r, top.head.getLong(2)))
+        syms = syms
+          .withColumn("sym", regexp_replace(col("sym"), mergePattern(l, r),
+            java.util.regex.Matcher.quoteReplacement(l + r)))
+          .localCheckpoint()
+      }
+    }
+    import session.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, c), i) => (i.toLong + 1L, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Whole-symbol occurrence of `l r` in a space-joined symbol string
+    * (bounded-width lookbehind/ahead, so replacement is the standard
+    * leftmost non-overlapping BPE pass). */
+  private def mergePattern(l: String, r: String): String =
+    "(?<=^| )" + java.util.regex.Pattern.quote(l) + " " +
+      java.util.regex.Pattern.quote(r) + "(?= |$)"
+
+  /** Apply a learned merge table: per-document whitespace-token and
+    * BPE-unit counts — the "how many units will this corpus cost"
+    * budgeting pass. Merges apply in rank order to the DISTINCT-word
+    * lexicon (one chained-regex evaluation per distinct word, not per
+    * occurrence), then join back to the exploded token stream —
+    * occurrences shuffle as words once, unit counts are exact integer
+    * sums. */
+  def bpeSegmentCounts(docs: DataFrame, merges: Seq[(String, String)],
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .sharedCheckpoint()
+    val segmented = merges.foldLeft(concat_ws(" ", split(col("w"), ""))) {
+      case (c, (l, r)) => regexp_replace(c, mergePattern(l, r),
+        java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+    val lex = toks.select("w").distinct()
+      .select(col("w"), size(split(segmented, " ")).cast("long").as("units"))
+    toks.join(lex, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+  }
+
   /** Intra-document repeated-line dedup — the within-doc complement of
     * [[removeBoilerplate]]'s cross-doc stripper: scraped pages repeat
     * their own nav menus, cookie banners, and list templates dozens of

@@ -171,6 +171,36 @@ object PipelineQueries {
       nlist = 16, nprobe = 16)
       .orderBy("vec_id")
 
+  /** Quality-classifier TRAINING: 2 full-batch logistic steps, src0 as
+    * the curated positive set vs the rest of the corpus — the oracle
+    * replays both steps (step 1 constant-folds to err = ±500000 since
+    * w₀ = 0 ⇒ σ(0) = ½ exactly). */
+  def qualityTrainQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.trainQualityClassifier(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), steps = 2)
+      .orderBy("bucket")
+  }
+
+  /** BPE tokenizer training: the first 8 learned merges over the
+    * corpus. No SQL oracle (the training loop is iterative-argmax, not
+    * SQL-expressible) — the driver records the rows-only check; the
+    * merge sequence itself is pinned by a hand-computed spec on the
+    * Sennrich corpus, and is fully deterministic here. */
+  def bpeMergesQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy("rank")
+
+  /** Per-dimension embedding drift between the even- and odd-id halves
+    * of the embeddings table (two stand-in corpus snapshots). */
+  def dimensionDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.dimensionDrift(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1))
+      .orderBy("dim")
+  }
+
   /** Cluster-balanced sample: the first 4 embeddings serve as pinned
     * centroids (cell ≡ centroid vec_id), 25 lowest-hash picks per
     * cell — the oracle replays assignment as a rank-1 cosine join and
@@ -261,6 +291,17 @@ object PipelineQueries {
   def embNearDupsIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45,
         nlist = 8, nprobe = 4)
+      .orderBy("id_a", "id_b")
+
+  /** SDC-prefiltered PQ near-dup pairs in the oracle-exact
+    * configuration: same probe geometry as e_ivf_near_dup with the
+    * symmetric-PQ prefilter DISABLED (margin ≥ 1 + t), so every
+    * cell-pair candidate verifies exactly and the output equals the
+    * brute-force oracle. The pruning regime is spec-checked for recall
+    * instead (SDC margin on planted near-dups). */
+  def embNearDupsPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.45,
+        nlist = 8, nprobe = 4, sdcMargin = 2.0)
       .orderBy("id_a", "id_b")
 
   /** Incremental embedding near-dup: vec_id ≥ 250 is "tonight's batch"
@@ -922,9 +963,13 @@ object PipelineQueries {
     "e_knn_graph"       -> (knnGraphQ _),
     "e_knn_centrality"  -> (knnCentralityQ _),
     "e_cluster_sample"  -> (clusterSampleQ _),
+    "e_dimension_drift" -> (dimensionDriftQ _),
+    "d_bpe_merges"      -> (bpeMergesQ _),
+    "d_quality_train"   -> (qualityTrainQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
+    "e_pq_near_dup"     -> (embNearDupsPq _),
     "e_ivf_incremental" -> (embNearDupsIncremental _),
     "e_semantic_dedup"  -> (semanticDedupQ _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
@@ -1647,6 +1692,64 @@ object PipelineQueries {
         |SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
         |JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
         |WHERE a.q_id < a.n_id ORDER BY id_a, id_b""".stripMargin,
+    // replays BOTH logistic steps: w0=0 folds step 1's error to
+    // ±500000 exactly; floor (not round) on the weight update is the
+    // engine-portable choice (no half-boundary ambiguity)
+    "d_quality_train" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
+         |g AS (SELECT doc_id, source, unnest(w ||
+         |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |             ELSE list_transform(generate_series(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i + 1]) END) AS gm
+         |      FROM t),
+         |h AS (SELECT doc_id, source,
+         |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |          list_transform(string_split(gm, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket
+         |      FROM g WHERE len(gm) > 0),
+         |fb AS (SELECT doc_id, MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS y,
+         |         bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM h GROUP BY doc_id, bucket),
+         |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM fb GROUP BY 1),
+         |f AS (SELECT fb.doc_id, y, bucket, c, n,
+         |        CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS f_e6
+         |      FROM fb JOIN tot ON fb.doc_id = tot.doc_id),
+         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nn FROM f),
+         |g1 AS (SELECT bucket, CAST(SUM((500000 - y * 1000000) * f_e6) AS BIGINT) AS gg
+         |       FROM f GROUP BY 1),
+         |w1 AS (SELECT bucket,
+         |         CAST(0 - floor(CAST(gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
+         |       FROM g1 CROSS JOIN nd),
+         |s2 AS (SELECT f.doc_id, MAX(y) AS y, MAX(n) AS n,
+         |         CAST(SUM(c * COALESCE(w1.w, 0)) AS BIGINT) AS swc
+         |       FROM f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
+         |e2 AS (SELECT doc_id,
+         |         CAST(round((1.0 / (1.0 + exp(-(CAST(swc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))))
+         |           - CAST(y AS DOUBLE)) * 1000000.0) AS BIGINT) AS err
+         |       FROM s2),
+         |g2 AS (SELECT bucket, CAST(SUM(err * f_e6) AS BIGINT) AS gg
+         |       FROM f JOIN e2 USING (doc_id) GROUP BY 1),
+         |w2 AS (SELECT w1.bucket,
+         |         CAST(w1.w - floor(CAST(g2.gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
+         |       FROM w1 JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nd)
+         |SELECT bucket, w AS w_e6 FROM w2 ORDER BY bucket""".stripMargin,
+    "e_dimension_drift" ->
+      """WITH av AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
+        |ax AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM av),
+        |sa AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |       FROM ax GROUP BY 1),
+        |bv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+        |bx AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM bv),
+        |sb AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |       FROM bx GROUP BY 1)
+        |SELECT dim, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(sa.s AS DOUBLE) / 1000000.0 / CAST(sa.n AS DOUBLE), 4) AS mean_a,
+        |  round(CAST(sb.s AS DOUBLE) / 1000000.0 / CAST(sb.n AS DOUBLE), 4) AS mean_b,
+        |  round(abs(round(CAST(sa.s AS DOUBLE) / 1000000.0 / CAST(sa.n AS DOUBLE), 4) -
+        |            round(CAST(sb.s AS DOUBLE) / 1000000.0 / CAST(sb.n AS DOUBLE), 4)), 4) AS shift
+        |FROM sa JOIN sb USING (dim) ORDER BY dim""".stripMargin,
     "e_cluster_sample" ->
       """WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |              FROM embeddings WHERE vec_id < 4),
@@ -1948,6 +2051,14 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "e_ivf_near_dup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    // margin-disabled SDC config ≡ exact pairs (prefilter passes all,
+    // verify is exact) — same brute-force oracle as e_ivf_near_dup
+    "e_pq_near_dup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM v a, v b

@@ -501,6 +501,48 @@ class OpsSpec extends SparkSpec {
       s"hierarchical IVF recall $hierRecall < 0.9 (${hierPairs.size}/${truth.size})")
   }
 
+  test("SDC PQ near-dup: margin-off equals IVF-exact; pruning keeps planted recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vecs = new Array[Array[Float]](400)
+    (0 until 400).foreach { i =>
+      vecs(i) =
+        if (i >= 360) vecs(i - 360).map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      i <- 0 until 400; j <- (i + 1) until 400
+      if cos(vecs(i), vecs(j)) >= 0.7
+    } yield (i.toLong, j.toLong)).toSet
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // margin ≥ 1 + t disables the prefilter: identical candidates and
+    // identical exact verify ⇒ output equals the plain IVF operator
+    val exact = pairs(Similarity.ivfNearDupPairs(df, threshold = 0.7,
+      nlist = 8, nprobe = 2))
+    val off = pairs(Similarity.ivfPqNearDupPairs(df, threshold = 0.7,
+      nlist = 8, nprobe = 2, sdcMargin = 2.0))
+    assert(off == exact)
+    // pruning regime: exact verify ⇒ zero false positives; the SDC
+    // margin must hold planted-pair recall
+    val pruned = pairs(Similarity.ivfPqNearDupPairs(df, threshold = 0.7,
+      nlist = 8, nprobe = 2, sdcMargin = 0.3))
+    assert(pruned.subsetOf(truth), s"false positives: ${pruned -- truth}")
+    val recall = pruned.size.toDouble / truth.size
+    assert(recall >= 0.85, s"SDC recall $recall (${pruned.size}/${truth.size})")
+    // degenerate corpora never crash
+    assert(Similarity.ivfPqNearDupPairs(df.limit(0), 0.5).isEmpty)
+    assert(Similarity.ivfPqNearDupPairs(df.limit(1), 0.5).isEmpty)
+  }
+
   test("hot-cell guard: planted hot cluster splits, candidates re-bound, recall holds") {
     import spark.implicits._
     graft.functions.ensureRegistered(spark)
@@ -862,6 +904,67 @@ class OpsSpec extends SparkSpec {
     // empty corpus: no graph, no clusters, never a crash
     assert(Similarity.mutualKnnPairs(df.limit(0), k = 3).isEmpty)
     assert(Similarity.semanticClusters(df.limit(0), k = 3).isEmpty)
+  }
+
+  test("quality classifier training: separable signal learned, deterministic, serving separates") {
+    import spark.implicits._
+    val pos = (1L to 20L).map(i => (i, s"good clean prose number $i"))
+      .toDF("doc_id", "text")
+    val neg = (101L to 120L).map(i => (i, s"spam junk garbage item $i"))
+      .toDF("doc_id", "text")
+    val w1 = TextAnalysis.trainQualityClassifier(pos, neg, steps = 2)
+    // bit-deterministic: identical reruns, identical weights
+    val a = w1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextAnalysis.trainQualityClassifier(pos, neg, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.exists(_._2 > 0) && a.exists(_._2 < 0))
+    // serving: every positive scores above every negative, keep = s > 0
+    val scored = TextAnalysis.classifierScore(pos.union(neg), w1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val ps = scored.filter(_._1 <= 20L); val ns = scored.filter(_._1 >= 101L)
+    assert(ps.map(_._2).min > ns.map(_._2).max)
+    assert(ps.forall(_._3) && ns.forall(!_._3))
+    // empty training sides survive
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.trainQualityClassifier(empty, empty).collect().isEmpty)
+  }
+
+  test("BPE merges: hand-computed Sennrich corpus, deterministic ranks, early stop") {
+    import spark.implicits._
+    // low x5, lower x2, newest x6, widest x3 — the classic fixture
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(d, numMerges = 4).orderBy("rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // pair counts: (e,s)=9 (s,t)=9 tie -> lexicographic; then (es,t)=9;
+    // then (l,o)=(o,w)=7 tie; then (lo,w)=7
+    assert(got == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+    // segment counts under those merges: low=1 unit, lower=3,
+    // newest=4 (n e w est), widest=4 (w i d est)
+    val seg = TextAnalysis.bpeSegmentCounts(d,
+      got.map(m => (m._2, m._3))).as[(Long, Long, Long)].collect().head
+    assert(seg == ((1L, 16L, 5L * 1 + 2 * 3 + 6 * 4 + 3 * 4)))
+    // asking for far more merges than the corpus supports stops at the
+    // minPairFreq floor instead of looping or crashing
+    val all = TextAnalysis.bpeMerges(d, numMerges = 100)
+      .as[(Long, String, String, Long)].collect()
+    assert(all.length < 100 && all.forall(_._4 >= 2L))
+  }
+
+  test("dimension drift: hand-computed per-dim quantized means") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, -0.5f)), (2L, Seq(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimensionDrift(a, b).orderBy("dim")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.75, 0.0, 0.75),
+      (1L, 2L, 1L, -0.125, 1.0, 1.125)))
   }
 
   test("cluster-balanced sample: nearest-centroid cells, hash-ordered picks") {
