@@ -674,18 +674,24 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
     val dig = docs
       .select(col(srcCol).as("src"), xxhash64(normText(col(textCol))).as("h"))
       .distinct().sharedCheckpoint()
-    val counts = dig.groupBy("src").agg(count(lit(1)).as("n"))
     val shared = dig.as("a")
       .join(dig.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
       .agg(count(lit(1)).as("shared"))
-    val pairs = counts.as("ca").crossJoin(counts.as("cb"))
-      .where(col("ca.src") < col("cb.src"))
-      .select(col("ca.src").as("source_a"), col("cb.src").as("source_b"),
-        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+    // the matrix skeleton (every pair incl. zero-overlap ones) builds
+    // from a driver-side |sources|-row collect — bounded by
+    // construction, and the alternative (counts × counts) plans the
+    // nested-loop join the plan audit forbids
+    val cnt = dig.groupBy("src").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val pairs = (for { i <- cnt.indices; j <- (i + 1) until cnt.length }
+      yield (cnt(i)._1, cnt(j)._1, cnt(i)._2, cnt(j)._2))
+      .toSeq.toDF("source_a", "source_b", "n_a", "n_b")
     pairs.join(shared, Seq("source_a", "source_b"), "left")
       .na.fill(0L, Seq("shared"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

@@ -986,6 +986,51 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** BM25 ranked retrieval (Robertson/Lucene form) for a literal term
+    * query — the lexical-search complement of the embedding ANN family
+    * (the other half of a hybrid retrieval stack):
+    * score(d) = Σ_t ln((N − df + ½)/(df + ½) + 1) ·
+    *            tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    * Returns the top-k (doc_id, score_e6), score quantized ×1e6 per
+    * (doc, term) and summed as exact longs — rank order is
+    * deterministic and any engine replays it.
+    *
+    * Scale: the query-term IN-filter sits directly on the exploded
+    * token stream — Catalyst pushes it below the aggregate, so only
+    * matching-term postings ever shuffle (|terms|·df rows, not the
+    * corpus). Corpus stats (N, Σdl) are one tiny aggregate attached as
+    * the audited single-row broadcast; the final top-k is an
+    * orderBy+limit (TakeOrdered — no global window, no full sort). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .sharedCheckpoint()
+    val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .where(col("token").isInCollection(queryTerms))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val idf = log((col("n").cast("double") - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfc = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / avgdl))
+    tf.join(dfq, "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * tfc * 1e6).cast("long").as("s_e6"))
+      .groupBy("doc_id").agg(sum("s_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Per-document top-k terms by tf·idf (idf = ln(N/df), ties broken by
     * token). `nDocs` lets a caller that already knows the corpus size
     * (a catalog, a previous stage) skip the count entirely; when absent

@@ -171,6 +171,12 @@ object PipelineQueries {
       nlist = 16, nprobe = 16)
       .orderBy("vec_id")
 
+  /** BM25 retrieval for the literal query {spark, query, window}:
+    * top-10 docs by quantized-integer BM25 (k1 = 1.2, b = 0.75). */
+  def bm25Q(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir),
+      Seq("spark", "query", "window"), k = 10)
+
   /** Quality-classifier TRAINING: 2 full-batch logistic steps, src0 as
     * the curated positive set vs the rest of the corpus — the oracle
     * replays both steps (step 1 constant-folds to err = ±500000 since
@@ -966,6 +972,7 @@ object PipelineQueries {
     "e_dimension_drift" -> (dimensionDriftQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
     "d_quality_train"   -> (qualityTrainQ _),
+    "d_bm25_topk"       -> (bm25Q _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
@@ -1692,6 +1699,26 @@ object PipelineQueries {
         |SELECT a.q_id AS id_a, a.n_id AS id_b FROM t5 a
         |JOIN t5 b ON a.q_id = b.n_id AND a.n_id = b.q_id
         |WHERE a.q_id < a.n_id ORDER BY id_a, id_b""".stripMargin,
+    // k1/b constants interpolated from the SAME Scala doubles the
+    // operator plans with (k1+1 and 1−b are computed, not typed)
+    "d_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
+         |       WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |         CAST(SUM(CAST(round(
+         |           ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |           ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |            (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} +
+         |             (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) *
+         |           1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)
+         |SELECT doc_id, score_e6 FROM sc
+         |ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     // replays BOTH logistic steps: w0=0 folds step 1's error to
     // ±500000 exactly; floor (not round) on the weight update is the
     // engine-portable choice (no half-boundary ambiguity)

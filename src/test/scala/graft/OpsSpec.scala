@@ -906,6 +906,27 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.semanticClusters(df.limit(0), k = 3).isEmpty)
   }
 
+  test("BM25 top-k: hand-computed scores, matchless docs excluded") {
+    import spark.implicits._
+    val d = Seq((1L, "spark spark table"), (2L, "spark window"), (3L, "table merge"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(d, Seq("spark", "window"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    // replicate the exact expression shape: N=3, sumdl=7, avgdl=7/3
+    def sE6(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log((3.0 - df + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val tfc = (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + (0.75 * dl.toDouble) / (7.0 / 3.0)))
+      BigDecimal.valueOf(idf * tfc * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val d1 = sE6(2, 2, 3)            // spark tf 2, df 2, dl 3
+    val d2 = sE6(1, 2, 2) + sE6(1, 1, 2) // spark + window, dl 2
+    val expect = Seq((1L, d1), (2L, d2)).sortBy(t => (-t._2, t._1))
+    assert(got == expect)
+    assert(!got.exists(_._1 == 3L)) // no query term -> not retrieved
+  }
+
   test("quality classifier training: separable signal learned, deterministic, serving separates") {
     import spark.implicits._
     val pos = (1L to 20L).map(i => (i, s"good clean prose number $i"))

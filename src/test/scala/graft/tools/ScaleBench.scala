@@ -88,6 +88,52 @@ object ScaleBench {
         superProbe = Some(2)))
       ("e_ivf_near_dup_0.7_hier", (System.nanoTime() - t3) / 1e9)
     }
+    // the same IVF pair pass through the SDC-PQ prefilter: the wide
+    // cell self-join carries 8-byte codes instead of 260-B vectors and
+    // exact cosine runs only on SDC survivors — the delta vs
+    // e_ivf_near_dup_0.7 is what symmetric PQ buys on the pair workload
+    val sdcNd = if (!want("e_pq_near_dup_0.7")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val t = System.nanoTime()
+      // ksub = 16 keeps the plan-literal SDC table at m·ksub² = 2048
+      // doubles (ksub = 256 would ship a 4 MB table in every task)
+      Bench.force(Similarity.ivfPqNearDupPairs(emb, threshold = 0.7, nlist = nlist,
+        m = 8, ksub = 16, sdcMargin = 0.3))
+      ("e_pq_near_dup_0.7", (System.nanoTime() - t) / 1e9)
+    }
+    // flat IVF with the quantizer PINNED — the fair baseline for the
+    // pinned SDC row below (both exclude their one-time training)
+    val ivfNdPinned = if (!want("e_ivf_near_dup_0.7_pinned")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      val t = System.nanoTime()
+      Bench.force(Similarity.ivfNearDupPairs(emb, threshold = 0.7, nlist = nlist,
+        centroids = Some(cents)))
+      ("e_ivf_near_dup_0.7_pinned", (System.nanoTime() - t) / 1e9)
+    }
+    // the same SDC pass with the quantizer + codebooks PINNED (trained
+    // untimed first): the deployed shape — a persisted index trains
+    // once, every nightly pair pass serves from it — so this row is
+    // the recurring cost and (cold − pinned) is the one-time build
+    val sdcNdPinned = if (!want("e_pq_near_dup_0.7_pinned")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      val cbs = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val t = System.nanoTime()
+      Bench.force(Similarity.ivfPqNearDupPairs(emb, threshold = 0.7, nlist = nlist,
+        m = 8, ksub = 16, sdcMargin = 0.3,
+        centroids = Some(cents), codebooks = Some(cbs)))
+      ("e_pq_near_dup_0.7_pinned", (System.nanoTime() - t) / 1e9)
+    }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
     // d_curation_funnel query pins)
@@ -155,7 +201,8 @@ object ScaleBench {
           exciseSpans = true)))
       ("d_curation_funnel_spans", (System.nanoTime() - t) / 1e9)
     }
-    val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ mh ++
+    val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
+      ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
