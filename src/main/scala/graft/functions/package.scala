@@ -72,11 +72,23 @@ package object functions {
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
       reg.createOrReplaceTempFunction(
+        "pq_sdc", exprs => PqSdc(exprs.head, exprs(1),
+          doublesOf(exprs(2)),
+          exprs(3).eval().asInstanceOf[Number].intValue(),
+          exprs(4).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
         "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "gram_buckets", exprs => GramBuckets(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
+  }
+
+  /** Literal Seq[Double] from a foldable array arg. */
+  private def doublesOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Double] = {
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(arr.getDouble).toSeq
   }
 
   /** Literal Seq[Seq[Double]] centroid matrix from a foldable arg. */
@@ -180,6 +192,13 @@ package object functions {
   def pq_adc(lut: Column, codes: Column, m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("pq_adc", lut, codes, lit(m), lit(ksub))
+  }
+
+  /** Symmetric PQ distance between two packed code words against a
+    * flat m·ksub² codeword-pair table (see [[PqSdc]]). */
+  def pq_sdc(a: Column, b: Column, table: Seq[Double], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_sdc", a, b, typedlit(table), lit(m), lit(ksub))
   }
 
   /** Unpack a packed-codes long into its m per-subspace code ids —

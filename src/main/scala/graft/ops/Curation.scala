@@ -68,7 +68,15 @@ object Curation {
                     qualityKeepFrac: Option[Double] = None,
                     qualityGroupCol: String = "source",
                     exciseSpans: Boolean = false,
-                    spanN: Int = 8)
+                    spanN: Int = 8,
+                    /** TRAINED quality gate: a
+                      * [[TextAnalysis.trainQualityClassifier]] weight
+                      * frame replaces the heuristic score — stage 2
+                      * keeps docs the classifier marks `keep` (σ > ½).
+                      * Takes precedence over minQuality /
+                      * qualityKeepFrac. */
+                    classifierWeights: Option[DataFrame] = None,
+                    classifierDim: Int = 4096)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -101,7 +109,16 @@ object Curation {
     // top fraction of EVERY `qualityGroupCol` group survives, so a
     // low-scoring domain is thinned, not wiped (the cutoff frame is
     // |groups| rows and broadcasts; the score pass is shared with it)
-    val quality = (p.qualityKeepFrac match {
+    val quality = (p.classifierWeights match {
+      case Some(w) =>
+        // trained gate: keep docs the classifier scores σ > ½ — the
+        // weight frame is dim-bounded and broadcasts inside
+        // classifierScore; the semi-join key is the id only
+        withTok.join(
+          TextAnalysis.classifierScore(withTok, w, p.classifierDim, idCol, textCol)
+            .where(col("keep")).select(idCol),
+          Seq(idCol), "left_semi")
+      case None => p.qualityKeepFrac match {
       case None => withTok.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
@@ -111,7 +128,7 @@ object Curation {
         // null-safe: NULL-group docs must face their cutoff, not vanish
         scored.join(cuts, col(p.qualityGroupCol) <=> col("__grp"))
           .where(col("__q") >= col("__cut"))
-    }) // restore the original column order / drop the internals
+    }}) // restore the original column order / drop the internals
       .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
       .sharedCheckpoint()
     val exact = quality.join(

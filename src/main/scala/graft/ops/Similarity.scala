@@ -1119,11 +1119,10 @@ object Similarity {
       trainPqCodebooks(corpus, cents, m, ksub, iters, residual = false, idCol, vecCol))
     if (cbs.isEmpty || cbs.head.isEmpty) return noPairs(corpus, idCol)
     val kEff = cbs.head.length
-    val bits = if (kEff <= 1) 0 else
-      64 - java.lang.Long.numberOfLeadingZeros((kEff - 1).toLong)
-    val mask = if (bits == 0) 0L else (1L << bits) - 1L
     // codeword-pair distance tables: T[(j·kEff + a)·kEff + b] =
-    // ‖c_ja − c_jb‖² — m·kEff² doubles, a plan literal
+    // ‖c_ja − c_jb‖² — m·kEff² doubles, shipped once per task via the
+    // codegen references array (the equivalent element_at chain over a
+    // plan-literal array measured 17× slower per candidate — §G6)
     val tbl: Seq[Double] = (for {
       j <- 0 until cbs.length; a <- 0 until kEff; b <- 0 until kEff
     } yield {
@@ -1132,14 +1131,8 @@ object Similarity {
       while (d < ca.length) { val x = ca(d) - cb(d); s += x * x; d += 1 }
       s
     }).toVector
-    val tblLit = typedlit(tbl)
-    def sub(codes: Column, j: Int): Column =
-      shiftrightunsigned(codes, j * bits).bitwiseAND(lit(mask))
     def sdcD2(a: Column, b: Column): Column =
-      (0 until cbs.length).map { j =>
-        element_at(tblLit,
-          ((lit(j.toLong * kEff) + sub(a, j)) * kEff + sub(b, j) + 1L).cast("int"))
-      }.reduce(_ + _)
+      graft.functions.pq_sdc(a, b, tbl, cbs.length, kEff)
     // unit vectors: ‖a−b‖² = 2 − 2·cos ⇒ keep d2 ≤ 2(1 − t + margin)
     val maxD2 = 2.0 * (1.0 - threshold + sdcMargin)
     val probed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -1156,9 +1149,11 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(sdcD2(col("a.codes"), col("b.codes")) <= lit(maxD2))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     // exact verify on survivors only (same scale-free form as
-    // ivfNearDupPairs; zero vectors never pair)
+    // ivfNearDupPairs; zero vectors never pair). Multi-probe duplicate
+    // candidates ride THROUGH the verify and dedupe at the end: a
+    // distinct over the (small) verified pair set beats a full shuffle
+    // of every SDC survivor, and duplicates are rare at nprobe ≪ nlist
     val vec = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     cand
@@ -1169,6 +1164,7 @@ object Similarity {
       .where(col("na") > 0 && col("nb") > 0 &&
         dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Embedding-space label consistency: each query's label vs the

@@ -43,6 +43,8 @@ class CodegenSpec extends AnyFunSuite {
       graft.functions.PqEncode(vec, cbs),
       graft.functions.PqLut(vec, cbs),
       graft.functions.PqAdc(lut, codes, m = 2, ksub = 4),
+      graft.functions.PqSdc(codes, codes,
+        Seq.tabulate(2 * 4 * 4)(i => 0.01 * i), m = 2, ksub = 4),
       graft.functions.VecDot(vec, vec),
       graft.functions.LshSigs(vec, dims, bits = 4, tables = 2, seed = 7))
     // throws CompileException (wrapped) on any bare-local collision

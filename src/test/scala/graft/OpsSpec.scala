@@ -1652,6 +1652,25 @@ class OpsSpec extends SparkSpec {
     assert(outN.where(col("source").isNull && col("keep")).count() >= 1L)
   }
 
+  test("curation quality stage accepts a trained classifier gate") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    // train on the corpus's own split (src0 exemplars vs the rest) —
+    // what matters here is facade ≡ manual composition, not quality
+    val w = TextAnalysis.trainQualityClassifier(
+      corpus.where(col("source") === "src0"),
+      corpus.where(col("source") =!= "src0"), steps = 2)
+    val funnel = Curation.funnel(corpus, bench,
+        Curation.Params(classifierWeights = Some(w)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = TextAnalysis.classifierScore(corpus, w)
+      .where(col("keep")).count()
+    assert(funnel("2_quality") == expect,
+      s"classifier stage kept ${funnel("2_quality")}, serving op keeps $expect")
+    assert(funnel("2_quality") >= funnel("3_exact_dedup") &&
+      funnel("4_near_dup") >= funnel("5_decontaminated"))
+  }
+
   test("curation quality stage can calibrate per-source keep fractions") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
