@@ -1102,7 +1102,18 @@ object Similarity {
     * geometry, the oracle configuration). Same hot-cell guard and
     * multi-probe semantics as [[ivfNearDupPairs]]; pass pinned
     * `centroids`/`codebooks` (e.g. from [[PqIndexStore]]) to skip both
-    * trainings. */
+    * trainings.
+    *
+    * ADJUDICATION (BASELINE.md §G6, measured at 200k vectors / 64
+    * dims): on a single node the flat [[ivfNearDupPairs]] wins 8.5× —
+    * its verify runs INLINE in the one cell join, while this plan
+    * re-joins survivors to their vectors, and at 64 dims the coarse
+    * quantizer can't shrink the survivor frame enough to pay for
+    * that. Reach for this operator when the candidate exchange is
+    * NETWORK-bound (the 16 B vs 260+ B row is the term that dominates
+    * a 1000-executor shuffle), when dims make the exact dot expensive
+    * (1024+), or when serving from a persisted code store; at
+    * moderate dims on one box, use [[ivfNearDupPairs]]. */
   def ivfPqNearDupPairs(corpus: DataFrame, threshold: Double,
                         nlist: Int = 16, nprobe: Int = 2,
                         m: Int = 8, ksub: Int = 16, iters: Int = 1,
