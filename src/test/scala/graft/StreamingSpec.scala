@@ -769,6 +769,56 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming quality filter: frozen weights filter batches; restart serves the persisted model") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sqf").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val pos = (100L to 119L).map(i => (i, s"good clean prose number $i"))
+      .toDF("doc_id", "text")
+    val neg = (200L to 219L).map(i => (i, s"spam junk garbage item $i"))
+      .toDF("doc_id", "text")
+    def mk() = new graft.streaming.StreamingQualityFilter(spark, base)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    // start() before fit() is a loud error, not silent garbage
+    val unfit = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = mk().start(mk().readJsonDocs(in), trig)
+      try { dropFile(in, "b0.json", Seq(doc(0, "x y"))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val unfitMsgs = Iterator.iterate(unfit: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(unfitMsgs.contains("no fitted model"), unfitMsgs)
+    val s1 = mk()
+    s1.fit(pos, neg)
+    def kept() = {
+      spark.catalog.refreshByPath(s1.keptPath)
+      spark.read.parquet(s1.keptPath).collect().map(_.getLong(0)).toSet
+    }
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/chk"))
+    val q1 = s1.start(s1.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "good clean prose here"),   // positive-like → kept
+        doc(2, "spam junk garbage pile"))) // negative-like → dropped
+      q1.processAllAvailable()
+      val k1 = kept()
+      assert(k1.contains(1L) && !k1.contains(2L), s"classifier filter wrong: $k1")
+    } finally q1.stop()
+    // restart: a NEW instance serves the persisted weights, no re-fit
+    val s2 = mk()
+    val q2 = s2.start(s2.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b2.json", Seq(
+        doc(10, "clean good prose again"), doc(11, "junk spam garbage heap")))
+      q2.processAllAvailable()
+      val k2 = kept()
+      assert(k2.contains(10L) && !k2.contains(11L),
+        s"restarted classifier filter wrong: $k2")
+    } finally q2.stop()
+  }
+
   test("streaming curation: all four gates per batch, stores survive a reliable-mode restart") {
     val base = Files.createTempDirectory("graft_scur").toString
     val in = s"$base/in"
