@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.ops.Checkpoints.SharedOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-run preparation — the composition a user
+  * actually ships: [[Curation]]'s full gate chain (quality → exact
+  * dedup → near-dup clusters → decontamination), then [[Sampling
+  * .epochShuffle]]'s seeded deterministic permutation, then contiguous
+  * striping of the shuffled order into `nShards` training shards
+  * (`shard = pos mod nShards` — every shard is an unbiased
+  * interleaved sample of the shuffled stream, and shard-local order
+  * follows the global epoch order). Each stage is the already-tested
+  * operator, wired so the corpus is curated ONCE (the curated frame is
+  * lazily checkpointed and shared by the permutation and the token
+  * counts).
+  *
+  * Two views: [[prepare]] returns the per-document assignment
+  * (id, pos, shard) a writer would partition by; [[summary]] returns
+  * the per-shard (n_docs, n_tokens) manifest a training job reads
+  * first. Both are deterministic for a (corpus, benchmark, params,
+  * seed) tuple — rerunning an epoch reproduces it bit-for-bit.
+  */
+object TrainingRun {
+
+  private def assignment(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
+                         seed: Long, p: Curation.Params,
+                         idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
+      .sharedCheckpoint()
+    val asg = Sampling.epochShuffle(curated, seed, idCol = idCol)
+      .select(col(idCol), col("pos"),
+        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+    (curated, asg)
+  }
+
+  /** Per-document (idCol, pos, shard) assignment. */
+  def prepare(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
+              seed: Long = 0L, p: Curation.Params = Curation.Params(),
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assignment(corpus, benchmark, nShards, seed, p, idCol, textCol)._2
+
+  /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */
+  def summary(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
+              seed: Long = 0L, p: Curation.Params = Curation.Params(),
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (curated, asg) = assignment(corpus, benchmark, nShards, seed, p, idCol, textCol)
+    val tok = curated.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("__nt"))
+    asg.join(tok, idCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      .orderBy("shard")
+  }
+}

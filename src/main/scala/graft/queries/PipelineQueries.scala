@@ -171,6 +171,17 @@ object PipelineQueries {
       nlist = 16, nprobe = 16)
       .orderBy("vec_id")
 
+  /** End-to-end training-run prep: the d_curation_funnel corpus split
+    * curated, epoch-shuffled (seed 1), striped into 4 shards — the
+    * oracle replays the WHOLE composition (funnel prefix + permutation
+    * + stripe + counts). */
+  def trainingPrepQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.summary(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      nShards = 4, seed = 1L)
+  }
+
   /** BM25 retrieval for the literal query {spark, query, window}:
     * top-10 docs by quantized-integer BM25 (k1 = 1.2, b = 0.75). */
   def bm25Q(spark: SparkSession, dir: String): DataFrame =
@@ -973,6 +984,7 @@ object PipelineQueries {
     "d_bpe_merges"      -> (bpeMergesQ _),
     "d_quality_train"   -> (qualityTrainQ _),
     "d_bm25_topk"       -> (bm25Q _),
+    "d_training_prep"   -> (trainingPrepQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
@@ -1924,6 +1936,18 @@ object PipelineQueries {
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
     "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
+    // the WHOLE training-prep composition: funnel prefix (→ clean) +
+    // the seed-1 permutation fragment (d_epoch_shuffle's) + striping
+    "d_training_prep" -> (CurationFunnelPrefix +
+      """,
+        |shx AS (SELECT doc_id,
+        |  (doc_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (doc_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM clean),
+        |ordx AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b, k, doc_id) - 1 AS pos FROM shx)
+        |SELECT CAST(pos % 4 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+        |FROM ordx JOIN clean USING (doc_id) GROUP BY 1 ORDER BY shard""".stripMargin),
     // The 5 text stages plus the semantic tail: cosine closure over
     // stage-5 survivors' embeddings (vec_id ≡ doc_id), min id kept.
     "d_curation_semantic" -> (CurationFunnelPrefix +

@@ -1652,6 +1652,23 @@ class OpsSpec extends SparkSpec {
     assert(outN.where(col("source").isNull && col("keep")).count() >= 1L)
   }
 
+  test("training-run prep: permutation bijective, shards balanced, ids = curated set") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val asg = graft.ops.TrainingRun.prepare(corpus, bench, nShards = 4, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = asg.length
+    assert(asg.map(_._2).sorted.toSeq == (0L until n).toSeq) // pos bijection
+    val sizes = asg.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"stripe imbalance: $sizes") // mod-stripe
+    val curated = Curation.curate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(asg.map(_._1).toSet == curated)
+    val sm = graft.ops.TrainingRun.summary(corpus, bench, nShards = 4, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sm.map(_._2).sum == n.toLong && sm.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("curation quality stage accepts a trained classifier gate") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)

@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_pack_contexts", // bucket-total prefix sum: n / 4096 rows
     "d_epoch_shuffle", // bucket-count prefix sum: <= 8192 rows
     "d_mixture_plan",  // grand-total over the per-group token frame
-    "d_source_mix"     // grand-total over the (source, lang) frame
+    "d_source_mix",    // grand-total over the (source, lang) frame
+    "d_training_prep"  // epochShuffle's bucket-count prefix sum: <= 8192 rows
   )
 
   test("unpartitioned windows appear only on bounded frames") {
