@@ -33,6 +33,7 @@ object TrainingRun {
     val asg = Sampling.epochShuffle(curated, seed, idCol = idCol)
       .select(col(idCol), col("pos"),
         pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+      .sharedCheckpoint() // summary/packed consume it twice
     (curated, asg)
   }
 
@@ -41,6 +42,29 @@ object TrainingRun {
               seed: Long = 0L, p: Curation.Params = Curation.Params(),
               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     assignment(corpus, benchmark, nShards, seed, p, idCol, textCol)._2
+
+  /** The packed token stream IN EPOCH ORDER — the frame an LM
+    * training-data writer actually emits: documents concatenate in the
+    * shuffled order (not id order; consecutive contexts must not
+    * follow crawl order) and chop into `contextLen` windows. The
+    * shuffled position is a dense integral id, so [[Packing
+    * .packAssignments]]'s two-level distributed prefix sum runs on it
+    * UNCHANGED with perfectly balanced buckets. Output: (idCol, pos,
+    * n_tokens, start_offset, pack_id, pack_offset), ordered by id. */
+  def packed(corpus: DataFrame, benchmark: DataFrame, contextLen: Long,
+             nShards: Int = 1, seed: Long = 0L,
+             p: Curation.Params = Curation.Params(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (curated, asg) = assignment(corpus, benchmark, nShards, seed, p, idCol, textCol)
+    val ordered = curated.join(asg.select(col(idCol), col("pos")), idCol)
+    Packing.packAssignments(
+        ordered.select(col("pos"), col(textCol)), contextLen,
+        idCol = "pos", textCol = textCol)
+      .join(asg.select(col(idCol), col("pos")), "pos")
+      .select(col(idCol), col("pos"), col("n_tokens"), col("start_offset"),
+        col("pack_id"), col("pack_offset"))
+      .orderBy(idCol)
+  }
 
   /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */
   def summary(corpus: DataFrame, benchmark: DataFrame, nShards: Int,

@@ -182,6 +182,15 @@ object PipelineQueries {
       nShards = 4, seed = 1L)
   }
 
+  /** The packed token stream in epoch order (contextLen 512, seed 1):
+    * curate → shuffle → concat-then-chunk, the writer's exact frame. */
+  def trainingPacksQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.packed(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      contextLen = 512L, seed = 1L)
+  }
+
   /** BM25 retrieval for the literal query {spark, query, window}:
     * top-10 docs by quantized-integer BM25 (k1 = 1.2, b = 0.75). */
   def bm25Q(spark: SparkSession, dir: String): DataFrame =
@@ -985,6 +994,7 @@ object PipelineQueries {
     "d_quality_train"   -> (qualityTrainQ _),
     "d_bm25_topk"       -> (bm25Q _),
     "d_training_prep"   -> (trainingPrepQ _),
+    "d_training_packs"  -> (trainingPacksQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
     "e_ivf_near_dup"    -> (embNearDupsIvf _),
@@ -1936,6 +1946,25 @@ object PipelineQueries {
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
     "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
+    // funnel prefix + seed-1 permutation + prefix sums IN POS ORDER:
+    // the packed-stream writer frame, fully replayed
+    "d_training_packs" -> (CurationFunnelPrefix +
+      """,
+        |shx AS (SELECT doc_id,
+        |  (doc_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (doc_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM clean),
+        |ordx AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b, k, doc_id) - 1 AS pos FROM shx),
+        |j AS (SELECT ordx.doc_id, pos, CAST(len(w) AS BIGINT) AS n_tokens
+        |      FROM ordx JOIN clean USING (doc_id)),
+        |ps AS (SELECT doc_id, pos, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |      FROM j)
+        |SELECT doc_id, pos, n_tokens, start_offset,
+        |       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+        |       CAST(start_offset % 512 AS BIGINT) AS pack_offset
+        |FROM ps ORDER BY doc_id""".stripMargin),
     // the WHOLE training-prep composition: funnel prefix (→ clean) +
     // the seed-1 permutation fragment (d_epoch_shuffle's) + striping
     "d_training_prep" -> (CurationFunnelPrefix +

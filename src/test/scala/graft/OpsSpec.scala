@@ -1667,6 +1667,14 @@ class OpsSpec extends SparkSpec {
     val sm = graft.ops.TrainingRun.summary(corpus, bench, nShards = 4, seed = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sm.map(_._2).sum == n.toLong && sm.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // packed stream: offsets tile the SHUFFLED order exactly
+    val packs = graft.ops.TrainingRun.packed(corpus, bench,
+        contextLen = 512L, seed = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    packs.sortBy(_._1).foldLeft(0L) { case (expect, (_, nt, start)) =>
+      assert(start == expect); start + nt
+    }
+    assert(packs.map(_._1).toSet == asg.map(_._2).toSet) // same permutation
   }
 
   test("curation quality stage accepts a trained classifier gate") {

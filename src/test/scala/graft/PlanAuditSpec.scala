@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_epoch_shuffle", // bucket-count prefix sum: <= 8192 rows
     "d_mixture_plan",  // grand-total over the per-group token frame
     "d_source_mix",    // grand-total over the (source, lang) frame
-    "d_training_prep"  // epochShuffle's bucket-count prefix sum: <= 8192 rows
+    "d_training_prep", // epochShuffle's bucket-count prefix sum: <= 8192 rows
+    "d_training_packs" // shuffle + packing bucket prefix sums, both bounded
   )
 
   test("unpartitioned windows appear only on bounded frames") {
