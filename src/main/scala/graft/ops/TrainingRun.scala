@@ -30,10 +30,13 @@ object TrainingRun {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
       .sharedCheckpoint()
+    // NOT checkpointed: epochShuffle already checkpoints its hash base,
+    // so re-deriving the rank per consumer is one cheap window — and a
+    // checkpoint here would truncate the visible plan, hiding the
+    // audited bounded global window from PlanAuditSpec's honesty check
     val asg = Sampling.epochShuffle(curated, seed, idCol = idCol)
       .select(col(idCol), col("pos"),
         pmod(col("pos"), lit(nShards.toLong)).as("shard"))
-      .sharedCheckpoint() // summary/packed consume it twice
     (curated, asg)
   }
 
