@@ -606,6 +606,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplication-aware loss weights — the soft-dedup alternative to
+    * dropping duplicates: every doc gets weight 1/|its cluster| (as
+    * weight_e6 = 1e6 div size, exact integer floor), so each duplicate
+    * CLUSTER contributes one unit of training mass however many copies
+    * it has, and unpaired docs keep weight 1. Downstream loss scales
+    * per-example by weight_e6/1e6 instead of discarding — the
+    * repetition-penalty form of dedup (cf. the keep-K cap in
+    * [[capClusters]], which hard-drops instead).
+    *
+    * Scale: cluster sizes aggregate over the clusters frame (bounded
+    * by the duplicate count, not the corpus); the corpus-side joins
+    * carry only (id, cluster_id, size) longs — both are broadcast-
+    * sized in practice and hash joins regardless. */
+  def dupWeights(docs: DataFrame, clusters: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    docs.select(col(idCol))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__csz"), lit(1L)).as("__csz"))
+      .select(col(idCol), expr("1000000 div __csz").as("weight_e6"))
+  }
+
   /** Leakage-safe train/test split: near-duplicate clusters NEVER
     * straddle the split — the classic eval-contamination failure where
     * a test document's near-copy sits in the training set. Every doc

@@ -205,4 +205,32 @@ object EventAnalytics {
       .agg(count(col("__u")).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Multi-level daily activity rollup: (event_type, day), per-type
+    * subtotals, and the grand total in ONE pass via `ROLLUP` — Spark
+    * expands the grouping sets inside a single aggregate (one shuffle,
+    * map-side partials at every level) instead of the 3-scan UNION a
+    * dashboard would otherwise run. Days are exact integer epoch-days
+    * (ts_ms div 86400000 — no timezone, no calendar lib); subtotal
+    * rows surface as 'ALL' / -1 through `grouping()` rather than SQL
+    * NULLs, so downstream consumers (and the oracle's hash compare)
+    * never depend on engine null-ordering.
+    *
+    * `n_users` is an exact COUNT(DISTINCT) — Spark plans the standard
+    * two-phase expand-distinct; corpora that prefer sketches use the
+    * HLL path (see the hll_users surface) on the same grouping sets. */
+  def dailyRollup(events: DataFrame, tsCol: String = "ts_ms",
+                  typeCol: String = "event_type",
+                  userCol: String = "user_id"): DataFrame =
+    events
+      .select(col(typeCol).as("__t"),
+        expr(s"$tsCol div 86400000").as("__d"), col(userCol).as("__u"))
+      .rollup(col("__t"), col("__d"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_users"),
+        grouping(col("__t")).as("__gt"), grouping(col("__d")).as("__gd"))
+      .select(
+        when(col("__gt") === 1, lit("ALL")).otherwise(col("__t")).as(typeCol),
+        when(col("__gd") === 1, lit(-1L)).otherwise(col("__d")).as("day_idx"),
+        col("n_events"), col("n_users"))
 }

@@ -289,4 +289,60 @@ object Sampling {
     importanceWeights(raw, target, nBuckets, alpha, idCol, textCol)
       .orderBy(col("logratio").desc, col(idCol).asc).limit(k)
   }
+
+  /** Temperature-flattened per-source keep rates — the multilingual
+    * "α-sampling" rule (sample source s ∝ (n_s/N)^α): α = 1 preserves
+    * the natural mix, α → 0 flattens toward uniform-over-sources,
+    * boosting tail sources at the head's expense. Rates scale so the
+    * EXPECTED kept total is `targetFrac`·N (capped at 1 per source —
+    * a tail source whose boost exceeds its size keeps everything).
+    *
+    * Engine-exact arithmetic: weights quantize to w_e6 =
+    * floor((n_s/N)^α · 1e6) — at the default α = ½ the power is ONE
+    * correctly-rounded sqrt, identical on every IEEE engine (general α
+    * goes through pow, where engines may drift a final ulp; the
+    * operator takes any α, the oracle-checked surface pins ½) — and
+    * the rate is pure 64-bit integer arithmetic from there:
+    * rate_e6 = min(1e6, w_e6·target·1e6 div (Z·n_s)), overflow-safe
+    * while w_e6·target·1e6 < 2^63 (target < 9.2e6 sources-weighted
+    * docs per the w_e6 ≤ 1e6 bound — beyond that, pre-divide Z).
+    *
+    * Scale: one map-side-combined count per source, then all window
+    * math runs on the |sources|-row frame (the bounded-global-window
+    * pattern of [[mixturePlan]]). */
+  def temperatureRates(docs: DataFrame, alpha: Double = 0.5,
+                       targetFrac: Double = 0.3,
+                       groupCol: String = "source"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0, 1], got $targetFrac")
+    val share = col("n_docs").cast("double") / col("total").cast("double")
+    val wgt = if (alpha == 0.5) sqrt(share) else pow(share, lit(alpha))
+    docs
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("w_e6", floor(wgt * lit(1e6)).cast("long"))
+      .withColumn("z", sum("w_e6").over(Window.partitionBy()))
+      .withColumn("target",
+        floor(col("total").cast("double") * lit(targetFrac)).cast("long"))
+      .select(col(groupCol), col("n_docs"),
+        least(lit(1000000L),
+          expr("w_e6 * target * 1000000 div (z * n_docs)")).as("rate_e6"))
+  }
+
+  /** Apply [[temperatureRates]]: keep a doc when its id hash lands
+    * under its source's rate in [0, 1e6) — the same deterministic
+    * [[detHashMod]] gate as [[hashSample]], at 1e-6 granularity. The
+    * rates frame is |sources| rows and broadcasts; the gate is one
+    * predicate per row, no corpus shuffle. Output keeps the input
+    * columns plus the source's `rate_e6`. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+                        targetFrac: Double = 0.3,
+                        groupCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    val rates = temperatureRates(docs, alpha, targetFrac, groupCol)
+      .select(col(groupCol), col("rate_e6"))
+    docs.join(broadcast(rates), groupCol)
+      .where(detHashMod(col(idCol), 1000000L) < col("rate_e6"))
+  }
 }

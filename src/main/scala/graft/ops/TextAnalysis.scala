@@ -1073,4 +1073,68 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col(idCol), col("token"), col("tfidf"), col("rnk"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    * token stream, materialized AS DATA: one row per (hash row r,
+    * bucket b) with the bucket's total count — `depth`·`width` rows no
+    * matter the corpus size, the bounded mergeable summary a fleet of
+    * shards unions and sums (CMS cells are counters: merge ≡ groupBy
+    * (r, b) sum, exactly the aggregate below). Row hashes are
+    * pairwise-salted rescalings of the shared [[polyHash]] value in
+    * plain 64-bit integer arithmetic — (2r+1)·H + 97·r mod P mod width,
+    * with H < P = 1e9+7 so (2·depth−1)·H stays far inside Int64 — and
+    * any engine reproduces every cell bit-for-bit.
+    *
+    * Scale: tokenize → per-token corpus counts (map-side combined) →
+    * `depth` bucket rows per DISTINCT token (not per occurrence) →
+    * groupBy (r, b). Nothing wider than the vocabulary ever shuffles,
+    * and the sketch itself is ~depth·width longs of state. */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Long = 1024L,
+                textCol: String = "text"): DataFrame = {
+    cmsBucketed(docs, depth, width, textCol)
+      .groupBy("r", "b").agg(sum("freq").as("cnt"))
+  }
+
+  /** Per-distinct-token (token, freq, r, b) frame — the shared
+    * sub-plan of [[cmsSketch]] and [[cmsTopEstimates]]. */
+  private def cmsBucketed(docs: DataFrame, depth: Int, width: Long,
+                          textCol: String): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 1, s"width must be positive, got $width")
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    freq
+      .select(col("token"), col("freq"), polyHash(col("token")).as("hh"),
+        explode(lit((0 until depth).toArray)).as("r"))
+      .withColumn("b",
+        pmod((lit(2L) * col("r") + lit(1L)) * col("hh") + lit(97L) * col("r"),
+          lit(1000000007L)) % lit(width))
+  }
+
+  /** CMS accuracy report for the corpus's own top-`k` tokens: each
+    * probe's true count, its sketch estimate (min over the `depth`
+    * rows of the probed cell — ≥ true by construction), and the
+    * overcount. The practical use is the inverse — size (depth, width)
+    * until overcount is acceptable, then keep only the sketch — but as
+    * a query the report pins estimate semantics end-to-end against the
+    * oracle. Probes and sketch share one tokenize/count sub-plan
+    * (checkpoint-shared); the probe cut is a TakeOrdered, the estimate
+    * join touches depth·k sketch cells. */
+  def cmsTopEstimates(docs: DataFrame, k: Int = 30, depth: Int = 4,
+                      width: Long = 1024L, textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val bucketed = cmsBucketed(docs, depth, width, textCol).sharedCheckpoint()
+    val sketch = bucketed.groupBy("r", "b").agg(sum("freq").as("cnt"))
+    val probes = bucketed.where(col("r") === 0)
+      .select(col("token"), col("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(k)
+    probes
+      .join(bucketed.select(col("token"), col("r"), col("b")), "token")
+      .join(sketch, Seq("r", "b"))
+      .groupBy("token").agg(first(col("freq")).as("freq"), min("cnt").as("est"))
+      .select(col("token"), col("freq"), col("est"),
+        (col("est") - col("freq")).as("overcount"))
+  }
 }

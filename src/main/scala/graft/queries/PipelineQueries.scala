@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -936,7 +936,56 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Hybrid retrieval: BM25 for {spark, query, window} fused (RRF,
+    * kRrf = 60, floor-quantized contributions) with the
+    * exact-configuration IVF dense ranking for query vector 0 — both
+    * arms cut at depth 20, fused top-10. The oracle replays both
+    * rankings and the fusion. */
+  def hybridTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val dense = Similarity.ivfTopK(emb, emb.where(col("vec_id") === 0), k = 20,
+      nlist = 16, nprobe = 16)
+    Retrieval.hybridTopK(docs, dense, Seq("spark", "query", "window"),
+      k = 10, depth = 20)
+      .orderBy("rank")
+  }
+
+  /** Count-min sketch accuracy report for the top-30 vocabulary
+    * (depth 4 × width 1024): est ≥ freq always; the oracle replays
+    * every salted bucket and the min-over-rows estimate. */
+  def cmsEstimatesQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cmsTopEstimates(Tables.documents(spark, dir), k = 30)
+      .orderBy(col("freq").desc, col("token").asc)
+
+  /** Temperature (α = ½) source-mix sampling at a 30% corpus target:
+    * kept docs with their source's quantized keep rate. */
+  def temperatureMixQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("rate_e6"))
+      .orderBy("doc_id")
+
+  /** Duplication-aware loss weights over the d_dup_clusters graph:
+    * weight_e6 = 1e6 div |cluster|, 1e6 for unpaired docs. */
+  def dupWeightsQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.dupWeights(docs,
+      Dedup.dupClusters(Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5)))
+      .orderBy("doc_id")
+  }
+
+  /** Daily activity ROLLUP: (type, day) cells, per-type subtotals,
+    * grand total — one grouping-sets aggregate, integer epoch-days. */
+  def dailyRollupQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.dailyRollup(Tables.events(spark, dir))
+      .orderBy("event_type", "day_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_hybrid_topk"       -> (hybridTopKQ _),
+    "d_cms_counts"        -> (cmsEstimatesQ _),
+    "d_temperature_mix"   -> (temperatureMixQ _),
+    "d_dup_weights"       -> (dupWeightsQ _),
+    "e_rollup_daily"      -> (dailyRollupQ _),
     "e_event_funnel"      -> (eventFunnel _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
@@ -1141,6 +1190,119 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // both arms replayed end-to-end: the BM25 CTE chain is d_bm25_topk's
+    // (cut at depth 20 with explicit ranks), the dense arm is the exact
+    // cosine ranking for vec 0; fusion contributions use floor (never a
+    // half-boundary — see Retrieval.rrfFuse)
+    "d_hybrid_topk" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
+         |       WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |         CAST(SUM(CAST(round(
+         |           ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |           ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |            (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} +
+         |             (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) *
+         |           1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1),
+         |lexr AS (SELECT doc_id AS n_id,
+         |           ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank FROM sc),
+         |lex AS (SELECT n_id, rank FROM lexr WHERE rank <= 20),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+         |      WHERE vec_id <> 0),
+         |ds AS (SELECT n_id, list_cosine_similarity(qv, nv) AS sim FROM q, c),
+         |dr AS (SELECT n_id, ROW_NUMBER() OVER (ORDER BY sim DESC, n_id ASC) AS rank FROM ds),
+         |den AS (SELECT n_id, rank FROM dr WHERE rank <= 20),
+         |u AS (SELECT n_id, CAST(floor(1000000.0 / (60.0 + rank)) AS BIGINT) AS c_e6 FROM lex
+         |      UNION ALL
+         |      SELECT n_id, CAST(floor(1000000.0 / (60.0 + rank)) AS BIGINT) FROM den),
+         |f AS (SELECT n_id, CAST(SUM(c_e6) AS BIGINT) AS rrf_e6 FROM u GROUP BY 1),
+         |r AS (SELECT n_id, rrf_e6,
+         |        ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, n_id ASC) AS rk FROM f)
+         |SELECT CAST(0 AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rank, n_id, rrf_e6
+         |FROM r WHERE rk <= 10 ORDER BY rank""".stripMargin,
+    // row hashes: (2r+1)·polyHash + 97r mod P mod width — plain 64-bit
+    // integer arithmetic, replayed per distinct token
+    "d_cms_counts" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM (SELECT unnest(w) AS token FROM t) GROUP BY 1),
+         |h AS (SELECT token, freq,
+         |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |          list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+         |      FROM f),
+         |hb AS (SELECT token, freq, r,
+         |         ((2 * r + 1) * hh + 97 * r) % 1000000007 % 1024 AS b
+         |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+         |sk AS (SELECT r, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+         |p AS (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 30),
+         |pe AS (SELECT p.token, p.freq, MIN(sk.cnt) AS est
+         |       FROM p JOIN hb ON hb.token = p.token
+         |       JOIN sk ON sk.r = hb.r AND sk.b = hb.b GROUP BY 1, 2)
+         |SELECT token, freq, CAST(est AS BIGINT) AS est,
+         |  CAST(est - freq AS BIGINT) AS overcount
+         |FROM pe ORDER BY freq DESC, token ASC""".stripMargin,
+    // α = ½ ⇒ the power is one correctly-rounded sqrt; everything after
+    // w_e6 is exact 64-bit integer arithmetic (see Sampling.temperatureRates)
+    "d_temperature_mix" ->
+      """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6,
+        |        CAST(floor(CAST(total AS DOUBLE) * 0.3) AS BIGINT) AS target
+        |      FROM g CROSS JOIN tt),
+        |zz AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS z FROM w),
+        |r AS (SELECT source,
+        |        least(CAST(1000000 AS BIGINT),
+        |              (w_e6 * target * 1000000) // (z * n_docs)) AS rate_e6
+        |      FROM w CROSS JOIN zz)
+        |SELECT d.doc_id, d.source, r.rate_e6
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 < r.rate_e6
+        |ORDER BY d.doc_id""".stripMargin,
+    // the d_dup_clusters recursive closure + per-cluster sizes; docs
+    // outside the pair graph default to weight 1e6
+    "d_dup_weights" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz FROM cl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(1000000 // COALESCE(csz.csz, 1) AS BIGINT) AS weight_e6
+         |FROM documents d
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |LEFT JOIN csz ON cl.cluster_id = csz.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // GROUPING() sentinels ('ALL' / -1) instead of SQL NULLs so the
+    // hash compare never depends on engine null semantics
+    "e_rollup_daily" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, user_id
+        |           FROM events)
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |       CAST(CASE WHEN GROUPING(day_idx) = 1 THEN -1 ELSE day_idx END AS BIGINT) AS day_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY ROLLUP(event_type, day_idx)
+        |ORDER BY 1, 2""".stripMargin,
     "e_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),

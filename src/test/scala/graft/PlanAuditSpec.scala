@@ -53,7 +53,12 @@ class PlanAuditSpec extends SparkSpec {
     "d_mixture_plan",  // grand-total over the per-group token frame
     "d_source_mix",    // grand-total over the (source, lang) frame
     "d_training_prep", // epochShuffle's bucket-count prefix sum: <= 8192 rows
-    "d_training_packs" // shuffle + packing bucket prefix sums, both bounded
+    "d_training_packs", // shuffle + packing bucket prefix sums, both bounded
+    "d_temperature_mix", // grand totals over the |sources|-row rate frame
+    "d_hybrid_topk"    // single-query facade: the lexical arm's literal
+                       // q_id folds, leaving one rank window over the
+                       // <= depth-row BM25 cut (multi-query callers
+                       // partition by a real q_id attribute)
   )
 
   test("unpartitioned windows appear only on bounded frames") {

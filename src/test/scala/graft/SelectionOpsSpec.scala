@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Dedup, EventAnalytics, Retrieval, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-7 session-3 selection/retrieval
+  * operators: RRF hybrid fusion, the count-min sketch family,
+  * temperature mixture sampling, duplication-aware weights, and the
+  * daily grouping-sets rollup. */
+class SelectionOpsSpec extends SparkSpec {
+
+  test("rrfFuse: floor-quantized contributions, score ties break by id") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("q_id", "n_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 10L, 2L), (0L, 13L, 3L)).toDF("q_id", "n_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 4).orderBy("rank").collect()
+    // contributions: rank1=16393, rank2=16129, rank3=15873; docs 10/11
+    // tie at 32522 -> id asc; 12/13 tie at 15873 -> id asc
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(out(0).getLong(3) == 32522L && out(1).getLong(3) == 32522L)
+    // the rank-68 half-boundary (1e6/128 = 7812.5) floors, never rounds
+    val c = Seq((0L, 99L, 68L)).toDF("q_id", "n_id", "rank")
+    assert(Retrieval.rrfFuse(Seq(c), k = 1).collect()(0).getLong(3) == 7812L)
+  }
+
+  test("hybridTopK with an empty dense arm degenerates to the BM25 order") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("the", "data")
+    val dense = Seq.empty[(Long, Long, Long)].toDF("q_id", "rank", "n_id")
+    val fused = Retrieval.hybridTopK(docs, dense, terms, k = 5, depth = 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val lex = TextAnalysis.bm25TopK(docs, terms, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fused == lex)
+  }
+
+  test("cms: estimate >= truth; exact at collision-free width; shard sketches merge") {
+    val docs = Tables.documents(spark, sf)
+    val rep = TextAnalysis.cmsTopEstimates(docs, k = 20, depth = 4, width = 1024L)
+      .collect()
+    assert(rep.length == 20)
+    assert(rep.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CMS must never undercount")
+    // width 2^30 > P: bucket == raw polyHash, collisions require a
+    // full polyHash collision -> estimates exact
+    val exact = TextAnalysis.cmsTopEstimates(docs, k = 20, depth = 2, width = 1L << 30)
+    assert(exact.collect().forall(_.getLong(3) == 0L))
+    // mergeability: cells are counters, so groupBy (r,b) sum of shard
+    // sketches IS the whole-corpus sketch
+    val s1 = TextAnalysis.cmsSketch(docs.where(col("doc_id") % 2 === 0), 4, 256L)
+    val s2 = TextAnalysis.cmsSketch(docs.where(col("doc_id") % 2 === 1), 4, 256L)
+    val merged = s1.unionByName(s2).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+      .orderBy("r", "b").collect().toSeq
+    val whole = TextAnalysis.cmsSketch(docs, 4, 256L).orderBy("r", "b").collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("temperature rates: alpha=1 is the natural mix, alpha=1/2 boosts the tail") {
+    import spark.implicits._
+    val docs = ((0 until 900).map(i => (i.toLong, "src_big")) ++
+      (900 until 1000).map(i => (i.toLong, "src_small"))).toDF("doc_id", "source")
+    val natural = Sampling.temperatureRates(docs, alpha = 1.0, targetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // alpha=1: every source keeps exactly targetFrac
+    assert(natural == Map("src_big" -> 500000L, "src_small" -> 500000L))
+    val flat = Sampling.temperatureRates(docs, alpha = 0.5, targetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // sqrt flattening: tail source boosted to (capped) keep-everything,
+    // head source cut below the natural rate
+    assert(flat("src_small") == 1000000L)
+    assert(flat("src_big") < 500000L && flat("src_big") > 300000L)
+    // the sample applies the rates: small source fully kept, totals
+    // match the per-source gate exactly (deterministic hash)
+    val kept = Sampling.temperatureSample(docs, alpha = 0.5, targetFrac = 0.5)
+    assert(kept.where(col("source") === "src_small").count() == 100L)
+    val keptBig = kept.where(col("source") === "src_big").count()
+    val expectBig = docs.where(col("source") === "src_big")
+      .where(Sampling.detHashMod(col("doc_id"), 1000000L) < flat("src_big")).count()
+    assert(keptBig == expectBig)
+  }
+
+  test("dupWeights: 1e6 div cluster size, singletons keep weight 1e6") {
+    import spark.implicits._
+    val docs = (0L to 5L).toDF("doc_id")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val w = Dedup.dupWeights(docs, clusters).orderBy("doc_id").collect()
+      .map(_.getLong(1)).toSeq
+    assert(w == Seq(333333L, 333333L, 333333L, 500000L, 500000L, 1000000L))
+  }
+
+  test("dailyRollup: subtotal and grand-total rows agree with direct aggregates") {
+    import spark.implicits._
+    val ev = Seq(
+      ("view", 10L, 1L), ("view", 10L, 2L), ("view", 86400010L, 1L),
+      ("click", 20L, 2L)).toDF("event_type", "ts_ms", "user_id")
+    val out = EventAnalytics.dailyRollup(ev)
+      .orderBy("event_type", "day_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      ("ALL", -1L, 4L, 2L),
+      ("click", -1L, 1L, 1L), ("click", 0L, 1L, 1L),
+      ("view", -1L, 3L, 2L), ("view", 0L, 2L, 2L), ("view", 1L, 1L, 1L)))
+  }
+}
