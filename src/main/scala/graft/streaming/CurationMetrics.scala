@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.io.File
+
+import graft.rollup.Rollup
+import graft.sources.TierStore
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bridge from the [[StreamingCuration]] funnel record to the metrics
+  * half of the engine: per-batch per-stage doc counts become
+  * `~curation.<stage>` COUNTER metrics in a [[TierStore]], so the
+  * Influx surface charts curation throughput ("docs surviving the
+  * quality gate per minute") with the same queries, tier routing, and
+  * dashboards as any ingest metric — the `~` prefix marks them
+  * internal exactly like the reference's `~system.*` self-monitoring
+  * convention (see [[graft.Monitoring]]).
+  *
+  * Replay semantics: the funnel is written at-least-once (a crash
+  * between a batch's kept/state writes and its checkpoint commit
+  * re-emits the batch), so measurements dedup on (batch_id, stage)
+  * keeping the FIRST stamp — a replayed batch never double-counts.
+  *
+  * Publish semantics: each [[publish]] rebuilds the counter cascade
+  * from the full funnel record into a fresh directory and atomically
+  * swaps it in ([[TierStore.swapInto]] — the PqIndexStore pattern), so
+  * concurrent readers see either the previous snapshot or the new one,
+  * never a partial write. The funnel frame is batches×stages rows —
+  * the rebuild is trivially cheap next to the curation work itself —
+  * and the swap keeps the bridge idempotent: publish as often as you
+  * like, counts never accumulate across publishes.
+  */
+object CurationMetrics {
+
+  val MetricPrefix = "~curation."
+
+  /** Funnel rows → measurements (metric, ts_ms, value): replayed
+    * batches collapse to their first stamp, stages become
+    * `~curation.<stage>` counter increments. */
+  def funnelMeasurements(spark: SparkSession, funnelDir: String): DataFrame = {
+    // streaming sink listings are cached per path in the session
+    spark.catalog.refreshByPath(funnelDir)
+    val w = Window.partitionBy("batch_id", "stage").orderBy(col("ts_ms").asc)
+    spark.read.parquet(funnelDir)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(concat(lit(MetricPrefix), col("stage")).as("metric"),
+        col("ts_ms"), col("n_docs").as("value"))
+  }
+
+  /** Build the full counter cascade (raw 5 s + every standard tier)
+    * plus the metric catalog from the funnel record, and atomically
+    * swap it into `storeDir`. Read it back with
+    * `new InfluxPlanner(new TierSummaryProvider(spark, storeDir))`. */
+  def publish(spark: SparkSession, funnelDir: String, storeDir: String): Unit = {
+    val tmp = new File(s"$storeDir.tmp${System.nanoTime()}")
+    val tmpStore = new TierStore(spark, tmp.toString)
+    // localCheckpoint: the dedup window runs once, every tier and the
+    // catalog derive from the materialized (tiny) measurement frame
+    val meas = funnelMeasurements(spark, funnelDir).localCheckpoint()
+    var prev = Rollup.counterTier(meas, Rollup.RawGroupMs).localCheckpoint()
+    tmpStore.append("counter", Rollup.RawGroupMs, prev)
+    Rollup.StandardTiers.foreach { d =>
+      prev = Rollup.counterTierUp(prev, d).localCheckpoint()
+      tmpStore.append("counter", d, prev)
+    }
+    meas.select(col("metric")).distinct()
+      .selectExpr("metric AS name", "'counter' AS mtype")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    val dst = new File(storeDir)
+    val old = new File(s"$storeDir.old")
+    TierStore.recoverSwap(dst, old) // a crashed previous publish
+    if (dst.exists()) TierStore.swapInto(dst, tmp, old)
+    else require(tmp.renameTo(dst), s"could not move $tmp into place at $dst")
+  }
+}

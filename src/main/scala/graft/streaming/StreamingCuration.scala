@@ -21,9 +21,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * near-dup join only ever sees quality survivors.
   *
   * Per batch, survivors append to `kept/` and a per-stage funnel row
-  * set (batch_id, stage, n_docs) appends to `funnel/` — the
+  * set (batch_id, stage, n_docs, ts_ms) appends to `funnel/` — the
   * operational record of what each gate cut, continuously (the
   * streaming twin of [[graft.ops.Curation.funnel]]'s doc counts).
+  * [[CurationMetrics]] publishes that record into a metrics TierStore
+  * as `~curation.<stage>` counters, chartable through the Influx
+  * surface like any other metric.
   *
   * Near-dup verification is the MinHash ESTIMATE, as in
   * [[StreamingNearDup]] (exact verification would require storing
@@ -172,12 +175,16 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
           .localCheckpoint() // signature + bucket appends share one eval
         keptSig.write.mode("append").parquet(sigDir)
         bucketsOf(keptSig).write.mode("append").parquet(bkDir)
+        // wall-clock batch stamp: the funnel is an OPERATIONAL record
+        // (metrics-bridge input — see CurationMetrics), so real time is
+        // the right axis; replay dedup happens on (batch_id, stage)
+        val nowMs = System.currentTimeMillis()
         Seq("1_total" -> b, "2_quality" -> quality, "3_exact_dedup" -> exact,
             "4_near_dup" -> nearDup, "5_decontaminated" -> kept)
           .map { case (st, df) =>
             df.agg(count(lit(1)).as("n_docs"))
               .select(lit(batchId).as("batch_id"), lit(st).as("stage"),
-                col("n_docs")) }
+                col("n_docs"), lit(nowMs).as("ts_ms")) }
           .reduce(_ union _)
           .write.mode("append").parquet(funnelDir)
         ()

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.planner.{InfluxPlanner, TierSummaryProvider}
+import graft.streaming.CurationMetrics
+
+/** The funnel→metrics bridge: curation throughput charts through the
+  * SAME InfluxQL surface as ingest metrics. */
+class CurationMetricsSpec extends SparkSpec {
+
+  test("funnel record publishes as ~curation.* counters readable via InfluxQL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cmx").toString
+    val funnel = s"$base/funnel"
+    val T0 = 1704067200000L // tier-aligned (2024-01-01T00:00Z)
+    Seq(
+      (0L, "1_total", 6L, T0),
+      (0L, "5_decontaminated", 2L, T0),
+      (1L, "1_total", 3L, T0 + 300000L),
+      (1L, "5_decontaminated", 1L, T0 + 300000L),
+      // replayed batch 1 (at-least-once funnel append): must collapse
+      // to its first stamp, never double-count
+      (1L, "1_total", 3L, T0 + 300500L),
+      (1L, "5_decontaminated", 1L, T0 + 300500L))
+      .toDF("batch_id", "stage", "n_docs", "ts_ms")
+      .write.mode("append").parquet(funnel)
+    val store = s"$base/metrics"
+    CurationMetrics.publish(spark, funnel, store)
+
+    val planner = new InfluxPlanner(new TierSummaryProvider(spark, store))
+    // per-5m throughput of the total gate: batch replay deduped
+    val totals = planner.executeLong(spark,
+      s"""select count from "~curation.1_total" where time between $T0 """ +
+      s"and ${T0 + 599999L} force group by time(5m) order asc")
+      .orderBy("time").collect()
+    assert(totals.map(_.getAs[String]("series")).distinct.toSeq ==
+      Seq("~curation.1_total.count"))
+    assert(totals.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
+    // survivors at the end of the funnel, coarser tier
+    val kept = planner.executeLong(spark,
+      s"""select count from "~curation.5_decontaminated" where time between $T0 """ +
+      s"and ${T0 + 3599999L} force group by time(1h) order asc").collect()
+    assert(kept.length == 1 && kept(0).getAs[Double]("value") == 3.0)
+    // the catalog lists the bridged series like any other metric
+    val listed = planner.executeLong(spark, "list series /curation/")
+      .collect().map(_.getAs[String]("value")).sorted.toSeq
+    assert(listed == Seq("~curation.1_total", "~curation.5_decontaminated"))
+
+    // re-publish is idempotent (atomic snapshot swap, no accumulation)
+    CurationMetrics.publish(spark, funnel, store)
+    val again = planner.executeLong(spark,
+      s"""select count from "~curation.1_total" where time between $T0 """ +
+      s"and ${T0 + 599999L} force group by time(5m) order asc")
+      .orderBy("time").collect()
+    assert(again.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
+  }
+}

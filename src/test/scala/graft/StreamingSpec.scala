@@ -819,6 +819,59 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("mid-stream retrain: a RUNNING quality filter swaps model generations atomically (reliable mode)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sqf_soak").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val prose = (100L to 119L).map(i => (i, s"good clean prose number $i"))
+      .toDF("doc_id", "text")
+    val spam = (200L to 219L).map(i => (i, s"spam junk garbage item $i"))
+      .toDF("doc_id", "text")
+    val f = new graft.streaming.StreamingQualityFilter(spark, base)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    def kept() = {
+      spark.catalog.refreshByPath(f.keptPath)
+      spark.read.parquet(f.keptPath).collect().map(_.getLong(0)).toSet
+    }
+    val ckDir = Files.createTempDirectory("graft_sqf_soak_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+    try {
+      // generation A: prose positive
+      f.fit(prose, spam)
+      val q = f.start(f.readJsonDocs(in), trig)
+      try {
+        dropFile(in, "b1.json", Seq(
+          doc(1, "good clean prose sample"), doc(2, "spam junk garbage heap")))
+        q.processAllAvailable()
+        assert(kept() == Set(1L), s"generation A filter wrong: ${kept()}")
+        // RETRAIN while the query runs: generation B inverts the labels
+        // (spam positive) — the staged-rename commit swaps generations
+        // between triggers, the stream never restarts
+        f.fit(spam, prose)
+        dropFile(in, "b2.json", Seq(
+          doc(10, "good clean prose again"), doc(11, "junk spam garbage pile")))
+        q.processAllAvailable()
+        assert(kept() == Set(1L, 11L),
+          s"generation B must score batch 2: ${kept()}")
+      } finally q.stop()
+      // crashed-retrain window: weights moved aside to __old with no
+      // committed successor — a fresh instance serves the fallback
+      Files.move(Paths.get(s"$base/weights"), Paths.get(s"$base/weights.__old"))
+      val f2 = new graft.streaming.StreamingQualityFilter(spark, base)
+      val q2 = f2.start(f2.readJsonDocs(in), trig)
+      try {
+        dropFile(in, "b3.json", Seq(
+          doc(20, "good clean prose once more"), doc(21, "garbage spam junk set")))
+        q2.processAllAvailable()
+        assert(kept() == Set(1L, 11L, 21L),
+          s"__old fallback must keep serving generation B: ${kept()}")
+      } finally q2.stop()
+    } finally spark.conf.set(graft.ops.Checkpoints.ReliableKey, "false")
+  }
+
   test("streaming curation: all four gates per batch, stores survive a reliable-mode restart") {
     val base = Files.createTempDirectory("graft_scur").toString
     val in = s"$base/in"
