@@ -1095,23 +1095,32 @@ object TextAnalysis {
       .groupBy("r", "b").agg(sum("freq").as("cnt"))
   }
 
+  /** The `depth` salted (r, b) bucket rows per input token row — the
+    * ONE definition of the CMS row-hash family, shared by the sketch
+    * build, the probe side of [[cmsTopEstimates]], and the streaming
+    * twin's estimate reads. Extra input columns ride along. */
+  def cmsTokenBuckets(toks: DataFrame, depth: Int, width: Long,
+                      tokenCol: String = "token"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 1, s"width must be positive, got $width")
+    graft.functions.ensureRegistered(toks.sparkSession)
+    toks
+      .withColumn("__hh", polyHash(col(tokenCol)))
+      .withColumn("r", explode(lit((0 until depth).toArray)))
+      .withColumn("b",
+        pmod((lit(2L) * col("r") + lit(1L)) * col("__hh") + lit(97L) * col("r"),
+          lit(1000000007L)) % lit(width))
+      .drop("__hh")
+  }
+
   /** Per-distinct-token (token, freq, r, b) frame — the shared
     * sub-plan of [[cmsSketch]] and [[cmsTopEstimates]]. */
   private def cmsBucketed(docs: DataFrame, depth: Int, width: Long,
-                          textCol: String): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
-    require(width >= 1, s"width must be positive, got $width")
-    graft.functions.ensureRegistered(docs.sparkSession)
-    val freq = docs
-      .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
-    freq
-      .select(col("token"), col("freq"), polyHash(col("token")).as("hh"),
-        explode(lit((0 until depth).toArray)).as("r"))
-      .withColumn("b",
-        pmod((lit(2L) * col("r") + lit(1L)) * col("hh") + lit(97L) * col("r"),
-          lit(1000000007L)) % lit(width))
-  }
+                          textCol: String): DataFrame =
+    cmsTokenBuckets(
+      docs.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq")),
+      depth, width)
 
   /** CMS accuracy report for the corpus's own top-`k` tokens: each
     * probe's true count, its sketch estimate (min over the `depth`

@@ -129,6 +129,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming CMS: cells accumulate across batches; a restarted instance answers from the store") {
+    val base = Files.createTempDirectory("graft_scms").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def mk() = new graft.streaming.StreamingCms(spark, base, depth = 4, width = 512L)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val c1 = mk()
+    val q1 = c1.start(c1.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "alpha beta alpha"), doc(2, "beta gamma")))
+      q1.processAllAvailable()
+      assert(c1.estimates(Seq("alpha", "beta", "gamma", "delta")) ==
+        Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 0L))
+      // second batch merges into the same cells
+      dropFile(in, "b2.json", Seq(doc(3, "alpha delta")))
+      q1.processAllAvailable()
+      assert(c1.estimates(Seq("alpha", "delta")) ==
+        Map("alpha" -> 3L, "delta" -> 1L))
+    } finally q1.stop()
+    // restart: a new instance serves the persisted cells and keeps merging
+    val c2 = mk()
+    assert(c2.estimates(Seq("alpha")) == Map("alpha" -> 3L))
+    val q2 = c2.start(c2.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b3.json", Seq(doc(10, "gamma gamma")))
+      q2.processAllAvailable()
+      assert(c2.estimates(Seq("alpha", "gamma")) ==
+        Map("alpha" -> 3L, "gamma" -> 3L))
+      // state stays cell-bounded: never more than depth*width rows
+      assert(c2.cells().count() <= 4L * 512L)
+    } finally q2.stop()
+  }
+
   test("streaming heavy hitters: summary state merges across batches within the MG bound") {
     val base = Files.createTempDirectory("graft_stopk").toString
     val in = s"$base/in"
