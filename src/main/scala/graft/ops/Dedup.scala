@@ -606,6 +606,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep-BEST-copy dedup: per duplicate cluster, survive the member
+    * with the highest `priority` (ties by id asc) instead of
+    * [[applyClusters]]' min-id rule — the form real curation uses
+    * ("of the five mirrors of this article, keep the cleanest copy").
+    * `priority` is any column expression over `docs` (a quality
+    * score, a source-trust rank, recency). Docs outside the cluster
+    * frame survive untouched.
+    *
+    * Scale: same shape as [[capClusters]] — the rank window partitions
+    * by cluster over the duplicate-bounded clusters frame; the corpus
+    * side is one anti-join on ids. */
+  def keepBest(docs: DataFrame, clusters: DataFrame, priority: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val pr = docs.select(col(idCol).as("doc_id"), priority.as("__p"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__p").desc, col("doc_id").asc)
+    val losers = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(pr, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") > 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Duplication-aware loss weights — the soft-dedup alternative to
     * dropping duplicates: every doc gets weight 1/|its cluster| (as
     * weight_e6 = 1e6 div size, exact integer floor), so each duplicate

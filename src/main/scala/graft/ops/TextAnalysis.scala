@@ -1031,6 +1031,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Attribution / containment lookup: every document containing the
+    * token-aligned phrase `needle` — the memorization probe a training
+    * pipeline runs ("which documents contain this eval answer / this
+    * copyrighted passage?"). The needle normalizes through the SAME
+    * pipeline as document text (lower, trim, whitespace-collapse,
+    * split), and a match is n-gram EQUALITY at token alignment — so
+    * 'he cat' does not match inside 'the cat', and the DuckDB oracle
+    * is the space-padded contains over normalized text.
+    *
+    * Scale: the equality predicate sits directly on the exploded gram
+    * stream — nothing survives the scan except actual matches, so the
+    * only exchange is the distinct over matching doc ids (hits-sized,
+    * not corpus-sized). One corpus scan; for repeated lookups against
+    * a fixed corpus, build [[spanDedup]]'s persisted gram store once
+    * and equi-join needle hashes instead. */
+  def spanLookup(docs: DataFrame, needle: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = needle.toLowerCase.trim.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, "needle must contain at least one token")
+    val phrase = toks.mkString(" ")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol), explode(ngramsAll(col("w"), toks.length)).as("g"))
+      .where(col("g") === phrase)
+      .select(col(idCol)).distinct()
+  }
+
   /** Per-document top-k terms by tf·idf (idf = ln(N/df), ties broken by
     * token). `nDocs` lets a caller that already knows the corpus size
     * (a catalog, a previous stage) skip the count entirely; when absent

@@ -980,7 +980,31 @@ object PipelineQueries {
     graft.ops.EventAnalytics.dailyRollup(Tables.events(spark, dir))
       .orderBy("event_type", "day_idx")
 
+  /** Token-aligned containment lookup for the literal phrase
+    * "value fast spark" (present at every test SF): the memorization /
+    * attribution probe. The oracle is the space-padded contains over
+    * normalized text — different machinery, same token-aligned
+    * semantics. */
+  def spanLookupQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanLookup(Tables.documents(spark, dir), "value fast spark")
+      .orderBy("doc_id")
+
+  /** Keep-best-copy dedup over the d_dup_clusters graph: the cluster
+    * survivor is the member with the highest rounded quality score
+    * (ties by id), not the min id. */
+  def dedupBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docsW = docs.select(col("doc_id"), col("text"),
+      Dedup.tokens(col("text")).as("w"))
+    Dedup.keepBest(docsW,
+      Dedup.dupClusters(Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5)),
+      round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4))
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_span_lookup"       -> (spanLookupQ _),
+    "d_dedup_best"        -> (dedupBestQ _),
     "d_hybrid_topk"       -> (hybridTopKQ _),
     "d_cms_counts"        -> (cmsEstimatesQ _),
     "d_temperature_mix"   -> (temperatureMixQ _),
@@ -1190,6 +1214,48 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // token-aligned phrase containment == space-padded substring over
+    // the SAME normalized text (different machinery than the gram scan)
+    "d_span_lookup" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $NormSql AS nt FROM documents)
+         |WHERE contains(' ' || nt || ' ', ' value fast spark ')
+         |ORDER BY doc_id""".stripMargin,
+    // d_dup_clusters' recursive closure + the d_quality score; cluster
+    // survivor = argmax(quality, -doc_id), everyone else anti-joins out
+    "d_dedup_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |q AS (SELECT doc_id,
+         |        round(GREATEST(0.0, LEAST(1.0,
+         |          LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |          - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
+         |      FROM c),
+         |rk AS (SELECT cl.doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY q.quality DESC, cl.doc_id ASC) AS r
+         |       FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN (SELECT doc_id FROM rk WHERE r > 1) l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
     // both arms replayed end-to-end: the BM25 CTE chain is d_bm25_topk's
     // (cut at depth 20 with explicit ranks), the dense arm is the exact
     // cosine ranking for vec 0; fusion contributions use floor (never a

@@ -80,6 +80,38 @@ class SelectionOpsSpec extends SparkSpec {
     assert(keptBig == expectBig)
   }
 
+  test("spanLookup: token-aligned phrase match with shared normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  Cat   sat on the mat"),
+      (2L, "a cat sat here"),
+      (3L, "he cat sat"), // literal tokens 'he cat'
+      (4L, "cat")).toDF("doc_id", "text")
+    def hits(needle: String) =
+      TextAnalysis.spanLookup(docs, needle).orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    // needle normalizes like document text (case, whitespace)
+    assert(hits("  CAT   Sat ") == Seq(1L, 2L, 3L))
+    // token alignment: 'he cat' is NOT inside 'the cat'
+    assert(hits("he cat") == Seq(3L))
+    // single token; and a needle longer than a doc can't match it
+    assert(hits("cat") == Seq(1L, 2L, 3L, 4L))
+    assert(hits("cat sat on the mat today") == Seq())
+  }
+
+  test("keepBest: cluster survivor is the argmax-priority member, ties by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster A -> keep 2
+      (4L, 0.7), (5L, 0.7),            // cluster B tie -> keep 4
+      (6L, 0.1)).toDF("doc_id", "q")   // unpaired -> survives
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBest(docs, clusters, col("q"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L, 6L))
+  }
+
   test("dupWeights: 1e6 div cluster size, singletons keep weight 1e6") {
     import spark.implicits._
     val docs = (0L to 5L).toDF("doc_id")
