@@ -35,6 +35,31 @@ class SelectionOpsSpec extends SparkSpec {
     assert(fused == lex)
   }
 
+  test("hybridTopK fuses a persisted-index dense arm (zero-training serve path)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_hybrid").toString
+    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    // serve-path dense arm: exact configuration so the arm is the true
+    // cosine ranking for query vector 0
+    val dense = store.topK(emb, emb.where(col("vec_id") === 0), k = 10,
+      nprobe = 16, rerank = 1000000)
+    val fused = Retrieval.hybridTopK(docs, dense, Seq("the", "data"),
+      k = 5, depth = 10).collect()
+    assert(fused.length == 5)
+    val lexIds = TextAnalysis.bm25TopK(docs, Seq("the", "data"), 10)
+      .collect().map(_.getLong(0)).toSet
+    val denseIds = dense.collect().map(_.getAs[Long]("n_id")).toSet
+    assert(fused.forall(r => lexIds(r.getLong(2)) || denseIds(r.getLong(2))))
+    // a doc ranked high by BOTH arms outranks single-arm docs of equal
+    // single-arm rank: the fused top-1 carries strictly more mass than
+    // any single-arm-only candidate can reach from rank 1
+    val both = lexIds intersect denseIds
+    if (both.nonEmpty) assert(fused(0).getLong(3) > 16393L)
+  }
+
   test("cms: estimate >= truth; exact at collision-free width; shard sketches merge") {
     val docs = Tables.documents(spark, sf)
     val rep = TextAnalysis.cmsTopEstimates(docs, k = 20, depth = 4, width = 1024L)

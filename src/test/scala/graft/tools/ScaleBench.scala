@@ -20,7 +20,10 @@ object ScaleBench {
     "d_curation_funnel", "d_split_assign", "d_dup_clusters",
     "d_jaccard_pairs", "d_repeated_spans", "d_pmi_pairs",
     "d_minhash_lsh", "d_tfidf_topk", "e_cosine_topk", "d_pack_contexts",
-    "d_span_dedup", "d_dsir_weights")
+    "d_span_dedup", "d_dsir_weights",
+    // round-7 session-3 additions (§G7)
+    "d_cms_counts", "d_temperature_mix", "d_dup_weights", "d_dedup_best",
+    "d_span_lookup", "d_hybrid_topk")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
