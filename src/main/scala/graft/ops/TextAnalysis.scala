@@ -1031,6 +1031,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Overlapping token-window chunking — the unit-of-retrieval split a
+    * RAG/embedding indexing pipeline runs before embedding: windows of
+    * `size` tokens starting every `stride` tokens (stride < size ⇒
+    * overlap so no span is cut at a boundary without a second window
+    * covering it). Chunk ids are dense per doc in text order; the last
+    * window is partial rather than dropped (its tokens appear nowhere
+    * else when stride = size). Docs that tokenize empty emit nothing.
+    *
+    * Scale: one scan, zero shuffle — starts derive per row from the
+    * token count, chunks are array slices of the already-held token
+    * array (the output explode multiplies rows ~n/stride, which IS the
+    * output, not overhead). */
+  def chunkDocs(docs: DataFrame, size: Int = 128, stride: Int = 64,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"size must be positive, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .where(size_(col("w")) > 0)
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), size_(col("w")), lit(stride))).as("s"))
+      .select(col(idCol),
+        expr(s"(s - 1) div $stride").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("w"), col("s"), lit(size))).as("chunk"),
+        least(size_(col("w")) - col("s") + 1, lit(size)).cast("long").as("n_tokens"))
+  }
+
+  // functions.size shadowed by the Int parameter above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Attribution / containment lookup: every document containing the
     * token-aligned phrase `needle` — the memorization probe a training
     * pipeline runs ("which documents contain this eval answer / this

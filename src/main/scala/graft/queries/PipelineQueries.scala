@@ -1002,7 +1002,15 @@ object PipelineQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** Overlapping 16-token chunks at stride 8 (2× overlap) — the RAG
+    * indexing split; sized so the 10..100-token corpus docs exercise
+    * multi-chunk and partial-tail paths. */
+  def chunkDocsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables.documents(spark, dir), size = 16, stride = 8)
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_doc_chunks"        -> (chunkDocsQ _),
     "d_span_lookup"       -> (spanLookupQ _),
     "d_dedup_best"        -> (dedupBestQ _),
     "d_hybrid_topk"       -> (hybridTopKQ _),
@@ -1214,6 +1222,16 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // 1-based starts every stride tokens; DuckDB list slice w[a:b] is
+    // inclusive, Spark slice(w, start, len) length-bounded - same cut
+    "d_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |x AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 8)) AS s
+         |      FROM t WHERE len(w) > 0)
+         |SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS chunk_id,
+         |  array_to_string(w[s:s+15], ' ') AS chunk,
+         |  CAST(LEAST(len(w) - s + 1, 16) AS BIGINT) AS n_tokens
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     // token-aligned phrase containment == space-padded substring over
     // the SAME normalized text (different machinery than the gram scan)
     "d_span_lookup" ->

@@ -294,4 +294,110 @@ class PipelineOpsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CMS: never undercounts on random corpora; split-merge equals whole") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val genDocs = for {
+      n <- Gen.choose(1, 25)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(genDocs, trials = 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      // tight width forces collisions: est >= truth must still hold
+      val rep = TextAnalysis.cmsTopEstimates(docs, k = 10, depth = 3, width = 4L)
+        .collect()
+      rep.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted ${r.getString(0)}"))
+      val whole = TextAnalysis.cmsSketch(docs, 3, 4L)
+        .orderBy("r", "b").collect().toSeq
+      val a = TextAnalysis.cmsSketch(docs.where(col("doc_id") % 2 === 0), 3, 4L)
+      val b = TextAnalysis.cmsSketch(docs.where(col("doc_id") % 2 === 1), 3, 4L)
+      val merged = a.unionByName(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+        .orderBy("r", "b").collect().toSeq
+      assert(merged == whole)
+    }
+  }
+
+  test("rrfFuse: invariant under arm order and candidate row order") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val genArms = for {
+      nA <- Gen.choose(1, 8); nB <- Gen.choose(1, 8)
+      idsA <- Gen.listOfN(nA, Gen.choose(0L, 15L)).map(_.distinct)
+      idsB <- Gen.listOfN(nB, Gen.choose(0L, 15L)).map(_.distinct)
+    } yield (idsA.zipWithIndex.map { case (id, r) => (0L, id, r + 1L) },
+             idsB.zipWithIndex.map { case (id, r) => (0L, id, r + 1L) })
+    forAllSeeded(genArms, trials = 8) { case (armA, armB) =>
+      def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("q_id", "n_id", "rank")
+      val ab = Retrieval.rrfFuse(Seq(df(armA), df(armB)), k = 20)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val ba = Retrieval.rrfFuse(Seq(df(armB), df(armA)), k = 20)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(ab == ba, s"arm order changed the fusion: $armA / $armB")
+      val shuf = Retrieval.rrfFuse(
+        Seq(df(scala.util.Random.shuffle(armA)), df(armB)), k = 20)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(shuf == ab)
+    }
+  }
+
+  test("temperature rates: expected kept volume hits the target up to caps, any mix") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val genMix = for {
+      k <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(k, Gen.choose(1, 400))
+    } yield sizes
+    forAllSeeded(genMix, trials = 8) { sizes =>
+      var next = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map { _ => next += 1; (next, s"src$s") }
+      }
+      val docs = rows.toDF("doc_id", "source")
+      val rates = Sampling.temperatureRates(docs, alpha = 0.5, targetFrac = 0.4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rates.foreach { case (_, _, r) => assert(r >= 0 && r <= 1000000L) }
+      val n = sizes.sum.toLong
+      val target = math.floor(n * 0.4).toLong
+      val expect = rates.map { case (_, ns, r) => ns * r / 1e6 }.sum
+      // uncapped sources are sized to jointly hit the target; caps can
+      // only LOSE volume (a boosted tail source cannot keep > 100%),
+      // and quantization costs at most ~1 doc per source
+      assert(expect <= target + rates.length,
+        s"expected kept $expect above target $target for $sizes")
+      if (rates.forall(_._3 < 1000000L))
+        assert(expect >= target * 0.9 - rates.length,
+          s"expected kept $expect far below target $target for $sizes")
+    }
+  }
+
+  test("chunkDocs at stride = size partitions the token stream losslessly") {
+    import graft.ops.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val genDocs = for {
+      n <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf("w1", "w2", "w3", "w4"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(genDocs, trials = 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val size = 7
+      val rebuilt = TextAnalysis.chunkDocs(docs, size, size)
+        .orderBy("doc_id", "chunk_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, cs) =>
+          id -> cs.sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ") }
+      val want = docs.select(col("doc_id"), concat_ws(" ",
+          Dedup.tokens(col("text"))).as("nt"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+        .filter(_._2.nonEmpty).toMap
+      assert(rebuilt == want)
+    }
+  }
 }

@@ -105,6 +105,22 @@ class SelectionOpsSpec extends SparkSpec {
     assert(keptBig == expectBig)
   }
 
+  test("chunkDocs: overlapping windows, partial tail kept, empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e", 1L),
+      (3L, 0L, "x", 1L)))
+    // stride = size partitions the doc exactly (no overlap, no loss)
+    val part = TextAnalysis.chunkDocs(docs.where(col("doc_id") === 1), 2, 2)
+      .orderBy("chunk_id").collect().map(_.getString(2)).toSeq
+    assert(part == Seq("a b", "c d", "e"))
+  }
+
   test("spanLookup: token-aligned phrase match with shared normalization") {
     import spark.implicits._
     val docs = Seq(
