@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators — the third leg of train/serve/EVAL for the
+  * pipeline's learned components. All metrics are exact-integer
+  * (counts and `div`-quantized ratios), so any engine replays them
+  * bit-for-bit and a regression gate can compare artifacts across
+  * engines/runs without float tolerance.
+  */
+object Eval {
+
+  /** Confusion counts + quantized P/R/F1 for binary predictions.
+    * `preds` carries (idCol, keep BOOLEAN) — [[TextAnalysis.classifierScore]]'s
+    * output shape; `labels` carries (idCol, y ∈ {0,1}) for EVERY eval
+    * doc. Docs absent from `preds` (e.g. zero-gram docs the featurizer
+    * drops) count as predicted-negative — the honest accounting for a
+    * filter that passes only what it scores. One row out:
+    * (tp, fp, fn, tn, precision_e6, recall_e6, f1_e6), ratios by exact
+    * integer div with 0 for empty denominators.
+    *
+    * Scale: one broadcast-or-hash join on ids and one global count
+    * aggregate with map-side partials — nothing wider than the eval
+    * set ever shuffles. */
+  def binaryClassification(preds: DataFrame, labels: DataFrame,
+                           idCol: String = "doc_id"): DataFrame =
+    labels.select(col(idCol), col("y").cast("long").as("y"))
+      .join(preds.select(col(idCol), col("keep")), Seq(idCol), "left")
+      .withColumn("p", coalesce(col("keep"), lit(false)))
+      .agg(
+        sum(when(col("p") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) END")
+          .as("precision_e6"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END")
+          .as("recall_e6"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
+          "ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END").as("f1_e6"))
+
+  /** Per-query retrieval metrics against a relevance set: recall@k and
+    * reciprocal rank, exact-integer quantized. `ranking` carries
+    * (q_id, rank, n_id) — any ANN/BM25/hybrid arm's output shape;
+    * `qrels` carries the relevant (q_id, n_id) pairs. One row per
+    * query WITH relevance judgments (metrics are undefined for
+    * unjudged queries): (q_id, n_rel, hits, recall_e6, rr_e6), where
+    * rr_e6 = 1e6 div (first relevant rank), 0 when nothing relevant
+    * ranked in the top k.
+    *
+    * Scale: the hit join touches |queries|·k ranking rows against the
+    * qrels frame; everything downstream is per-query aggregates. */
+  def rankMetrics(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nrel = qrels.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val hit = ranking.where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+      .join(qrels.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"), min("rank").as("best"))
+    nrel.join(hit, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        expr("hits * 1000000 div n_rel").as("recall_e6"),
+        coalesce(expr("1000000 div best"), lit(0L)).as("rr_e6"))
+  }
+}

@@ -1009,7 +1009,41 @@ object PipelineQueries {
     TextAnalysis.chunkDocs(Tables.documents(spark, dir), size = 16, stride = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Retrieval eval: recall@5 + reciprocal rank of the exact-config
+    * IVF ranking against label-sharing relevance (each query's
+    * relevant set = every other vector with its label). */
+  def rankMetricsQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val ranking = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      nlist = 16, nprobe = 16)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val qrels = lab.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label"))
+      .join(lab.select(col("vec_id").as("n_id"), col("label")), "label")
+      .where(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    graft.ops.Eval.rankMetrics(ranking, qrels, k = 5).orderBy("q_id")
+  }
+
+  /** Classifier eval: train src0-vs-rest exactly as d_quality_train,
+    * serve the whole corpus, confusion + P/R/F1 against the source
+    * labels — keep ⟺ Σc·w > 0 is an exact integer predicate, so the
+    * oracle replays training AND serving AND the metrics. */
+  def clfMetricsQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = TextAnalysis.trainQualityClassifier(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), steps = 2)
+    val preds = TextAnalysis.classifierScore(docs, w)
+    val labels = docs.select(col("doc_id"),
+      (col("source") === "src0").cast("long").as("y"))
+    graft.ops.Eval.binaryClassification(
+      preds.select(col("doc_id"), col("keep")), labels)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rank_metrics"      -> (rankMetricsQ _),
+    "d_clf_metrics"       -> (clfMetricsQ _),
     "d_doc_chunks"        -> (chunkDocsQ _),
     "d_span_lookup"       -> (spanLookupQ _),
     "d_dedup_best"        -> (dedupBestQ _),
@@ -1107,6 +1141,47 @@ object PipelineQueries {
     "d_vocab_topk"      -> (vocabTopK _),
     "e_user_sessions"   -> (userSessions _),
   )
+
+  /** The d_quality_train CTE chain (featurize → step 1 → step 2 → w2),
+    * shared verbatim with the d_clf_metrics serve+confusion oracle so
+    * training semantics live in exactly one place. */
+  private val QualityTrainCtes: String =
+    s"""t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
+       |g AS (SELECT doc_id, source, unnest(w ||
+       |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+       |             ELSE list_transform(generate_series(1, len(w) - 1),
+       |                    i -> w[i] || ' ' || w[i + 1]) END) AS gm
+       |      FROM t),
+       |h AS (SELECT doc_id, source,
+       |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |          list_transform(string_split(gm, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket
+       |      FROM g WHERE len(gm) > 0),
+       |fb AS (SELECT doc_id, MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS y,
+       |         bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM h GROUP BY doc_id, bucket),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM fb GROUP BY 1),
+       |f AS (SELECT fb.doc_id, y, bucket, c, n,
+       |        CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS f_e6
+       |      FROM fb JOIN tot ON fb.doc_id = tot.doc_id),
+       |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nn FROM f),
+       |g1 AS (SELECT bucket, CAST(SUM((500000 - y * 1000000) * f_e6) AS BIGINT) AS gg
+       |       FROM f GROUP BY 1),
+       |w1 AS (SELECT bucket,
+       |         CAST(0 - floor(CAST(gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
+       |       FROM g1 CROSS JOIN nd),
+       |s2 AS (SELECT f.doc_id, MAX(y) AS y, MAX(n) AS n,
+       |         CAST(SUM(c * COALESCE(w1.w, 0)) AS BIGINT) AS swc
+       |       FROM f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
+       |e2 AS (SELECT doc_id,
+       |         CAST(round((1.0 / (1.0 + exp(-(CAST(swc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))))
+       |           - CAST(y AS DOUBLE)) * 1000000.0) AS BIGINT) AS err
+       |       FROM s2),
+       |g2 AS (SELECT bucket, CAST(SUM(err * f_e6) AS BIGINT) AS gg
+       |       FROM f JOIN e2 USING (doc_id) GROUP BY 1),
+       |w2 AS (SELECT w1.bucket,
+       |         CAST(w1.w - floor(CAST(g2.gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
+       |       FROM w1 JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nd)""".stripMargin
 
   /** Token-level polynomial hash (seed 7, ×31, mod 1e9+7) — mirrors
     * TextAnalysis.polyHash. */
@@ -1991,43 +2066,50 @@ object PipelineQueries {
     // ±500000 exactly; floor (not round) on the weight update is the
     // engine-portable choice (no half-boundary ambiguity)
     "d_quality_train" ->
-      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
-         |g AS (SELECT doc_id, source, unnest(w ||
-         |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-         |             ELSE list_transform(generate_series(1, len(w) - 1),
-         |                    i -> w[i] || ' ' || w[i + 1]) END) AS gm
-         |      FROM t),
-         |h AS (SELECT doc_id, source,
-         |        list_reduce(list_prepend(CAST(7 AS BIGINT),
-         |          list_transform(string_split(gm, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |          (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket
-         |      FROM g WHERE len(gm) > 0),
-         |fb AS (SELECT doc_id, MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS y,
-         |         bucket, CAST(COUNT(*) AS BIGINT) AS c
-         |       FROM h GROUP BY doc_id, bucket),
-         |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM fb GROUP BY 1),
-         |f AS (SELECT fb.doc_id, y, bucket, c, n,
-         |        CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS f_e6
-         |      FROM fb JOIN tot ON fb.doc_id = tot.doc_id),
-         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nn FROM f),
-         |g1 AS (SELECT bucket, CAST(SUM((500000 - y * 1000000) * f_e6) AS BIGINT) AS gg
-         |       FROM f GROUP BY 1),
-         |w1 AS (SELECT bucket,
-         |         CAST(0 - floor(CAST(gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
-         |       FROM g1 CROSS JOIN nd),
-         |s2 AS (SELECT f.doc_id, MAX(y) AS y, MAX(n) AS n,
-         |         CAST(SUM(c * COALESCE(w1.w, 0)) AS BIGINT) AS swc
-         |       FROM f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
-         |e2 AS (SELECT doc_id,
-         |         CAST(round((1.0 / (1.0 + exp(-(CAST(swc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))))
-         |           - CAST(y AS DOUBLE)) * 1000000.0) AS BIGINT) AS err
-         |       FROM s2),
-         |g2 AS (SELECT bucket, CAST(SUM(err * f_e6) AS BIGINT) AS gg
-         |       FROM f JOIN e2 USING (doc_id) GROUP BY 1),
-         |w2 AS (SELECT w1.bucket,
-         |         CAST(w1.w - floor(CAST(g2.gg AS DOUBLE) * 1.0 / (nn * 1000000.0)) AS BIGINT) AS w
-         |       FROM w1 JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nd)
-         |SELECT bucket, w AS w_e6 FROM w2 ORDER BY bucket""".stripMargin,
+      s"WITH $QualityTrainCtes\nSELECT bucket, w AS w_e6 FROM w2 ORDER BY bucket",
+    // training chain shared with d_quality_train, then SERVE the whole
+    // corpus (keep <=> sum(c*w2) > 0 - sign-exact integers) and fold
+    // the confusion; absent-from-features docs are predicted-negative
+    "d_clf_metrics" ->
+      s"""WITH $QualityTrainCtes,
+         |sc AS (SELECT f.doc_id, CAST(SUM(c * COALESCE(w2.w, 0)) AS BIGINT) AS swc
+         |       FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
+         |lb AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+         |       FROM documents),
+         |pj AS (SELECT lb.doc_id, lb.y, COALESCE(sc.swc > 0, FALSE) AS p
+         |       FROM lb LEFT JOIN sc ON lb.doc_id = sc.doc_id),
+         |cf AS (SELECT
+         |  CAST(SUM(CASE WHEN p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN NOT p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN NOT p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM pj)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_e6,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_e6,
+         |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_e6
+         |FROM cf""".stripMargin,
+    "e_rank_metrics" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label AS nl
+        |      FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s),
+        |t5 AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 5),
+        |qr AS (SELECT q.q_id, c.n_id FROM q JOIN c ON q.ql = c.nl AND q.q_id <> c.n_id),
+        |nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+        |hit AS (SELECT t5.q_id, CAST(COUNT(*) AS BIGINT) AS hits,
+        |          CAST(MIN(rank) AS BIGINT) AS best
+        |        FROM t5 JOIN qr ON t5.q_id = qr.q_id AND t5.n_id = qr.n_id GROUP BY 1)
+        |SELECT nrel.q_id, n_rel, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+        |  CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT) AS recall_e6,
+        |  CAST(COALESCE(1000000 // best, 0) AS BIGINT) AS rr_e6
+        |FROM nrel LEFT JOIN hit ON nrel.q_id = hit.q_id
+        |ORDER BY nrel.q_id""".stripMargin,
     "e_dimension_drift" ->
       """WITH av AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
         |ax AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM av),

@@ -163,6 +163,33 @@ class SelectionOpsSpec extends SparkSpec {
     assert(w == Seq(333333L, 333333L, 333333L, 500000L, 500000L, 1000000L))
   }
 
+  test("binaryClassification: confusion + quantized metrics, absent preds count negative") {
+    import spark.implicits._
+    val preds = Seq((1L, true), (2L, false), (3L, true)).toDF("doc_id", "keep")
+    // doc 4 has a label but no prediction row -> predicted negative
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 1L)).toDF("doc_id", "y")
+    val r = graft.ops.Eval.binaryClassification(preds, labels).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 2L, 0L)))
+    assert(r.getLong(4) == 500000L) // precision 1/2
+    assert(r.getLong(5) == 333333L) // recall 1/3
+    assert(r.getLong(6) == 400000L) // f1 = 2/(2+1+2)
+  }
+
+  test("rankMetrics: recall@k and reciprocal rank; unhit queries score zero") {
+    import spark.implicits._
+    val ranking = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 21L)).toDF("q_id", "rank", "n_id")
+    val qrels = Seq((0L, 11L), (0L, 99L), (1L, 55L)).toDF("q_id", "n_id")
+    val out = graft.ops.Eval.rankMetrics(ranking, qrels, k = 3)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 500000L, 500000L), // hit at rank 2: recall 1/2, rr 1/2
+      (1L, 1L, 0L, 0L, 0L)))          // judged but unhit
+  }
+
   test("dailyRollup: subtotal and grand-total rows agree with direct aggregates") {
     import spark.implicits._
     val ev = Seq(
