@@ -76,7 +76,17 @@ object Curation {
                       * Takes precedence over minQuality /
                       * qualityKeepFrac. */
                     classifierWeights: Option[DataFrame] = None,
-                    classifierDim: Int = 4096)
+                    classifierDim: Int = 4096,
+                    /** Temperature mixture stage (6_mixture): after
+                      * decontamination, re-balance the source mix via
+                      * [[Sampling.temperatureSample]] at this α with
+                      * `mixTargetFrac` of the CLEANED corpus as the
+                      * expected kept volume — rates computed on the
+                      * survivors, where mixture decisions belong
+                      * (pre-clean shares overweight spammy sources).
+                      * Groups by `qualityGroupCol`. */
+                    sourceAlpha: Option[Double] = None,
+                    mixTargetFrac: Double = 0.3)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -166,13 +176,26 @@ object Curation {
       Dedup.contamination(afterSpans, benchmark, p.shingleK, p.minSharedShingles,
         idCol, textCol).select(idCol),
       Seq(idCol), "left_anti")
+    // optional temperature-mix tail: rates derive from the CLEANED
+    // survivors (the corpus a mixture decision should see), then the
+    // deterministic hash gate — clean is shared so the rate aggregate
+    // and the gated output reuse one materialization
+    val mixed = p.sourceAlpha.map { a =>
+      val shared = clean.sharedCheckpoint()
+      (shared, Sampling.temperatureSample(shared, a, p.mixTargetFrac,
+        p.qualityGroupCol, idCol).drop("rate_e6"))
+    }
     Seq(
       "1_total" -> withTok.drop("__q"),
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,
       "4_near_dup" -> nearDup) ++
       (if (p.exciseSpans) Seq("4b_span_excise" -> afterSpans) else Nil) ++
-      Seq("5_decontaminated" -> clean)
+      (mixed match {
+        case None => Seq("5_decontaminated" -> clean)
+        case Some((shared, m)) =>
+          Seq("5_decontaminated" -> shared, "6_mixture" -> m)
+      })
   }
 
   /** Internal carried-token-count column (see [[stageFrames]]). */

@@ -1677,6 +1677,25 @@ class OpsSpec extends SparkSpec {
     assert(packs.map(_._1).toSet == asg.map(_._2).toSet) // same permutation
   }
 
+  test("curation mixture tail equals temperatureSample of the cleaned corpus") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val p = Curation.Params(sourceAlpha = Some(0.5), mixTargetFrac = 0.4)
+    val (curated, funnelDf) = Curation.run(corpus, bench, p)
+    val funnel = funnelDf.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // stage 6 IS temperatureSample of stage 5's survivors
+    val clean = Curation.curate(corpus, bench,
+      Curation.Params()) // default params share every upstream knob
+    val expect = graft.ops.Sampling
+      .temperatureSample(clean, 0.5, 0.4, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"mixture tail diverged: ${got.size} vs ${expect.size}")
+    assert(funnel("6_mixture") == got.size.toLong)
+    assert(funnel("6_mixture") <= funnel("5_decontaminated"))
+  }
+
   test("curation quality stage accepts a trained classifier gate") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
