@@ -45,8 +45,19 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
                         minQuality: Double = 0.15,
                         k: Int = 3, numHashes: Int = 96, bands: Int = 32,
                         threshold: Double = 0.5, minSharedShingles: Int = 2,
-                        idCol: String = "doc_id", textCol: String = "text") {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        /** When set, [[CurationMetrics.publish]] runs
+                          * after every `publishEveryBatches`-th batch's
+                          * funnel append — the `~curation.*` counters
+                          * stay continuously chartable without an
+                          * external scheduler. The publish is an atomic
+                          * snapshot swap, so a crash mid-publish leaves
+                          * the previous generation readable. */
+                        metricsStoreDir: Option[String] = None,
+                        publishEveryBatches: Int = 1) {
   require(numHashes % bands == 0, "bands must divide numHashes")
+  require(publishEveryBatches >= 1,
+    s"publishEveryBatches must be >= 1, got $publishEveryBatches")
   // register on the OUTER session too: micro-batch session clones copy
   // the function registry at clone time, and the static benchmark
   // frame's shingle expressions analyze against it
@@ -187,6 +198,10 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
                 col("n_docs"), lit(nowMs).as("ts_ms")) }
           .reduce(_ union _)
           .write.mode("append").parquet(funnelDir)
+        metricsStoreDir.foreach { store =>
+          if (batchId % publishEveryBatches == 0)
+            CurationMetrics.publish(s, funnelDir, store)
+        }
         ()
       }
       .start()

@@ -55,4 +55,40 @@ class CurationMetricsSpec extends SparkSpec {
       .orderBy("time").collect()
     assert(again.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
   }
+
+  test("a running StreamingCuration auto-publishes chartable ~curation.* counters") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cmx_live").toString
+    val in = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val store = s"$base/metrics"
+    val benchmark = Seq((900L, "eval question alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sc = new graft.streaming.StreamingCuration(spark, base, benchmark,
+      metricsStoreDir = Some(store))
+    val q = sc.start(sc.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      val rows = Seq(
+        """{"doc_id":1,"text":"the cat sat on the mat today"}""",
+        """{"doc_id":2,"text":"THE CAT  SAT ON THE MAT TODAY"}""",
+        """{"doc_id":3,"text":"a completely different clean document here"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+        rows.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the store exists WITHOUT any manual publish call; the full-range
+    // grand total over the raw tier carries this batch's gate counts
+    val planner = new InfluxPlanner(new TierSummaryProvider(spark, store))
+    val series = planner.executeLong(spark, "list series /curation/")
+      .collect().map(_.getAs[String]("value")).toSet
+    assert(series.contains("~curation.1_total") &&
+      series.contains("~curation.5_decontaminated"))
+    val now = System.currentTimeMillis()
+    val total = planner.executeLong(spark,
+      s"""select count from "~curation.1_total" where time between """ +
+      s"${now - 3600000L} and ${now + 3600000L} force group by time(1h) order asc")
+      .collect().map(_.getAs[Double]("value")).sum
+    assert(total == 3.0, s"expected the batch's 3 total docs, got $total")
+  }
 }
