@@ -1015,6 +1015,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
       .where(col("token").isInCollection(queryTerms))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, stats, k, k1, b)
+  }
+
+  /** BM25 ranking core over prepared stats — shared by the scan-time
+    * operator above and index-serve paths ([[graft.streaming.StreamingBm25]])
+    * so the quantized formula lives in exactly one place. `tf` carries
+    * (doc_id, dl, token, tf) for the QUERY TERMS only; `stats` is the
+    * one-row (n, sumdl) corpus frame (attached via the audited
+    * single-row broadcast). */
+  def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val avgdl = col("sumdl").cast("double") / col("n").cast("double")
     val idf = log((col("n").cast("double") - col("df") + 0.5) /

@@ -129,6 +129,45 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sbm25").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val bm = new graft.streaming.StreamingBm25(spark, base)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val q = bm.start(bm.readJsonDocs(in), trig)
+    val terms = Seq("spark", "query")
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "spark query engine runs the spark query fast"),
+        doc(2, "query planner with window functions"),
+        doc(3, "unrelated text about tables and rows")))
+      q.processAllAvailable()
+      // batch 2: one new doc plus doc 1 RE-SENT with different text —
+      // the re-ingest guard keeps the first indexed version
+      dropFile(in, "b2.json", Seq(
+        doc(4, "spark spark spark shuffle"),
+        doc(1, "spark spark spark spark spark spark spark")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // serve from the store == the batch operator over the corpus as
+    // INGESTED (doc 1's original text), bit-for-bit
+    val corpus = Seq(
+      (1L, "spark query engine runs the spark query fast"),
+      (2L, "query planner with window functions"),
+      (3L, "unrelated text about tables and rows"),
+      (4L, "spark spark spark shuffle")).toDF("doc_id", "text")
+    val want = graft.ops.TextAnalysis.bm25TopK(corpus, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = bm.topK(terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"index serve diverged: $got vs $want")
+    // corpus stats count doc 1 exactly once
+    assert(bm.docStats().count() == 4L)
+  }
+
   test("streaming CMS: cells accumulate across batches; a restarted instance answers from the store") {
     val base = Files.createTempDirectory("graft_scms").toString
     val in = s"$base/in"
