@@ -42,6 +42,14 @@ class StreamingBm25(spark: SparkSession, baseDir: String,
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)
 
+  /** Compact the per-batch posting/doc-stat slivers (maintenance-window
+    * op — run between triggers or with the stream stopped). */
+  def compactStore(maxFiles: Int = 8): Boolean = {
+    val a = StoreCompaction.compactDir(spark, postDir, maxFiles)
+    val b = StoreCompaction.compactDir(spark, docsDir, maxFiles)
+    a && b
+  }
+
   private def readStore(s: SparkSession, dir: String, like: DataFrame): DataFrame =
     if (Files.exists(Paths.get(dir))) {
       s.catalog.refreshByPath(dir)

@@ -60,6 +60,54 @@ class SelectionOpsSpec extends SparkSpec {
     if (both.nonEmpty) assert(fused(0).getLong(3) > 16393L)
   }
 
+  test("fully-persistent hybrid serve equals the batch hybrid operator") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("the", "data")
+    val base = java.nio.file.Files.createTempDirectory("graft_hserve").toString
+
+    // dense arm: persisted IVF-PQ index, exact config (≡ brute force)
+    val pq = new graft.ops.PqIndexStore(spark, s"$base/pq", nlist = 16, m = 8, ksub = 16)
+    pq.build(emb)
+    val dense = pq.topK(emb, emb.where(col("vec_id") === 0), k = 20,
+      nprobe = 16, rerank = 1000000)
+
+    // lexical arm: the incremental BM25 index over the same docs,
+    // ingested through the streaming build
+    import spark.implicits._
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val bm = new graft.streaming.StreamingBm25(spark, s"$base/bm25")
+    val q = bm.start(bm.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      val lines = docs.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(col("doc_id"), col("text"))))
+        .collect().map(_.getString(0))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/all.json"),
+        lines.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // serve: rank the stored-arm outputs and fuse — ZERO corpus text
+    // scans on the lexical side, zero training on the dense side
+    val lex = Retrieval.rankByScore(
+      bm.topK(terms, k = 20)
+        .select(lit(0L).as("q_id"), col("doc_id").as("n_id"), col("score_e6")),
+      "score_e6", 20)
+    val denseArm = dense.where(col("rank") <= 20).select("q_id", "n_id", "rank")
+    val served = Retrieval.rrfFuse(Seq(lex, denseArm), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // batch twin: one-shot scan-everything hybrid
+    val batchDense = graft.ops.Similarity.ivfTopK(emb,
+      emb.where(col("vec_id") === 0), k = 20, nlist = 16, nprobe = 16)
+    val batch = Retrieval.hybridTopK(docs, batchDense, terms, k = 10, depth = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == batch, s"persistent serve diverged:\n$served\nvs\n$batch")
+  }
+
   test("cms: estimate >= truth; exact at collision-free width; shard sketches merge") {
     val docs = Tables.documents(spark, sf)
     val rep = TextAnalysis.cmsTopEstimates(docs, k = 20, depth = 4, width = 1024L)
