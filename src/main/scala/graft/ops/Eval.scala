@@ -41,14 +41,17 @@ object Eval {
         expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
           "ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END").as("f1_e6"))
 
-  /** Per-query retrieval metrics against a relevance set: recall@k and
-    * reciprocal rank, exact-integer quantized. `ranking` carries
-    * (q_id, rank, n_id) — any ANN/BM25/hybrid arm's output shape;
-    * `qrels` carries the relevant (q_id, n_id) pairs. One row per
-    * query WITH relevance judgments (metrics are undefined for
-    * unjudged queries): (q_id, n_rel, hits, recall_e6, rr_e6), where
-    * rr_e6 = 1e6 div (first relevant rank), 0 when nothing relevant
-    * ranked in the top k.
+  /** Per-query retrieval metrics against a relevance set: recall@k,
+    * reciprocal rank, and binary-gain DCG@k, exact-integer quantized.
+    * `ranking` carries (q_id, rank, n_id) — any ANN/BM25/hybrid arm's
+    * output shape; `qrels` carries the relevant (q_id, n_id) pairs.
+    * One row per query WITH relevance judgments (metrics are undefined
+    * for unjudged queries): (q_id, n_rel, hits, recall_e6, rr_e6,
+    * dcg_e6), where rr_e6 = 1e6 div (first relevant rank) and dcg_e6 =
+    * Σ_hits floor(1e6 / log2(rank + 1)), both 0 when nothing relevant
+    * ranked in the top k. log2 of a small integer is computed
+    * identically on IEEE engines (exact at the power-of-two ranks
+    * where floor boundaries sit), so the quantization is replayable.
     *
     * Scale: the hit join touches |queries|·k ranking rows against the
     * qrels frame; everything downstream is per-query aggregates. */
@@ -58,11 +61,14 @@ object Eval {
     val hit = ranking.where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
       .join(qrels.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("hits"), min("rank").as("best"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"), min("rank").as("best"),
+        sum(floor(lit(1e6) / log2(col("rank").cast("double") + lit(1.0)))
+          .cast("long")).as("dcg"))
     nrel.join(hit, Seq("q_id"), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .select(col("q_id"), col("n_rel"), col("hits"),
         expr("hits * 1000000 div n_rel").as("recall_e6"),
-        coalesce(expr("1000000 div best"), lit(0L)).as("rr_e6"))
+        coalesce(expr("1000000 div best"), lit(0L)).as("rr_e6"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_e6"))
   }
 }

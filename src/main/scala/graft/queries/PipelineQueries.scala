@@ -2103,11 +2103,13 @@ object PipelineQueries {
         |qr AS (SELECT q.q_id, c.n_id FROM q JOIN c ON q.ql = c.nl AND q.q_id <> c.n_id),
         |nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
         |hit AS (SELECT t5.q_id, CAST(COUNT(*) AS BIGINT) AS hits,
-        |          CAST(MIN(rank) AS BIGINT) AS best
+        |          CAST(MIN(rank) AS BIGINT) AS best,
+        |          CAST(SUM(CAST(floor(1000000.0 / log2(CAST(rank AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT) AS dcg
         |        FROM t5 JOIN qr ON t5.q_id = qr.q_id AND t5.n_id = qr.n_id GROUP BY 1)
         |SELECT nrel.q_id, n_rel, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
         |  CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT) AS recall_e6,
-        |  CAST(COALESCE(1000000 // best, 0) AS BIGINT) AS rr_e6
+        |  CAST(COALESCE(1000000 // best, 0) AS BIGINT) AS rr_e6,
+        |  CAST(COALESCE(dcg, 0) AS BIGINT) AS dcg_e6
         |FROM nrel LEFT JOIN hit ON nrel.q_id = hit.q_id
         |ORDER BY nrel.q_id""".stripMargin,
     "e_dimension_drift" ->

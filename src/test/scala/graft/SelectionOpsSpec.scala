@@ -231,11 +231,13 @@ class SelectionOpsSpec extends SparkSpec {
     val qrels = Seq((0L, 11L), (0L, 99L), (1L, 55L)).toDF("q_id", "n_id")
     val out = graft.ops.Eval.rankMetrics(ranking, qrels, k = 3)
       .orderBy("q_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
       .toSeq
     assert(out == Seq(
-      (0L, 2L, 1L, 500000L, 500000L), // hit at rank 2: recall 1/2, rr 1/2
-      (1L, 1L, 0L, 0L, 0L)))          // judged but unhit
+      // hit at rank 2: recall 1/2, rr 1/2, dcg = floor(1e6/log2(3))
+      (0L, 2L, 1L, 500000L, 500000L, 630929L),
+      (1L, 1L, 0L, 0L, 0L, 0L)))      // judged but unhit
   }
 
   test("dailyRollup: subtotal and grand-total rows agree with direct aggregates") {
