@@ -240,6 +240,31 @@ class SelectionOpsSpec extends SparkSpec {
       (1L, 1L, 0L, 0L, 0L, 0L)))      // judged but unhit
   }
 
+  test("plan shapes: chunking shuffle-free, lookup shuffles only hits, temperature broadcasts") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // AQE's adaptive wrapper hides subtrees from collect — audit concrete plans
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Tables.documents(s2, sf)
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+    // chunking: one scan, zero exchanges — the explode IS the output
+    assert(shuffles(TextAnalysis.chunkDocs(docs, 16, 8)) == 0)
+    // lookup: the phrase-equality filter sits under the single distinct
+    // shuffle, so only hit ids ever exchange
+    val look = TextAnalysis.spanLookup(docs, "value fast spark")
+    assert(shuffles(look) == 1)
+    val planStr = look.queryExecution.executedPlan.toString
+    assert(planStr.contains("value fast spark"),
+      "phrase filter must sit in the scan-side plan, not post-shuffle")
+    // temperature gate: the |sources|-row rate frame attaches via a
+    // broadcast join — no corpus-sized shuffle for the gate itself
+    val temp = graft.ops.Sampling.temperatureSample(docs)
+    val hasBroadcast = temp.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec => b }.nonEmpty
+    assert(hasBroadcast, "rate frame must broadcast")
+  }
+
   test("dailyRollup: subtotal and grand-total rows agree with direct aggregates") {
     import spark.implicits._
     val ev = Seq(
