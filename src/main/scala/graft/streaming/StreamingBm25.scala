@@ -81,33 +81,37 @@ class StreamingBm25(spark: SparkSession, baseDir: String,
     TextAnalysis.bm25Rank(tf, stats, k, k1, b)
   }
 
+  /** Index one batch of documents — the foreachBatch body, public so
+    * bulk backfills (and the scale harness) can drive the identical
+    * code path without a stream. */
+  def ingestBatch(batch: DataFrame): Unit = {
+    val s = batch.sparkSession
+    // one row per id within the batch, then exclude already-indexed
+    // docs (re-ingest guard: an id is indexed once, first text wins)
+    val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
+    val fresh = batch.select(col(idCol), col(textCol))
+      .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
+      .drop("__rn")
+      .join(readStore(s, docsDir,
+          batch.select(col(idCol), lit(0L).as("dl")).limit(0))
+          .select(idCol),
+        Seq(idCol), "left_anti")
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("w"))
+      .localCheckpoint() // postings + stats appends share one eval
+    fresh
+      .select(col(idCol), explode(col("w")).as("token"))
+      .groupBy("token", idCol).agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(postDir)
+    fresh
+      .select(col(idCol), size(col("w")).cast("long").as("dl"))
+      .write.mode("append").parquet(docsDir)
+  }
+
   def start(docs: DataFrame, trigger: Trigger): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .outputMode("append")
       .option("checkpointLocation", s"$baseDir/chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        // one row per id within the batch, then exclude already-indexed
-        // docs (re-ingest guard: an id is indexed once, first text wins)
-        val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
-        val fresh = batch.select(col(idCol), col(textCol))
-          .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
-          .drop("__rn")
-          .join(readStore(s, docsDir,
-              batch.select(col(idCol), lit(0L).as("dl")).limit(0))
-              .select(idCol),
-            Seq(idCol), "left_anti")
-          .select(col(idCol), Dedup.tokens(col(textCol)).as("w"))
-          .localCheckpoint() // postings + stats appends share one eval
-        fresh
-          .select(col(idCol), explode(col("w")).as("token"))
-          .groupBy("token", idCol).agg(count(lit(1)).as("tf"))
-          .write.mode("append").parquet(postDir)
-        fresh
-          .select(col(idCol), size(col("w")).cast("long").as("dl"))
-          .write.mode("append").parquet(docsDir)
-        ()
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => ingestBatch(batch) }
       .start()
 }

@@ -166,6 +166,12 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"index serve diverged: $got vs $want")
     // corpus stats count doc 1 exactly once
     assert(bm.docStats().count() == 4L)
+    // the term predicate reaches the postings parquet scan as a pushed
+    // filter — THE structural property that makes serve cost Σ df(term)
+    // instead of a corpus scan
+    val servePlan = bm.topK(terms, k = 10).queryExecution.executedPlan.toString
+    assert(servePlan.contains("PushedFilters") && servePlan.contains("In(token"),
+      s"term filter not pushed to the postings scan:\n$servePlan")
   }
 
   test("streaming CMS: cells accumulate across batches; a restarted instance answers from the store") {

@@ -204,9 +204,33 @@ object ScaleBench {
           exciseSpans = true)))
       ("d_curation_funnel_spans", (System.nanoTime() - t) / 1e9)
     }
+    // BM25: corpus-scan operator vs index serve from the posting store
+    // (build untimed — encode-at-ingest is the deployed shape); serve
+    // reads only the query terms' postings, so it should be FLAT
+    // across corpus decades while the scan row grows
+    def warmTimed(name: String)(mk: () => org.apache.spark.sql.DataFrame) = {
+      Bench.force(mk()) // plan/codegen/JIT warm pass, untimed
+      val t = System.nanoTime()
+      Bench.force(mk())
+      (name, (System.nanoTime() - t) / 1e9)
+    }
+    val bm25Scan = if (!want("bm25_scan")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
+        Seq("spark", "query", "window"), 10))
+    }
+    val bm25Serve = if (!want("bm25_serve")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_scale").toString
+      val bm = new graft.streaming.StreamingBm25(spark, base)
+      bm.ingestBatch(docs)
+      bm.compactStore()
+      warmTimed("bm25_serve")(() => bm.topK(Seq("spark", "query", "window"), 10))
+    }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ mh ++
-      annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel
+      annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
+      bm25Scan ++ bm25Serve
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
