@@ -312,14 +312,24 @@ object Sampling {
     * pattern of [[mixturePlan]]). */
   def temperatureRates(docs: DataFrame, alpha: Double = 0.5,
                        targetFrac: Double = 0.3,
-                       groupCol: String = "source"): DataFrame = {
+                       groupCol: String = "source"): DataFrame =
+    temperatureRatesFromCounts(
+      docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs")),
+      alpha, targetFrac, groupCol)
+
+  /** [[temperatureRates]] from an ALREADY-AGGREGATED per-group count
+    * frame (groupCol, n_docs) — the form a persistent count store
+    * serves ([[graft.streaming.StreamingMixture]]); same math, same
+    * engine-exactness. */
+  def temperatureRatesFromCounts(counts: DataFrame, alpha: Double = 0.5,
+                                 targetFrac: Double = 0.3,
+                                 groupCol: String = "source"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(targetFrac > 0 && targetFrac <= 1,
       s"targetFrac must be in (0, 1], got $targetFrac")
     val share = col("n_docs").cast("double") / col("total").cast("double")
     val wgt = if (alpha == 0.5) sqrt(share) else pow(share, lit(alpha))
-    docs
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    counts
       .withColumn("total", sum("n_docs").over(Window.partitionBy()))
       .withColumn("w_e6", floor(wgt * lit(1e6)).cast("long"))
       .withColumn("z", sum("w_e6").over(Window.partitionBy()))

@@ -129,6 +129,55 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming mixture: one batch equals the batch operator; rates adapt as a source grows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_smix").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, src: String) =
+      s"""{"doc_id":$id,"text":"doc $id","source":"$src"}"""
+    val sm = new graft.streaming.StreamingMixture(spark, base,
+      alpha = 0.5, targetFrac = 0.5)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val b1 = (0L until 90L).map(i => (i, s"doc $i", "src_big")) ++
+      (90L until 100L).map(i => (i, s"doc $i", "src_small"))
+    val q = sm.start(sm.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", b1.map { case (i, _, s) => doc(i, s) })
+      q.processAllAvailable()
+      // rates computed from counts INCLUDING the batch -> one-batch
+      // stream == the batch operator, bit-for-bit
+      val want = graft.ops.Sampling.temperatureSample(
+          b1.toDF("doc_id", "text", "source"), 0.5, 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.refreshByPath(sm.keptPath)
+      val got = spark.read.parquet(sm.keptPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"one-batch stream diverged: ${got.size} vs ${want.size}")
+      val rBefore = sm.currentRates().collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      // batch 2: src_big floods. Under α-flattening the flooding
+      // source's rate RISES toward targetFrac (it must supply nearly
+      // all the target volume as its share → 1) while the boosted
+      // tail stays at the keep-everything cap
+      dropFile(in, "b2.json",
+        (100L until 300L).map(i => doc(i, "src_big")))
+      q.processAllAvailable()
+      val rAfter = sm.currentRates().collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(rAfter("src_big") > rBefore("src_big") &&
+        rAfter("src_big") < 500000L,
+        s"flooding source rate must rise toward targetFrac: $rBefore -> $rAfter")
+      assert(rAfter("src_small") == 1000000L,
+        s"boosted tail must stay capped: $rAfter")
+    } finally q.stop()
+    // a restarted instance serves the persisted counts
+    val sm2 = new graft.streaming.StreamingMixture(spark, base,
+      alpha = 0.5, targetFrac = 0.5)
+    assert(sm2.counts().agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect()(0).getLong(0) == 300L)
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
