@@ -319,6 +319,38 @@ object TextAnalysis {
       .select(explode(ngramsAll(col("w"), n)).as("g"))
       .select(xxhash64(col("g")).as("h")).distinct()
 
+  /** Gram-novelty score: per document, the fraction of its length-n
+    * token windows NOT present in a seen-gram store
+    * ([[spanGramStore]]) — the "newness" signal that separates a fresh
+    * crawl from a re-crawl before any expensive dedup runs (a doc at
+    * novelty ≈ 0 is redundant even when no single span is long enough
+    * for span dedup to excise profitably). Counts DISTINCT grams per
+    * doc, so internal repetition doesn't inflate either side.
+    * Returns (idCol, n_grams, n_seen, novelty_e6) with novelty_e6 =
+    * (n_grams − n_seen)·1e6 div n_grams. Docs shorter than n collapse
+    * to one whole-text gram (the family-wide [[ngramsAll]] rule), so
+    * an exact short re-crawl scores novelty 0.
+    *
+    * Scale: grams travel as 8-byte xxhash64 keys; the store side is
+    * per-unique-gram. The membership probe is a left-semi-shaped
+    * aggregate: one shuffle on the hash key, then a doc-keyed count —
+    * text never shuffles. */
+  def gramNovelty(docs: DataFrame, seenGrams: DataFrame, n: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 1, s"span length must be > 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), explode(ngramsAll(col("w"), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h")).distinct()
+    val seen = grams.join(seenGrams.select(col("h")), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .select(col("id").as(idCol), col("n_grams"), col("n_seen"),
+        expr("(n_grams - n_seen) * 1000000 div n_grams").as("novelty_e6"))
+  }
+
   /** Incremental exact-substring span dedup — [[spanDedup]] for the
     * corpus-ingest shape: excise from `newDocs` every length-n window
     * whose gram is in the seen-gram store (anything ever ingested

@@ -1041,7 +1041,18 @@ object PipelineQueries {
       preds.select(col("doc_id"), col("keep")), labels)
   }
 
+  /** Gram novelty of the odd-id half against the even-id half's gram
+    * store — the re-crawl/newness signal. */
+  def noveltyQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.gramNovelty(
+      docs.where(col("doc_id") % 2 === 1),
+      TextAnalysis.spanGramStore(docs.where(col("doc_id") % 2 === 0)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_novelty"           -> (noveltyQ _),
     "e_rank_metrics"      -> (rankMetricsQ _),
     "d_clf_metrics"       -> (clfMetricsQ _),
     "d_doc_chunks"        -> (chunkDocsQ _),
@@ -1297,6 +1308,25 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // distinct gram strings on both sides (the hash family's 2^-64
+    // collision trade — the oracle compares STRINGS, as d_span_dedup)
+    "d_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |             ELSE list_transform(range(1, len(w) - 6),
+         |                    i -> array_to_string(w[i:i+7], ' ')) END) AS gr
+         |      FROM t),
+         |jg AS (SELECT DISTINCT doc_id, gr FROM g WHERE doc_id % 2 = 1),
+         |sg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 2 = 0),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM jg GROUP BY 1),
+         |sn AS (SELECT jg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+         |       FROM jg JOIN sg ON jg.gr = sg.gr GROUP BY 1)
+         |SELECT cnt.doc_id, n_grams,
+         |  CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen,
+         |  CAST((n_grams - COALESCE(n_seen, 0)) * 1000000 // n_grams AS BIGINT) AS novelty_e6
+         |FROM cnt LEFT JOIN sn ON cnt.doc_id = sn.doc_id
+         |ORDER BY cnt.doc_id""".stripMargin,
     // 1-based starts every stride tokens; DuckDB list slice w[a:b] is
     // inclusive, Spark slice(w, start, len) length-bounded - same cut
     "d_doc_chunks" ->

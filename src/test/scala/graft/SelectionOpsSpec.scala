@@ -169,6 +169,27 @@ class SelectionOpsSpec extends SparkSpec {
     assert(part == Seq("a b", "c d", "e"))
   }
 
+  test("gramNovelty: re-crawls score 0, fresh text 1e6, overlap in between") {
+    import spark.implicits._
+    val seen = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"), // grams [t1..t8],[t2..t9]
+      (2L, "short seen doc")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // exact re-crawl
+      (11L, "short seen doc"),               // short exact re-crawl
+      (12L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),  // fully novel
+      // 3 grams: [t1..t8] seen, [t2..t8,z1] and [t3..z1,z2] novel
+      (13L, "t1 t2 t3 t4 t5 t6 t7 t8 z1 z2")).toDF("doc_id", "text")
+    val out = TextAnalysis.gramNovelty(docs,
+        TextAnalysis.spanGramStore(seen))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == ((2L, 2L, 0L)))
+    assert(out(11L) == ((1L, 1L, 0L)))
+    assert(out(12L) == ((2L, 0L, 1000000L)))
+    assert(out(13L) == ((3L, 1L, 666666L)))
+  }
+
   test("spanLookup: token-aligned phrase match with shared normalization") {
     import spark.implicits._
     val docs = Seq(
