@@ -1153,6 +1153,28 @@ object PipelineQueries {
     "e_user_sessions"   -> (userSessions _),
   )
 
+  /** BM25 CTE chain (tokenize → stats → query-term tf → df → quantized
+    * per-doc score_e6) for the literal {spark, query, window} query —
+    * shared by d_bm25_topk and the lexical arm of d_hybrid_topk so the
+    * formula lives in one place (k1/b constants interpolated from the
+    * SAME Scala doubles the operator plans with). */
+  private val Bm25Ctes: String =
+    s"""t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+       |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
+       |       WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |         CAST(SUM(CAST(round(
+       |           ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+       |           ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+       |            (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} +
+       |             (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) *
+       |           1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
+       |       FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)""".stripMargin
+
   /** The d_quality_train CTE chain (featurize → step 1 → step 2 → w2),
     * shared verbatim with the d_clf_metrics serve+confusion oracle so
     * training semantics live in exactly one place. */
@@ -1380,25 +1402,11 @@ object PipelineQueries {
          |LEFT JOIN (SELECT doc_id FROM rk WHERE r > 1) l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
     // both arms replayed end-to-end: the BM25 CTE chain is d_bm25_topk's
-    // (cut at depth 20 with explicit ranks), the dense arm is the exact
-    // cosine ranking for vec 0; fusion contributions use floor (never a
-    // half-boundary — see Retrieval.rrfFuse)
+    // (shared Bm25Ctes, cut at depth 20 with explicit ranks), the dense
+    // arm is the exact cosine ranking for vec 0; fusion contributions
+    // use floor (never a half-boundary — see Retrieval.rrfFuse)
     "d_hybrid_topk" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
-         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
-         |       WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
-         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id,
-         |         CAST(SUM(CAST(round(
-         |           ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-         |           ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
-         |            (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} +
-         |             (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) *
-         |           1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
-         |       FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1),
+      s"""WITH $Bm25Ctes,
          |lexr AS (SELECT doc_id AS n_id,
          |           ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank FROM sc),
          |lex AS (SELECT n_id, rank FROM lexr WHERE rank <= 20),
@@ -2075,21 +2083,7 @@ object PipelineQueries {
     // k1/b constants interpolated from the SAME Scala doubles the
     // operator plans with (k1+1 and 1−b are computed, not typed)
     "d_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
-         |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
-         |       WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
-         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id,
-         |         CAST(SUM(CAST(round(
-         |           ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-         |           ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
-         |            (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} +
-         |             (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) *
-         |           1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
-         |       FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)
+      s"""WITH $Bm25Ctes
          |SELECT doc_id, score_e6 FROM sc
          |ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     // replays BOTH logistic steps: w0=0 folds step 1's error to

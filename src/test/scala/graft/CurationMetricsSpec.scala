@@ -56,6 +56,25 @@ class CurationMetricsSpec extends SparkSpec {
     assert(again.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
   }
 
+  test("CurationJob: one invocation writes sharded corpus + funnel + queryable metrics") {
+    val out = Files.createTempDirectory("graft_cjob").toString
+    graft.ops.CurationJob.run(spark, sf, out)
+    // sharded corpus layout, and its size equals the funnel's last stage
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val funnel = spark.read.parquet(s"$out/funnel")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(corpus.count() == funnel("5_decontaminated"))
+    assert(corpus.select("shard").distinct().count() > 1L)
+    // the job's gate counts chart through the same Influx surface
+    val planner = new InfluxPlanner(new TierSummaryProvider(spark, s"$out/metrics"))
+    val now = System.currentTimeMillis()
+    val total = planner.executeLong(spark,
+      s"""select count from "~curation.1_total" where time between """ +
+      s"${now - 3600000L} and ${now + 3600000L} force group by time(1h) order asc")
+      .collect().map(_.getAs[Double]("value")).sum
+    assert(total == funnel("1_total").toDouble)
+  }
+
   test("a running StreamingCuration auto-publishes chartable ~curation.* counters") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_cmx_live").toString
