@@ -26,6 +26,15 @@ object EventAnalytics {
     * Output: one row per step — (step "<i>_<name>", n_users) — users
     * whose cascade reached that step, ordered by step.
     *
+    * `withinMs` bounds each transition: step i must land within
+    * `withinMs` of the step-(i−1) reach time (on an epoch-ms `tsCol`)
+    * — the conversion-window form dashboards ask for ("purchased
+    * within 2 h of the click"). The cascade stays greedy-earliest
+    * (each reach time is the FIRST qualifying event given the
+    * previous reach) — the standard first-occurrence dashboard
+    * semantic, deterministic and oracle-replayable; it does not
+    * search alternative later chains.
+    *
     * Plan shape: one shuffle on `userCol`; the per-step reach times are
     * stacked Window mins over the same partitioning (no extra
     * exchange), followed by a per-user collapse and one global
@@ -33,8 +42,9 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts"): DataFrame = {
+             tsCol: String = "ts", withinMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinMs.forall(_ > 0), s"withinMs must be positive, got $withinMs")
     val w = Window.partitionBy(userCol)
     // Only events of the funnel's own step types can qualify at any
     // step — filter them out BEFORE the user-keyed exchange (pushed to
@@ -44,9 +54,14 @@ object EventAnalytics {
       .where(col(typeCol).isin(steps: _*))
     val withReach = steps.zipWithIndex.foldLeft(relevant) {
       case (df, (step, i)) =>
-        val qualifies =
-          if (i == 0) col(typeCol) === step
-          else col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}")
+        val after =
+          if (i == 0) lit(true)
+          else withinMs match {
+            case None => col(tsCol) > col(s"__t${i - 1}")
+            case Some(ms) => col(tsCol) > col(s"__t${i - 1}") &&
+              col(tsCol) <= col(s"__t${i - 1}") + lit(ms)
+          }
+        val qualifies = col(typeCol) === step && after
         df.withColumn(s"__t$i", min(when(qualifies, col(tsCol))).over(w))
     }
     // All rows of a user carry identical __t values; collapse to one

@@ -729,6 +729,13 @@ object PipelineQueries {
     graft.ops.EventAnalytics.funnel(
       Tables.events(spark, dir), Seq("view", "click", "purchase"), tsCol = "ts_ms")
 
+  /** The same funnel with a 2 h conversion window per transition —
+    * the greedy-earliest bounded cascade. */
+  def eventFunnelWithin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnel(
+      Tables.events(spark, dir), Seq("view", "click", "purchase"),
+      tsCol = "ts_ms", withinMs = Some(7200000L))
+
   /** Weekly retention cohorts over the events table (cohort = Monday
     * week of a user's first event). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
@@ -1064,6 +1071,7 @@ object PipelineQueries {
     "d_dup_weights"       -> (dupWeightsQ _),
     "e_rollup_daily"      -> (dailyRollupQ _),
     "e_event_funnel"      -> (eventFunnel _),
+    "e_funnel_within"     -> (eventFunnelWithin _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -1508,6 +1516,26 @@ object PipelineQueries {
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t0 THEN t END)
         |                   OVER (PARTITION BY user_id) AS t1 FROM s0),
         |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t1 THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1,
+        |             any_value(t2) AS t2 FROM s2 GROUP BY user_id)
+        |SELECT step, n_users FROM (
+        |  SELECT '1_view' AS step, count(t0) AS n_users FROM u
+        |  UNION ALL SELECT '2_click', count(t1) FROM u
+        |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
+        |ORDER BY step""".stripMargin,
+    // the unbounded funnel's cascade with each transition capped at
+    // the 2 h conversion window (greedy-earliest, see funnel Scaladoc)
+    "e_funnel_within" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t0
+        |                          AND t <= t0 + 7200000 THEN t END)
+        |                   OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t1
+        |                          AND t <= t1 + 7200000 THEN t END)
         |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
         |u AS (SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1,
         |             any_value(t2) AS t2 FROM s2 GROUP BY user_id)

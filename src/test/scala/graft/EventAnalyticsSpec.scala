@@ -34,6 +34,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 2L))
   }
 
+  test("bounded funnel: each transition must land inside the conversion window") {
+    val W = 100L
+    val events = Seq(
+      // user 1: full chain, every hop inside the window
+      (1L, "view", 10L), (1L, "click", 60L), (1L, "purchase", 160L),
+      // user 2: click exactly AT the window edge qualifies (<=); the
+      // purchase 1 ms past its window does not
+      (2L, "view", 10L), (2L, "click", 110L), (2L, "purchase", 211L),
+      // user 3: click outside the view window -> stops at view, and the
+      // in-window purchase after that click must NOT count either
+      (3L, "view", 10L), (3L, "click", 150L), (3L, "purchase", 200L),
+      // user 4: greedy-earliest — the first view anchors the cascade;
+      // a later view that WOULD make the click reachable is not used
+      (4L, "view", 10L), (4L, "view", 300L), (4L, "click", 350L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"),
+        withinMs = Some(W))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+    // the unbounded funnel on the same log converts more: the window is
+    // the only difference
+    val unbounded = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(unbounded("2_click") == 4L && unbounded("3_purchase") == 3L)
+  }
+
   test("funnel is order-sensitive, not just presence-sensitive") {
     // all three types present but in reverse order: only step 1 counts
     val events = Seq(
