@@ -1058,7 +1058,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The curation facade with the stage-6 temperature-mixture tail
+    * (α = ½, 40% of the CLEANED corpus) — the full five-stage funnel
+    * prefix plus the rate/gate math, all replayed in SQL. */
+  def curationMixtureQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.curate(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      graft.ops.Curation.Params(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_curation_mixture"  -> (curationMixtureQ _),
     "d_novelty"           -> (noveltyQ _),
     "e_rank_metrics"      -> (rankMetricsQ _),
     "d_clf_metrics"       -> (clfMetricsQ _),
@@ -2328,6 +2340,26 @@ object PipelineQueries {
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
     "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
+    // funnel prefix (→ clean) + the d_temperature_mix rate/gate math
+    // over the SURVIVORS' source mix at α = ½, target 0.4
+    "d_curation_mixture" -> (CurationFunnelPrefix +
+      """,
+        |gsrc AS (SELECT c.doc_id, d.source FROM clean c
+        |         JOIN documents d ON c.doc_id = d.doc_id),
+        |gct AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM gsrc GROUP BY 1),
+        |gtt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM gct),
+        |gw AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6,
+        |        CAST(floor(CAST(total AS DOUBLE) * 0.4) AS BIGINT) AS target
+        |      FROM gct CROSS JOIN gtt),
+        |gz AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS z FROM gw),
+        |gr AS (SELECT source,
+        |        least(CAST(1000000 AS BIGINT),
+        |              (w_e6 * target * 1000000) // (z * n_docs)) AS rate_e6
+        |      FROM gw CROSS JOIN gz)
+        |SELECT g.doc_id FROM gsrc g JOIN gr ON g.source = gr.source
+        |WHERE (((g.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 < gr.rate_e6
+        |ORDER BY g.doc_id""".stripMargin),
     // funnel prefix + seed-1 permutation + prefix sums IN POS ORDER:
     // the packed-stream writer frame, fully replayed
     "d_training_packs" -> (CurationFunnelPrefix +
