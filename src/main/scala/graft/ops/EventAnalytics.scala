@@ -237,10 +237,26 @@ object EventAnalytics {
   def dailyRollup(events: DataFrame, tsCol: String = "ts_ms",
                   typeCol: String = "event_type",
                   userCol: String = "user_id"): DataFrame =
-    events
+    dailyGrouping(events, cube = false, tsCol, typeCol, userCol)
+
+  /** [[dailyRollup]]'s CUBE twin: adds the per-day totals ACROSS types
+    * (grouping set (day)) that ROLLUP's hierarchy lacks — the "all
+    * traffic by day" row a dashboard's topline reads — still in the
+    * single grouping-sets aggregate. */
+  def dailyCube(events: DataFrame, tsCol: String = "ts_ms",
+                typeCol: String = "event_type",
+                userCol: String = "user_id"): DataFrame =
+    dailyGrouping(events, cube = true, tsCol, typeCol, userCol)
+
+  private def dailyGrouping(events: DataFrame, cube: Boolean, tsCol: String,
+                            typeCol: String, userCol: String): DataFrame = {
+    val base = events
       .select(col(typeCol).as("__t"),
         expr(s"$tsCol div 86400000").as("__d"), col(userCol).as("__u"))
-      .rollup(col("__t"), col("__d"))
+    val grouped =
+      if (cube) base.cube(col("__t"), col("__d"))
+      else base.rollup(col("__t"), col("__d"))
+    grouped
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("__u")).as("n_users"),
         grouping(col("__t")).as("__gt"), grouping(col("__d")).as("__gd"))
@@ -248,4 +264,5 @@ object EventAnalytics {
         when(col("__gt") === 1, lit("ALL")).otherwise(col("__t")).as(typeCol),
         when(col("__gd") === 1, lit(-1L)).otherwise(col("__d")).as("day_idx"),
         col("n_events"), col("n_users"))
+  }
 }

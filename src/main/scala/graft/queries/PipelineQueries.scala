@@ -1069,7 +1069,14 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** CUBE daily activity: every grouping set incl. per-day totals
+    * across types. */
+  def dailyCubeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.dailyCube(Tables.events(spark, dir))
+      .orderBy("event_type", "day_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_cube_daily"        -> (dailyCubeQ _),
     "d_curation_mixture"  -> (curationMixtureQ _),
     "d_novelty"           -> (noveltyQ _),
     "e_rank_metrics"      -> (rankMetricsQ _),
@@ -1509,6 +1516,15 @@ object PipelineQueries {
          |LEFT JOIN cl ON d.doc_id = cl.doc_id
          |LEFT JOIN csz ON cl.cluster_id = csz.cluster_id
          |ORDER BY d.doc_id""".stripMargin,
+    "e_cube_daily" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, user_id
+        |           FROM events)
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |       CAST(CASE WHEN GROUPING(day_idx) = 1 THEN -1 ELSE day_idx END AS BIGINT) AS day_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY CUBE(event_type, day_idx)
+        |ORDER BY 1, 2""".stripMargin,
     // GROUPING() sentinels ('ALL' / -1) instead of SQL NULLs so the
     // hash compare never depends on engine null semantics
     "e_rollup_daily" ->

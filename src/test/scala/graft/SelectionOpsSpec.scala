@@ -299,5 +299,14 @@ class SelectionOpsSpec extends SparkSpec {
       ("ALL", -1L, 4L, 2L),
       ("click", -1L, 1L, 1L), ("click", 0L, 1L, 1L),
       ("view", -1L, 3L, 2L), ("view", 0L, 2L, 2L), ("view", 1L, 1L, 1L)))
+    // the CUBE twin adds the per-day totals across types — exactly the
+    // (day) grouping set, everything else identical
+    val cube = EventAnalytics.dailyCube(ev)
+      .orderBy("event_type", "day_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(cube.filterNot(r => r._1 == "ALL" && r._2 >= 0) == out)
+    assert(cube.filter(r => r._1 == "ALL" && r._2 >= 0) == Seq(
+      ("ALL", 0L, 3L, 2L), ("ALL", 1L, 1L, 1L)))
   }
 }
