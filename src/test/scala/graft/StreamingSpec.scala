@@ -129,6 +129,83 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("reliable mode: the BM25/mixture/CMS twins survive restarts with store integrity") {
+    import spark.implicits._
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val ckDir = Files.createTempDirectory("graft_newtwin_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+    try {
+      // BM25: batch 1 through instance 1, batch 2 (incl. a re-sent id)
+      // through a RESTARTED instance — serve must equal the batch
+      // operator over the corpus as first ingested
+      locally {
+        val base = Files.createTempDirectory("graft_sbm25_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+        val b1 = new graft.streaming.StreamingBm25(spark, base)
+        val q1 = b1.start(b1.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b1.json", Seq(doc(1, "spark query fast"), doc(2, "query planner")))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val b2 = new graft.streaming.StreamingBm25(spark, base)
+        val q2 = b2.start(b2.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b2.json", Seq(doc(3, "spark shuffle"), doc(1, "spark spark spark")))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val corpus = Seq((1L, "spark query fast"), (2L, "query planner"),
+          (3L, "spark shuffle")).toDF("doc_id", "text")
+        val want = graft.ops.TextAnalysis.bm25TopK(corpus, Seq("spark"), 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val got = b2.topK(Seq("spark"), 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"restarted BM25 serve diverged: $got vs $want")
+      }
+      // mixture: restart keeps cumulative counts; CMS restart is
+      // covered by its own case above — run it under reliable here too
+      locally {
+        val base = Files.createTempDirectory("graft_smix_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        def doc(id: Long, src: String) =
+          s"""{"doc_id":$id,"text":"doc $id","source":"$src"}"""
+        val m1 = new graft.streaming.StreamingMixture(spark, base)
+        val q1 = m1.start(m1.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b1.json", (0L until 50L).map(i => doc(i, "a")))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val m2 = new graft.streaming.StreamingMixture(spark, base)
+        val q2 = m2.start(m2.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b2.json", (50L until 80L).map(i => doc(i, "b")))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val counts = m2.counts().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(counts == Map("a" -> 50L, "b" -> 30L),
+          s"restarted mixture lost counts: $counts")
+      }
+      locally {
+        val base = Files.createTempDirectory("graft_scms_rel").toString
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        val c1 = new graft.streaming.StreamingCms(spark, base)
+        val q1 = c1.start(c1.readJsonDocs(in), trig)
+        try {
+          dropFile(in, "b1.json", Seq("""{"doc_id":1,"text":"alpha alpha beta"}"""))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val c2 = new graft.streaming.StreamingCms(spark, base)
+        assert(c2.estimates(Seq("alpha", "beta")) ==
+          Map("alpha" -> 2L, "beta" -> 1L))
+      }
+    } finally spark.conf.set(graft.ops.Checkpoints.ReliableKey, "false")
+  }
+
   test("streaming mixture: one batch equals the batch operator; rates adapt as a source grows") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_smix").toString
