@@ -48,6 +48,33 @@ object CurationMetrics {
         col("ts_ms"), col("n_docs").as("value"))
   }
 
+  /** Per-batch gate-survival report with alert flags — the guardrail
+    * an operator pages on: a batch where the quality gate suddenly
+    * keeps 2% instead of 80% means the upstream crawl broke (or the
+    * gate did), and the funnel record already contains the evidence.
+    * For every (batch, stage>1): ratio_e6 = n_docs·1e6 div previous
+    * stage's n_docs (exact integers; an empty previous stage reports
+    * ratio 1e6 — nothing existed to lose), alert = ratio < minRatio_e6.
+    * Replayed batches collapse to their first stamp like
+    * [[funnelMeasurements]]. The frame is batches×stages rows —
+    * inspect it directly or route `alert` rows to paging. */
+  def gateAlerts(spark: SparkSession, funnelDir: String,
+                 minRatioE6: Long = 100000L): DataFrame = {
+    spark.catalog.refreshByPath(funnelDir)
+    val w = Window.partitionBy("batch_id", "stage").orderBy(col("ts_ms").asc)
+    val first = spark.read.parquet(funnelDir)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("batch_id"), col("stage"), col("n_docs"))
+    val prevW = Window.partitionBy("batch_id").orderBy(col("stage").asc)
+    first
+      .withColumn("prev", lag(col("n_docs"), 1).over(prevW))
+      .where(col("prev").isNotNull)
+      .select(col("batch_id"), col("stage"), col("n_docs"), col("prev"),
+        when(col("prev") === 0L, lit(1000000L))
+          .otherwise(expr("n_docs * 1000000 div prev")).as("ratio_e6"))
+      .withColumn("alert", col("ratio_e6") < minRatioE6)
+  }
+
   /** Build the full counter cascade (raw 5 s + every standard tier)
     * plus the metric catalog from the funnel record, and atomically
     * swap it into `storeDir`. Read it back with

@@ -56,6 +56,32 @@ class CurationMetricsSpec extends SparkSpec {
     assert(again.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
   }
 
+  test("gateAlerts flag collapsed stages per batch, replay-deduped") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_galert").toString
+    val funnel = s"$base/funnel"
+    val T0 = 1704067200000L
+    Seq(
+      // batch 0: healthy ratios (5/6, 4/5)
+      (0L, "1_total", 6L, T0), (0L, "2_quality", 5L, T0), (0L, "3_exact", 4L, T0),
+      // batch 1: the quality gate collapses to 1/50
+      (1L, "1_total", 50L, T0 + 1000L), (1L, "2_quality", 1L, T0 + 1000L),
+      // replayed append of batch 1 with a LYING second stamp — first wins
+      (1L, "2_quality", 50L, T0 + 2000L),
+      // batch 2: empty input, nothing to lose -> no alert
+      (2L, "1_total", 0L, T0 + 3000L), (2L, "2_quality", 0L, T0 + 3000L))
+      .toDF("batch_id", "stage", "n_docs", "ts_ms")
+      .write.mode("append").parquet(funnel)
+    val rows = CurationMetrics.gateAlerts(spark, funnel, minRatioE6 = 100000L)
+      .orderBy("batch_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(rows == Seq(
+      (0L, "2_quality", 833333L, false), (0L, "3_exact", 800000L, false),
+      (1L, "2_quality", 20000L, true),
+      (2L, "2_quality", 1000000L, false)))
+  }
+
   test("CurationJob: one invocation writes sharded corpus + funnel + queryable metrics") {
     val out = Files.createTempDirectory("graft_cjob").toString
     graft.ops.CurationJob.run(spark, sf, out)
