@@ -1075,7 +1075,59 @@ object PipelineQueries {
     graft.ops.EventAnalytics.dailyCube(Tables.events(spark, dir))
       .orderBy("event_type", "day_idx")
 
+  /** Top-3 quality exemplars per source (rounded score desc, id asc) —
+    * the per-domain inspection sample a labeling pass starts from. */
+  def bestPerSourceQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), Dedup.tokens(col("text")).as("w0"),
+        col("text"))
+      .select(col("source"), col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w0"), col("text")), 4).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("source", "rk", "doc_id", "quality")
+      .orderBy("source", "rk")
+  }
+
+  /** Vocabulary coverage curve: cumulative corpus-token share of the
+    * top-N vocab at rank cut-offs — the "how big must the tokenizer
+    * vocab be" signal. Exact integers: cum/total token counts per cut,
+    * share quantized by div. Scale shape: the rank/cumsum window runs
+    * over the TakeOrdered top-`maxCut` frame (bounded by the requested
+    * BUDGET, never the vocabulary), and the grand total attaches as
+    * the audited single-row broadcast. */
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = Seq(1L, 2L, 4L, 8L, 16L, 24L, 31L)
+    val maxCut = cuts.max.toInt
+    val freq = Tables.documents(spark, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .sharedCheckpoint() // top cut + grand total share one count pass
+    val total = freq.agg(sum("freq").as("total"))
+    val top = freq.orderBy(col("freq").desc, col("token").asc).limit(maxCut)
+    top
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy().orderBy(col("freq").desc, col("token").asc))
+        .cast("long"))
+      .withColumn("cum", sum("freq")
+        .over(Window.partitionBy().orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rnk").isInCollection(cuts))
+      .crossJoin(broadcast(total))
+      .select(col("rnk").as("vocab_size"), col("cum").as("n_tokens_covered"),
+        col("total").as("n_tokens_total"),
+        expr("cum * 1000000 div total").as("coverage_e6"))
+      .orderBy("vocab_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_best_per_source"   -> (bestPerSourceQ _),
+    "d_vocab_coverage"    -> (vocabCoverageQ _),
     "e_cube_daily"        -> (dailyCubeQ _),
     "d_curation_mixture"  -> (curationMixtureQ _),
     "d_novelty"           -> (noveltyQ _),
@@ -1357,6 +1409,41 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d_best_per_source" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id, source,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |q AS (SELECT doc_id, source,
+         |        round(GREATEST(0.0, LEAST(1.0,
+         |          LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |          - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
+         |      FROM c),
+         |r AS (SELECT source, doc_id, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |                           ORDER BY quality DESC, doc_id ASC) AS rk
+         |      FROM q)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "d_vocab_coverage" ->
+      s"""WITH t AS (SELECT $ToksSql AS w FROM documents),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM (SELECT unnest(w) AS token FROM t) GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+         |r AS (SELECT token, freq,
+         |        ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rnk FROM f),
+         |cm AS (SELECT rnk, CAST(SUM(freq) OVER (ORDER BY rnk
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |       FROM r)
+         |SELECT CAST(rnk AS BIGINT) AS vocab_size, cum AS n_tokens_covered,
+         |  total AS n_tokens_total,
+         |  CAST(cum * 1000000 // total AS BIGINT) AS coverage_e6
+         |FROM cm CROSS JOIN tt
+         |WHERE rnk IN (1, 2, 4, 8, 16, 24, 31) ORDER BY vocab_size""".stripMargin,
     // distinct gram strings on both sides (the hash family's 2^-64
     // collision trade — the oracle compares STRINGS, as d_span_dedup)
     "d_novelty" ->

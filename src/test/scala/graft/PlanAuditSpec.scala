@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_training_packs", // shuffle + packing bucket prefix sums, both bounded
     "d_temperature_mix", // grand totals over the |sources|-row rate frame
     "d_curation_mixture", // the same rate-frame grand totals, stage 6
+    "d_vocab_coverage", // rank/cumsum over the TakeOrdered top-maxCut
+                        // frame: bounded by the requested budget
     "d_hybrid_topk"    // single-query facade: the lexical arm's literal
                        // q_id folds, leaving one rank window over the
                        // <= depth-row BM25 cut (multi-query callers
