@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   * daily grouping-sets rollup. */
 class SelectionOpsSpec extends SparkSpec {
 
+  test("session operators fail loudly on invalid arguments") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s0")).toDF("doc_id", "text", "source")
+    val arm = Seq((0L, 1L, 1L)).toDF("q_id", "n_id", "rank")
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, 5))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(arm), 0))
+    intercept[IllegalArgumentException](TextAnalysis.cmsTopEstimates(docs, k = 0))
+    intercept[IllegalArgumentException](TextAnalysis.cmsSketch(docs, depth = 0))
+    intercept[IllegalArgumentException](TextAnalysis.cmsSketch(docs, width = 0))
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.temperatureRates(docs, alpha = 0.0))
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.temperatureRates(docs, targetFrac = 1.5))
+    intercept[IllegalArgumentException](TextAnalysis.chunkDocs(docs, size = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocs(docs, size = 4, stride = 5)) // stride > size
+    intercept[IllegalArgumentException](TextAnalysis.spanLookup(docs, "   "))
+    intercept[IllegalArgumentException](TextAnalysis.gramNovelty(docs, docs, n = 1))
+    intercept[IllegalArgumentException](graft.ops.Eval.rankMetrics(arm, arm, k = 0))
+    intercept[IllegalArgumentException](
+      graft.ops.EventAnalytics.funnel(docs, Seq("a"), withinMs = Some(0L)))
+  }
+
   test("rrfFuse: floor-quantized contributions, score ties break by id") {
     import spark.implicits._
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("q_id", "n_id", "rank")
