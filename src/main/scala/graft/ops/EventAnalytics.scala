@@ -234,6 +234,49 @@ object EventAnalytics {
     * `n_users` is an exact COUNT(DISTINCT) — Spark plans the standard
     * two-phase expand-distinct; corpora that prefer sketches use the
     * HLL path (see the hll_users surface) on the same grouping sets. */
+  /** Gap-based session assignment: a user's events split into sessions
+    * wherever the gap to the previous event exceeds `gapMs` (classic
+    * 30-min web sessionization). Returns the input columns plus a
+    * per-user `session` ordinal (1-based). ALL event types participate
+    * in the gap structure — a session is defined by activity, not by
+    * any particular funnel's steps. One user-keyed exchange; both
+    * windows (lag + running sum) ride the same partitioning. */
+  def sessionIds(events: DataFrame, gapMs: Long = 1800000L,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 tieCol: String = "event_id"): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(byUser))
+      .withColumn("session",
+        sum(when(col("__gap").isNull || col("__gap") > gapMs, 1L).otherwise(0L))
+          .over(byUser))
+      .drop("__gap")
+  }
+
+  /** Sessionized conversion funnel: [[funnel]] with the SESSION as the
+    * unit of conversion — "did the visit convert", the form a web
+    * dashboard reports (a purchase in next week's visit does not count
+    * for this visit's funnel). Sessions come from [[sessionIds]] over
+    * ALL events; the cascade then runs per (user, session) with the
+    * same strict min-ts semantics (and optional `withinMs` transition
+    * windows). Output: (step, n_sessions).
+    *
+    * Plan: both sessionization windows and the funnel's cascade
+    * partition by the user (the session key only refines it), so the
+    * whole composition still rides ONE user-keyed exchange. */
+  def sessionFunnel(events: DataFrame, steps: Seq[String], gapMs: Long = 1800000L,
+                    userCol: String = "user_id", typeCol: String = "event_type",
+                    tsCol: String = "ts", tieCol: String = "event_id",
+                    withinMs: Option[Long] = None): DataFrame = {
+    val sess = sessionIds(events, gapMs, userCol, tsCol, tieCol)
+      .withColumn("__sess_key",
+        concat_ws("#", col(userCol), col("session")))
+    funnel(sess, steps, userCol = "__sess_key", typeCol = typeCol,
+      tsCol = tsCol, withinMs = withinMs)
+      .withColumnRenamed("n_users", "n_sessions")
+  }
+
   def dailyRollup(events: DataFrame, tsCol: String = "ts_ms",
                   typeCol: String = "event_type",
                   userCol: String = "user_id"): DataFrame =

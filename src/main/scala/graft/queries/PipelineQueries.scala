@@ -736,6 +736,12 @@ object PipelineQueries {
       Tables.events(spark, dir), Seq("view", "click", "purchase"),
       tsCol = "ts_ms", withinMs = Some(7200000L))
 
+  /** Sessionized funnel: conversions counted per 30-min-gap VISIT. */
+  def sessionFunnelQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sessionFunnel(
+      Tables.events(spark, dir), Seq("view", "click", "purchase"),
+      tsCol = "ts_ms")
+
   /** Weekly retention cohorts over the events table (cohort = Monday
     * week of a user's first event). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
@@ -1143,6 +1149,7 @@ object PipelineQueries {
     "e_rollup_daily"      -> (dailyRollupQ _),
     "e_event_funnel"      -> (eventFunnel _),
     "e_funnel_within"     -> (eventFunnelWithin _),
+    "e_session_funnel"    -> (sessionFunnelQ _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -1656,6 +1663,31 @@ object PipelineQueries {
         |             any_value(t2) AS t2 FROM s2 GROUP BY user_id)
         |SELECT step, n_users FROM (
         |  SELECT '1_view' AS step, count(t0) AS n_users FROM u
+        |  UNION ALL SELECT '2_click', count(t1) FROM u
+        |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
+        |ORDER BY step""".stripMargin,
+    // sessionize over ALL events (e_user_sessions' gap CTE), then the
+    // cascade per (user, session) — the "did the visit convert" form
+    "e_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events),
+        |g AS (SELECT *, t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM e),
+        |sx AS (SELECT user_id, event_type, t,
+        |        SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM g),
+        |f AS (SELECT * FROM sx WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |                   OVER (PARTITION BY user_id, sess) AS t0 FROM f),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t0 THEN t END)
+        |                   OVER (PARTITION BY user_id, sess) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t1 THEN t END)
+        |                   OVER (PARTITION BY user_id, sess) AS t2 FROM s1),
+        |u AS (SELECT user_id, sess, any_value(t0) AS t0, any_value(t1) AS t1,
+        |             any_value(t2) AS t2 FROM s2 GROUP BY user_id, sess)
+        |SELECT step, n_sessions FROM (
+        |  SELECT '1_view' AS step, count(t0) AS n_sessions FROM u
         |  UNION ALL SELECT '2_click', count(t1) FROM u
         |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
         |ORDER BY step""".stripMargin,

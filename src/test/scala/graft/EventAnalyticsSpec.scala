@@ -60,6 +60,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(unbounded("2_click") == 4L && unbounded("3_purchase") == 3L)
   }
 
+  test("session funnel: conversions count per visit, cross-session chains break") {
+    val G = 1000L // session gap for the fixture
+    val events = Seq(
+      // user 1, visit 1: view + click; visit 2 (after the gap): the
+      // purchase lands in a NEW session and must not convert visit 1
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L),
+      (1L, "purchase", 5000L, 102L),
+      // user 2: one visit with the complete chain
+      (2L, "view", 10L, 200L), (2L, "click", 20L, 201L), (2L, "purchase", 30L, 202L),
+      // user 2, second visit: view only -> a second '1_view' session
+      (2L, "view", 9000L, 203L),
+      // non-step events still glue sessions together: user 3's error at
+      // 500 keeps view(10)..click(900) in ONE session despite the
+      // direct gap exceeding G
+      (3L, "view", 10L, 300L), (3L, "error", 500L, 301L), (3L, "click", 900L, 302L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.sessionFunnel(events,
+        Seq("view", "click", "purchase"), gapMs = G)
+      .as[(String, Long)].collect().toSeq
+    // sessions reaching view: u1v1, u1v2 has NO view (purchase-only
+    // session: does not reach step 1), u2v1, u2v2, u3v1 -> 4
+    assert(got == Seq("1_view" -> 4L, "2_click" -> 3L, "3_purchase" -> 1L))
+  }
+
   test("funnel is order-sensitive, not just presence-sensitive") {
     // all three types present but in reverse order: only step 1 counts
     val events = Seq(
