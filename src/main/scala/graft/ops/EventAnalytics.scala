@@ -277,6 +277,34 @@ object EventAnalytics {
       .withColumnRenamed("n_users", "n_sessions")
   }
 
+  /** Corpus-level session statistics — the web-analytics topline:
+    * session count, bounce rate (single-event sessions, quantized
+    * e6), and exact duration percentiles (ms; linear interpolation —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`). One pass: the
+    * [[sessionIds]] windows, a (user, session) aggregate on the same
+    * partitioning, then one global aggregate over the sessions frame.
+    * Bounces have duration 0 and ARE included in the percentiles —
+    * that is the honest distribution; filter upstream to exclude. */
+  def sessionStats(events: DataFrame, gapMs: Long = 1800000L,
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   tieCol: String = "event_id"): DataFrame =
+    sessionIds(events, gapMs, userCol, tsCol, tieCol)
+      .groupBy(col(userCol), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("dur"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+        expr("percentile(dur, 0.5)").as("__p50"),
+        expr("percentile(dur, 0.9)").as("__p90"),
+        max("dur").as("max_duration_ms"),
+        sum("n_events").as("n_events_total"))
+      .select(col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 div n_sessions").as("bounce_e6"),
+        round(col("__p50"), 4).as("p50_duration_ms"),
+        round(col("__p90"), 4).as("p90_duration_ms"),
+        col("max_duration_ms"), col("n_events_total"))
+
   def dailyRollup(events: DataFrame, tsCol: String = "ts_ms",
                   typeCol: String = "event_type",
                   userCol: String = "user_id"): DataFrame =

@@ -742,6 +742,11 @@ object PipelineQueries {
       Tables.events(spark, dir), Seq("view", "click", "purchase"),
       tsCol = "ts_ms")
 
+  /** Session topline: count, bounce rate, duration percentiles. */
+  def sessionStatsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sessionStats(Tables.events(spark, dir),
+      tsCol = "ts_ms")
+
   /** Weekly retention cohorts over the events table (cohort = Monday
     * week of a user's first event). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
@@ -1150,6 +1155,7 @@ object PipelineQueries {
     "e_event_funnel"      -> (eventFunnel _),
     "e_funnel_within"     -> (eventFunnelWithin _),
     "e_session_funnel"    -> (sessionFunnelQ _),
+    "e_session_stats"     -> (sessionStatsQ _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -1666,6 +1672,27 @@ object PipelineQueries {
         |  UNION ALL SELECT '2_click', count(t1) FROM u
         |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
         |ORDER BY step""".stripMargin,
+    "e_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |g AS (SELECT *, t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM e),
+        |sx AS (SELECT user_id, t,
+        |        SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM g),
+        |s AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(MAX(t) - MIN(t) AS BIGINT) AS dur
+        |      FROM sx GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS bounce_e6,
+        |  round(quantile_cont(dur, 0.5), 4) AS p50_duration_ms,
+        |  round(quantile_cont(dur, 0.9), 4) AS p90_duration_ms,
+        |  CAST(MAX(dur) AS BIGINT) AS max_duration_ms,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
+        |FROM s""".stripMargin,
     // sessionize over ALL events (e_user_sessions' gap CTE), then the
     // cascade per (user, session) — the "did the visit convert" form
     "e_session_funnel" ->

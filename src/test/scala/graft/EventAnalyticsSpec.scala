@@ -84,6 +84,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq("1_view" -> 4L, "2_click" -> 3L, "3_purchase" -> 1L))
   }
 
+  test("session stats: bounce rate and durations over gap-split visits") {
+    val events = Seq(
+      // user 1: one 2-event session (dur 50), then a bounce
+      (1L, "view", 10L, 1L), (1L, "click", 60L, 2L), (1L, "view", 5000L, 3L),
+      // user 2: one 3-event session (dur 200)
+      (2L, "view", 10L, 4L), (2L, "click", 110L, 5L), (2L, "purchase", 210L, 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val r = EventAnalytics.sessionStats(events, gapMs = 1000L).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("n_bounces") == 1L)
+    assert(r.getAs[Long]("bounce_e6") == 333333L)
+    // durations {0, 50, 200}: p50 = 50, p90 = 170 (linear interp)
+    assert(r.getAs[Double]("p50_duration_ms") == 50.0)
+    assert(r.getAs[Double]("p90_duration_ms") == 170.0)
+    assert(r.getAs[Long]("max_duration_ms") == 200L)
+    assert(r.getAs[Long]("n_events_total") == 6L)
+  }
+
   test("funnel is order-sensitive, not just presence-sensitive") {
     // all three types present but in reverse order: only step 1 counts
     val events = Seq(
