@@ -747,6 +747,23 @@ object PipelineQueries {
     graft.ops.EventAnalytics.sessionStats(Tables.events(spark, dir),
       tsCol = "ts_ms")
 
+  /** Data-contract gate over the documents table — the corpus-side
+    * twin of e_data_contract (the check a crawl-drop promotion job
+    * asserts before curation even starts). */
+  def docContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Contracts
+    val docs = Tables.documents(spark, dir)
+    Contracts.report(docs,
+      Seq(
+        Contracts.notNull("text_not_null", col("text")),
+        Contracts.notNull("lang_not_null", col("lang")),
+        Contracts.Check("source_shaped",
+          col("source").isNull || !col("source").startsWith("src")),
+        Contracts.Check("n_chars_consistent",
+          col("n_chars").isNull || col("n_chars") =!= length(col("text")))),
+      uniqueKeys = Seq("doc_id_unique" -> "doc_id"))
+  }
+
   /** Weekly retention cohorts over the events table (cohort = Monday
     * week of a user's first event). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
@@ -1156,6 +1173,7 @@ object PipelineQueries {
     "e_funnel_within"     -> (eventFunnelWithin _),
     "e_session_funnel"    -> (sessionFunnelQ _),
     "e_session_stats"     -> (sessionStatsQ _),
+    "d_doc_contract"      -> (docContract _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -1672,6 +1690,22 @@ object PipelineQueries {
         |  UNION ALL SELECT '2_click', count(t1) FROM u
         |  UNION ALL SELECT '3_purchase', count(t2) FROM u)
         |ORDER BY step""".stripMargin,
+    "d_doc_contract" ->
+      """WITH r AS (SELECT
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        |    CAST(SUM(CASE WHEN source IS NULL OR source NOT LIKE 'src%' THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_nc,
+        |    COUNT(*) AS total,
+        |    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_uniq
+        |  FROM documents)
+        |SELECT "check", violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'doc_id_unique' AS "check", v_uniq AS violations, total FROM r
+        |  UNION ALL SELECT 'lang_not_null', v_lang, total FROM r
+        |  UNION ALL SELECT 'n_chars_consistent', v_nc, total FROM r
+        |  UNION ALL SELECT 'source_shaped', v_src, total FROM r
+        |  UNION ALL SELECT 'text_not_null', v_text, total FROM r)
+        |ORDER BY "check"""".stripMargin,
     "e_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |g AS (SELECT *, t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
