@@ -559,6 +559,15 @@ object PipelineQueries {
       targetW = 8, targetH = 6, targetSamples = 16)
       .orderBy("media_id")
 
+  /** Frame sampling over the synthetic media bytes (every 4th byte as
+    * a "frame" feature) — the video-sampling batch shape with the
+    * decoder stubbed at the documented seam; byte↔char bijection makes
+    * the oracle a character-position replay. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.syntheticMedia(Tables.documents(spark, dir)), stride = 4)
+      .orderBy("media_id")
+
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("b"))
@@ -1254,6 +1263,7 @@ object PipelineQueries {
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
+    "d_multimodal_frames" -> (multimodalFrames _),
     "d_multimodal_resize" -> (multimodalResize _),
     "d_hll_users"       -> (hllUsers _),
     "d_bpe_tokens"      -> (bpeTokenStats _),
@@ -2858,6 +2868,12 @@ object PipelineQueries {
         |                             + 17 * ((y * ((l % 12) + 1)) // 6)) % 256))))
         |  END AS BIGINT) AS content_sum
         |FROM p ORDER BY media_id""".stripMargin,
+    "d_multimodal_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  list_transform(
+        |    range(0, GREATEST(CAST(floor(strlen(text) / 4) AS INT) - 1, 0) + 1),
+        |    i -> ascii(text[i * 4 + 1 : i * 4 + 1])) AS frame_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
