@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(graft.ops.Checkpoints.ReliableKey, "false")
   }
 
+  test("maintenance sweep compacts every known twin store, touches nothing else") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sweep").toString
+    // a deployment root with two twin baseDirs; each store gets 12
+    // one-row slivers (past the maxFiles threshold)
+    def sliver(dir: String, i: Long): Unit =
+      Seq((i, i * 10)).toDF("k", "v").write.mode("append").parquet(dir)
+    val stores = Seq(s"$base/cur/digests", s"$base/cur/buckets",
+      s"$base/bm/postings", s"$base/bm/docs")
+    stores.foreach(d => (0L until 12L).foreach(i => sliver(d, i)))
+    // decoys: an output sink and an unknown dir must NOT be rewritten
+    val decoys = Seq(s"$base/cur/kept", s"$base/bm/other_state")
+    decoys.foreach(d => (0L until 12L).foreach(i => sliver(d, i)))
+    def nFiles(d: String) =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = stores.map(d => d -> spark.read.parquet(d)
+      .orderBy("k").collect().toSeq).toMap
+    val swept = graft.streaming.StoreCompaction.sweep(spark, base).sorted
+    assert(swept == stores.sorted, s"sweep hit the wrong dirs: $swept")
+    stores.foreach { d =>
+      assert(nFiles(d) == 1, s"$d not compacted")
+      assert(spark.read.parquet(d).orderBy("k").collect().toSeq == before(d),
+        s"$d data changed")
+    }
+    decoys.foreach(d => assert(nFiles(d) == 12, s"decoy $d was rewritten"))
+    // idempotent: nothing left above threshold
+    assert(graft.streaming.StoreCompaction.sweep(spark, base).isEmpty)
+  }
+
   test("streaming mixture: one batch equals the batch operator; rates adapt as a source grows") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_smix").toString
