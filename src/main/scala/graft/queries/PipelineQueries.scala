@@ -182,6 +182,18 @@ object PipelineQueries {
       nShards = 4, seed = 1L)
   }
 
+  /** The training-prep manifest with the mixture stage engaged — the
+    * SEVEN-operator composition (quality → exact → near-dup →
+    * decontam → temperature mix → epoch shuffle → stripe), every step
+    * replayed by the oracle. */
+  def trainingMixtureQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.summary(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      nShards = 4, seed = 1L,
+      graft.ops.Curation.Params(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
+  }
+
   /** The packed token stream in epoch order (contextLen 512, seed 1):
     * curate → shuffle → concat-then-chunk, the writer's exact frame. */
   def trainingPacksQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1183,6 +1195,7 @@ object PipelineQueries {
     "e_session_funnel"    -> (sessionFunnelQ _),
     "e_session_stats"     -> (sessionStatsQ _),
     "d_doc_contract"      -> (docContract _),
+    "d_training_mixture"  -> (trainingMixtureQ _),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -2597,6 +2610,34 @@ object PipelineQueries {
         |SELECT CAST(pos % 4 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens
         |FROM ordx JOIN clean USING (doc_id) GROUP BY 1 ORDER BY shard""".stripMargin),
+    // the seven-operator composition: funnel prefix (→ clean) +
+    // temperature gate over the survivors + the seed-1 permutation +
+    // striping, all in one replay
+    "d_training_mixture" -> (CurationFunnelPrefix +
+      """,
+        |gsrc AS (SELECT c.doc_id, c.w, d.source FROM clean c
+        |         JOIN documents d ON c.doc_id = d.doc_id),
+        |gct AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM gsrc GROUP BY 1),
+        |gtt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM gct),
+        |gw AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6,
+        |        CAST(floor(CAST(total AS DOUBLE) * 0.4) AS BIGINT) AS target
+        |      FROM gct CROSS JOIN gtt),
+        |gz AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS z FROM gw),
+        |gr AS (SELECT source,
+        |        least(CAST(1000000 AS BIGINT),
+        |              (w_e6 * target * 1000000) // (z * n_docs)) AS rate_e6
+        |      FROM gw CROSS JOIN gz),
+        |mix AS (SELECT g.doc_id, g.w FROM gsrc g JOIN gr ON g.source = gr.source
+        |        WHERE (((g.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 < gr.rate_e6),
+        |shx AS (SELECT doc_id,
+        |  (doc_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (doc_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM mix),
+        |ordx AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b, k, doc_id) - 1 AS pos FROM shx)
+        |SELECT CAST(pos % 4 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+        |FROM ordx JOIN mix USING (doc_id) GROUP BY 1 ORDER BY shard""".stripMargin),
     // The 5 text stages plus the semantic tail: cosine closure over
     // stage-5 survivors' embeddings (vec_id ≡ doc_id), min id kept.
     "d_curation_semantic" -> (CurationFunnelPrefix +

@@ -58,6 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_curation_mixture", // the same rate-frame grand totals, stage 6
     "d_vocab_coverage", // rank/cumsum over the TakeOrdered top-maxCut
                         // frame: bounded by the requested budget
+    "d_training_mixture", // rate-frame grand totals + epochShuffle's
+                          // bucket-count prefix sum, both bounded
     "d_hybrid_topk"    // single-query facade: the lexical arm's literal
                        // q_id folds, leaving one rank window over the
                        // <= depth-row BM25 cut (multi-query callers
