@@ -606,6 +606,36 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Jaccard similarity SPECTRUM: histogram of J over every
+    * co-shingled pair — the diagnostic that picks a dedup threshold
+    * from data instead of folklore (a bimodal spectrum separates
+    * boilerplate overlap from true duplicates; the valley is the
+    * threshold). Bin = (inter·bins) div union in exact integer
+    * arithmetic — J = 1 clamps into the top bin — so any engine
+    * reproduces every count.
+    *
+    * Scale: candidate volume is the inverted index's Σ_s C(df_s, 2) —
+    * the same term the adaptive pair planner measures; run the
+    * spectrum on a [[Sampling.hashSample]] of the corpus (a spectrum
+    * is a distribution estimate, a deterministic sample of it is the
+    * practice) rather than all pairs at 100 TB. */
+  def jaccardSpectrum(docs: DataFrame, k: Int = 3, bins: Int = 10,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val sh = shingleFrame(docs, k, idCol, textCol).sharedCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
+      .select(least(expr(s"inter * $bins div (sza + szb - inter)"),
+        lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Keep-BEST-copy dedup: per duplicate cluster, survive the member
     * with the highest `priority` (ties by id asc) instead of
     * [[applyClusters]]' min-id rule — the form real curation uses

@@ -1196,6 +1196,8 @@ object PipelineQueries {
     "e_session_stats"     -> (sessionStatsQ _),
     "d_doc_contract"      -> (docContract _),
     "d_training_mixture"  -> (trainingMixtureQ _),
+    "d_sim_spectrum"      -> ((s: SparkSession, dir: String) =>
+      Dedup.jaccardSpectrum(Tables.documents(s, dir)).orderBy("bin")),
     "e_retention_cohorts" -> (retentionCohorts _),
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
@@ -1463,6 +1465,18 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact-rational bins: (inter*10) div union, J=1 clamps to bin 9
+    "d_sim_spectrum" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT CAST(LEAST(inter * 10 // (sa.sz + sb.sz - inter), 9) AS BIGINT) AS bin
+         |      FROM p JOIN sz sa ON sa.doc_id = p.ia JOIN sz sb ON sb.doc_id = p.ib)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1 ORDER BY bin""".stripMargin,
     "d_best_per_source" ->
       s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
          |c AS (SELECT doc_id, source,

@@ -245,6 +245,19 @@ class SelectionOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L, 6L))
   }
 
+  test("jaccardSpectrum: exact-rational bins, J = 1 clamps into the top bin") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),  // shingles {abc,bcd,cde}
+      (2L, "a b c d e"),  // identical -> J = 1 with doc 1
+      (3L, "a b c d x"),  // {abc,bcd,cdx}: inter 2, union 4 vs 1 and 2
+      (4L, "p q r s t")). // co-shingles with nobody
+      toDF("doc_id", "text")
+    val got = Dedup.jaccardSpectrum(docs).orderBy("bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(5L -> 2L, 9L -> 1L))
+  }
+
   test("dupWeights: 1e6 div cluster size, singletons keep weight 1e6") {
     import spark.implicits._
     val docs = (0L to 5L).toDF("doc_id")
