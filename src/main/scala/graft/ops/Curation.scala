@@ -86,7 +86,23 @@ object Curation {
                       * (pre-clean shares overweight spammy sources).
                       * Groups by `qualityGroupCol`. */
                     sourceAlpha: Option[Double] = None,
-                    mixTargetFrac: Double = 0.3)
+                    mixTargetFrac: Double = 0.3,
+                    /** Novelty gate (stage 1b): docs whose length-
+                      * `noveltyN` gram set is mostly ALREADY in
+                      * `noveltyGrams` (a [[TextAnalysis.spanGramStore]]
+                      * of everything previously ingested) are dropped
+                      * before any scoring or dedup runs — the re-crawl
+                      * filter, positioned FIRST because it is the
+                      * cheapest corpus-sized stage (8-byte gram hashes,
+                      * no text shuffle) and every later stage's cost is
+                      * proportional to what survives it. Keep iff
+                      * novelty_e6 ≥ minNovelty ([[TextAnalysis.
+                      * gramNovelty]] semantics: distinct grams, short
+                      * docs collapse to one whole-text gram, so exact
+                      * re-crawls score 0 and always drop). */
+                    minNovelty: Option[Long] = None,
+                    noveltyGrams: Option[DataFrame] = None,
+                    noveltyN: Int = 8)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -114,6 +130,22 @@ object Curation {
       .withColumn("__q", round(
         TextAnalysis.qualityScoreOf(col("__toks"), col(textCol)), 4))
       .drop("__toks")
+    // Novelty gate (stage 1b, optional): membership probe against the
+    // seen-gram store — the docs it drops never reach the tokenizer-
+    // derived scoring below a second time, and more importantly never
+    // reach the pair generators. The probe shuffles 8-byte hashes only.
+    val gated = (p.minNovelty, p.noveltyGrams) match {
+      case (Some(minNov), Some(grams)) =>
+        withTok.join(
+          TextAnalysis.gramNovelty(withTok, grams, p.noveltyN, idCol, textCol)
+            .where(col("novelty_e6") >= minNov).select(idCol),
+          Seq(idCol), "left_semi")
+          .sharedCheckpoint()
+      case (None, None) => withTok
+      case _ => throw new IllegalArgumentException(
+        "minNovelty and noveltyGrams must be set together (the gate needs both " +
+          "a threshold and a seen-gram store)")
+    }
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
     // switches to [[TextAnalysis.qualityCalibration]] semantics — the
     // top fraction of EVERY `qualityGroupCol` group survives, so a
@@ -124,15 +156,15 @@ object Curation {
         // trained gate: keep docs the classifier scores σ > ½ — the
         // weight frame is dim-bounded and broadcasts inside
         // classifierScore; the semi-join key is the id only
-        withTok.join(
-          TextAnalysis.classifierScore(withTok, w, p.classifierDim, idCol, textCol)
+        gated.join(
+          TextAnalysis.classifierScore(gated, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
           Seq(idCol), "left_semi")
       case None => p.qualityKeepFrac match {
-      case None => withTok.where(col("__q") >= p.minQuality)
+      case None => gated.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
-        val scored = withTok.sharedCheckpoint()
+        val scored = gated.sharedCheckpoint()
         val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish
@@ -185,8 +217,9 @@ object Curation {
       (shared, Sampling.temperatureSample(shared, a, p.mixTargetFrac,
         p.qualityGroupCol, idCol).drop("rate_e6"))
     }
-    Seq(
-      "1_total" -> withTok.drop("__q"),
+    Seq("1_total" -> withTok.drop("__q")) ++
+      (if (p.minNovelty.isDefined) Seq("1b_novelty" -> gated.drop("__q")) else Nil) ++
+      Seq(
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,
       "4_near_dup" -> nearDup) ++

@@ -159,6 +159,35 @@ class OpsSpec extends SparkSpec {
       s"unexpected recall loss on this corpus: ${mh("4_near_dup")} vs ${exact("4_near_dup")}")
   }
 
+  test("novelty gate: stage 1b drops exactly the seen docs, rest of funnel follows") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    // the %5=1 slice sits entirely inside the corpus (ids ≡ 1,6 mod 10),
+    // so each of its docs re-scores novelty 0 against its own grams
+    val seenSlice = docs.where(col("doc_id") % 5 === 1)
+    val p = Curation.Params(minNovelty = Some(200000L),
+      noveltyGrams = Some(TextAnalysis.spanGramStore(seenSlice)))
+    val funnel = Curation.funnel(corpus, bench, p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val base = Curation.funnel(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnel.contains("1b_novelty"))
+    assert(funnel("1_total") == base("1_total"))
+    // every store doc is an exact re-crawl of itself → novelty 0 → dropped;
+    // unseen docs may also fall under the 20% bar, so ≤ is the bound
+    val seenN = seenSlice.count()
+    assert(funnel("1b_novelty") <= funnel("1_total") - seenN,
+      s"gate kept too many: ${funnel("1b_novelty")} of ${funnel("1_total")} with $seenN seen")
+    assert(funnel("1b_novelty") > 0, "gate wiped the corpus")
+    // downstream stages narrow from the gated frame
+    assert(funnel("2_quality") <= funnel("1b_novelty"))
+    assert(funnel("5_decontaminated") <= funnel("4_near_dup"))
+    // half-configured gate refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.funnel(corpus, bench, Curation.Params(minNovelty = Some(1L))).collect()
+    }
+  }
+
   test("reliable-checkpoint knob: funnel and clusters identical, checkpoint dir used") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
