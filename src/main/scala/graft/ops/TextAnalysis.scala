@@ -1249,4 +1249,140 @@ object TextAnalysis {
       .select(col("token"), col("freq"), col("est"),
         (col("est") - col("freq")).as("overcount"))
   }
+
+  /** Gopher-style document-quality rule suite (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the public heuristic filter
+    * battery most pre-training pipelines start from): per document, one
+    * boolean per rule plus the conjunction `keep`. Unlike
+    * [[qualityScoreOf]]'s scalar score, the per-rule breakdown is the
+    * operational artifact — a corpus report aggregates WHICH rule kills
+    * documents per source, which is how thresholds actually get tuned.
+    *
+    * Rules (all ratio comparisons are exact integer cross-products, so
+    * any engine replays them bit-for-bit — no float thresholds):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters (×1e6 integer mean)
+    *   - '#' symbol-to-word ratio ≤ 1/10
+    *   - ≤ 3/10 of lines end with an ellipsis "..."
+    *   - ≤ 9/10 of lines start with a bullet ('-', '*', '•')
+    *   - ≥ 4/5 of words contain at least one letter
+    *   - at least 2 occurrences of [[EnglishMarkers]] stopwords
+    *
+    * Scale: one scan, zero shuffles — every rule is a per-row
+    * expression over the token array / raw text; at 100 TB this is a
+    * map-only pass whose output is (id, 2×long, 8×boolean). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLenE6: Long = 3000000L, maxMeanLenE6: Long = 10000000L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"bad word-count bounds [$minWords, $maxWords]")
+    val lines = split(col(textCol), "\n")
+    docs
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__sumlen",
+        aggregate(col("__w"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("mean_len_e6",
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("__sumlen * 1000000 div n_words")))
+      .withColumn("__nhash",
+        (length(col(textCol)) - length(translate(col(textCol), "#", ""))).cast("long"))
+      .withColumn("__lines", lines)
+      .withColumn("__nlines", size(col("__lines")).cast("long"))
+      .withColumn("__nell",
+        size(filter(col("__lines"), l => rtrim(l).endsWith("..."))).cast("long"))
+      .withColumn("__nbul",
+        size(filter(col("__lines"),
+          l => substring(ltrim(l), 1, 1).isInCollection(Seq("-", "*", "•")))).cast("long"))
+      .withColumn("__nalpha",
+        size(filter(col("__w"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("__nstop",
+        size(filter(col("__w"), t => t.isInCollection(EnglishMarkers))).cast("long"))
+      .select(col(idCol), col("n_words"), col("mean_len_e6"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_word_count"),
+        (col("mean_len_e6") >= minMeanLenE6 &&
+          col("mean_len_e6") <= maxMeanLenE6).as("r_mean_len"),
+        (col("__nhash") * 10 <= col("n_words")).as("r_symbol"),
+        (col("__nell") * 10 <= col("__nlines") * 3).as("r_ellipsis"),
+        (col("__nbul") * 10 <= col("__nlines") * 9).as("r_bullet"),
+        (col("__nalpha") * 5 >= col("n_words") * 4).as("r_alpha"),
+        (col("__nstop") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopwords"))
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank each
+    * source's documents by their [[bigramLogProb]] fluency score and
+    * cut the ranking into `nBuckets` equal tiles — head (most fluent),
+    * middle, tail. CCNet keeps head+middle and drops tail per language;
+    * here the bucket id is emitted so the caller picks the policy.
+    *
+    * Determinism: the rank order is (mean_logprob DESC, id ASC) — a
+    * total order, so NTILE assigns identically in any engine (the
+    * 4-dp-rounded score is itself integer-derived and exact). Docs
+    * with fewer than 2 tokens have no bigram score and emit no row,
+    * as in [[bigramLogProb]].
+    *
+    * Scale: the LM scoring is [[bigramLogProb]]'s plan (lexicon-sized
+    * joins, integer sums); the tile assignment is one window over the
+    * (id, source, score) projection — a per-source sort of 16-byte
+    * rows, not text. Skew bound = the largest single source; CCNet's
+    * own per-(language, shard) sharding is the 100 TB mitigation and
+    * composes here by feeding finer `groupCol` values. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3, lam: Double = 0.7,
+                        groupCol: String = "source",
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val scored = bigramLogProb(docs, lam, idCol, textCol)
+    scored
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+      .withColumn("bucket",
+        ntile(nBuckets).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("mean_logprob").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        col("mean_logprob"), col("bucket"))
+  }
+
+  /** Per-source token-distribution KL divergence against the corpus
+    * distribution — D(P_source ‖ P_corpus) = Σ_t p_s(t) · ln(p_s(t) /
+    * p_c(t)), the standard drift / domain-shift magnitude (a source of
+    * boilerplate or another language scores high; a source that looks
+    * like the corpus average scores ≈ 0). Always finite: every source
+    * token is a corpus token, so p_c > 0 wherever p_s > 0.
+    *
+    * Numerics: the per-token log-ratio ln((cs·T)/(Ts·ct)) is quantized
+    * to 1e-6 and carried as LONG; the divergence is the exact integer
+    * Σ cs·lr_e6 div Ts — order-independent, engine-reproducible (the
+    * [[unigramLogProb]] discipline). Output kl_e6 ≥ 0 up to
+    * quantization (±1e-6 per distinct token).
+    *
+    * Scale: one token-count shuffle keyed (source, token) — the same
+    * frame then aggregates to the corpus marginal (vocabulary-sized,
+    * broadcast back), so text is scanned once and only counts move. */
+  def sourceTokenKl(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      .sharedCheckpoint()
+    val ct = st.groupBy("token").agg(sum("cs").as("ct"))
+    val ts = st.groupBy("source").agg(sum("cs").as("ts"))
+    val totFrame = ct.agg(sum("ct").cast("double").as("__total"))
+    st.join(ct, "token").join(ts, "source")
+      .crossJoin(broadcast(totFrame))
+      .withColumn("lr_e6", round(
+        log((col("cs").cast("double") * col("__total")) /
+            (col("ts").cast("double") * col("ct").cast("double"))) * 1e6).cast("long"))
+      .groupBy("source")
+      .agg(first(col("ts")).as("n_tokens"),
+        sum(col("cs") * col("lr_e6")).as("__s"))
+      .select(col("source"), col("n_tokens"),
+        // clamp at 0: true KL is ≥ 0 (Gibbs); quantization noise could
+        // dip a near-identical source below it, and engines disagree on
+        // negative integer division (truncate vs floor) — the clamp
+        // makes the output exact everywhere
+        greatest(lit(0L), expr("__s div n_tokens")).as("kl_e6"))
+  }
 }

@@ -832,6 +832,24 @@ object PipelineQueries {
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** The Gopher heuristic rule battery: per-rule booleans + keep, all
+    * integer-ratio exact. Bounds tuned to the driver corpus's 10–99
+    * word docs so every rule discriminates. */
+  def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, dir),
+      minWords = 20L, maxWords = 80L).orderBy("doc_id")
+
+  /** CCNet-style perplexity terciles per source over the bigram LM
+    * score — head/middle/tail bucket ids, NTILE-deterministic. */
+  def ppxBucketsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** Per-source token-distribution KL against the corpus marginal —
+    * quantized-integer exact, the drift/domain-shift magnitude. */
+  def sourceKlQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceTokenKl(Tables.documents(spark, dir)).orderBy("source")
+
   /** Concat-then-chunk packing of the corpus into 512-token contexts
     * via the two-level distributed prefix sum (see [[graft.ops.Packing]]);
     * small bucket size so the sf corpora actually exercise the
@@ -1118,6 +1136,20 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The curation facade with the stage-1b novelty gate: the seen-gram
+    * store is built from the doc_id%5=1 slice of the full table (all of
+    * which sit inside the corpus, so exact re-crawls score novelty 0
+    * and drop), threshold 20% — then the usual four stages. */
+  def curationNoveltyQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.curate(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      graft.ops.Curation.Params(
+        minNovelty = Some(200000L),
+        noveltyGrams = Some(TextAnalysis.spanGramStore(docs.where(col("doc_id") % 5 === 1)))))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** CUBE daily activity: every grouping set incl. per-day totals
     * across types. */
   def dailyCubeQ(spark: SparkSession, dir: String): DataFrame =
@@ -1179,6 +1211,7 @@ object PipelineQueries {
     "d_vocab_coverage"    -> (vocabCoverageQ _),
     "e_cube_daily"        -> (dailyCubeQ _),
     "d_curation_mixture"  -> (curationMixtureQ _),
+    "d_curation_novelty"  -> (curationNoveltyQ _),
     "d_novelty"           -> (noveltyQ _),
     "e_rank_metrics"      -> (rankMetricsQ _),
     "d_clf_metrics"       -> (clfMetricsQ _),
@@ -1202,6 +1235,9 @@ object PipelineQueries {
     "e_window_join"       -> (errorWindowViews _),
     "e_event_paths"       -> (eventPaths _),
     "e_anomaly_hourly"    -> (rateAnomalies _),
+    "d_gopher_rules"      -> (gopherRulesQ _),
+    "d_ppx_buckets"       -> (ppxBucketsQ _),
+    "d_source_kl"         -> (sourceKlQ _),
     "d_unigram_logprob"   -> (unigramLogProb _),
     "d_bigram_logprob"    -> (bigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
@@ -1413,17 +1449,21 @@ object PipelineQueries {
     * the `clean` CTE. The semantic variant appends its cosine-closure
     * CTEs and a 6th stage line; both funnels read their stage counts
     * from [[CurationFunnelStages]] so the text lives exactly once. */
-  private val CurationFunnelPrefix: String =
+  /** The funnel CTE chain parameterized by (a) CTEs spliced between
+    * `base` and the quality stage and (b) the frame the quality stage
+    * reads (`base`, or the novelty gate's `nv`) — every curation
+    * oracle composes from here so stage semantics live in one place. */
+  private def curationPrefixFrom(extraCtes: String, qualitySrc: String): String =
     s"""WITH RECURSIVE
        |base AS (SELECT doc_id, text, $ToksSql AS w, $NormSql AS norm
-       |         FROM documents WHERE doc_id % 10 <> 0),
+       |         FROM documents WHERE doc_id % 10 <> 0),$extraCtes
        |qc AS (SELECT doc_id, text, w, norm,
        |        CASE WHEN len(w) = 0 THEN 0.0
        |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
        |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
        |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
        |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
-       |      FROM base),
+       |      FROM $qualitySrc),
        |qd AS (SELECT doc_id, text, w, norm FROM qc
        |       WHERE round(GREATEST(0.0, LEAST(1.0,
        |         LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
@@ -1451,6 +1491,31 @@ object PipelineQueries {
        |           GROUP BY ndsh.doc_id HAVING COUNT(*) >= 2),
        |clean AS (SELECT doc_id, w FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
 
+  private val CurationFunnelPrefix: String = curationPrefixFrom("", "base")
+
+  /** Stage-1b novelty gate CTEs (n = 8 gram store from the doc_id%5=1
+    * slice of the FULL table, distinct grams both sides, whole-text
+    * collapse under 8 tokens — d_novelty's exact semantics) feeding the
+    * quality stage the gated frame `nv`. Threshold: novelty_e6 >= 2e5. */
+  private val NoveltyGateCtes: String =
+    """
+      |ag AS (SELECT doc_id, unnest(
+      |        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 6),
+      |                    i -> array_to_string(w[i:i+7], ' ')) END) AS gr
+      |      FROM base),
+      |sg AS (SELECT DISTINCT unnest(
+      |        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 6),
+      |                    i -> array_to_string(w[i:i+7], ' ')) END) AS gr
+      |      FROM (SELECT """ + ToksSql + """ AS w FROM documents WHERE doc_id % 5 = 1)),
+      |jg AS (SELECT DISTINCT doc_id, gr FROM ag),
+      |ncnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM jg GROUP BY 1),
+      |nsn AS (SELECT jg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+      |        FROM jg JOIN sg USING (gr) GROUP BY 1),
+      |nv AS (SELECT base.* FROM base JOIN ncnt USING (doc_id) LEFT JOIN nsn USING (doc_id)
+      |       WHERE (n_grams - COALESCE(n_seen, 0)) * 1000000 // n_grams >= 200000),""".stripMargin
+
   private val CurationFunnelStages: String =
     """
       |SELECT '1_total' AS stage, COUNT(*) AS n_docs,
@@ -1463,6 +1528,28 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
       |UNION ALL SELECT '5_decontaminated', COUNT(*),
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
+
+  /** The interpolated-bigram scoring chain (λ = 0.7, ln quantized to
+    * 1e-6 LONG sums) ending at per-doc CTE `s` — shared by
+    * d_bigram_logprob and d_ppx_buckets so the LM semantics live in
+    * exactly one place. */
+  private val BigramScoreCtes: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |ix AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
+       |p AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM ix),
+       |ptf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |bf AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM ptf GROUP BY 1, 2),
+       |cf AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf GROUP BY 1),
+       |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ufreq
+       |      FROM (SELECT unnest($ToksSql) AS token FROM documents) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u),
+       |lp AS (SELECT prev, cur,
+       |         CAST(round(ln((${0.7} * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+       |           + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+       |       FROM bf JOIN cf USING (prev) JOIN u ON u.token = bf.cur CROSS JOIN tot),
+       |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |        CAST(SUM(tf * lp_e6) AS BIGINT) AS s
+       |      FROM ptf JOIN lp USING (prev, cur) GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // exact-rational bins: (inter*10) div union, J=1 clamps to bin 9
@@ -1850,26 +1937,74 @@ object PipelineQueries {
     // λ and 1−λ interpolated from the SAME Scala doubles the operator
     // plans with (1−0.7 is NOT 0.3 in IEEE — the literal must match
     // bit-for-bit for the quantized ln to agree at boundaries)
-    "d_bigram_logprob" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |ix AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
-         |p AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM ix),
-         |ptf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
-         |bf AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM ptf GROUP BY 1, 2),
-         |cf AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf GROUP BY 1),
-         |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ufreq
-         |      FROM (SELECT unnest($ToksSql) AS token FROM documents) GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u),
-         |lp AS (SELECT prev, cur,
-         |         CAST(round(ln((${0.7} * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
-         |           + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
-         |       FROM bf JOIN cf USING (prev) JOIN u ON u.token = bf.cur CROSS JOIN tot),
-         |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         |        CAST(SUM(tf * lp_e6) AS BIGINT) AS s
-         |      FROM ptf JOIN lp USING (prev, cur) GROUP BY 1)
+    // every ratio rule is an integer cross-product — engine-exact; the
+    // corpus is single-line so the line rules pass vacuously here (the
+    // spec exercises them on multi-line fixtures)
+    "d_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+         |        string_split(text, chr(10)) AS lines,
+         |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+         |        CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS nstop
+         |      FROM t),
+         |r AS (SELECT doc_id, n_words,
+         |        CASE WHEN n_words = 0 THEN 0
+         |             ELSE sumlen * 1000000 // n_words END AS mean_len_e6,
+         |        nhash, CAST(len(lines) AS BIGINT) AS nlines,
+         |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS nell,
+         |        CAST(len(list_filter(lines, l -> list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS nbul,
+         |        nalpha, nstop
+         |      FROM m)
+         |SELECT doc_id, n_words, CAST(mean_len_e6 AS BIGINT) AS mean_len_e6,
+         |  (n_words >= 20 AND n_words <= 80) AS r_word_count,
+         |  (mean_len_e6 >= 3000000 AND mean_len_e6 <= 10000000) AS r_mean_len,
+         |  (nhash * 10 <= n_words) AS r_symbol,
+         |  (nell * 10 <= nlines * 3) AS r_ellipsis,
+         |  (nbul * 10 <= nlines * 9) AS r_bullet,
+         |  (nalpha * 5 >= n_words * 4) AS r_alpha,
+         |  (nstop >= 2) AS r_stopwords,
+         |  ((n_words >= 20 AND n_words <= 80) AND
+         |   (mean_len_e6 >= 3000000 AND mean_len_e6 <= 10000000) AND
+         |   (nhash * 10 <= n_words) AND (nell * 10 <= nlines * 3) AND
+         |   (nbul * 10 <= nlines * 9) AND (nalpha * 5 >= n_words * 4) AND
+         |   (nstop >= 2)) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // per-source KL vs the corpus marginal: quantized log-ratio LONG
+    // sums, integer division, clamped at 0 (see the operator Scaladoc)
+    "d_source_kl" ->
+      s"""WITH t AS (SELECT source, unnest($ToksSql) AS token FROM documents),
+         |st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cs FROM t GROUP BY 1, 2),
+         |ct AS (SELECT token, CAST(SUM(cs) AS BIGINT) AS ct FROM st GROUP BY 1),
+         |ts AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM ct),
+         |lr AS (SELECT st.source, cs, ts,
+         |         CAST(round(ln((CAST(cs AS DOUBLE) * total) /
+         |           (CAST(ts AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT) AS lr_e6
+         |       FROM st JOIN ct USING (token) JOIN ts USING (source) CROSS JOIN tot)
+         |SELECT source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+         |       GREATEST(0, CAST(SUM(cs * lr_e6) // MAX(ts) AS BIGINT)) AS kl_e6
+         |FROM lr GROUP BY source ORDER BY source""".stripMargin,
+    "d_bigram_logprob" -> (BigramScoreCtes +
+      """
          |SELECT doc_id, n_bigrams,
          |       round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE), 4) AS mean_logprob
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM s ORDER BY doc_id""".stripMargin),
+    // the bigram score chain + per-source NTILE terciles — rank order
+    // (mean_logprob DESC, doc_id ASC) is total, so tiles are exact
+    "d_ppx_buckets" -> (BigramScoreCtes +
+      """,
+         |sc AS (SELECT doc_id, n_bigrams,
+         |         round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE), 4) AS mean_logprob
+         |       FROM s),
+         |bk AS (SELECT sc.doc_id, d.source, n_bigrams, mean_logprob,
+         |         CAST(NTILE(3) OVER (PARTITION BY d.source
+         |           ORDER BY mean_logprob DESC, sc.doc_id ASC) AS BIGINT) AS bucket
+         |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, source, n_bigrams, mean_logprob, bucket
+         |FROM bk ORDER BY doc_id""".stripMargin),
     "d_pack_contexts" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
@@ -2575,6 +2710,10 @@ object PipelineQueries {
     "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
     // funnel prefix (→ clean) + the d_temperature_mix rate/gate math
     // over the SURVIVORS' source mix at α = ½, target 0.4
+    // stage-1b novelty gate ahead of the full four-stage chain: the
+    // quality stage reads the gated frame `nv` instead of `base`
+    "d_curation_novelty" -> (curationPrefixFrom(NoveltyGateCtes, "nv") +
+      "\nSELECT doc_id FROM clean ORDER BY doc_id"),
     "d_curation_mixture" -> (CurationFunnelPrefix +
       """,
         |gsrc AS (SELECT c.doc_id, d.source FROM clean c
