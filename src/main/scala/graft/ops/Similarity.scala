@@ -1242,4 +1242,78 @@ object Similarity {
       .join(losers, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
   }
+
+  /** Random-sign (Achlioptas 2001) projection to `outDims` dimensions —
+    * the Johnson–Lindenstrauss dimensionality reducer that makes every
+    * downstream pair/scan operator cheaper: distances are preserved to
+    * 1±ε with outDims = O(ln n / ε²), and a ±1 matrix needs no storage
+    * because entry (i, j) derives from an integer hash. Components are
+    * quantized to 1e-3 first, so the projection is exact integer
+    * arithmetic — any engine replays it bit-for-bit (and the quantized
+    * corpus is what [[quantizeInt8]]-style serving would scan anyway).
+    *
+    * Output one row per (id, out_dim) with y_e3 = Σ_i q_i · s(i, j),
+    * s(i, j) = ±1 by the parity of h² mod (10⁹+7) where h =
+    * (i·2654435761 + j·97) mod (10⁹+7) — the squaring step matters:
+    * the affine hash alone has near-duplicate sign columns (measured
+    * mean inter-column |dot| ≈ 30/64; squared-mod ≈ 5/64, the random
+    * ±1 expectation), and correlated columns break the JL guarantee.
+    * All intermediates < 2⁶³ (h < 10⁹+7 ⇒ h² ≈ 10¹⁸ < 9.2·10¹⁸).
+    *
+    * Scale: map-only — the projection is a per-row expression, the
+    * explode adds no exchange; at 100 TB this is one scan producing an
+    * outDims× smaller corpus for the ANN family to index. The HOF
+    * evaluates interpretively (dims·outDims adds per row); if a
+    * profile ever shows it hot, the [[graft.functions.PqEncode]]
+    * codegen pattern applies directly. */
+  def signProject(emb: DataFrame, outDims: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDims > 0, s"outDims must be positive, got $outDims")
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * 1000).cast("long"))
+    val sign = (i: Column, j: Column) => {
+      val h = (i * 2654435761L + j * 97L) % 1000000007L
+      when((h * h % 1000000007L) % 2L === 0L, 1L).otherwise(-1L)
+    }
+    val proj = transform(sequence(lit(0L), lit(outDims - 1L)), j =>
+      aggregate(sequence(lit(0L), size(col("__q")) - 1L), lit(0L),
+        (acc, i) => acc + element_at(col("__q"), (i + 1L).cast("int")) * sign(i, j)))
+    emb.select(col(idCol), q.as("__q"))
+      .select(col(idCol), posexplode(proj).as(Seq("out_dim", "y_e3")))
+      .select(col(idCol), col("out_dim").cast("long").as("out_dim"), col("y_e3"))
+  }
+
+  /** Per-group centroid outliers: squared-L2 distance of each vector to
+    * its group's centroid over 1e-3-quantized components, top `k` most
+    * distant per group — the corpus-QA signal (mislabeled / off-
+    * distribution vectors surface first) and the prune list for
+    * prototypicality-based selection (SemDeDup's outlier end). Exact
+    * integer arithmetic: centroid component = floor(Σq / n) (explicit
+    * floor, so engines agree on negative sums), dist2 = Σ (q − c)².
+    *
+    * Scale: one posexplode → (group, dim) centroid aggregate (groups ×
+    * dims rows — broadcasts back), one map-side diff join, one id-keyed
+    * sum shuffle, one per-group top-k window. Nothing quadratic; the
+    * window partitions by group over k-bounded candidates after an
+    * AQE-sized shuffle. */
+  def centroidOutliers(emb: DataFrame, k: Int = 5, groupCol: String = "label",
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = emb
+      .select(col(idCol), col(groupCol).as("grp"),
+        posexplode(transform(col(vecCol).cast("array<double>"),
+          x => round(x * 1000).cast("long"))).as(Seq("dim", "qx")))
+      .sharedCheckpoint()
+    val cent = q.groupBy("grp", "dim")
+      .agg(floor(sum("qx").cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c"))
+    val d2 = q.join(broadcast(cent), Seq("grp", "dim"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("dist2"))
+    d2.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("dist2").desc, col(idCol).asc)))
+      .where(col("rk") <= k)
+      .select(col("grp").as(groupCol), col("rk").cast("long").as("rk"),
+        col(idCol), col("dist2"))
+  }
 }

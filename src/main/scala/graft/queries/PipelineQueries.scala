@@ -239,6 +239,17 @@ object PipelineQueries {
       .orderBy("dim")
   }
 
+  /** JL sign projection to 16 dims over 1e-3-quantized components —
+    * exact integer output, one row per (vec, out_dim). */
+  def signProjectQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.signProject(Tables.embeddings(spark, dir))
+      .orderBy("vec_id", "out_dim")
+
+  /** Top-5 centroid outliers per label — integer-exact distances. */
+  def centroidOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(Tables.embeddings(spark, dir))
+      .orderBy("label", "rk")
+
   /** Cluster-balanced sample: the first 4 embeddings serve as pinned
     * centroids (cell ≡ centroid vec_id), 25 lowest-hash picks per
     * cell — the oracle replays assignment as a rank-1 cosine join and
@@ -1286,6 +1297,8 @@ object PipelineQueries {
     "e_knn_centrality"  -> (knnCentralityQ _),
     "e_cluster_sample"  -> (clusterSampleQ _),
     "e_dimension_drift" -> (dimensionDriftQ _),
+    "e_sign_project"    -> (signProjectQ _),
+    "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
     "d_quality_train"   -> (qualityTrainQ _),
     "d_bm25_topk"       -> (bm25Q _),
@@ -2544,6 +2557,41 @@ object PipelineQueries {
         |  CAST(COALESCE(dcg, 0) AS BIGINT) AS dcg_e6
         |FROM nrel LEFT JOIN hit ON nrel.q_id = hit.q_id
         |ORDER BY nrel.q_id""".stripMargin,
+    // ±1 matrix entry = parity of h^2 mod p, h = (i*C + j*97) mod p —
+    // the squared-mod mixer (see the operator Scaladoc); all BIGINT
+    "e_sign_project" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |u AS (SELECT vec_id, q, unnest(range(0, 16)) AS j FROM e)
+        |SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+        |  CAST(list_sum(list_transform(range(1, len(q) + 1), i ->
+        |    q[i] * (CASE WHEN
+        |      (((CAST(i AS BIGINT) - 1) * 2654435761 + j * 97) % 1000000007) *
+        |      (((CAST(i AS BIGINT) - 1) * 2654435761 + j * 97) % 1000000007)
+        |        % 1000000007 % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS y_e3
+        |FROM u ORDER BY vec_id, out_dim""".stripMargin,
+    // centroid = floor(Σq/n) per (label, dim); dist2 exact BIGINT
+    "e_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, label, q, unnest(range(1, len(q) + 1)) AS i FROM e),
+        |v AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, q[i] AS qx FROM x),
+        |c AS (SELECT label, dim,
+        |        CAST(floor(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |      FROM v GROUP BY 1, 2),
+        |d AS (SELECT vec_id, v.label AS label,
+        |        CAST(SUM((qx - c) * (qx - c)) AS BIGINT) AS dist2
+        |      FROM v JOIN c ON v.label = c.label AND v.dim = c.dim GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, dist2,
+        |        ROW_NUMBER() OVER (PARTITION BY label
+        |                           ORDER BY dist2 DESC, vec_id ASC) AS rk
+        |      FROM d)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist2
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "e_dimension_drift" ->
       """WITH av AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
         |ax AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM av),
