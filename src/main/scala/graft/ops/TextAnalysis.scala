@@ -1385,4 +1385,59 @@ object TextAnalysis {
         // makes the output exact everywhere
         greatest(lit(0L), expr("__s div n_tokens")).as("kl_e6"))
   }
+
+  /** Corpus token-frequency frame (token, cnt) — the reference snapshot
+    * [[tokenDrift]] and [[graft.streaming.StreamingDrift]] compare
+    * against. Vocabulary-sized, one count shuffle. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Batch-vs-reference token-distribution drift — the corpus-drift
+    * alarm a continuously-ingesting pipeline watches: one row of
+    *   n_tokens     batch token occurrences,
+    *   n_in_vocab   occurrences whose token exists in the reference,
+    *   drift_e6     floor(mean signed log-ratio ln(p̂/q̂) ×1e6) over the
+    *                in-vocab mass (p̂ renormalized to in-vocab, q̂ the
+    *                reference marginal) — 0 when nothing overlaps,
+    *   oov_e6       out-of-vocabulary mass ×1e6 (the other half of the
+    *                signal: a batch in a NEW language shows drift 0 /
+    *                oov 1e6, a same-vocab style shift shows oov 0 /
+    *                drift ≠ 0).
+    * drift_e6 is signed (restricting q̂ to the overlap breaks the Gibbs
+    * bound), so it is floored via exact-in-double arithmetic rather
+    * than integer division — engines disagree on negative int div.
+    *
+    * Scale: one batch token-count shuffle; the reference joins on the
+    * token key (vocabulary-sized — AQE broadcasts it); the two scalar
+    * totals are audited single-row broadcasts. Nothing retains text. */
+  def tokenDrift(batch: DataFrame, reference: DataFrame,
+                 textCol: String = "text"): DataFrame = {
+    val bt = tokenCounts(batch, textCol).withColumnRenamed("cnt", "cs")
+    val ref = reference.select(col("token"), col("cnt").as("ct"))
+    val refTot = ref.agg(sum("ct").cast("double").as("__rt"))
+    val joined = bt.join(ref, Seq("token"), "left")
+      .crossJoin(broadcast(refTot))
+      .sharedCheckpoint()
+    val inTot = joined.where(col("ct").isNotNull)
+      .agg(sum("cs").cast("double").as("__ts"))
+    joined.crossJoin(broadcast(inTot))
+      .withColumn("lr_e6",
+        when(col("ct").isNotNull && col("__ts") > 0.0,
+          round(log((col("cs").cast("double") * col("__rt")) /
+            (col("__ts") * col("ct").cast("double"))) * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+      .agg(
+        coalesce(sum("cs"), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("ct").isNotNull, col("cs")).otherwise(0L)), lit(0L))
+          .as("n_in_vocab"),
+        coalesce(sum(col("cs") * col("lr_e6")), lit(0L)).as("__s"))
+      .select(col("n_tokens"), col("n_in_vocab"),
+        when(col("n_in_vocab") > 0,
+          floor(col("__s").cast("double") / col("n_in_vocab").cast("double"))
+            .cast("long")).otherwise(0L).as("drift_e6"),
+        when(col("n_tokens") > 0,
+          expr("(n_tokens - n_in_vocab) * 1000000 div n_tokens"))
+          .otherwise(0L).as("oov_e6"))
+  }
 }

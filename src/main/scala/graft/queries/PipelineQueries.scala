@@ -861,6 +861,15 @@ object PipelineQueries {
   def sourceKlQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceTokenKl(Tables.documents(spark, dir)).orderBy("source")
 
+  /** Batch-vs-reference drift: odd docs scored against the even half's
+    * token counts — signed mean log-ratio + OOV mass, one row. */
+  def tokenDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.tokenDrift(
+      docs.where(col("doc_id") % 2 === 1),
+      TextAnalysis.tokenCounts(docs.where(col("doc_id") % 2 === 0)))
+  }
+
   /** Concat-then-chunk packing of the corpus into 512-token contexts
     * via the two-level distributed prefix sum (see [[graft.ops.Packing]]);
     * small bucket size so the sf corpora actually exercise the
@@ -1249,6 +1258,7 @@ object PipelineQueries {
     "d_gopher_rules"      -> (gopherRulesQ _),
     "d_ppx_buckets"       -> (ppxBucketsQ _),
     "d_source_kl"         -> (sourceKlQ _),
+    "d_token_drift"       -> (tokenDriftQ _),
     "d_unigram_logprob"   -> (unigramLogProb _),
     "d_bigram_logprob"    -> (bigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
@@ -1985,6 +1995,36 @@ object PipelineQueries {
          |   (nbul * 10 <= nlines * 9) AND (nalpha * 5 >= n_words * 4) AND
          |   (nstop >= 2)) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // signed drift over the in-vocab overlap (double-exact floor) +
+    // integer OOV mass — the d_token_drift one-row report
+    "d_token_drift" ->
+      s"""WITH bt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cs
+         |      FROM (SELECT unnest($ToksSql) AS token FROM documents WHERE doc_id % 2 = 1)
+         |      GROUP BY 1),
+         |ref AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ct
+         |      FROM (SELECT unnest($ToksSql) AS token FROM documents WHERE doc_id % 2 = 0)
+         |      GROUP BY 1),
+         |rt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS rt FROM ref),
+         |j AS (SELECT bt.token, cs, ct FROM bt LEFT JOIN ref USING (token)),
+         |ti AS (SELECT CAST(SUM(CASE WHEN ct IS NOT NULL THEN cs ELSE 0 END) AS DOUBLE) AS ts FROM j),
+         |x AS (SELECT cs, ct,
+         |        CASE WHEN ct IS NOT NULL AND ts > 0
+         |             THEN CAST(round(ln((CAST(cs AS DOUBLE) * rt) /
+         |                    (ts * CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT)
+         |             ELSE 0 END AS lr
+         |      FROM j CROSS JOIN rt CROSS JOIN ti)
+         |SELECT COALESCE(CAST(SUM(cs) AS BIGINT), 0) AS n_tokens,
+         |  COALESCE(CAST(SUM(CASE WHEN ct IS NOT NULL THEN cs ELSE 0 END) AS BIGINT), 0) AS n_in_vocab,
+         |  CASE WHEN SUM(CASE WHEN ct IS NOT NULL THEN cs ELSE 0 END) > 0
+         |       THEN CAST(floor(CAST(SUM(cs * lr) AS DOUBLE) /
+         |              CAST(SUM(CASE WHEN ct IS NOT NULL THEN cs ELSE 0 END) AS DOUBLE)) AS BIGINT)
+         |       ELSE 0 END AS drift_e6,
+         |  CASE WHEN SUM(cs) > 0
+         |       THEN (CAST(SUM(cs) AS BIGINT) -
+         |             CAST(SUM(CASE WHEN ct IS NOT NULL THEN cs ELSE 0 END) AS BIGINT))
+         |            * 1000000 // CAST(SUM(cs) AS BIGINT)
+         |       ELSE 0 END AS oov_e6
+         |FROM x""".stripMargin,
     // per-source KL vs the corpus marginal: quantized log-ratio LONG
     // sums, integer division, clamped at 0 (see the operator Scaladoc)
     "d_source_kl" ->

@@ -364,6 +364,40 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming drift: batches score against the pinned reference; log dedups; re-publish re-aims") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdrift").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val sd = new graft.streaming.StreamingDrift(spark, base)
+    sd.publishReference(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"))
+    val q = sd.start(sd.readJsonDocs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // batch of the exact reference distribution: drift 0, oov 0
+      dropFile(in, "b1.json", Seq(
+        doc(10, "the cat sat on the mat"), doc(11, "the cat sat on the mat")))
+      q.processAllAvailable()
+      // disjoint vocabulary: nothing in-vocab, oov mass = 1e6
+      dropFile(in, "b2.json", Seq(doc(12, "zorp blix quux fnord")))
+      q.processAllAvailable()
+      val log = sd.driftLog().collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(log.length == 2, s"expected 2 log rows, got ${log.toSeq}")
+      assert(log(0) == ((12L, 12L, 0L, 0L)), s"same-dist batch drifted: ${log(0)}")
+      assert(log(1) == ((4L, 0L, 0L, 1000000L)), s"oov batch wrong: ${log(1)}")
+      // re-publish: the yardstick moves, the next batch scores clean
+      sd.publishReference(
+        Seq((2L, "zorp blix quux fnord")).toDF("doc_id", "text"))
+      dropFile(in, "b3.json", Seq(doc(13, "zorp blix")))
+      q.processAllAvailable()
+      val last = sd.driftLog().collect().last
+      assert(last.getLong(4) == 0L, s"re-aimed reference still oov: $last")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: summary state merges across batches within the MG bound") {
     val base = Files.createTempDirectory("graft_stopk").toString
     val in = s"$base/in"
