@@ -734,6 +734,63 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  private lazy val shLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** SimHash near-dup pairs sub-quadratically: all unordered pairs
+    * whose [[simhash]] signatures differ in ≤ `maxHamming` bits.
+    * Candidate generation is the pigeonhole band trick (Manku et al.
+    * 2007, the web-crawl simhash-dedup paper): cut the signature into
+    * `maxHamming + 1` contiguous blocks — two signatures within
+    * Hamming distance d must agree EXACTLY on at least one block — so
+    * an equi-join per block on the block value surfaces every true
+    * pair, and a `bit_count(xor)` verify on the carried signatures
+    * discards the false candidates. Output: (id_a, id_b, hamming),
+    * id_a < id_b, exact (candidate recall is 1 by construction).
+    *
+    * Scale: the signature frame is one row per doc; the only exchange
+    * is the block-value equi-join, whose fan-out is bounded by block
+    * collision counts. The block width bits/(d+1) sets the bucket
+    * space: at 64 bits / d = 3 each block has 2¹⁶ values — the regime
+    * the paper runs at web scale. Narrow blocks (< 12 bits, e.g. the
+    * 30-bit oracle configuration) collapse to few buckets and go
+    * quadratic on large corpora — a WARN names the width and points at
+    * the 64-bit configuration; the verify itself stays exact either
+    * way. Nothing wider than (id, sig, block) longs ever shuffles. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tokenHash: Column => Column = xxhash64(_),
+                   bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    if (bits / nBlocks < 12)
+      shLog.warn(s"simhashPairs: block width ${bits / nBlocks} bits " +
+        s"($bits-bit signatures over $nBlocks blocks) gives only " +
+        s"${1L << (bits / nBlocks)} buckets per block — candidate volume " +
+        "goes quadratic on large corpora in this configuration; use " +
+        "bits = 64 (2^16 buckets at maxHamming = 3) at scale.")
+    val sig = simhash(docs, idCol, textCol, tokenHash, bits).sharedCheckpoint()
+    val blockCols = (0 until nBlocks).map { b =>
+      val lo = b * bits / nBlocks
+      val len = (b + 1) * bits / nBlocks - lo
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = sig
+      .select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Pairwise source content-overlap matrix — the mirror-detection /
     * provenance report a multi-source corpus release runs before
     * assigning mixture weights: two crawls of the same site, a dataset

@@ -71,4 +71,34 @@ object Eval {
         coalesce(expr("1000000 div best"), lit(0L)).as("rr_e6"),
         coalesce(col("dcg"), lit(0L)).as("dcg_e6"))
   }
+
+  /** Pair-set agreement: precision/recall of a candidate pair
+    * generator against a reference pair set — the audit every
+    * approximate dedup family owes its operator ("what fraction of
+    * true near-dup pairs does the SimHash/LSH/IVF proxy surface, and
+    * how much junk rides along"). Both frames carry (id_a, id_b) with
+    * id_a < id_b (every pair generator in [[Dedup]]/[[Similarity]]'s
+    * shape); extra columns are ignored. One row out: (n_ref, n_cand,
+    * n_hit, precision_e6, recall_e6), ratios by exact integer div
+    * with 0 for empty denominators.
+    *
+    * Scale: one equi-join on the pair keys plus three count
+    * aggregates, each with map-side partials; the single-row frames
+    * combine via broadcast — nothing wider than the pair frames
+    * shuffles, and those are the generators' own outputs. */
+  def pairAgreement(candidates: DataFrame, reference: DataFrame): DataFrame = {
+    val cand = candidates.select(col("id_a"), col("id_b"))
+    val ref = reference.select(col("id_a"), col("id_b"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = cand.join(ref, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    // audited single-row broadcasts (see PlanAuditSpec's crossJoin note)
+    nRef.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .select(col("n_ref"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 1000000 div n_cand END")
+          .as("precision_e6"),
+        expr("CASE WHEN n_ref = 0 THEN 0 ELSE n_hit * 1000000 div n_ref END")
+          .as("recall_e6"))
+  }
 }

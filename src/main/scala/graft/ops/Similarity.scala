@@ -657,7 +657,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
+              hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
+    ivfTopKImpl(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol,
+      hotCellFactor, excludeLabel = None)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, k: Int,
+                          nlist: Int, nprobe: Int, iters: Int,
+                          idCol: String, vecCol: String,
+                          hotCellFactor: Double,
+                          excludeLabel: Option[String]): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, resolveNlist(corpus, nlist, "ivfTopK"),
       iters, idCol, vecCol)
@@ -665,9 +673,12 @@ object Similarity {
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
-    val assigned0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val nLabel = excludeLabel.map(l => Seq(col(l).as("n_label"))).getOrElse(Nil)
+    val qLabel = excludeLabel.map(l => Seq(col(l).as("q_label"))).getOrElse(Nil)
+    val assigned0 = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"),
       element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+      ++ nLabel: _*)
     // hot-cell guard: a hot cell here means every query probing it
     // scans |cell| candidates (and corpus-as-queries kNN builds go
     // quadratic in it). Corpus side re-keys at width 1 — cells stay a
@@ -679,15 +690,17 @@ object Similarity {
     val assigned = applyHotSplits(assigned0, splits, "n_vec", width = 1)
     val qWidth = if (nprobe >= cents.length) Int.MaxValue else 2
     val probed = applyHotSplits(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      queries.select(Seq(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_nrm"),
         explode(graft.functions.ivf_probe(col(vecCol), cents,
-          math.min(nprobe, cents.length))).as("cell")),
+          math.min(nprobe, cents.length))).as("cell")) ++ qLabel: _*),
       splits, "q_vec", width = qWidth)
     // join strategy left to the planner (small probe sets auto-broadcast);
     // norms precomputed per vector — see lshTopK
     val scored = probed.join(assigned, "cell")
       .where(col("q_id") =!= col("n_id"))
+      .where(excludeLabel.map(_ => col("q_label") =!= col("n_label"))
+        .getOrElse(lit(true)))
       .select(col("q_id"), col("cell"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     // Cell-local prune before the global top-k: the global k best are a
@@ -853,6 +866,40 @@ object Similarity {
         mean(col("b.s"), col("b.n")).as("mean_b"),
         round(abs(mean(col("a.s"), col("a.n")) - mean(col("b.s"), col("b.n"))), 4)
           .as("shift"))
+  }
+
+  /** Embedding-space anisotropy diagnostic (Ethayarajh 2019 /
+    * Mu & Viswanath 2018): how concentrated the corpus is around its
+    * mean direction. An isotropic embedding cloud has ‖μ‖² ≈ 0; a
+    * collapsed one (every vector pointing the same way — the classic
+    * failure of an undertrained or over-regularized encoder, and the
+    * regime where cosine similarity stops discriminating) has
+    * ‖μ‖² ≈ E‖x‖². One row out on quantized-integer arithmetic
+    * (components → e3 fixed point, [[signProject]]'s convention, so
+    * any engine replays it exactly): n, dims, mu_energy = Σ_j S_j²
+    * with S_j the per-dimension component sum, total_energy = Σ q²,
+    * and anisotropy_e6 = ‖μ‖²/mean‖x‖² = Σ S_j²/(n·Σ q²) as
+    * (mu_energy div n) · 10⁶ div total_energy — the ratio every
+    * embedding-health dashboard should chart before trusting a
+    * cosine-threshold dedup run.
+    *
+    * Scale: one posexplode → per-dimension aggregate (dims rows) →
+    * single-row reduce; map-side partials everywhere, nothing but
+    * (dim, sums) longs shuffle. */
+  def anisotropy(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val perDim = emb
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"), round(col("x") * 1000).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("e"))
+    perDim.agg(max("n").as("n"), count(lit(1)).as("dims"),
+      sum(col("s") * col("s")).as("mu_energy"),
+      sum("e").as("total_energy"))
+      .select(col("n"), col("dims"), col("mu_energy"), col("total_energy"),
+        expr("CASE WHEN n = 0 OR total_energy = 0 THEN 0 " +
+          "ELSE (mu_energy div n) * 1000000 div total_energy END")
+          .as("anisotropy_e6"))
   }
 
   /** [[edgeCentrality]] over the [[mutualKnnPairs]] graph. */
@@ -1203,6 +1250,57 @@ object Similarity {
         col("votes"), (col("own_label") === col("n_label")).as("agrees"))
       .orderBy("q_id")
   }
+
+  /** Hard-negative mining for contrastive/embedding training: each
+    * query's top-k most-similar corpus vectors with a DIFFERENT label
+    * — the highest-loss negatives a triplet/InfoNCE trainer wants in
+    * its batches (same-label neighbors are positives, not negatives,
+    * so they are excluded before ranking, not after — a query whose
+    * entire neighborhood shares its label still gets k true
+    * negatives). Output (q_id, rank, n_id), the [[bruteForceTopK]]
+    * shape, ranked (sim desc, n_id asc).
+    *
+    * `nlist = None` is the exact arm: the brute-force scored frame
+    * with the label predicate pushed below the ranking window.
+    * `Some(nlist)` rides the IVF probe plan ([[ivfTopK]]'s machinery —
+    * hot-cell guard, cell-local prune — with the label filter applied
+    * inside the cell join, so excluded candidates never reach a
+    * window); `Some(0)` derives nlist from the corpus count. At
+    * `nprobe ≥ nlist` the IVF arm is exhaustive and equals the exact
+    * arm (spec-pinned).
+    *
+    * Scale: labels ride the existing probe/assign frames as one extra
+    * column; the filter TIGHTENS every downstream frame (candidates
+    * drop before the top-k windows), so the plan is never wider than
+    * the unfiltered [[ivfTopK]] at the same config. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    nlist: Option[Int] = None, nprobe: Int = 4,
+                    iters: Int = 1,
+                    hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
+    nlist match {
+      case Some(n) =>
+        ivfTopKImpl(corpus, queries, k, n, nprobe, iters, idCol, vecCol,
+          hotCellFactor, excludeLabel = Some(labelCol))
+      case None =>
+        graft.functions.ensureRegistered(corpus.sparkSession)
+        val q = broadcast(queries.select(col(idCol).as("q_id"),
+          col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"),
+          col(labelCol).as("q_label")))
+        val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+          norm(col(vecCol)).as("n_nrm"), col(labelCol).as("n_label"))
+        val scored = q.crossJoin(c)
+          .where(col("q_id") =!= col("n_id") &&
+            col("q_label") =!= col("n_label"))
+          .select(col("q_id"), col("n_id"),
+            (dot(col("q_vec"), col("n_vec")) /
+              (col("q_nrm") * col("n_nrm"))).as("sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+          .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+    }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
     * embedding-cosine near-dup pairs at `threshold` → connected

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Eval, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -238,6 +238,48 @@ object PipelineQueries {
       emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1))
       .orderBy("dim")
   }
+
+  /** Hard-negative mining (exact arm): top-5 most-similar vectors with
+    * a different label, per query — the contrastive-training batch
+    * builder. Same rank-only output contract as e_cosine_topk. */
+  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.where(col("vec_id") < 20), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Corpus anisotropy on e3-quantized components — exact integers. */
+  def anisotropyQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropy(Tables.embeddings(spark, dir))
+
+  /** SimHash near-dup pairs in the SQL-reproducible configuration
+    * (30-bit polyHash signatures), pigeonhole candidates + exact
+    * hamming verify at ≤ 1 differing bit. */
+  def simhashPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 1,
+      tokenHash = TextAnalysis.polyHash, bits = 30)
+      .orderBy("id_a", "id_b")
+
+  /** Candidate-recall audit: SimHash hamming ≤ 2 as the approximate
+    * pair proxy, scored against the exact-Jaccard ≥ 0.5 reference —
+    * the honest "how much does the cheap proxy miss" row. */
+  def dedupEvalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Eval.pairAgreement(
+      Dedup.simhashPairs(docs, maxHamming = 2,
+        tokenHash = TextAnalysis.polyHash, bits = 30),
+      Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5))
+  }
+
+  /** Robust length trim: median ± 3·MAD on n_chars (exact-percentile
+    * oracle arm; the default arm sketches at 1e4 accuracy). */
+  def lengthOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthOutliers(Tables.documents(spark, dir), k = 3.0,
+      exact = true).orderBy("doc_id")
+
+  /** Zipf slope over the top-100 vocabulary — corpus naturalness. */
+  def zipfSlopeQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables.documents(spark, dir), topN = 100)
 
   /** JL sign projection to 16 dims over 1e-3-quantized components —
     * exact integer output, one row per (vec, out_dim). */
@@ -1307,6 +1349,12 @@ object PipelineQueries {
     "e_knn_centrality"  -> (knnCentralityQ _),
     "e_cluster_sample"  -> (clusterSampleQ _),
     "e_dimension_drift" -> (dimensionDriftQ _),
+    "e_hard_negatives"  -> (hardNegativesQ _),
+    "e_anisotropy"      -> (anisotropyQ _),
+    "d_simhash_pairs"   -> (simhashPairsQ _),
+    "d_dedup_eval"      -> (dedupEvalQ _),
+    "d_length_outliers" -> (lengthOutliersQ _),
+    "d_zipf_slope"      -> (zipfSlopeQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -1466,6 +1514,56 @@ object PipelineQueries {
        |SELECT doc_id AS id, CAST($assemble AS BIGINT) AS simhash
        |FROM b ORDER BY id""".stripMargin
   }
+
+  /** CTE chain (prefixed names, expects a preceding `t(doc_id, w)`
+    * token CTE) ending in `sg(id, sig)`: the 30-bit polyHash simhash
+    * signatures — SimhashOracle's body, reusable inside larger
+    * oracles. */
+  private def simhashSigCtes(p: String): String = {
+    val bitSums = (0 until 30).map(b =>
+      s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n  ")
+    val assemble = (0 until 30).map(b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""${p}e AS (SELECT doc_id, unnest(w) AS tk FROM t),
+       |${p}h AS (SELECT doc_id, $TokPolySql AS hv FROM ${p}e),
+       |${p}b AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM ${p}h GROUP BY doc_id),
+       |${p}sg AS (SELECT doc_id AS id, CAST($assemble AS BIGINT) AS sig FROM ${p}b)""".stripMargin
+  }
+
+  private val SimhashPairsOracle: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |${simhashSigCtes("")}
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sg a JOIN sg b ON a.id < b.id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val DedupEvalOracle: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+       |se AS (SELECT doc_id, unnest(sh) AS s FROM s),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM se GROUP BY 1),
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+       |      FROM se a JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT ia, ib FROM p
+       |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+       |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+       |${simhashSigCtes("x")},
+       |cp AS (SELECT a.id AS ia, b.id AS ib FROM xsg a JOIN xsg b ON a.id < b.id
+       |       WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+       |agg AS (SELECT (SELECT COUNT(*) FROM jp) AS n_ref,
+       |               (SELECT COUNT(*) FROM cp) AS n_cand,
+       |               (SELECT COUNT(*) FROM cp JOIN jp USING (ia, ib)) AS n_hit)
+       |SELECT n_ref, n_cand, n_hit,
+       |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_e6,
+       |  CASE WHEN n_ref = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(n_hit * 1000000 // n_ref AS BIGINT) END AS recall_e6
+       |FROM agg""".stripMargin
 
   /** Shared CTE chain of the curation-funnel oracles: stages 1–5
     * (quality → exact → near-dup closure → decontamination), ending at
@@ -2519,6 +2617,30 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" -> SimhashOracle,
+    "d_simhash_pairs" -> SimhashPairsOracle,
+    "d_dedup_eval" -> DedupEvalOracle,
+    "d_length_outliers" ->
+      """WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+        |d AS (SELECT doc_id, n_chars, abs(n_chars - med) AS dev
+        |      FROM documents, m),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT doc_id, n_chars, dev > 3.0 * mad AS is_outlier
+        |FROM d, md ORDER BY doc_id""".stripMargin,
+    "d_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS token FROM documents),
+         |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+         |      ORDER BY freq DESC, token ASC LIMIT 100),
+         |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+         |      FROM f),
+         |xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |              CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |       FROM r),
+         |mo AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+         |SELECT n AS n_types,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope
+         |FROM mo""".stripMargin,
     "e_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
@@ -3012,6 +3134,32 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "e_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, label AS nl, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id AND ql <> nl),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "e_anisotropy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+        |        CAST(round(unnest(v) * 1000) AS BIGINT) AS q FROM e),
+        |d AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS en
+        |      FROM x GROUP BY dim),
+        |a AS (SELECT MAX(n) AS n, COUNT(*) AS dims,
+        |        CAST(SUM(s * s) AS BIGINT) AS mu_energy,
+        |        CAST(SUM(en) AS BIGINT) AS total_energy FROM d)
+        |SELECT n, dims, mu_energy, total_energy,
+        |  CASE WHEN n = 0 OR total_energy = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(mu_energy // n * 1000000 // total_energy AS BIGINT)
+        |  END AS anisotropy_e6
+        |FROM a""".stripMargin,
     "e_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),

@@ -1929,4 +1929,96 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(got == Set("x"))
   }
+
+  test("simhashPairs: pigeonhole candidates find exactly the brute-force pair set") {
+    // 64-bit default config on the corpus — the scale arm; the pigeonhole
+    // blocks must surface EVERY pair within maxHamming (recall = 1)
+    val d = 6
+    val got = Dedup.simhashPairs(docs, maxHamming = d)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = Dedup.simhash(docs)
+    val want = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("h"))
+      .where(col("h") <= d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must exercise at least one pair")
+  }
+
+  test("pairAgreement: counts and quantized ratios, zero-denominator guards") {
+    import spark.implicits._
+    val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (9L, 10L)).toDF("id_a", "id_b")
+    val r = Eval.pairAgreement(cand, ref).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
+    assert(r.getLong(3) == 666666L) // 2/3
+    assert(r.getLong(4) == 500000L) // 2/4
+    val empty = Eval.pairAgreement(cand.limit(0), ref.limit(0)).collect()(0)
+    assert((empty.getLong(3), empty.getLong(4)) == ((0L, 0L)))
+  }
+
+  test("hardNegatives: same-label neighbors excluded BEFORE ranking; ivf arm exact at full probe") {
+    import spark.implicits._
+    // query 0 (label 0) sits inside a tight same-label cluster; its k
+    // negatives must be the far different-label vectors, not an empty set
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 0), (3L, Array(0.97f, 0.03f), 0),
+      (10L, Array(0.5f, 0.5f), 1), (11L, Array(0.4f, 0.6f), 1),
+      (12L, Array(0.0f, 1.0f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, e.where(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 10L), (0L, 2L, 11L)))
+    // exhaustive IVF arm ≡ exact arm on the real corpus
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.hardNegatives(emb, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.hardNegatives(emb, q, k = 3,
+      nlist = Some(4), nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+  }
+
+  test("anisotropy: collapsed cloud reads ~1e6, symmetric cloud reads 0") {
+    import spark.implicits._
+    val same = Seq.tabulate(8)(i => (i.toLong, Array(0.6f, -0.3f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val collapsed = Similarity.anisotropy(same).collect()(0)
+    assert(collapsed.getLong(4) == 1000000L,
+      s"identical vectors must read anisotropy 1e6, got $collapsed")
+    val sym = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val iso = Similarity.anisotropy(sym).collect()(0)
+    assert(iso.getLong(2) == 0L && iso.getLong(4) == 0L)
+    assert(iso.getLong(3) == 4000000L) // 4 unit vectors × 1000²
+  }
+
+  test("lengthOutliers: planted extremes flagged, bulk untouched; sketch arm agrees here") {
+    import spark.implicits._
+    val d = (Seq.tabulate(20)(i => (i.toLong, 100L + i)) ++
+      Seq((90L, 5000L), (91L, 1L))).toDF("doc_id", "n_chars")
+    val flags = TextAnalysis.lengthOutliers(d, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(90L) && flags(91L))
+    assert((0L until 20L).forall(i => !flags(i)))
+    val approx = TextAnalysis.lengthOutliers(d, exact = false)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(approx == flags)
+  }
+
+  test("zipfSlope: uniform frequencies read 0; the corpus reads negative") {
+    import spark.implicits._
+    val uniform = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val flat = TextAnalysis.zipfSlope(uniform, topN = 8).collect()(0)
+    assert(flat.getLong(0) == 8L && flat.getDouble(1) == 0.0)
+    val corpus = TextAnalysis.zipfSlope(docs).collect()(0)
+    // the sf0.001 synthetic corpus is template-heavy (head tokens near
+    // uniform), so its slope is shallow — assert direction, not depth
+    assert(corpus.getDouble(1) < 0.0,
+      s"natural text must slope down, got ${corpus.getDouble(1)}")
+  }
 }

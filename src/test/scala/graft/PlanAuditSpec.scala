@@ -19,8 +19,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Join
 class PlanAuditSpec extends SparkSpec {
 
   private val exempt = Set(
-    "e_cosine_topk", // intentional broadcast×scan baseline
-    "e_knn_labels"   // builds on the same brute-force baseline scan
+    "e_cosine_topk",   // intentional broadcast×scan baseline
+    "e_knn_labels",    // builds on the same brute-force baseline scan
+    "e_hard_negatives" // exact arm of the miner: same baseline shape
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin anywhere in the surface") {
@@ -60,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
                         // frame: bounded by the requested budget
     "d_training_mixture", // rate-frame grand totals + epochShuffle's
                           // bucket-count prefix sum, both bounded
+    "d_zipf_slope",    // rank window over the TakeOrdered topN frame
     "d_hybrid_topk"    // single-query facade: the lexical arm's literal
                        // q_id folds, leaving one rank window over the
                        // <= depth-row BM25 cut (multi-query callers
