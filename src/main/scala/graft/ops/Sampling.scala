@@ -355,4 +355,41 @@ object Sampling {
     docs.join(broadcast(rates), groupCol)
       .where(detHashMod(col(idCol), 1000000L) < col("rate_e6"))
   }
+
+  /** Epoch upsampling — the ≥ 1 counterpart of [[mixtureSample]]:
+    * training mixes routinely REPEAT high-value sources ("3 epochs of
+    * wiki, 1.5 of books, 0.3 of web"), and this emits each doc
+    * ⌊epochs⌋ or ⌈epochs⌉ times so every group's expected replication
+    * equals its epoch count exactly. The fractional epoch is resolved
+    * by the same deterministic [[detHashMod]] gate as
+    * [[temperatureSample]] (a doc's extra copy is a stable property of
+    * its id, reproducible across runs and engines); rates < 1 degrade
+    * to plain subsampling, rate 0 drops the group. Output keeps the
+    * input columns plus `copy` (0-based replica index) — downstream
+    * shuffles ([[epochShuffle]]) key on (id, copy) so replicas spread
+    * across the epoch instead of clumping.
+    *
+    * Scale: map-only — the per-row explode fans out ⌈epochs⌉ rows with
+    * no exchange, and the rate lookup is a literal CASE column (no
+    * join). The output is deliberately NOT pre-shuffled; feed it to
+    * [[epochShuffle]] for the serving order. */
+  def upsampleByEpochs(docs: DataFrame, epochs: Map[String, Double],
+                       defaultEpochs: Double = 1.0,
+                       groupCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 1000),
+      "epochs must be in [0, 1000]")
+    def e6(f: Double): Long = math.round(f * 1e6)
+    val rate = epochs.foldLeft(lit(e6(defaultEpochs))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(e6(f))).otherwise(acc)
+    }
+    docs
+      .withColumn("__n",
+        floor(rate.cast("double") / 1e6).cast("long") +
+          when(detHashMod(col(idCol), 1000000L) < rate % 1000000L, 1L)
+            .otherwise(0L))
+      .where(col("__n") > 0) // guards the descending-sequence edge too
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
 }

@@ -1441,6 +1441,52 @@ object TextAnalysis {
           .otherwise(0L).as("oov_e6"))
   }
 
+  /** Markup stripping — the extraction step between a raw HTML crawl
+    * and every text operator above: removes tags, unescapes the five
+    * core entities, collapses whitespace, and counts the tags it
+    * removed (a high `n_tags` density is itself a boilerplate/quality
+    * signal). Entity unescape runs AFTER tag removal, so text that
+    * spells `&lt;script&gt;` re-reads as literal `<script>` without
+    * ever being treated as a tag — single-pass safety, no
+    * double-unescape. Output: (idCol, text, n_tags).
+    *
+    * Deliberately regex-simple (`<[^>]*>`): real-world robustness on
+    * par with the extraction rules trafilatura-class pipelines start
+    * from, exactly reproducible in any SQL engine, and map-only —
+    * one codegen'd projection, no shuffle at any corpus size. */
+  def stripMarkup(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val unesc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs.select(col(idCol),
+      trim(regexp_replace(unesc, "\\s+", " ")).as(textCol),
+      size(regexp_extract_all(col(textCol), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"))
+  }
+
+  /** Tokenizer fertility by group: BPE-pretokens per whitespace word,
+    * the standard "how well does the tokenizer fit this slice" metric
+    * (fertility ≈ 1 for languages the tokenizer was built for; high
+    * fertility means the slice pays more sequence length per word —
+    * a cost input to mixture planning). One row per group: (group,
+    * n_docs, n_words, n_bpe, fertility_e6 = Σbpe·10⁶ div Σwords).
+    * Scale: one scan, one |groups|-row aggregate with map-side
+    * partials. */
+  def fertilityByGroup(docs: DataFrame, groupCol: String = "lang",
+                       textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol),
+        size(tokens(col(textCol))).cast("long").as("__w"),
+        bpeTokenCount(col(textCol)).cast("long").as("__b"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("__b").as("n_bpe"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_bpe"),
+        expr("CASE WHEN n_words = 0 THEN 0 " +
+          "ELSE n_bpe * 1000000 div n_words END").as("fertility_e6"))
+
   /** Robust length-outlier flags: median ± k·MAD on a numeric column
     * (default `n_chars`) — the distribution-free trim every corpus
     * release runs before histogramming ("drop the 40 MB page dump and

@@ -281,6 +281,41 @@ object PipelineQueries {
   def zipfSlopeQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfSlope(Tables.documents(spark, dir), topN = 100)
 
+  /** Epoch upsampling: 2.5 epochs of src0, 1.2 of src1, 0.4 of src2
+    * (the sub-1 path), 1 epoch elsewhere — deterministic fractional
+    * copies. */
+  def upsampleMixQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleByEpochs(Tables.documents(spark, dir),
+      Map("src0" -> 2.5, "src1" -> 1.2, "src2" -> 0.4))
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy("doc_id", "copy")
+
+  /** Markup stripping over every document rendered as an HTML page
+    * with entities — the extraction step of a crawl pipeline. */
+  def stripMarkupQ(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("<html><body><h1>Doc</h1><p>"), col("text"),
+        lit("</p><a href=\"http://x\">"), col("source"),
+        lit("</a> &amp; more &lt;raw&gt;</body></html>")).as("text"))
+    TextAnalysis.stripMarkup(pages).orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility (BPE pretokens per word) by language. */
+  def fertilityQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fertilityByGroup(Tables.documents(spark, dir))
+      .orderBy("lang")
+
+  /** Duplicate-cluster size histogram over the exact-Jaccard pair
+    * graph — the release report row after any dedup pass. */
+  def clusterSizesQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.jaccardPairsAdaptive(Tables.documents(spark, dir), k = 3,
+        threshold = 0.5))
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+
   /** JL sign projection to 16 dims over 1e-3-quantized components —
     * exact integer output, one row per (vec, out_dim). */
   def signProjectQ(spark: SparkSession, dir: String): DataFrame =
@@ -1355,6 +1390,10 @@ object PipelineQueries {
     "d_dedup_eval"      -> (dedupEvalQ _),
     "d_length_outliers" -> (lengthOutliersQ _),
     "d_zipf_slope"      -> (zipfSlopeQ _),
+    "d_upsample_mix"    -> (upsampleMixQ _),
+    "d_strip_markup"    -> (stripMarkupQ _),
+    "d_fertility"       -> (fertilityQ _),
+    "d_cluster_sizes"   -> (clusterSizesQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2626,6 +2665,60 @@ object PipelineQueries {
         |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
         |SELECT doc_id, n_chars, dev > 3.0 * mad AS is_outlier
         |FROM d, md ORDER BY doc_id""".stripMargin,
+    "d_upsample_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 1200000
+        |              WHEN 'src2' THEN 400000 ELSE 1000000 END AS rate
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  rate // 1000000 +
+        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
+        |         < rate % 1000000 THEN 1 ELSE 0 END AS n
+        |  FROM r)
+        |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy
+        |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
+    "d_strip_markup" ->
+      """WITH pg AS (SELECT doc_id,
+        |  '<html><body><h1>Doc</h1><p>' || text || '</p><a href="http://x">'
+        |    || source || '</a> &amp; more &lt;raw&gt;</body></html>' AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(text, '<[^>]*>', ' ', 'g') AS t,
+        |         len(regexp_extract_all(text, '<[^>]*>')) AS n_tags FROM pg),
+        |s2 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&amp;', '&') AS t, n_tags FROM s1)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text,
+        |  CAST(n_tags AS BIGINT) AS n_tags
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "d_fertility" ->
+      s"""WITH c AS (SELECT lang, len($ToksSql) AS w,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS b
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(b) AS BIGINT) AS n_bpe,
+         |  CASE WHEN SUM(w) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(SUM(b) * 1000000 // SUM(w) AS BIGINT)
+         |  END AS fertility_e6
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "d_cluster_sizes" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |cs AS (SELECT cluster_id, COUNT(*) AS size FROM cl GROUP BY 1)
+         |SELECT size, COUNT(*) AS n_clusters FROM cs
+         |GROUP BY size ORDER BY size""".stripMargin,
     "d_zipf_slope" ->
       s"""WITH tok AS (SELECT unnest($ToksSql) AS token FROM documents),
          |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1

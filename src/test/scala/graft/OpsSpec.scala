@@ -2010,6 +2010,57 @@ class OpsSpec extends SparkSpec {
     assert(approx == flags)
   }
 
+  test("upsampleByEpochs: whole epochs replicate exactly, fractions gate by id hash, 0 drops") {
+    import spark.implicits._
+    val d = Seq.tabulate(60)(i =>
+      (i.toLong, if (i < 20) "a" else if (i < 40) "b" else "c"))
+      .toDF("doc_id", "source")
+    val out = Sampling.upsampleByEpochs(d,
+      Map("a" -> 3.0, "b" -> 1.5, "c" -> 0.0))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 60L) // 20 docs × exactly 3 copies
+    assert(bySrc.get("c").isEmpty)
+    assert(bySrc("b") >= 20L && bySrc("b") <= 40L) // 1 or 2 copies each
+    // copy indices are dense 0..n-1 per doc
+    val copies = out.where(col("source") === "a").groupBy("doc_id")
+      .agg(sort_array(collect_list("copy")).as("cs")).collect()
+    assert(copies.forall(_.getSeq[Long](1) == Seq(0L, 1L, 2L)))
+    // determinism: same input, same output set
+    val again = Sampling.upsampleByEpochs(d,
+      Map("a" -> 3.0, "b" -> 1.5, "c" -> 0.0))
+    assert(out.select("doc_id", "copy").collect().toSet ==
+      again.select("doc_id", "copy").collect().toSet)
+  }
+
+  test("stripMarkup: tags out, entities unescaped once, whitespace collapsed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<html><p>Hello   <b>world</b></p>&amp; co</html>"),
+      (2L, "spelled &lt;script&gt; stays literal"),
+      (3L, "no markup at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(d).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "Hello world & co")
+    assert(out(0).getLong(2) == 6L)
+    // the entity-spelled tag must NOT be stripped — unescape runs last
+    assert(out(1).getString(1) == "spelled <script> stays literal")
+    assert(out(1).getLong(2) == 0L)
+    assert(out(2).getString(1) == "no markup at all")
+  }
+
+  test("fertilityByGroup: exact ratio on a hand corpus; zero-word group reads 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "don't stop"),   // 2 words; bpe: don ' t stop = 4
+      (2L, "en", "ok"),           // 1 word; 1 bpe
+      (3L, "xx", "")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.fertilityByGroup(d).orderBy("lang").collect()
+    assert(out(0).getString(0) == "en" && out(0).getLong(1) == 2L)
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 5L)
+    assert(out(0).getLong(4) == 5L * 1000000L / 3L)
+    assert(out(1).getString(0) == "xx" && out(1).getLong(4) == 0L)
+  }
+
   test("zipfSlope: uniform frequencies read 0; the corpus reads negative") {
     import spark.implicits._
     val uniform = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
