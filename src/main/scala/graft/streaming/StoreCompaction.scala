@@ -21,10 +21,23 @@ object StoreCompaction {
     * ran. The sf-scale stores compact to one file; a 100 TB
     * deployment's digest/posting stores set `targetFiles` to keep
     * per-file size bounded (the swap protocol is file-count
-    * agnostic). */
+    * agnostic).
+    *
+    * `sortCols` makes the rewrite range-partition and sort by those
+    * columns — the layout that turns a reader's pushed key predicate
+    * into parquet row-group/file PRUNING (an unsorted store interleaves
+    * every key through every row group, so min/max stats prune
+    * nothing and a "read one key" serve silently scans the store).
+    * `canonicalize` lets the owning twin fold its read-side healing
+    * rule (e.g. per-key max dedup) into the rewrite, so the compacted
+    * store is also the smallest correct one. */
   def compactDir(spark: SparkSession, dir: String, maxFiles: Int = 8,
-                 targetFiles: Int = 1): Boolean = {
+                 targetFiles: Int = 1,
+                 sortCols: Seq[String] = Nil,
+                 canonicalize: org.apache.spark.sql.DataFrame =>
+                   org.apache.spark.sql.DataFrame = identity): Boolean = {
     import graft.sources.TierStore.{deleteTree, recoverSwap, swapInto}
+    import org.apache.spark.sql.functions.col
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val root = new File(dir)
     val tmp = new File(dir + "__compact_new")
@@ -36,7 +49,17 @@ object StoreCompaction {
     val files = Option(root.listFiles()).toSeq.flatten
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
     if (files <= maxFiles) return false
-    spark.read.parquet(dir).coalesce(targetFiles).write.parquet(tmp.getPath)
+    val base = canonicalize(spark.read.parquet(dir))
+    // sortCols apply only when the store actually has them — the
+    // maintenance sweep passes layout HINTS by store name, and a
+    // same-named store with a different schema must compact plain
+    // rather than fail (sweep must not guess at layouts it doesn't own)
+    val sc = sortCols.filter(base.columns.contains)
+    val laid =
+      if (sc.isEmpty) base.coalesce(targetFiles)
+      else base.repartitionByRange(targetFiles, sc.map(col): _*)
+        .sortWithinPartitions(sc.head, sc.tail: _*)
+    laid.write.parquet(tmp.getPath)
     swapInto(root, tmp, old)
     spark.catalog.refreshByPath(dir)
     true
@@ -76,7 +99,14 @@ object StoreCompaction {
           .filter(_.isDirectory).flatMap(walk(_, depth + 1))
       }
     walk(new File(base), 0)
-      .filter(d => compactDir(spark, d.getPath, maxFiles, targetFiles))
+      .filter { d =>
+        // stores served by a pushed key predicate rewrite key-sorted so
+        // parquet row-group pruning holds after maintenance (§G9);
+        // canonicalization stays with the owning twin's compactStore
+        // (it needs the twin's healing rule, which sweep must not guess)
+        val sortCols = if (d.getName == "postings") Seq("token") else Nil
+        compactDir(spark, d.getPath, maxFiles, targetFiles, sortCols)
+      }
       .map(_.getPath)
   }
 }

@@ -44,9 +44,19 @@ class StreamingBm25(spark: SparkSession, baseDir: String,
 
   /** Compact the per-batch posting/doc-stat slivers (maintenance-window
     * op — run between triggers or with the stream stopped). */
+  /** Compact both stores. Postings rewrite TOKEN-SORTED and
+    * canonicalized (per-(token, id) max tf — the read-side healing
+    * rule folded in), so a serve's pushed `In(token, …)` predicate
+    * prunes parquet row groups instead of scanning the store: serve
+    * cost becomes Σ df(term) posting rows + the (id, dl) doc-stats
+    * scan, independent of corpus text volume. Doc stats canonicalize
+    * to one row per id. */
   def compactStore(maxFiles: Int = 8): Boolean = {
-    val a = StoreCompaction.compactDir(spark, postDir, maxFiles)
-    val b = StoreCompaction.compactDir(spark, docsDir, maxFiles)
+    val a = StoreCompaction.compactDir(spark, postDir, maxFiles,
+      sortCols = Seq("token"),
+      canonicalize = df => df.groupBy("token", idCol).agg(max("tf").as("tf")))
+    val b = StoreCompaction.compactDir(spark, docsDir, maxFiles,
+      canonicalize = df => df.groupBy(idCol).agg(max("dl").as("dl")))
     a && b
   }
 

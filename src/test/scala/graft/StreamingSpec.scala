@@ -327,6 +327,31 @@ class StreamingSpec extends SparkSpec {
     val servePlan = bm.topK(terms, k = 10).queryExecution.executedPlan.toString
     assert(servePlan.contains("PushedFilters") && servePlan.contains("In(token"),
       s"term filter not pushed to the postings scan:\n$servePlan")
+    // sorted compaction: postings rewrite token-range-sorted with the
+    // per-key max healing rule folded in — the layout that turns the
+    // pushed filter into actual row-group pruning (§G9: unsorted, the
+    // serve silently scanned the store). Serve results must be
+    // unchanged, the store canonical (no duplicate keys), and each
+    // parquet file internally ordered by token.
+    assert(bm.compactStore(maxFiles = 1))
+    spark.catalog.refreshByPath(s"$base/postings")
+    val afterCompact = bm.topK(terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterCompact == want, "sorted compaction changed serve results")
+    val post = spark.read.parquet(s"$base/postings")
+    assert(post.groupBy("token", "doc_id")
+      .count().where(col("count") > 1).isEmpty, "store not canonical")
+    val perFile = post
+      .select(col("token"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getString(1)).values
+    // within-file order check via a per-file re-read: monotone tokens
+    val files = perFile.map(_.head.getString(1)).toSeq
+    files.foreach { f =>
+      val toks = spark.read.parquet(f).select("token")
+        .collect().map(_.getString(0)).toSeq
+      assert(toks == toks.sorted, s"file $f not token-sorted")
+    }
   }
 
   test("streaming CMS: cells accumulate across batches; a restarted instance answers from the store") {

@@ -36,6 +36,13 @@ object GenScaleData {
     val outDir = args(0)
     val nDocs = args(1).toInt
     val clustered = args.lift(2).contains("clustered")
+    // `tailvocab`: 25% of tokens draw from a 100k-id uniform tail
+    // ("tail<k>") on top of the 31-word head — the realistic df
+    // distribution the BM25 serve-vs-scan separation needs (with the
+    // head-only vocab every query term's df ≈ 0.83·n, so an index
+    // serve degenerates to a corpus scan by construction). Head-token
+    // statistics (dup rates, lengths) are unchanged.
+    val tailVocab = args.lift(2).contains("tailvocab")
     val nVecs = nDocs * 2 / 5
     val dims = 64
     val rnd = new Random(4242)
@@ -75,7 +82,9 @@ object GenScaleData {
           base.mkString(" ")
         } else {
           val n = 10 + rnd.nextInt(91)
-          Seq.fill(n)(Vocab(rnd.nextInt(Vocab.size))).mkString(" ")
+          Seq.fill(n)(
+            if (tailVocab && rnd.nextDouble() < 0.25) s"tail${rnd.nextInt(100000)}"
+            else Vocab(rnd.nextInt(Vocab.size))).mkString(" ")
         }
       texts(i) = text
       (i.toLong, text, langs(rnd.nextInt(langs.size)), s"src${i % 20}",

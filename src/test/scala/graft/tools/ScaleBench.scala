@@ -23,7 +23,10 @@ object ScaleBench {
     "d_span_dedup", "d_dsir_weights",
     // round-7 session-3 additions (§G7)
     "d_cms_counts", "d_temperature_mix", "d_dup_weights", "d_dedup_best",
-    "d_span_lookup", "d_hybrid_topk")
+    "d_span_lookup", "d_hybrid_topk",
+    // round-7 session-5 additions (§G9)
+    "d_simhash_pairs", "d_dedup_eval", "d_cluster_sizes", "d_upsample_mix",
+    "d_strip_markup", "d_length_outliers", "d_zipf_slope", "d_fertility")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -214,6 +217,30 @@ object ScaleBench {
       Bench.force(mk())
       (name, (System.nanoTime() - t) / 1e9)
     }
+    // 64-bit simhash pairs — the SCALE configuration (2^16-value
+    // blocks at maxHamming 3), vs the 30-bit oracle config the
+    // d_simhash_pairs driver row times
+    val sh64 = if (!want("d_simhash_pairs_64")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.Dedup.simhashPairs(docs, maxHamming = 3))
+      ("d_simhash_pairs_64", (System.nanoTime() - t) / 1e9)
+    }
+    // hard-negative mining through the IVF arm at a pruning config —
+    // the contrastive-batch builder's recurring cost
+    val hardNeg = if (!want("e_hard_negatives_real")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("label", (org.apache.spark.sql.functions.col("vec_id") % 50)
+          .cast("int"))
+        .selectExpr("vec_id", "embedding", "label")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000")
+      val t = System.nanoTime()
+      Bench.force(Similarity.hardNegatives(emb, qs, k = 10,
+        nlist = Some(nlist), nprobe = 8))
+      ("e_hard_negatives_real", (System.nanoTime() - t) / 1e9)
+    }
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -224,13 +251,30 @@ object ScaleBench {
       val base = java.nio.file.Files.createTempDirectory("graft_bm25_scale").toString
       val bm = new graft.streaming.StreamingBm25(spark, base)
       bm.ingestBatch(docs)
-      bm.compactStore()
+      bm.compactStore(maxFiles = 1) // force the sorted canonical layout
       warmTimed("bm25_serve")(() => bm.topK(Seq("spark", "query", "window"), 10))
+    }
+    // BM25 on a tailvocab corpus with RARE query terms (df ≪ n): the
+    // regime where serve-vs-scan separates — serve's row bound is
+    // Σ df(term), the scan re-tokenizes everything regardless
+    val rareTerms = Seq("tail42", "tail123", "tail999")
+    val bm25ScanRare = if (!want("bm25_scan_rare")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      warmTimed("bm25_scan_rare")(() =>
+        graft.ops.TextAnalysis.bm25TopK(docs, rareTerms, 10))
+    }
+    val bm25ServeRare = if (!want("bm25_serve_rare")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_rare").toString
+      val bm = new graft.streaming.StreamingBm25(spark, base)
+      bm.ingestBatch(docs)
+      bm.compactStore(maxFiles = 1) // force the sorted canonical layout
+      warmTimed("bm25_serve_rare")(() => bm.topK(rareTerms, 10))
     }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
-      bm25Scan ++ bm25Serve
+      sh64 ++ hardNeg ++ bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
