@@ -770,6 +770,21 @@ object Dedup {
         "goes quadratic on large corpora in this configuration; use " +
         "bits = 64 (2^16 buckets at maxHamming = 3) at scale.")
     val sig = simhash(docs, idCol, textCol, tokenHash, bits).sharedCheckpoint()
+    val banded = simhashBands(sig, nBlocks, bits)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, simhash, blk, bv) pigeonhole block rows from a signature
+    * frame — [[simhashPairs]]' candidate key space, shared with the
+    * incremental variant. */
+  private def simhashBands(sig: DataFrame, nBlocks: Int, bits: Int): DataFrame = {
     val blockCols = (0 until nBlocks).map { b =>
       val lo = b * bits / nBlocks
       val len = (b + 1) * bits / nBlocks - lo
@@ -777,14 +792,43 @@ object Dedup {
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = sig
+    sig
       .select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.blk").as("blk"), col("bk.bv").as("bv"))
-    banded.as("a")
-      .join(banded.as("b"),
+  }
+
+  /** Incremental SimHash near-dup detection: pigeonhole pairs between
+    * tonight's batch and the already-ingested corpus — completes the
+    * incremental family ([[exactIncremental]], [[minhashLshIncremental]],
+    * `TextAnalysis.spanDedupIncremental`, `Similarity.ivfNearDupIncremental`)
+    * for the signature-based proxy. Only cross pairs generate: the
+    * block join matches new-batch block rows against seen-corpus block
+    * rows (a re-submitted id is never its own dup), and the exact
+    * hamming verify keeps recall 1 within `maxHamming` by the same
+    * pigeonhole argument as [[simhashPairs]]. Output (id_a = new doc,
+    * id_b = seen doc, hamming).
+    *
+    * Scale: the seen side's signatures are a pure function of its
+    * documents — a deployment persists them at ingest (8 B per doc)
+    * and the nightly run prices only the batch's signatures plus the
+    * block equi-join; text never shuffles on either side. */
+  def simhashPairsIncremental(newDocs: DataFrame, seenDocs: DataFrame,
+                              maxHamming: Int = 3,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              tokenHash: Column => Column = xxhash64(_),
+                              bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val newBands = simhashBands(
+      simhash(newDocs, idCol, textCol, tokenHash, bits), nBlocks, bits)
+    val seenBands = simhashBands(
+      simhash(seenDocs, idCol, textCol, tokenHash, bits), nBlocks, bits)
+    newBands.as("a")
+      .join(seenBands.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
+          col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -1441,6 +1441,36 @@ object TextAnalysis {
           .otherwise(0L).as("oov_e6"))
   }
 
+  /** Lexicon screening (the C4-style blockword filter): per-doc hit
+    * count and rate against a caller-supplied word list, with a flag at
+    * `maxHitRate` — the policy stage every public-corpus release runs
+    * (blockwords, PII trigger words, domain-specific deny lists).
+    * Matching is on normalized whitespace tokens (the corpus's own
+    * tokenization), not substrings — "class" never trips a "lass"
+    * entry. Output: (idCol, n_tokens, n_hits, hit_rate_e6, flagged).
+    *
+    * Scale: the lexicon compiles into the projection as a literal
+    * `isInCollection` set (sized for word lists, thousands of entries);
+    * one codegen'd scan, no shuffle, no join. */
+  def lexiconFlags(docs: DataFrame, lexicon: Seq[String],
+                   maxHitRate: Double = 0.0,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    require(maxHitRate >= 0 && maxHitRate <= 1, "maxHitRate must be in [0, 1]")
+    val rateE6 = math.round(maxHitRate * 1e6)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(filter(col("__w"), t => t.isInCollection(lexicon)))
+          .cast("long").as("n_hits"))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 " +
+          "ELSE n_hits * 1000000 div n_tokens END").as("hit_rate_e6"))
+      .withColumn("flagged",
+        col("n_hits") > 0 && col("hit_rate_e6") > lit(rateE6))
+  }
+
   /** Markup stripping — the extraction step between a raw HTML crawl
     * and every text operator above: removes tags, unescapes the five
     * core entities, collapses whitespace, and counts the tags it

@@ -306,6 +306,39 @@ object PipelineQueries {
     TextAnalysis.fertilityByGroup(Tables.documents(spark, dir))
       .orderBy("lang")
 
+  /** Incremental SimHash near-dup: docs ≥ 250 are tonight's batch
+    * checked against the < 250 corpus — cross pairs only, in the
+    * SQL-reproducible 30-bit polyHash configuration. */
+  def simhashIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.simhashPairsIncremental(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+      maxHamming = 1, tokenHash = TextAnalysis.polyHash, bits = 30)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Lexicon screening at a 2% hit-rate policy over a 3-word list. */
+  def lexiconFlagsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexiconFlags(Tables.documents(spark, dir),
+      lexicon = Seq("slow", "error", "crash"), maxHitRate = 0.02)
+      .orderBy("doc_id")
+
+  /** Embeddings-table data contract: null/dims/NaN/label-domain row
+    * checks plus vec_id uniqueness. */
+  def embContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Contracts
+    val emb = Tables.embeddings(spark, dir)
+    Contracts.report(emb,
+      Seq(
+        Contracts.notNull("embedding_not_null", col("embedding")),
+        Contracts.Check("dims_64",
+          col("embedding").isNull || size(col("embedding")) =!= 64),
+        Contracts.Check("no_nan",
+          col("embedding").isNull || exists(col("embedding"), x => isnan(x))),
+        Contracts.inRange("label_domain", col("label"), lit(0), lit(9))),
+      uniqueKeys = Seq("vec_id_unique" -> "vec_id"))
+  }
+
   /** Duplicate-cluster size histogram over the exact-Jaccard pair
     * graph — the release report row after any dedup pass. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame =
@@ -1394,6 +1427,9 @@ object PipelineQueries {
     "d_strip_markup"    -> (stripMarkupQ _),
     "d_fertility"       -> (fertilityQ _),
     "d_cluster_sizes"   -> (clusterSizesQ _),
+    "d_simhash_incremental" -> (simhashIncrementalQ _),
+    "d_lexicon_flags"   -> (lexiconFlagsQ _),
+    "e_emb_contract"    -> (embContract _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2658,6 +2694,42 @@ object PipelineQueries {
     "d_simhash" -> SimhashOracle,
     "d_simhash_pairs" -> SimhashPairsOracle,
     "d_dedup_eval" -> DedupEvalOracle,
+    "d_simhash_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |${simhashSigCtes("")}
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg b ON a.id >= 250 AND b.id < 250
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_lexicon_flags" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS n_tokens,
+         |        len(list_filter(w, x -> x IN ('slow', 'error', 'crash'))) AS n_hits
+         |      FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |            ELSE n_hits * 1000000 // n_tokens END AS BIGINT) AS hit_rate_e6,
+         |  n_hits > 0 AND (CASE WHEN n_tokens = 0 THEN 0
+         |                       ELSE n_hits * 1000000 // n_tokens END) > 20000 AS flagged
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "e_emb_contract" ->
+      """WITH r AS (SELECT
+        |    CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    CAST(SUM(CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS v_dims,
+        |    CAST(SUM(CASE WHEN embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_nan,
+        |    CAST(SUM(CASE WHEN label IS NULL OR label < 0 OR label > 9 THEN 1 ELSE 0 END) AS BIGINT) AS v_lab,
+        |    COUNT(*) AS total,
+        |    CAST(COUNT(vec_id) - COUNT(DISTINCT vec_id) AS BIGINT) AS v_uniq
+        |  FROM embeddings)
+        |SELECT "check", violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'dims_64' AS "check", v_dims AS violations, total FROM r
+        |  UNION ALL SELECT 'embedding_not_null', v_null, total FROM r
+        |  UNION ALL SELECT 'label_domain', v_lab, total FROM r
+        |  UNION ALL SELECT 'no_nan', v_nan, total FROM r
+        |  UNION ALL SELECT 'vec_id_unique', v_uniq, total FROM r)
+        |ORDER BY "check"""".stripMargin,
     "d_length_outliers" ->
       """WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
         |d AS (SELECT doc_id, n_chars, abs(n_chars - med) AS dev

@@ -1947,6 +1947,38 @@ class OpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must exercise at least one pair")
   }
 
+  test("incremental simhash finds exactly the cross pairs of the full pair set") {
+    val d = 6
+    val full = Dedup.simhashPairs(docs, maxHamming = d)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newB = docs.where(col("doc_id") >= 25)
+    val seen = docs.where(col("doc_id") < 25)
+    val inc = Dedup.simhashPairsIncremental(newB, seen, maxHamming = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id_a is always the new doc; the full run orders pairs id_a < id_b
+    val wantCross = full.collect {
+      case (a, b) if a >= 25 && b < 25 => (a, b)
+      case (a, b) if b >= 25 && a < 25 => (b, a)
+    }
+    assert(inc == wantCross)
+    assert(inc.forall { case (a, b) => a >= 25 && b < 25 })
+  }
+
+  test("lexiconFlags: token-exact hits, rate policy, empty docs unflagged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "slow slow query on a large table"), // 2/7 hits
+      (2L, "the lass ran fast"),                // "lass" must NOT hit "class" list
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexiconFlags(d, Seq("slow", "class"),
+      maxHitRate = 0.2).orderBy("doc_id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) == ((7L, 2L)))
+    assert(out(0).getLong(3) == 285714L && out(0).getBoolean(4))
+    assert(out(1).getLong(2) == 0L && !out(1).getBoolean(4))
+    assert(out(2).getLong(1) == 0L && !out(2).getBoolean(4))
+  }
+
   test("pairAgreement: counts and quantized ratios, zero-denominator guards") {
     import spark.implicits._
     val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
