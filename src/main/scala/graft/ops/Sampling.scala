@@ -356,6 +356,44 @@ object Sampling {
       .where(detHashMod(col(idCol), 1000000L) < col("rate_e6"))
   }
 
+  /** Token-budget selection: per group, keep the highest-priority
+    * documents whose RUNNING token total fits the group's budget — the
+    * operator that assembles "the best N billion tokens of web, the
+    * best M of code" from scored candidates. Deterministic: order is
+    * (priority desc, id asc), a doc is kept iff the cumulative token
+    * count THROUGH it (its own tokens included) is within budget, so
+    * the kept set never overshoots and is reproducible across runs.
+    * Output: input columns + cum_tokens + kept. Groups absent from
+    * `budgets` get `defaultBudget` (0 = drop all).
+    *
+    * Scale: one window shuffle keyed by group. With few large groups
+    * the running sum serializes per group — the honest cost of an
+    * EXACT budget cut; at corpus scale use
+    * [[TextAnalysis.qualityCalibration]]-style per-source score
+    * cutoffs (one aggregate, no sort) to approximate the budget, or
+    * pre-bucket priorities and spend the window on the boundary
+    * bucket only. */
+  def budgetSelect(docs: DataFrame, budgets: Map[String, Long],
+                   priority: Column, tokenCount: Column,
+                   defaultBudget: Long = 0L,
+                   groupCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be non-negative")
+    val b = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, v)) =>
+      when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pr").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__pr", priority)
+      .withColumn("__tok", tokenCount.cast("long"))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .withColumn("kept", col("cum_tokens") <= b)
+      .drop("__pr", "__tok")
+  }
+
   /** Epoch upsampling — the ≥ 1 counterpart of [[mixtureSample]]:
     * training mixes routinely REPEAT high-value sources ("3 epochs of
     * wiki, 1.5 of books, 0.3 of web"), and this emits each doc

@@ -339,6 +339,36 @@ object PipelineQueries {
       uniqueKeys = Seq("vec_id_unique" -> "vec_id"))
   }
 
+  /** Token-budget selection: best-quality docs per source until the
+    * source's token budget is spent (exact running-sum cut). */
+  def budgetSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        Dedup.tokens(col("text")).as("w"))
+    Sampling.budgetSelect(docs,
+      budgets = Map("src0" -> 600L, "src1" -> 300L),
+      priority = round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4),
+      tokenCount = size(col("w")),
+      defaultBudget = 400L)
+      .select(col("doc_id"), col("source"), col("cum_tokens"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quality percentile ranks (ties share a rank) — the
+    * quantile-transform view mixture planners threshold against. */
+  def qualityRanksQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4)
+          .as("quality"))
+      .withColumn("pctl", percent_rank().over(w))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster size histogram over the exact-Jaccard pair
     * graph — the release report row after any dedup pass. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame =
@@ -1430,6 +1460,8 @@ object PipelineQueries {
     "d_simhash_incremental" -> (simhashIncrementalQ _),
     "d_lexicon_flags"   -> (lexiconFlagsQ _),
     "e_emb_contract"    -> (embContract _),
+    "d_budget_select"   -> (budgetSelectQ _),
+    "d_quality_ranks"   -> (qualityRanksQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2702,6 +2734,45 @@ object PipelineQueries {
          |FROM sg a JOIN sg b ON a.id >= 250 AND b.id < 250
          |WHERE bit_count(xor(a.sig, b.sig)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "d_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id, source, len(w) AS ntok,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |s AS (SELECT doc_id, source, ntok,
+         |        round(GREATEST(0.0, LEAST(1.0,
+         |          LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |          - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS q
+         |      FROM c),
+         |cum AS (SELECT doc_id, source,
+         |          SUM(ntok) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |        FROM s)
+         |SELECT doc_id, source, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  cum_tokens <= (CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 300
+         |                 ELSE 400 END) AS kept
+         |FROM cum ORDER BY doc_id""".stripMargin,
+    "d_quality_ranks" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
+         |c AS (SELECT doc_id, source,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |s AS (SELECT doc_id, source,
+         |        round(GREATEST(0.0, LEAST(1.0,
+         |          LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |          - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
+         |      FROM c)
+         |SELECT doc_id, source, quality,
+         |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality ASC) AS pctl
+         |FROM s ORDER BY doc_id""".stripMargin,
     "d_lexicon_flags" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |c AS (SELECT doc_id, len(w) AS n_tokens,

@@ -2042,6 +2042,24 @@ class OpsSpec extends SparkSpec {
     assert(approx == flags)
   }
 
+  test("budgetSelect: exact running-sum cut, no overshoot, default budget applies") {
+    import spark.implicits._
+    // src a: priorities 9, 8, 7 with 40, 50, 30 tokens; budget 90 keeps
+    // the first two (40 + 50 = 90) and NOT the third (would hit 120)
+    val d = Seq(
+      (1L, "a", 9.0, 40L), (2L, "a", 8.0, 50L), (3L, "a", 7.0, 30L),
+      (4L, "b", 5.0, 100L), // default budget 0: nothing kept
+      (5L, "c", 1.0, 10L), (6L, "c", 1.0, 10L)) // tie → doc_id order
+      .toDF("doc_id", "source", "pr", "tok")
+    val out = Sampling.budgetSelect(d, Map("a" -> 90L, "c" -> 10L),
+      priority = col("pr"), tokenCount = col("tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((40L, true)) && out(2L) == ((90L, true)))
+    assert(out(3L) == ((120L, false)))
+    assert(!out(4L)._2)
+    assert(out(5L) == ((10L, true)) && out(6L) == ((20L, false)))
+  }
+
   test("upsampleByEpochs: whole epochs replicate exactly, fractions gate by id hash, 0 drops") {
     import spark.implicits._
     val d = Seq.tabulate(60)(i =>
