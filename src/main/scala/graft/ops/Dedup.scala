@@ -835,6 +835,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-source dedup-rate report — the "which crawl is feeding us
+    * copies" row of a release: for each source, document count, exact
+    * duplicate losers (non-first copy of an identical normalized
+    * text), NEAR-dup losers from the supplied pair graph (cluster
+    * non-survivors that are not already exact losers — no double
+    * count), and the combined drop rate. A source whose rate spikes
+    * is either a mirror of another source or re-crawling itself.
+    * Output: (source, n_docs, n_exact, n_near, drop_rate_e6).
+    *
+    * Scale: exact losers come from one digest-keyed window (8-byte
+    * keys, the [[exact]] shuffle); near losers from [[dupClusters]]'
+    * duplicate-bounded frame; the report aggregate shuffles
+    * |sources| rows. Text never shuffles. */
+  def dedupRateBySource(docs: DataFrame, pairs: DataFrame,
+                        srcCol: String = "source",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val exactLosers = docs
+      .select(col(idCol), xxhash64(normText(col(textCol))).as("__h"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") > 1)
+      .select(col(idCol)).sharedCheckpoint() // reused: near-loser anti-join + report join
+    val nearLosers = dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+      .join(exactLosers, Seq(idCol), "left_anti")
+    docs.select(col(idCol), col(srcCol))
+      .join(exactLosers.withColumn("__e", lit(1L)), Seq(idCol), "left")
+      .join(nearLosers.withColumn("__n", lit(1L)), Seq(idCol), "left")
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_near"))
+      .select(col(srcCol), col("n_docs"), col("n_exact"), col("n_near"),
+        expr("(n_exact + n_near) * 1000000 div n_docs").as("drop_rate_e6"))
+  }
+
   /** Pairwise source content-overlap matrix — the mirror-detection /
     * provenance report a multi-source corpus release runs before
     * assigning mixture weights: two crawls of the same site, a dataset

@@ -369,6 +369,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source dedup-rate report over the exact-Jaccard pair graph. */
+  def dedupRateQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.dedupRateBySource(docs,
+      Dedup.jaccardPairsAdaptive(docs, k = 3, threshold = 0.5))
+      .orderBy("source")
+  }
+
   /** Duplicate-cluster size histogram over the exact-Jaccard pair
     * graph — the release report row after any dedup pass. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame =
@@ -1462,6 +1470,7 @@ object PipelineQueries {
     "e_emb_contract"    -> (embContract _),
     "d_budget_select"   -> (budgetSelectQ _),
     "d_quality_ranks"   -> (qualityRanksQ _),
+    "d_dedup_rate"      -> (dedupRateQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2844,6 +2853,34 @@ object PipelineQueries {
          |       ELSE CAST(SUM(b) * 1000000 // SUM(w) AS BIGINT)
          |  END AS fertility_e6
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "d_dedup_rate" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |nm AS (SELECT doc_id, source, $NormSql AS nt FROM documents),
+         |ex AS (SELECT doc_id FROM (
+         |         SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+         |         FROM nm) WHERE rn > 1),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p
+         |       JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |                UNION
+         |                SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS c FROM reach GROUP BY u),
+         |nl AS (SELECT doc_id FROM cl WHERE c <> doc_id
+         |       AND doc_id NOT IN (SELECT doc_id FROM ex))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN nm.doc_id IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN nm.doc_id IN (SELECT doc_id FROM nl) THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |  CAST((SUM(CASE WHEN nm.doc_id IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END)
+         |      + SUM(CASE WHEN nm.doc_id IN (SELECT doc_id FROM nl) THEN 1 ELSE 0 END))
+         |      * 1000000 // COUNT(*) AS BIGINT) AS drop_rate_e6
+         |FROM nm GROUP BY source ORDER BY source""".stripMargin,
     "d_cluster_sizes" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

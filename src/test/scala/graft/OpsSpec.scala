@@ -1979,6 +1979,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(4))
   }
 
+  test("dedupRateBySource: exact losers counted once, near losers exclude them") {
+    import spark.implicits._
+    // a: 1,2 identical (exact loser 2); b: 3 near-dups 1 (cluster {1,3},
+    // loser 3 — near, not exact); c: clean
+    val d = Seq(
+      (1L, "a", "same text here"), (2L, "a", "same text here"),
+      (3L, "b", "same text here mostly"), (4L, "c", "all fresh words")).toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupRateBySource(d, pairs).orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((2L, 1L, 0L, 500000L))) // doc 2 exact, NOT double-counted near
+    assert(out("b") == ((1L, 0L, 1L, 1000000L)))
+    assert(out("c") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("pairAgreement: counts and quantized ratios, zero-denominator guards") {
     import spark.implicits._
     val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")

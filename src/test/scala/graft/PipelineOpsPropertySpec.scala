@@ -400,4 +400,29 @@ class PipelineOpsPropertySpec extends SparkSpec {
       assert(rebuilt == want)
     }
   }
+
+  test("simhash pigeonhole pairs equal brute force for any corpus and maxHamming") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val genCorpus = for {
+      n <- Gen.choose(2, 25)
+      d <- Gen.choose(0, 6)
+      bits <- Gen.oneOf(30, 64)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(words)))
+    } yield (docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) },
+             d, bits)
+    forAllSeeded(genCorpus, trials = 12) { case (rows, d, bits) =>
+      val df = rows.toDF("doc_id", "text")
+      val got = Dedup.simhashPairs(df, maxHamming = d, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sig = Dedup.simhash(df, bits = bits)
+      val want = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          Dedup.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("h"))
+        .where(col("h") <= d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"pigeonhole missed pairs at d=$d bits=$bits")
+    }
+  }
 }
