@@ -783,8 +783,8 @@ object Dedup {
 
   /** (id, simhash, blk, bv) pigeonhole block rows from a signature
     * frame — [[simhashPairs]]' candidate key space, shared with the
-    * incremental variant. */
-  private def simhashBands(sig: DataFrame, nBlocks: Int, bits: Int): DataFrame = {
+    * incremental variant and the streaming twin. */
+  private[graft] def simhashBands(sig: DataFrame, nBlocks: Int, bits: Int): DataFrame = {
     val blockCols = (0 until nBlocks).map { b =>
       val lo = b * bits / nBlocks
       val len = (b + 1) * bits / nBlocks - lo

@@ -551,6 +551,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash: 8-byte signature store drops copies across batches and restarts") {
+    val base = Files.createTempDirectory("graft_ssim").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val sd = new graft.streaming.StreamingSimhash(spark, base)
+    val q = sd.start(sd.readJsonDocs(in), trig)
+    try {
+      // batch 1: ids 2 and 1 are verbatim copies (hamming 0) → min id 1
+      // survives the within-batch cluster; 3 is unrelated
+      dropFile(in, "b1.json", Seq(
+        doc(2, A), doc(1, A), doc(3, "completely unrelated text about fish")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      assert(spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L))
+      // batch 2: a copy of the STORED survivor → cross-dropped; 5 fresh
+      dropFile(in, "b2.json", Seq(
+        doc(4, A), doc(5, "a genuinely fresh document with novel words")))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(sd.keptPath)
+      assert(spark.read.parquet(sd.keptPath).collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L, 5L))
+      // state is ONE long per kept doc
+      spark.catalog.refreshByPath(s"$base/signatures")
+      val sigs = spark.read.parquet(s"$base/signatures")
+      assert(sigs.count() == 3L && sigs.columns.toSeq == Seq("id", "simhash"))
+    } finally q.stop()
+    // restart: a NEW instance serves the persisted stores
+    val sd2 = new graft.streaming.StreamingSimhash(spark, base)
+    assert(sd2.compactStore(maxFiles = 1))
+    val q2 = sd2.start(sd2.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b3.json", Seq(
+        doc(6, "a genuinely fresh document with novel words"), // copy of kept 5
+        doc(7, "entirely new post-restart content here")))
+      q2.processAllAvailable()
+      spark.catalog.refreshByPath(sd2.keptPath)
+      assert(spark.read.parquet(sd2.keptPath).collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L, 5L, 7L))
+    } finally q2.stop()
+  }
+
   test("streaming vec near-dup: IVF cell store drops near-dups across batches; index survives restart") {
     val base = Files.createTempDirectory("graft_svndup").toString
     val in = s"$base/in"
