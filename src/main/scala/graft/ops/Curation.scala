@@ -102,7 +102,17 @@ object Curation {
                       * re-crawls score 0 and always drop). */
                     minNovelty: Option[Long] = None,
                     noveltyGrams: Option[DataFrame] = None,
-                    noveltyN: Int = 8)
+                    noveltyN: Int = 8,
+                    /** Lexicon policy gate (stage 1c): docs whose
+                      * blockword hit rate exceeds `lexiconMaxHitRate`
+                      * drop before any scoring or dedup —
+                      * [[TextAnalysis.lexiconFlags]] semantics
+                      * (token-exact matches, rate in hits per token).
+                      * Positioned with the novelty gate because it is
+                      * a one-scan literal predicate: everything it
+                      * drops is cost the pair generators never pay. */
+                    lexicon: Option[Seq[String]] = None,
+                    lexiconMaxHitRate: Double = 0.0)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -146,6 +156,17 @@ object Curation {
         "minNovelty and noveltyGrams must be set together (the gate needs both " +
           "a threshold and a seen-gram store)")
     }
+    // Lexicon policy gate (stage 1c, optional): one codegen'd scan,
+    // token-exact blockword hits — semi-join keys are ids only
+    val screened = p.lexicon match {
+      case Some(lex) =>
+        gated.join(
+          TextAnalysis.lexiconFlags(gated, lex, p.lexiconMaxHitRate, idCol, textCol)
+            .where(!col("flagged")).select(idCol),
+          Seq(idCol), "left_semi")
+          .sharedCheckpoint()
+      case None => gated
+    }
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
     // switches to [[TextAnalysis.qualityCalibration]] semantics — the
     // top fraction of EVERY `qualityGroupCol` group survives, so a
@@ -156,15 +177,15 @@ object Curation {
         // trained gate: keep docs the classifier scores σ > ½ — the
         // weight frame is dim-bounded and broadcasts inside
         // classifierScore; the semi-join key is the id only
-        gated.join(
-          TextAnalysis.classifierScore(gated, w, p.classifierDim, idCol, textCol)
+        screened.join(
+          TextAnalysis.classifierScore(screened, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
           Seq(idCol), "left_semi")
       case None => p.qualityKeepFrac match {
-      case None => gated.where(col("__q") >= p.minQuality)
+      case None => screened.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
-        val scored = gated.sharedCheckpoint()
+        val scored = screened.sharedCheckpoint()
         val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish
@@ -219,6 +240,7 @@ object Curation {
     }
     Seq("1_total" -> withTok.drop("__q")) ++
       (if (p.minNovelty.isDefined) Seq("1b_novelty" -> gated.drop("__q")) else Nil) ++
+      (if (p.lexicon.isDefined) Seq("1c_lexicon" -> screened.drop("__q")) else Nil) ++
       Seq(
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,

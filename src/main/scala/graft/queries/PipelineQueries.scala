@@ -1318,6 +1318,18 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Curation with the stage-1c lexicon policy gate: blockword docs
+    * (hit rate > 5% on the 3-word list) drop before quality/dedup. */
+  def curationLexiconQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.curate(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      graft.ops.Curation.Params(
+        lexicon = Some(Seq("slow", "error", "crash")),
+        lexiconMaxHitRate = 0.05))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** CUBE daily activity: every grouping set incl. per-day totals
     * across types. */
   def dailyCubeQ(spark: SparkSession, dir: String): DataFrame =
@@ -1380,6 +1392,7 @@ object PipelineQueries {
     "e_cube_daily"        -> (dailyCubeQ _),
     "d_curation_mixture"  -> (curationMixtureQ _),
     "d_curation_novelty"  -> (curationNoveltyQ _),
+    "d_curation_lexicon"  -> (curationLexiconQ _),
     "d_novelty"           -> (noveltyQ _),
     "e_rank_metrics"      -> (rankMetricsQ _),
     "d_clf_metrics"       -> (clfMetricsQ _),
@@ -1752,6 +1765,16 @@ object PipelineQueries {
       |        FROM jg JOIN sg USING (gr) GROUP BY 1),
       |nv AS (SELECT base.* FROM base JOIN ncnt USING (doc_id) LEFT JOIN nsn USING (doc_id)
       |       WHERE (n_grams - COALESCE(n_seen, 0)) * 1000000 // n_grams >= 200000),""".stripMargin
+
+  /** Stage-1c lexicon gate CTE (d_lexicon_flags' exact semantics at
+    * the ('slow','error','crash') / 5% config) feeding the quality
+    * stage the screened frame `lx`. */
+  private val LexiconGateCtes: String =
+    """
+      |lx AS (SELECT base.* FROM base
+      |       WHERE NOT (len(list_filter(w, x -> x IN ('slow', 'error', 'crash'))) > 0
+      |         AND (CASE WHEN len(w) = 0 THEN 0
+      |              ELSE len(list_filter(w, x -> x IN ('slow', 'error', 'crash'))) * 1000000 // len(w) END) > 50000)),""".stripMargin
 
   private val CurationFunnelStages: String =
     """
@@ -3196,6 +3219,10 @@ object PipelineQueries {
     // stage-1b novelty gate ahead of the full four-stage chain: the
     // quality stage reads the gated frame `nv` instead of `base`
     "d_curation_novelty" -> (curationPrefixFrom(NoveltyGateCtes, "nv") +
+      "\nSELECT doc_id FROM clean ORDER BY doc_id"),
+    // stage-1c lexicon gate ahead of the chain: the quality stage reads
+    // the screened frame `lx` instead of `base`
+    "d_curation_lexicon" -> (curationPrefixFrom(LexiconGateCtes, "lx") +
       "\nSELECT doc_id FROM clean ORDER BY doc_id"),
     "d_curation_mixture" -> (CurationFunnelPrefix +
       """,

@@ -188,6 +188,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lexicon gate: stage 1c drops exactly the flagged docs, funnel monotone") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val lex = Seq("slow", "error", "crash")
+    val p = Curation.Params(lexicon = Some(lex), lexiconMaxHitRate = 0.05)
+    val funnel = Curation.funnel(corpus, bench, p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnel.contains("1c_lexicon"))
+    val flagged = TextAnalysis.lexiconFlags(corpus, lex, maxHitRate = 0.05)
+      .where(col("flagged")).count()
+    assert(funnel("1c_lexicon") == funnel("1_total") - flagged)
+    assert(funnel("1c_lexicon") > 0, "gate wiped the corpus")
+    assert(funnel("2_quality") <= funnel("1c_lexicon"))
+    assert(funnel("5_decontaminated") <= funnel("4_near_dup"))
+  }
+
   test("reliable-checkpoint knob: funnel and clusters identical, checkpoint dir used") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
