@@ -82,13 +82,16 @@ object Multimodal {
     * decoder slots in at decodeStub's seam). Bytes are exposed via a
     * latin-1 decode (bijective byte↔codepoint) since Spark can't index
     * a binary column directly. */
-  def frameSample(media: DataFrame, stride: Int): DataFrame = {
-    val chars = split(decode(col("media"), "ISO-8859-1"), "")
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    // byte-addressed: substr on BINARY slices the sampled byte directly
+    // (O(1) per frame), so per-row work is O(n_frames) — the previous
+    // split-to-char-array form materialized n_bytes one-char strings
+    // per row, stride× more work and allocation than the output needs
     media.select(col("media_id"),
       transform(
         sequence(lit(0), greatest(floor(col("meta.n_bytes") / stride).cast("int") - 1, lit(0))),
-        i => ascii(element_at(chars, i * stride + 1))).as("frame_bytes"))
-  }
+        i => ascii(decode(col("media").substr(i * stride + 1, lit(1)), "ISO-8859-1")))
+        .as("frame_bytes"))
 
   // ---- real codec path -------------------------------------------------
   // PNG/BMP ride javax.imageio (in the JDK — no external codec needed);
