@@ -377,6 +377,25 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Documents↔embeddings coverage: how much of the corpus has a
+    * vector (and how many vectors are orphaned) — the alignment gate
+    * before any embedding-dependent stage (semantic dedup, ANN) runs
+    * on a partially-embedded corpus. Single row of exact counts; the
+    * joins carry ids only. */
+  def embCoverageQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val ne = e.agg(count(lit(1)).as("n_vecs"))
+    val nm = d.join(e, col("doc_id") === col("vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    nd.crossJoin(broadcast(ne)).crossJoin(broadcast(nm)) // single-row attaches
+      .select(col("n_docs"), col("n_vecs"), col("n_matched"),
+        expr("CASE WHEN n_docs = 0 THEN 0 ELSE n_matched * 1000000 div n_docs END")
+          .as("doc_coverage_e6"),
+        (col("n_vecs") - col("n_matched")).as("n_orphan_vecs"))
+  }
+
   /** Duplicate-cluster size histogram over the exact-Jaccard pair
     * graph — the release report row after any dedup pass. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame =
@@ -1484,6 +1503,7 @@ object PipelineQueries {
     "d_budget_select"   -> (budgetSelectQ _),
     "d_quality_ranks"   -> (qualityRanksQ _),
     "d_dedup_rate"      -> (dedupRateQ _),
+    "e_emb_coverage"    -> (embCoverageQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2817,6 +2837,16 @@ object PipelineQueries {
          |  n_hits > 0 AND (CASE WHEN n_tokens = 0 THEN 0
          |                       ELSE n_hits * 1000000 // n_tokens END) > 20000 AS flagged
          |FROM c ORDER BY doc_id""".stripMargin,
+    "e_emb_coverage" ->
+      """WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ne AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        |nm AS (SELECT COUNT(*) AS n_matched FROM documents d
+        |       JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT n_docs, n_vecs, n_matched,
+        |  CAST(CASE WHEN n_docs = 0 THEN 0
+        |            ELSE n_matched * 1000000 // n_docs END AS BIGINT) AS doc_coverage_e6,
+        |  CAST(n_vecs - n_matched AS BIGINT) AS n_orphan_vecs
+        |FROM nd, ne, nm""".stripMargin,
     "e_emb_contract" ->
       """WITH r AS (SELECT
         |    CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,

@@ -46,6 +46,14 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
                         k: Int = 3, numHashes: Int = 96, bands: Int = 32,
                         threshold: Double = 0.5, minSharedShingles: Int = 2,
                         idCol: String = "doc_id", textCol: String = "text",
+                        /** Optional stage-1c lexicon policy gate —
+                          * [[graft.ops.TextAnalysis.lexiconFlags]]
+                          * semantics, mirroring the batch facade's
+                          * `Params(lexicon)`: flagged docs drop before
+                          * the quality gate and never reach the dedup
+                          * stores. */
+                        lexicon: Option[Seq[String]] = None,
+                        lexiconMaxHitRate: Double = 0.0,
                         /** When set, [[CurationMetrics.publish]] runs
                           * after every `publishEveryBatches`-th batch's
                           * funnel append — the `~curation.*` counters
@@ -129,9 +137,19 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
           .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
           .drop("__rn")
           .localCheckpoint()
+        // stage 1c (optional): lexicon policy gate, as the batch facade
+        val screened = lexicon match {
+          case Some(lex) =>
+            b.join(
+              TextAnalysis.lexiconFlags(b, lex, lexiconMaxHitRate, idCol, textCol)
+                .where(!col("flagged")).select(idCol),
+              Seq(idCol), "left_semi")
+              .localCheckpoint()
+          case None => b
+        }
         // stage 2: quality gate — the same rounded score the batch
         // facade thresholds on
-        val quality = b
+        val quality = screened
           .where(round(TextAnalysis.qualityScoreOf(
             Dedup.tokens(col(textCol)), col(textCol)), 4) >= minQuality)
           .localCheckpoint()
@@ -190,8 +208,10 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
         // (metrics-bridge input — see CurationMetrics), so real time is
         // the right axis; replay dedup happens on (batch_id, stage)
         val nowMs = System.currentTimeMillis()
-        Seq("1_total" -> b, "2_quality" -> quality, "3_exact_dedup" -> exact,
-            "4_near_dup" -> nearDup, "5_decontaminated" -> kept)
+        (Seq("1_total" -> b) ++
+            (if (lexicon.isDefined) Seq("1c_lexicon" -> screened) else Nil) ++
+            Seq("2_quality" -> quality, "3_exact_dedup" -> exact,
+              "4_near_dup" -> nearDup, "5_decontaminated" -> kept))
           .map { case (st, df) =>
             df.agg(count(lit(1)).as("n_docs"))
               .select(lit(batchId).as("batch_id"), lit(st).as("stage"),

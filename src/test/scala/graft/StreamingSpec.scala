@@ -1267,6 +1267,38 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds() == Seq(1L, 4L, 12L))
   }
 
+  test("streaming curation lexicon gate: flagged docs drop before quality and the stores") {
+    val base = Files.createTempDirectory("graft_sclex").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    import spark.implicits._
+    val benchmark = Seq((900L, "eval question alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sc = new graft.streaming.StreamingCuration(spark, base, benchmark,
+      lexicon = Some(Seq("spamword")), lexiconMaxHitRate = 0.1)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val q = sc.start(sc.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, "a clean document with plenty of ordinary words in it"),
+        doc(2, "spamword spamword spamword junk spamword page"), // 4/6 > 10%
+        doc(3, "one spamword inside twenty other perfectly ordinary tokens " +
+          "that keep the rate of hits well below the ten percent line ok")))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(s"$base/kept")
+    assert(spark.read.parquet(s"$base/kept").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    spark.catalog.refreshByPath(s"$base/funnel")
+    val f = spark.read.parquet(s"$base/funnel")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("1_total") == 3L && f("1c_lexicon") == 2L && f("2_quality") == 2L)
+    // the flagged doc never reached the digest store
+    spark.catalog.refreshByPath(s"$base/digests")
+    assert(spark.read.parquet(s"$base/digests").count() == 2L)
+  }
+
   test("reliable-checkpoint mode: streaming twins hold store integrity across restarts") {
     // The batch pipelines have their block-loss spec (OpsSpec); here
     // each persistent-store streaming twin runs its two-batch +
