@@ -69,6 +69,37 @@ object TrainingRun {
       .orderBy(idCol)
   }
 
+  /** Upsampled training order: curation → [[Sampling.upsampleByEpochs]]
+    * (per-source epoch counts, fractional epochs resolved by the
+    * deterministic id-hash gate) → [[Sampling.epochShuffle]] over the
+    * REPLICA key — the end-to-end shape of a multi-epoch mix ("3
+    * epochs of wiki, 1.5 of books") where copies of a document must
+    * spread across the epoch stream rather than clump. The replica key
+    * is id·1024 + copy (injective: epochs ≤ 1000 bounds copies below
+    * 1024), so two copies of one doc hash to unrelated positions.
+    * Output: (idCol, copy, pos, shard) — pos a dense permutation of
+    * the upsampled stream, shard = pos mod nShards.
+    *
+    * Scale: the upsample is a map-only explode over the curated frame;
+    * the shuffle inherits epochShuffle's two-level prefix-sum shape
+    * (the only serial window is the bucket-count frame). */
+  def prepareUpsampled(corpus: DataFrame, benchmark: DataFrame,
+                       epochs: Map[String, Double], nShards: Int,
+                       seed: Long = 0L, p: Curation.Params = Curation.Params(),
+                       groupCol: String = "source",
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
+      .sharedCheckpoint()
+    val up = Sampling.upsampleByEpochs(curated, epochs, 1.0, groupCol, idCol)
+      .select(col(idCol), col("copy"),
+        (col(idCol) * 1024L + col("copy")).as("rep_id"))
+    val asg = Sampling.epochShuffle(up, seed, idCol = "rep_id")
+    up.join(asg, "rep_id")
+      .select(col(idCol), col("copy"), col("pos"),
+        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+  }
+
   /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */
   def summary(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
               seed: Long = 0L, p: Curation.Params = Curation.Params(),

@@ -182,6 +182,17 @@ object PipelineQueries {
       nShards = 4, seed = 1L)
   }
 
+  /** Upsampled training order: curation → per-source epoch upsampling
+    * (2 epochs of src0, 1.5 of src1) → seeded shuffle over the replica
+    * key → striping — the multi-epoch mix end-to-end. */
+  def trainingUpsampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.prepareUpsampled(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      epochs = Map("src0" -> 2.0, "src1" -> 1.5), nShards = 4, seed = 1L)
+      .orderBy("doc_id", "copy")
+  }
+
   /** The training-prep manifest with the mixture stage engaged — the
     * SEVEN-operator composition (quality → exact → near-dup →
     * decontam → temperature mix → epoch shuffle → stripe), every step
@@ -1504,6 +1515,7 @@ object PipelineQueries {
     "d_quality_ranks"   -> (qualityRanksQ _),
     "d_dedup_rate"      -> (dedupRateQ _),
     "e_emb_coverage"    -> (embCoverageQ _),
+    "d_training_upsample" -> (trainingUpsampleQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -3303,6 +3315,31 @@ object PipelineQueries {
         |SELECT CAST(pos % 4 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens
         |FROM ordx JOIN clean USING (doc_id) GROUP BY 1 ORDER BY shard""".stripMargin),
+    // curation → epoch upsample (deterministic fractional copies) →
+    // seed-1 permutation over the replica key (id·1024 + copy) →
+    // striping: the multi-epoch composition in one replay
+    "d_training_upsample" -> (CurationFunnelPrefix +
+      """,
+        |up0 AS (SELECT c.doc_id, d.source FROM clean c
+        |        JOIN documents d USING (doc_id)),
+        |upr AS (SELECT doc_id,
+        |          CASE source WHEN 'src0' THEN 2000000 WHEN 'src1' THEN 1500000
+        |               ELSE 1000000 END AS rate FROM up0),
+        |upn AS (SELECT doc_id, rate // 1000000 +
+        |          CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
+        |                 < rate % 1000000 THEN 1 ELSE 0 END AS n FROM upr),
+        |upc AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS copy
+        |        FROM upn WHERE n > 0),
+        |rep AS (SELECT doc_id, copy, doc_id * 1024 + copy AS rep_id FROM upc),
+        |shx AS (SELECT rep_id, doc_id, copy,
+        |  (rep_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (rep_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM rep),
+        |ordx AS (SELECT doc_id, copy,
+        |           ROW_NUMBER() OVER (ORDER BY b, k, rep_id) - 1 AS pos FROM shx)
+        |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
+        |       CAST(pos % 4 AS BIGINT) AS shard
+        |FROM ordx ORDER BY doc_id, copy""".stripMargin),
     // the seven-operator composition: funnel prefix (→ clean) +
     // temperature gate over the survivors + the seed-1 permutation +
     // striping, all in one replay

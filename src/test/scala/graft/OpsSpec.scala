@@ -2073,6 +2073,29 @@ class OpsSpec extends SparkSpec {
     assert(approx == flags)
   }
 
+  test("prepareUpsampled: dense permutation over replicas, copies follow epoch counts") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pick a source that actually SURVIVES curation on this tiny corpus
+    val baseline = graft.ops.TrainingRun.prepareUpsampled(
+      corpus, bench, epochs = Map.empty, nShards = 4, seed = 1L).collect()
+    val upSrc = srcOf(baseline.map(_.getLong(0)).min)
+    val out = graft.ops.TrainingRun.prepareUpsampled(
+      corpus, bench, epochs = Map(upSrc -> 2.0), nShards = 4, seed = 1L)
+      .collect()
+    // positions are a dense bijection over the upsampled stream
+    assert(out.map(_.getLong(2)).sorted.toSeq == out.indices.map(_.toLong))
+    // every upSrc survivor appears exactly twice (integer epochs)
+    val copies = out.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.length }
+    copies.foreach { case (id, n) =>
+      assert(n == (if (srcOf(id) == upSrc) 2 else 1), s"doc $id copies $n")
+    }
+    assert(copies.exists { case (id, _) => srcOf(id) == upSrc },
+      "fixture must exercise an upsampled source")
+  }
+
   test("budgetSelect: exact running-sum cut, no overshoot, default budget applies") {
     import spark.implicits._
     // src a: priorities 9, 8, 7 with 40, 50, 30 tokens; budget 90 keeps
