@@ -87,8 +87,11 @@ object Eval {
     * combine via broadcast — nothing wider than the pair frames
     * shuffles, and those are the generators' own outputs. */
   def pairAgreement(candidates: DataFrame, reference: DataFrame): DataFrame = {
-    val cand = candidates.select(col("id_a"), col("id_b"))
-    val ref = reference.select(col("id_a"), col("id_b"))
+    // defensive distinct: a generator that emits a pair twice (e.g. a
+    // multi-band candidate frame taken before its own dedup) must not
+    // inflate the counts — the metric is over pair SETS
+    val cand = candidates.select(col("id_a"), col("id_b")).distinct()
+    val ref = reference.select(col("id_a"), col("id_b")).distinct()
     val nRef = ref.agg(count(lit(1)).as("n_ref"))
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
     val nHit = cand.join(ref, Seq("id_a", "id_b"))

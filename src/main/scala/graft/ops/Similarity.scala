@@ -1269,6 +1269,12 @@ object Similarity {
     * `nprobe ≥ nlist` the IVF arm is exhaustive and equals the exact
     * arm (spec-pinned).
     *
+    * NULL labels are excluded on BOTH sides (the `=!=` predicate is
+    * null-rejecting): an unlabeled corpus vector never serves as a
+    * negative — it might share the query's class — and an unlabeled
+    * query gets no negatives rather than arbitrary ones. Label your
+    * data or filter nulls upstream if that is not the intent.
+    *
     * Scale: labels ride the existing probe/assign frames as one extra
     * column; the filter TIGHTENS every downstream frame (candidates
     * drop before the top-k windows), so the plan is never wider than
