@@ -380,6 +380,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card: volume, median quality, dominant lang,
+    * exact-dup share — the release summary table. */
+  def sourceCardQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Reports.sourceCard(Tables.documents(spark, dir))
+      .orderBy("source")
+
   /** Per-source dedup-rate report over the exact-Jaccard pair graph. */
   def dedupRateQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1516,6 +1522,7 @@ object PipelineQueries {
     "d_dedup_rate"      -> (dedupRateQ _),
     "e_emb_coverage"    -> (embCoverageQ _),
     "d_training_upsample" -> (trainingUpsampleQ _),
+    "d_source_card"     -> (sourceCardQ _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2918,6 +2925,35 @@ object PipelineQueries {
          |       ELSE CAST(SUM(b) * 1000000 // SUM(w) AS BIGINT)
          |  END AS fertility_e6
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "d_source_card" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, text, $ToksSql AS w,
+         |            $NormSql AS nt FROM documents),
+         |c AS (SELECT doc_id, source, lang, nt, len(w) AS ntok,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |s AS (SELECT doc_id, source, lang, nt, ntok,
+         |        round(GREATEST(0.0, LEAST(1.0,
+         |          LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |          - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS q,
+         |        ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) > 1 AS dup
+         |      FROM c),
+         |ag AS (SELECT source, COUNT(*) AS n_docs,
+         |         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |         round(quantile_cont(q, 0.5), 4) AS quality_p50,
+         |         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+         |       FROM s GROUP BY source),
+         |lt AS (SELECT source, lang AS top_lang FROM (
+         |         SELECT source, lang,
+         |           ROW_NUMBER() OVER (PARTITION BY source
+         |             ORDER BY COUNT(*) DESC, lang ASC) AS r
+         |         FROM s GROUP BY source, lang) WHERE r = 1)
+         |SELECT ag.source, n_docs, n_tokens, quality_p50, top_lang,
+         |  CAST(ndup * 1000000 // n_docs AS BIGINT) AS dup_rate_e6
+         |FROM ag JOIN lt USING (source) ORDER BY source""".stripMargin,
     "d_dedup_rate" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |nm AS (SELECT doc_id, source, $NormSql AS nt FROM documents),

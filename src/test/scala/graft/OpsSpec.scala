@@ -1995,6 +1995,25 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(4))
   }
 
+  test("sourceCard: volumes, dup attribution global, dominant lang ties break low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "en", "five words of english text"),
+      (2L, "a", "en", "five words of english text"),  // dup of 1 (global first wins)
+      (3L, "b", "fr", "five words of english text"),  // dup of 1, OTHER source
+      (4L, "b", "de", "fresh german words entirely here"),
+      (5L, "b", "fr", "encore des mots differents ici"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.ops.Reports.sourceCard(d).orderBy("source").collect()
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 2L)
+    assert(out(0).getString(4) == "en")
+    assert(out(0).getLong(5) == 500000L) // doc 2 is the dup; doc 1 came first
+    assert(out(1).getString(0) == "b" && out(1).getLong(1) == 3L)
+    assert(out(1).getLong(5) == 333333L) // doc 3 dups source a's doc 1
+    assert(out(1).getString(4) == "fr")  // 2 fr vs 1 de
+    assert(out(0).getLong(2) == 10L)     // 5 tokens × 2 docs
+  }
+
   test("dedupRateBySource: exact losers counted once, near losers exclude them") {
     import spark.implicits._
     // a: 1,2 identical (exact loser 2); b: 3 near-dups 1 (cluster {1,3},
