@@ -72,6 +72,42 @@ object Eval {
         coalesce(col("dcg"), lit(0L)).as("dcg_e6"))
   }
 
+  /** Token-overlap P/R/F1 between prediction/reference text pairs —
+    * the unigram-overlap metric (ROUGE-1/SQuAD-F1 family) for
+    * summarization, QA-answer, and extraction evals at corpus scale.
+    * Overlap is MULTISET intersection (per token, the smaller of the
+    * two occurrence counts — a prediction repeating a reference word
+    * five times gets credit for the reference's count, not five), on
+    * the package's normalized whitespace tokens. One row per pair:
+    * (idCol, n_pred, n_ref, n_overlap, precision_e6, recall_e6,
+    * f1_e6), exact-integer quantized, zero for empty denominators.
+    *
+    * Scale: two tokenize-explode aggregates keyed (id, token) and one
+    * id-keyed reduce — per-pair cost is the text length, nothing
+    * corpus-wide. */
+  def textOverlapF1(pairs: DataFrame, idCol: String = "doc_id",
+                    predCol: String = "pred", refCol: String = "ref"): DataFrame = {
+    import graft.ops.Dedup.tokens
+    val pt = pairs.select(col(idCol), explode(tokens(col(predCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("np"))
+    val rt = pairs.select(col(idCol), explode(tokens(col(refCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("nr"))
+    val ov = pt.join(rt, Seq(idCol, "t"))
+      .groupBy(idCol).agg(sum(least(col("np"), col("nr"))).as("n_overlap"))
+    pairs.select(col(idCol),
+        size(tokens(col(predCol))).cast("long").as("n_pred"),
+        size(tokens(col(refCol))).cast("long").as("n_ref"))
+      .join(ov, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(col(idCol), col("n_pred"), col("n_ref"), col("n_overlap"),
+        expr("CASE WHEN n_pred = 0 THEN 0 " +
+          "ELSE n_overlap * 1000000 div n_pred END").as("precision_e6"),
+        expr("CASE WHEN n_ref = 0 THEN 0 " +
+          "ELSE n_overlap * 1000000 div n_ref END").as("recall_e6"),
+        expr("CASE WHEN n_pred + n_ref = 0 THEN 0 " +
+          "ELSE 2 * n_overlap * 1000000 div (n_pred + n_ref) END").as("f1_e6"))
+  }
+
   /** Pair-set agreement: precision/recall of a candidate pair
     * generator against a reference pair set — the audit every
     * approximate dedup family owes its operator ("what fraction of

@@ -58,4 +58,27 @@ object Reports {
         round(col("__q50"), 4).as("quality_p50"), col("top_lang"),
         expr("__ndup * 1000000 div n_docs").as("dup_rate_e6"))
   }
+
+  /** Order-invariant release manifest: per source, (n_docs, n_chars,
+    * content_sum) where content_sum is the mod-(10⁹+7) SUM of the
+    * per-doc polynomial text fingerprints ([[TextAnalysis.polyHash]]
+    * over normalized text — the d_text_stats fingerprint). Because
+    * addition commutes, the checksum is independent of row order,
+    * partitioning, and file layout — re-verifying a copied/re-sharded
+    * release is one scan + one aggregate, and any engine recomputes it
+    * exactly (no engine-specific hash). A changed, added, or dropped
+    * doc moves the sum with probability ≈ 1 − 1/10⁹.
+    *
+    * Scale: one scan; the shuffle carries (source, partial sums). */
+  def releaseManifest(docs: DataFrame, srcCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession) // poly_hash
+    docs
+      .select(col(srcCol),
+        length(col(textCol)).cast("long").as("__nc"),
+        TextAnalysis.polyHash(Dedup.normText(col(textCol))).as("__fp"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__nc").as("n_chars"),
+        (sum("__fp") % lit(1000000007L)).as("content_sum"))
+  }
 }

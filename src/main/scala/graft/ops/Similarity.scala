@@ -657,18 +657,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
+              hotCellFactor: Double = DefaultHotCellFactor,
+              superProbe: Option[Int] = None,
+              centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
     ivfTopKImpl(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol,
-      hotCellFactor, excludeLabel = None)
+      hotCellFactor, excludeLabel = None, superProbe = superProbe,
+      centroids = centroids)
 
   private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, k: Int,
                           nlist: Int, nprobe: Int, iters: Int,
                           idCol: String, vecCol: String,
                           hotCellFactor: Double,
-                          excludeLabel: Option[String]): DataFrame = {
+                          excludeLabel: Option[String],
+                          superProbe: Option[Int] = None,
+                          centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, resolveNlist(corpus, nlist, "ivfTopK"),
-      iters, idCol, vecCol)
+    // pinned centroids = the serve shape: train once (ivfCentroids or a
+    // persisted index), answer every batch of queries with ZERO
+    // training jobs — mirrors ivfNearDupPairs' `centroids`
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpus, resolveNlist(corpus, nlist, "ivfTopK"),
+        iters, idCol, vecCol))
     // empty corpus ⇒ no index ⇒ no neighbors for any query
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
@@ -677,7 +686,7 @@ object Similarity {
     val qLabel = excludeLabel.map(l => Seq(col(l).as("q_label"))).getOrElse(Nil)
     val assigned0 = corpus.select(Seq(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"),
-      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+      element_at(probeExpr(col(vecCol), cents, 1, superProbe), 1).as("cell"))
       ++ nLabel: _*)
     // hot-cell guard: a hot cell here means every query probing it
     // scans |cell| candidates (and corpus-as-queries kNN builds go
@@ -692,8 +701,8 @@ object Similarity {
     val probed = applyHotSplits(
       queries.select(Seq(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_nrm"),
-        explode(graft.functions.ivf_probe(col(vecCol), cents,
-          math.min(nprobe, cents.length))).as("cell")) ++ qLabel: _*),
+        explode(probeExpr(col(vecCol), cents,
+          math.min(nprobe, cents.length), superProbe)).as("cell")) ++ qLabel: _*),
       splits, "q_vec", width = qWidth)
     // join strategy left to the planner (small probe sets auto-broadcast);
     // norms precomputed per vector — see lshTopK
@@ -1284,11 +1293,14 @@ object Similarity {
                     labelCol: String = "label",
                     nlist: Option[Int] = None, nprobe: Int = 4,
                     iters: Int = 1,
-                    hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
+                    hotCellFactor: Double = DefaultHotCellFactor,
+                    superProbe: Option[Int] = None,
+                    centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
     nlist match {
       case Some(n) =>
         ivfTopKImpl(corpus, queries, k, n, nprobe, iters, idCol, vecCol,
-          hotCellFactor, excludeLabel = Some(labelCol))
+          hotCellFactor, excludeLabel = Some(labelCol), superProbe = superProbe,
+          centroids = centroids)
       case None =>
         graft.functions.ensureRegistered(corpus.sparkSession)
         val q = broadcast(queries.select(col(idCol).as("q_id"),

@@ -386,6 +386,22 @@ object PipelineQueries {
     graft.ops.Reports.sourceCard(Tables.documents(spark, dir))
       .orderBy("source")
 
+  /** Order-invariant per-source content checksums — the release
+    * integrity manifest. */
+  def releaseManifestQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Reports.releaseManifest(Tables.documents(spark, dir))
+      .orderBy("source")
+
+  /** Token-overlap F1 with each doc's 20-token prefix as the
+    * "prediction" against its full text — the summary-vs-source eval
+    * shape (precision pinned at 1, recall = prefix share). */
+  def overlapF1Q(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir).select(col("doc_id"),
+      array_join(slice(Dedup.tokens(col("text")), 1, 20), " ").as("pred"),
+      col("text").as("ref"))
+    Eval.textOverlapF1(pairs).orderBy("doc_id")
+  }
+
   /** Per-source dedup-rate report over the exact-Jaccard pair graph. */
   def dedupRateQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1523,6 +1539,8 @@ object PipelineQueries {
     "e_emb_coverage"    -> (embCoverageQ _),
     "d_training_upsample" -> (trainingUpsampleQ _),
     "d_source_card"     -> (sourceCardQ _),
+    "d_release_manifest" -> (releaseManifestQ _),
+    "d_overlap_f1"      -> (overlapF1Q _),
     "e_sign_project"    -> (signProjectQ _),
     "e_centroid_outliers" -> (centroidOutliersQ _),
     "d_bpe_merges"      -> (bpeMergesQ _),
@@ -2925,6 +2943,35 @@ object PipelineQueries {
          |       ELSE CAST(SUM(b) * 1000000 // SUM(w) AS BIGINT)
          |  END AS fertility_e6
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "d_release_manifest" ->
+      s"""WITH f AS (SELECT source, len(text) AS nc,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |    list_transform(string_split($NormSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(fp) % 1000000007 AS BIGINT) AS content_sum
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "d_overlap_f1" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |pr AS (SELECT doc_id, w[1:20] AS pw, w FROM t),
+         |pe AS (SELECT doc_id, unnest(pw) AS tok FROM pr),
+         |re AS (SELECT doc_id, unnest(w) AS tok FROM pr),
+         |pc AS (SELECT doc_id, tok, COUNT(*) AS np FROM pe GROUP BY 1, 2),
+         |rc AS (SELECT doc_id, tok, COUNT(*) AS nr FROM re GROUP BY 1, 2),
+         |ov AS (SELECT pc.doc_id, CAST(SUM(LEAST(np, nr)) AS BIGINT) AS n_overlap
+         |       FROM pc JOIN rc USING (doc_id, tok) GROUP BY 1),
+         |tt AS (SELECT doc_id, CAST(len(pw) AS BIGINT) AS n_pred,
+         |         CAST(len(w) AS BIGINT) AS n_ref FROM pr)
+         |SELECT tt.doc_id, n_pred, n_ref,
+         |  COALESCE(n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  CAST(CASE WHEN n_pred = 0 THEN 0
+         |       ELSE COALESCE(n_overlap, 0) * 1000000 // n_pred END AS BIGINT) AS precision_e6,
+         |  CAST(CASE WHEN n_ref = 0 THEN 0
+         |       ELSE COALESCE(n_overlap, 0) * 1000000 // n_ref END AS BIGINT) AS recall_e6,
+         |  CAST(CASE WHEN n_pred + n_ref = 0 THEN 0
+         |       ELSE 2 * COALESCE(n_overlap, 0) * 1000000 // (n_pred + n_ref) END AS BIGINT) AS f1_e6
+         |FROM tt LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d_source_card" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text, $ToksSql AS w,
          |            $NormSql AS nt FROM documents),

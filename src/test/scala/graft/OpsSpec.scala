@@ -2064,6 +2064,30 @@ class OpsSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfTopK superProbe: two-level assignment keeps high recall vs flat") {
+    val q = emb.where(col("vec_id") < 20)
+    val flat = Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hier = Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4,
+      superProbe = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = hier.intersect(flat).size.toDouble / flat.size
+    assert(recall >= 0.6, s"hier assignment recall vs flat: $recall")
+    // every query still gets k rows
+    assert(hier.groupBy(_._1).values.forall(_.size == 5))
+  }
+
+  test("ivfTopK pinned centroids: serve path equals the self-training path") {
+    val q = emb.where(col("vec_id") < 20)
+    val cents = Similarity.ivfCentroids(emb, nlist = 16)
+    val self = Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pinned = Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4,
+      centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pinned == self)
+  }
+
   test("anisotropy: collapsed cloud reads ~1e6, symmetric cloud reads 0") {
     import spark.implicits._
     val same = Seq.tabulate(8)(i => (i.toLong, Array(0.6f, -0.3f, 0.1f)))

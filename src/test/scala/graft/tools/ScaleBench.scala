@@ -242,6 +242,39 @@ object ScaleBench {
         nlist = Some(nlist), nprobe = 8))
       ("e_hard_negatives_real", (System.nanoTime() - t) / 1e9)
     }
+    // the same mining workload through the two-level quantizer — the
+    // n × nlist assignment-term escape hatch (§G9 third decade)
+    val hardNegHier = if (!want("e_hard_negatives_hier")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("label", (org.apache.spark.sql.functions.col("vec_id") % 50)
+          .cast("int"))
+        .selectExpr("vec_id", "embedding", "label")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000")
+      val t = System.nanoTime()
+      Bench.force(Similarity.hardNegatives(emb, qs, k = 10,
+        nlist = Some(nlist), nprobe = 8, superProbe = Some(2)))
+      ("e_hard_negatives_hier", (System.nanoTime() - t) / 1e9)
+    }
+    // pinned-quantizer mining: centroids trained UNTIMED first — the
+    // serve shape (train once at index build, mine nightly); the delta
+    // vs the cold row is the one-time training cost
+    val hardNegPinned = if (!want("e_hard_negatives_pinned")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("label", (org.apache.spark.sql.functions.col("vec_id") % 50)
+          .cast("int"))
+        .selectExpr("vec_id", "embedding", "label")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      val qs = emb.where("vec_id < 1000")
+      val t = System.nanoTime()
+      Bench.force(Similarity.hardNegatives(emb, qs, k = 10,
+        nlist = Some(nlist), nprobe = 8, superProbe = Some(2),
+        centroids = Some(cents)))
+      ("e_hard_negatives_pinned", (System.nanoTime() - t) / 1e9)
+    }
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -275,7 +308,8 @@ object ScaleBench {
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
-      sh64 ++ hardNeg ++ bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
+      sh64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
+      bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
     spark.stop()
