@@ -737,8 +737,11 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                iters: Int = 1,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               hotCellFactor: Double = DefaultHotCellFactor): DataFrame =
-    ivfTopK(corpus, corpus, k, nlist, nprobe, iters, idCol, vecCol, hotCellFactor)
+               hotCellFactor: Double = DefaultHotCellFactor,
+               superProbe: Option[Int] = None,
+               centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
+    ivfTopK(corpus, corpus, k, nlist, nprobe, iters, idCol, vecCol, hotCellFactor,
+      superProbe, centroids)
 
   /** Mutual-kNN edges: unordered pairs (id_a < id_b) where EACH vector
     * lists the other in its top-k — the standard symmetrization that
@@ -748,8 +751,11 @@ object Similarity {
     * frame, checkpoint-shared so the graph builds once. */
   def mutualKnnPairs(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                      iters: Int = 1,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val g = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     superProbe: Option[Int] = None,
+                     centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val g = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol,
+      DefaultHotCellFactor, superProbe, centroids)
       .select(col("q_id"), col("n_id"))
       .sharedCheckpoint() // both sides of the mutuality join
     g.as("a").join(g.as("b"),
@@ -766,8 +772,11 @@ object Similarity {
     * minimum vec_id. */
   def semanticClusters(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                        iters: Int = 1,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Dedup.dupClusters(mutualKnnPairs(corpus, k, nlist, nprobe, iters, idCol, vecCol))
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       superProbe: Option[Int] = None,
+                       centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
+    Dedup.dupClusters(mutualKnnPairs(corpus, k, nlist, nprobe, iters, idCol, vecCol,
+      superProbe, centroids))
       .select(col("doc_id").as(idCol), col("cluster_id"))
 
   /** PageRank-style centrality over an undirected edge frame (id_a,
