@@ -156,4 +156,26 @@ class PqIndexStoreSpec extends SparkSpec {
     assert(store.topK(emb, queries, k = 3, nprobe = 4, rerank = 1000000)
       .count() > 0)
   }
+
+  test("hard negatives from a persisted quantizer: zero training, exhaustive ≡ exact") {
+    import spark.implicits._
+    val labeled = emb.withColumn("label", (col("vec_id") % 5).cast("int"))
+      .localCheckpoint()
+    val dir = tmpDir("hardneg")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(labeled)
+    val art = store.load().get._2
+    val queries = labeled.where(col("vec_id") < 20)
+    // plan construction with pinned centroids runs only the hot-cell
+    // counts probe — no Lloyd loop
+    val (df, jobs) = jobsDuring("hn_pinned") {
+      Similarity.hardNegatives(labeled, queries, k = 5,
+        nlist = Some(art.centroids.length), nprobe = art.centroids.length,
+        centroids = Some(art.centroids))
+    }
+    assert(jobs <= 3,
+      s"pinned mining plan ran $jobs jobs — training leaked into the serve path")
+    // exhaustive probe equals the exact brute-force arm
+    assert(rows(df) == rows(Similarity.hardNegatives(labeled, queries, k = 5)))
+  }
 }
