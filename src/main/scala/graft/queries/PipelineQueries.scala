@@ -250,6 +250,32 @@ object PipelineQueries {
       .orderBy("dim")
   }
 
+  /** ANN recall measured in-engine, oracle-checked: the IVF arm at a
+    * PRUNING config (nprobe 2 of 8 pinned literal centroids — the
+    * assignment is SQL-replayable, as e_cluster_sample) scored against
+    * brute-force top-5 over 50 queries. One row (n_exact, n_hits,
+    * recall_e6): the honest "what does pruning cost on THIS corpus"
+    * number an ANN deployment reports next to its speedup. Guard
+    * disabled so the plan is the pinned assignment exactly. */
+  def annRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val q = emb.where(col("vec_id") < 50)
+    val ann = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 2,
+      centroids = Some(cents), hotCellFactor = Double.PositiveInfinity)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val nHits = ann.select("q_id", "n_id")
+      .join(exact.select("q_id", "n_id"), Seq("q_id", "n_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(nHits)) // audited single-row attach
+      .select(col("n_exact"), col("n_hits"),
+        expr("CASE WHEN n_exact = 0 THEN 0 " +
+          "ELSE n_hits * 1000000 div n_exact END").as("recall_e6"))
+  }
+
   /** Hard-negative mining (exact arm): top-5 most-similar vectors with
     * a different label, per query — the contrastive-training batch
     * builder. Same rank-only output contract as e_cosine_topk. */
@@ -1521,6 +1547,7 @@ object PipelineQueries {
     "e_cluster_sample"  -> (clusterSampleQ _),
     "e_dimension_drift" -> (dimensionDriftQ _),
     "e_hard_negatives"  -> (hardNegativesQ _),
+    "e_ann_recall"      -> (annRecallQ _),
     "e_anisotropy"      -> (anisotropyQ _),
     "d_simhash_pairs"   -> (simhashPairsQ _),
     "d_dedup_eval"      -> (dedupEvalQ _),
@@ -3584,6 +3611,39 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "e_ann_recall" ->
+      """WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |sims AS (SELECT v.vec_id, cell, list_cosine_similarity(vv, cv) AS sim
+        |         FROM v, cent),
+        |asn AS (SELECT vec_id, cell,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rnk
+        |        FROM sims),
+        |cells AS (SELECT vec_id, cell FROM asn WHERE rnk = 1),
+        |qp AS (SELECT vec_id AS q_id, cell FROM asn WHERE vec_id < 50 AND rnk <= 2),
+        |cand AS (SELECT qp.q_id, c.vec_id AS n_id
+        |         FROM qp JOIN cells c USING (cell) WHERE c.vec_id <> qp.q_id),
+        |scored AS (SELECT cand.q_id, cand.n_id,
+        |             list_cosine_similarity(qv.vv, nv.vv) AS sim
+        |           FROM cand JOIN v qv ON qv.vec_id = cand.q_id
+        |                     JOIN v nv ON nv.vec_id = cand.n_id),
+        |ann AS (SELECT q_id, n_id FROM (
+        |          SELECT q_id, n_id,
+        |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+        |          FROM scored) WHERE rk <= 5),
+        |bf AS (SELECT q_id, n_id FROM (
+        |         SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |             ORDER BY list_cosine_similarity(a.vv, b.vv) DESC, b.vec_id ASC) AS rk
+        |         FROM v a, v b WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+        |       WHERE rk <= 5),
+        |agg AS (SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+        |               (SELECT COUNT(*) FROM ann JOIN bf USING (q_id, n_id)) AS n_hits)
+        |SELECT n_exact, n_hits,
+        |  CAST(CASE WHEN n_exact = 0 THEN 0
+        |       ELSE n_hits * 1000000 // n_exact END AS BIGINT) AS recall_e6
+        |FROM agg""".stripMargin,
     "e_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),

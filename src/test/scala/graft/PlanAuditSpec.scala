@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
   private val exempt = Set(
     "e_cosine_topk",   // intentional broadcast×scan baseline
     "e_knn_labels",    // builds on the same brute-force baseline scan
-    "e_hard_negatives" // exact arm of the miner: same baseline shape
+    "e_hard_negatives", // exact arm of the miner: same baseline shape
+    "e_ann_recall"      // recall eval NEEDS the brute-force reference arm
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin anywhere in the surface") {
