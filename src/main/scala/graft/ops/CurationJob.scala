@@ -50,5 +50,11 @@ object CurationJob {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/funnel")
     graft.streaming.CurationMetrics.publish(spark, s"$outDir/funnel",
       s"$outDir/metrics")
+    // release health: the curated corpus's per-source card, chartable
+    // as ~corpus.* next to the ~curation.* funnel counters (sibling
+    // store — each publish swaps its own directory whole)
+    graft.streaming.CorpusMetrics.publish(spark,
+      Reports.sourceCard(curated), s"$outDir/corpus_metrics",
+      System.currentTimeMillis())
   }
 }

@@ -79,12 +79,22 @@ object CurationMetrics {
     * plus the metric catalog from the funnel record, and atomically
     * swap it into `storeDir`. Read it back with
     * `new InfluxPlanner(new TierSummaryProvider(spark, storeDir))`. */
-  def publish(spark: SparkSession, funnelDir: String, storeDir: String): Unit = {
+  def publish(spark: SparkSession, funnelDir: String, storeDir: String): Unit =
+    publishCounterCascade(spark,
+      funnelMeasurements(spark, funnelDir), storeDir)
+
+  /** Shared publish core: a (metric, ts_ms, value) frame becomes the
+    * full counter cascade + catalog in a fresh directory, atomically
+    * swapped into `storeDir` — used by this bridge and
+    * [[CorpusMetrics]]. */
+  private[streaming] def publishCounterCascade(spark: SparkSession,
+                                               measurements: DataFrame,
+                                               storeDir: String): Unit = {
     val tmp = new File(s"$storeDir.tmp${System.nanoTime()}")
     val tmpStore = new TierStore(spark, tmp.toString)
-    // localCheckpoint: the dedup window runs once, every tier and the
-    // catalog derive from the materialized (tiny) measurement frame
-    val meas = funnelMeasurements(spark, funnelDir).localCheckpoint()
+    // localCheckpoint: the measurement frame materializes once; every
+    // tier and the catalog derive from it
+    val meas = measurements.localCheckpoint()
     var prev = Rollup.counterTier(meas, Rollup.RawGroupMs).localCheckpoint()
     tmpStore.append("counter", Rollup.RawGroupMs, prev)
     Rollup.StandardTiers.foreach { d =>
@@ -100,4 +110,36 @@ object CurationMetrics {
     if (dst.exists()) TierStore.swapInto(dst, tmp, old)
     else require(tmp.renameTo(dst), s"could not move $tmp into place at $dst")
   }
+}
+
+/** Bridge from [[graft.ops.Reports.sourceCard]] to the metrics half:
+  * each publish stamps the card's per-source volumes and dup rates as
+  * `~corpus.<source>.<field>` counters in a [[TierStore]], so corpus
+  * HEALTH charts on the same Influx surface as ingest throughput and
+  * curation funnels — a nightly release job publishes after its card
+  * build and the dashboards show dup-rate regressions per source over
+  * time. Same atomic-swap idempotence as [[CurationMetrics]]. */
+object CorpusMetrics {
+
+  val MetricPrefix = "~corpus."
+
+  /** Card rows → (metric, ts_ms, value): three series per source. */
+  def cardMeasurements(card: DataFrame, tsMs: Long): DataFrame = {
+    def m(field: String, value: org.apache.spark.sql.Column) =
+      struct(
+        concat(lit(MetricPrefix), col("source"), lit(s".$field")).as("metric"),
+        value.cast("long").as("value"))
+    card.select(explode(array(
+        m("docs", col("n_docs")),
+        m("tokens", col("n_tokens")),
+        m("dup_rate_e6", col("dup_rate_e6")))).as("mm"))
+      .select(col("mm.metric"), lit(tsMs).as("ts_ms"), col("mm.value"))
+  }
+
+  /** Publish a built card (one [[graft.ops.Reports.sourceCard]] frame)
+    * at wall-clock `tsMs` — atomic snapshot swap, idempotent. */
+  def publish(spark: SparkSession, card: DataFrame, storeDir: String,
+              tsMs: Long): Unit =
+    CurationMetrics.publishCounterCascade(spark,
+      cardMeasurements(card, tsMs), storeDir)
 }

@@ -56,6 +56,38 @@ class CurationMetricsSpec extends SparkSpec {
     assert(again.map(_.getAs[Double]("value")).toSeq == Seq(6.0, 3.0))
   }
 
+  test("source card publishes as ~corpus.* counters readable via InfluxQL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cpx").toString
+    val T0 = 1704067200000L
+    val docs = Seq(
+      (1L, "a", "en", "same text here"), (2L, "a", "en", "same text here"),
+      (3L, "b", "fr", "encore des mots differents ici"))
+      .toDF("doc_id", "source", "lang", "text")
+    val card = graft.ops.Reports.sourceCard(docs)
+    val store = s"$base/metrics"
+    graft.streaming.CorpusMetrics.publish(spark, card, store, T0)
+    val planner = new InfluxPlanner(new TierSummaryProvider(spark, store))
+    val dups = planner.executeLong(spark,
+      s"""select count from "~corpus.a.dup_rate_e6" where time between $T0 """ +
+      s"and ${T0 + 599999L} force group by time(5m) order asc").collect()
+    assert(dups.length == 1 && dups(0).getAs[Double]("value") == 500000.0)
+    val toks = planner.executeLong(spark,
+      s"""select count from "~corpus.b.tokens" where time between $T0 """ +
+      s"and ${T0 + 599999L} force group by time(5m) order asc").collect()
+    assert(toks.length == 1 && toks(0).getAs[Double]("value") == 5.0)
+    val listed = planner.executeLong(spark, "list series /corpus.a/")
+      .collect().map(_.getAs[String]("value")).sorted.toSeq
+    assert(listed == Seq("~corpus.a.docs", "~corpus.a.dup_rate_e6",
+      "~corpus.a.tokens"))
+    // re-publish swaps, never accumulates
+    graft.streaming.CorpusMetrics.publish(spark, card, store, T0)
+    val again = planner.executeLong(spark,
+      s"""select count from "~corpus.a.dup_rate_e6" where time between $T0 """ +
+      s"and ${T0 + 599999L} force group by time(5m) order asc").collect()
+    assert(again.length == 1 && again(0).getAs[Double]("value") == 500000.0)
+  }
+
   test("gateAlerts flag collapsed stages per batch, replay-deduped") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_galert").toString
@@ -99,6 +131,19 @@ class CurationMetricsSpec extends SparkSpec {
       s"${now - 3600000L} and ${now + 3600000L} force group by time(1h) order asc")
       .collect().map(_.getAs[Double]("value")).sum
     assert(total == funnel("1_total").toDouble)
+    // release-health card published alongside: per-source doc counts of
+    // the CURATED corpus sum to the final funnel stage
+    val cp = new InfluxPlanner(new TierSummaryProvider(spark, s"$out/corpus_metrics"))
+    val cardSeries = cp.executeLong(spark, "list series /corpus/")
+      .collect().map(_.getAs[String]("value"))
+    assert(cardSeries.exists(_.endsWith(".docs")))
+    val docTotal = cardSeries.filter(_.endsWith(".docs")).map { s =>
+      cp.executeLong(spark,
+        s"""select count from "$s" where time between """ +
+        s"${now - 3600000L} and ${now + 3600000L} force group by time(1h) order asc")
+        .collect().map(_.getAs[Double]("value")).sum
+    }.sum
+    assert(docTotal == funnel("5_decontaminated").toDouble)
   }
 
   test("a running StreamingCuration auto-publishes chartable ~curation.* counters") {
