@@ -35,14 +35,19 @@ object GenScaleData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val nDocs = args(1).toInt
-    val clustered = args.lift(2).contains("clustered")
+    // mode flags compose: `stress` = clustered embeddings AND the
+    // tailvocab token stream — both production stresses in one corpus
+    // (the hybrid-retrieval grading regime: realistic df on the
+    // lexical arm, zipf cell skew on the dense arm)
+    val mode = args.lift(2).getOrElse("")
+    val clustered = mode == "clustered" || mode == "stress"
     // `tailvocab`: 25% of tokens draw from a 100k-id uniform tail
     // ("tail<k>") on top of the 31-word head — the realistic df
     // distribution the BM25 serve-vs-scan separation needs (with the
     // head-only vocab every query term's df ≈ 0.83·n, so an index
     // serve degenerates to a corpus scan by construction). Head-token
     // statistics (dup rates, lengths) are unchanged.
-    val tailVocab = args.lift(2).contains("tailvocab")
+    val tailVocab = mode == "tailvocab" || mode == "stress"
     val nVecs = nDocs * 2 / 5
     val dims = 64
     val rnd = new Random(4242)
