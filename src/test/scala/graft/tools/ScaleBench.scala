@@ -227,6 +227,18 @@ object ScaleBench {
       Bench.force(graft.ops.Dedup.simhashPairs(docs, maxHamming = 3))
       ("d_simhash_pairs_64", (System.nanoTime() - t) / 1e9)
     }
+    // the dedup audit at its SCALE configuration: 64-bit simhash
+    // candidates scored against MinHash-LSH verified pairs (recall ≈ 1
+    // at this sizing — the practical stand-in for exact Jaccard, whose
+    // §G exponent makes it the wrong reference at depth)
+    val dedupEval64 = if (!want("d_dedup_eval_64")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.Eval.pairAgreement(
+        graft.ops.Dedup.simhashPairs(docs, maxHamming = 3),
+        graft.ops.Dedup.minhashLshPairs(docs, numHashes = 96, bands = 32)))
+      ("d_dedup_eval_64", (System.nanoTime() - t) / 1e9)
+    }
     // hard-negative mining through the IVF arm at a pruning config —
     // the contrastive-batch builder's recurring cost
     val hardNeg = if (!want("e_hard_negatives_real")) None else Some {
@@ -308,7 +320,7 @@ object ScaleBench {
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
-      sh64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
+      sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
