@@ -401,6 +401,41 @@ class PipelineOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("textOverlapF1 invariants: containment pins precision, bounds always hold") {
+    import graft.ops.Eval
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val genPairs = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n, for {
+        ref <- Gen.nonEmptyListOf(Gen.oneOf(words))
+        cut <- Gen.choose(0, ref.length) // prefix ⊆ ref as a multiset
+        extra <- Gen.listOf(Gen.oneOf(words))
+      } yield (ref, ref.take(cut), extra))
+    } yield rows.zipWithIndex.map { case ((ref, pre, extra), i) =>
+      (i.toLong, pre.mkString(" "), ref.mkString(" "), extra.mkString(" "))
+    }
+    forAllSeeded(genPairs, trials = 8) { rows =>
+      val contained = rows.map { case (id, pre, ref, _) => (id, pre, ref) }
+        .toDF("doc_id", "pred", "ref")
+      Eval.textOverlapF1(contained).collect().foreach { r =>
+        val (np, ov, p) = (r.getLong(1), r.getLong(3), r.getLong(4))
+        assert(ov == np, s"containment must make overlap = |pred|: $r")
+        assert(np == 0L || p == 1000000L, s"contained pred must read precision 1: $r")
+      }
+      // arbitrary preds: every metric stays a valid e6 ratio and the
+      // overlap never exceeds either side
+      val arb = rows.map { case (id, _, ref, extra) => (id, extra, ref) }
+        .toDF("doc_id", "pred", "ref")
+      Eval.textOverlapF1(arb).collect().foreach { r =>
+        val (np, nr, ov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(ov <= math.min(np, nr))
+        Seq(4, 5, 6).foreach(i =>
+          assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L, s"ratio bound: $r"))
+      }
+    }
+  }
+
   test("simhash pigeonhole pairs equal brute force for any corpus and maxHamming") {
     import graft.ops.Dedup
     import spark.implicits._
