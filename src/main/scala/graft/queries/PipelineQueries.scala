@@ -811,11 +811,16 @@ object PipelineQueries {
   /** Frame sampling over the synthetic media bytes (every 4th byte as
     * a "frame" feature) — the video-sampling batch shape with the
     * decoder stubbed at the documented seam; byte↔char bijection makes
-    * the oracle a character-position replay. */
+    * the oracle a character-position replay. Output is EXPLODED to one
+    * (media_id, frame_idx, frame_byte) row per sampled frame: the gate
+    * hashes primitive cells, and an array-typed column is opaque to it
+    * (the r7 driver artifact could not adjudicate the array shape). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(
       Multimodal.syntheticMedia(Tables.documents(spark, dir)), stride = 4)
-      .orderBy("media_id")
+      .select(col("media_id"),
+        posexplode(col("frame_bytes")).as(Seq("frame_idx", "frame_byte")))
+      .orderBy("media_id", "frame_idx")
 
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1895,7 +1900,52 @@ object PipelineQueries {
        |        CAST(SUM(tf * lp_e6) AS BIGINT) AS s
        |      FROM ptf JOIN lp USING (prev, cur) GROUP BY 1)""".stripMargin
 
+  /** Unrolled BPE-training oracle: replays [[TextAnalysis.bpeMerges]]'
+    * `n` merge iterations in plain SQL — each iteration is one
+    * adjacent-pair count over the vocabulary frame, a deterministic
+    * argmax (cnt desc, l asc, r asc; minPairFreq = 2), and a leftmost
+    * non-overlapping merge. The merge itself is a `list_reduce` fold
+    * (append `r` to the accumulator when its LAST symbol is exactly `l`
+    * and the next is `r`, else append the symbol) — provably the same
+    * greedy pass as the engine's bounded-lookaround `regexp_replace`,
+    * because a just-merged symbol `l||r` can never re-match `l`.
+    * CTEs are MATERIALIZED so the k-deep chain evaluates each
+    * vocabulary generation once. */
+  private def bpeMergesOracleSql(n: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+         |         CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($ToksSql) AS w FROM documents) GROUP BY 1)""".stripMargin
+    val steps = (1 to n).flatMap { k =>
+      val p =
+        s"""p$k AS (
+           |  SELECT u[i] AS l, u[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(sym, ' ') AS u, freq FROM w${k - 1} WHERE len(sym) > 1),
+           |       UNNEST(range(1, len(u))) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      val m =
+        s"""m$k AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      val w =
+        if (k == n) Nil
+        else Seq(
+          s"""w$k AS MATERIALIZED (
+             |  SELECT list_reduce(string_split(sym, ' '),
+             |    (acc, x) -> CASE WHEN (acc = m$k.l OR right(acc, len(m$k.l) + 1) = ' ' || m$k.l) AND x = m$k.r
+             |                THEN acc || x ELSE acc || ' ' || x END) AS sym, freq
+             |  FROM w${k - 1}, m$k)""".stripMargin)
+      Seq(p, m) ++ w
+    }
+    val union = (1 to n).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m$k"""
+    }.mkString("\nUNION ALL ")
+    (Seq(w0) ++ steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d_bpe_merges" -> bpeMergesOracleSql(8),
     // exact-rational bins: (inter*10) div union, J=1 clamps to bin 9
     "d_sim_spectrum" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
@@ -3810,10 +3860,11 @@ object PipelineQueries {
         |FROM p ORDER BY media_id""".stripMargin,
     "d_multimodal_frames" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  list_transform(
-        |    range(0, GREATEST(CAST(floor(strlen(text) / 4) AS INT) - 1, 0) + 1),
-        |    i -> ascii(text[i * 4 + 1 : i * 4 + 1])) AS frame_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |  CAST(i AS INT) AS frame_idx,
+        |  ascii(text[i * 4 + 1 : i * 4 + 1]) AS frame_byte
+        |FROM documents,
+        |  UNNEST(range(0, GREATEST(CAST(floor(strlen(text) / 4) AS INT) - 1, 0) + 1)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
