@@ -79,6 +79,10 @@ object Reports {
         TextAnalysis.polyHash(Dedup.normText(col(textCol))).as("__fp"))
       .groupBy(srcCol)
       .agg(count(lit(1)).as("n_docs"), sum("__nc").as("n_chars"),
-        (sum("__fp") % lit(1000000007L)).as("content_sum"))
+        // accumulate in decimal(38,0): per-doc fingerprints reach ~1e9,
+        // so a plain long sum silently wraps past ~9.2e9 docs/source and
+        // would diverge from any wide-integer recompute of the manifest
+        (sum(col("__fp").cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("content_sum"))
   }
 }

@@ -1557,7 +1557,9 @@ object TextAnalysis {
     * of log frequency on log rank over the top `topN` vocabulary —
     * natural language sits near −1 (Zipf's law); template/boilerplate
     * corpora flatten (head tokens too uniform), spam/generated text
-    * steepens. One row out: (n_types, slope_e4). The regression runs
+    * steepens. One row out: (n_types, slope) — slope a 4-dp double,
+    * 0.0 for a degenerate single-type corpus (n = 1 makes the
+    * least-squares denominator exactly 0). The regression runs
     * on e6-quantized logs (x = ⌊ln rank·10⁶⌋, y = ⌊ln freq·10⁶⌋), so
     * the Σx/Σy/Σxy/Σx² moments are exact integers and the single
     * closed-form division (num/den as one double op, rounded to 4 dp)
@@ -1584,8 +1586,10 @@ object TextAnalysis {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
       .select(col("n").as("n_types"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L, lit(0.0))
+          .otherwise(
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4))
           .as("slope"))
   }
 }

@@ -3136,8 +3136,9 @@ object PipelineQueries {
          |mo AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          |         SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
          |SELECT n AS n_types,
-         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-         |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |                  CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS slope
          |FROM mo""".stripMargin,
     "e_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

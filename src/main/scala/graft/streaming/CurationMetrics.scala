@@ -123,11 +123,17 @@ object CorpusMetrics {
 
   val MetricPrefix = "~corpus."
 
-  /** Card rows → (metric, ts_ms, value): three series per source. */
+  /** Card rows → (metric, ts_ms, value): three series per source.
+    * The source component is the only data-driven part of any metric
+    * name on the surface — sanitize it to [A-Za-z0-9_-] (everything
+    * else → '_') so a source containing '.', '"', '/' or regex
+    * metacharacters can't mint series that InfluxQL name/regex reads
+    * (`select from "..."`, `list series /.../`) cannot address. */
   def cardMeasurements(card: DataFrame, tsMs: Long): DataFrame = {
+    val src = regexp_replace(col("source"), "[^A-Za-z0-9_-]", "_")
     def m(field: String, value: org.apache.spark.sql.Column) =
       struct(
-        concat(lit(MetricPrefix), col("source"), lit(s".$field")).as("metric"),
+        concat(lit(MetricPrefix), src, lit(s".$field")).as("metric"),
         value.cast("long").as("value"))
     card.select(explode(array(
         m("docs", col("n_docs")),

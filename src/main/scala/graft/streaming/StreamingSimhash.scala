@@ -44,10 +44,17 @@ class StreamingSimhash(spark: SparkSession, baseDir: String,
   def keptPath: String = keptDir
 
   /** Compact the signature and block stores' per-batch slivers
-    * (maintenance-window op). */
+    * (maintenance-window op). Canonicalizes like the BM25 twin: an
+    * at-least-once replay double-appends rows, and without folding the
+    * read-side healing (per-id dedup — a doc's signature is a pure
+    * function of its text) into the rewrite, duplicates would persist
+    * through compaction and permanently widen the candidate fan-out
+    * past the 'one long per kept doc' state bound. */
   def compactStore(maxFiles: Int = 8): Boolean = {
-    val a = StoreCompaction.compactDir(spark, sigDir, maxFiles)
-    val b = StoreCompaction.compactDir(spark, bkDir, maxFiles)
+    val a = StoreCompaction.compactDir(spark, sigDir, maxFiles,
+      canonicalize = _.dropDuplicates("id"))
+    val b = StoreCompaction.compactDir(spark, bkDir, maxFiles,
+      canonicalize = _.dropDuplicates("id", "blk"))
     a && b
   }
 

@@ -88,6 +88,23 @@ class CurationMetricsSpec extends SparkSpec {
     assert(again.length == 1 && again(0).getAs[Double]("value") == 500000.0)
   }
 
+  test("card source names sanitize to the InfluxQL-addressable charset") {
+    import spark.implicits._
+    // a raw crawl source full of '.', '/', '"' and regex metacharacters
+    // — the first data-driven series-name component on the surface
+    val docs = Seq((1L, "web/cc.v2 (2024)\"*\"", "en", "some words here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val card = graft.ops.Reports.sourceCard(docs)
+    val names = graft.streaming.CorpusMetrics.cardMeasurements(card, 0L)
+      .select("metric").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq(
+      "~corpus.web_cc_v2__2024____.docs",
+      "~corpus.web_cc_v2__2024____.dup_rate_e6",
+      "~corpus.web_cc_v2__2024____.tokens"))
+    // every emitted name is addressable by a quoted InfluxQL read
+    names.foreach(n => assert(n.matches("~corpus\\.[A-Za-z0-9_-]+\\.[a-z0-9_]+"), n))
+  }
+
   test("gateAlerts flag collapsed stages per batch, replay-deduped") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_galert").toString

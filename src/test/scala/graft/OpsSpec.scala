@@ -2213,6 +2213,11 @@ class OpsSpec extends SparkSpec {
     val uniform = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
     val flat = TextAnalysis.zipfSlope(uniform, topN = 8).collect()(0)
     assert(flat.getLong(0) == 8L && flat.getDouble(1) == 0.0)
+    // degenerate single-type corpus: n = 1 zeroes the least-squares
+    // denominator — the guard reports 0.0, not NaN
+    val one = Seq((1L, "same same same")).toDF("doc_id", "text")
+    val deg = TextAnalysis.zipfSlope(one, topN = 8).collect()(0)
+    assert(deg.getLong(0) == 1L && deg.getDouble(1) == 0.0)
     val corpus = TextAnalysis.zipfSlope(docs).collect()(0)
     // the sf0.001 synthetic corpus is template-heavy (head tokens near
     // uniform), so its slope is shallow — assert direction, not depth

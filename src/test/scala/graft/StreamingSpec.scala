@@ -596,6 +596,30 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming simhash: compaction heals at-least-once double-appends") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ssimc").toString
+    // simulate an at-least-once replay: the same batch's signature and
+    // block rows land TWICE (and in two files, so compaction triggers)
+    val sig = Seq((1L, 111L), (2L, 222L)).toDF("id", "simhash")
+    val bk = graft.ops.Dedup.simhashBands(sig, nBlocks = 4, bits = 64)
+    for (_ <- 0 until 2) {
+      sig.coalesce(1).write.mode("append").parquet(s"$base/signatures")
+      bk.coalesce(1).write.mode("append").parquet(s"$base/buckets")
+    }
+    val sd = new graft.streaming.StreamingSimhash(spark, base)
+    assert(sd.compactStore(maxFiles = 1))
+    spark.catalog.refreshByPath(s"$base/signatures")
+    spark.catalog.refreshByPath(s"$base/buckets")
+    // canonicalized: back to the 'one long per kept doc' state bound
+    val sigs = spark.read.parquet(s"$base/signatures")
+    assert(sigs.count() == 2L, "duplicate signature rows survived compaction")
+    assert(sigs.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 111L), (2L, 222L)))
+    val bks = spark.read.parquet(s"$base/buckets")
+    assert(bks.count() == 8L, "duplicate block rows survived compaction")
+  }
+
   test("streaming vec near-dup: IVF cell store drops near-dups across batches; index survives restart") {
     val base = Files.createTempDirectory("graft_svndup").toString
     val in = s"$base/in"
