@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions._
 class PqIndexStore(spark: SparkSession, baseDir: String,
                    nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                    residual: Boolean = false, iters: Int = 1,
-                   idCol: String = "vec_id", vecCol: String = "embedding") {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   superProbe: Option[Int] = None,
+                   sampleInit: Boolean = false) {
 
   private val quantDir = s"$baseDir/quantizer"
   private val codesDir = s"$baseDir/codes"
@@ -61,14 +63,23 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val version = System.currentTimeMillis()
     // nlist ≤ 0 derives via the nlist ∝ n rule — the right default for
     // a store whose corpus size is only known at build time
+    // `sampleInit` (hash-sampled Lloyd seeds) is the RETRAIN
+    // configuration: first-k init never seeds a centroid inside an
+    // appended id range, so a retrain over base ∪ drifted mass can't
+    // split the hot cell the audit flagged (§G11)
     val cents = Similarity.ivfCentroids(corpus,
       Similarity.resolveNlist(corpus, nlist, "PqIndexStore.build"),
-      iters, idCol, vecCol)
+      iters, idCol, vecCol, sampleInit)
     require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
+    // `superProbe` threads the two-level assignment through BOTH
+    // build-side n × nlist terms (residual codebook training and the
+    // full-corpus encode) — the same escape hatch ivfTopK's serve path
+    // got when nlist is grown ∝ n (§G9): without it an index BUILD at
+    // 10⁶+ vectors pays the flat assignment the serve was rescued from
     val cbs = Similarity.trainPqCodebooks(corpus, cents, m, ksub, iters,
-      residual, idCol, vecCol)
+      residual, idCol, vecCol, superProbe, sampleInit)
     val encoded = Similarity.pqEncodedBase(corpus, cents, cbs, residual,
-      idCol, vecCol)
+      idCol, vecCol, superProbe)
     // 1. codes first, behind the version pin (invisible until commit)
     encoded.select(lit(version).as("version"), col("n_id"), col("cell"),
         col("codes"))
@@ -148,7 +159,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val (version, art) = load().getOrElse(
       throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
     Similarity.pqEncodedBase(newVecs, art.centroids, art.codebooks, residual,
-        idCol, vecCol)
+        idCol, vecCol, superProbe)
       .select(lit(version).as("version"), col("n_id"), col("cell"), col("codes"))
       .write.mode("append").parquet(codesDir)
     spark.catalog.refreshByPath(codesDir)
@@ -167,7 +178,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     Similarity.ivfPqTopK(corpus, queries, k,
       nlist = art.centroids.length, nprobe = nprobe, m = art.codebooks.length,
       ksub = art.codebooks.head.length, rerank = rerank, iters = iters,
-      idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art))
+      idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art),
+      superProbe = superProbe)
   }
 
   /** Compact the codes store's per-batch slivers and drop rows from
@@ -225,8 +237,9 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     if (hot > 0)
       log.warn(Similarity.hotCellDiagnostic(opName, counts, nlistEff, cap) +
         " For a persisted index the re-balance lever is retraining at a" +
-        " larger nlist (nlist ∝ n keeps E|cell| constant), not a serve-time" +
-        " re-key.")
+        " larger nlist (nlist ∝ n keeps E|cell| constant) with sampleInit" +
+        " (hash-sampled Lloyd seeds — first-k init cannot seed appended" +
+        " mass), not a serve-time re-key.")
     PqIndexStore.CellAudit(counts.size, total,
       if (counts.isEmpty) 0L else counts.values.max, cap, hot,
       counts.values.map(c => c.toDouble * (c.toDouble - 1) / 2).sum)
@@ -234,6 +247,27 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
 }
 
 object PqIndexStore {
+
+  /** The committed quantizer generation sitting beside a `codes/` leaf
+    * — the quantizer dir, else its `__old` fallback (the mid-swap
+    * crash window [[PqIndexStore.load]] honors); None when neither is
+    * readable. Lets the fleet-wide maintenance sweep prune superseded
+    * code generations without instantiating the store: retrain swaps
+    * the quantizer atomically but appends codes per generation, so
+    * without pruning the codes store grows ×(retrain count) while
+    * reads only ever touch `version = committed`. */
+  def committedVersionBeside(spark: SparkSession, codesDir: String): Option[Long] = {
+    val base = Option(new java.io.File(codesDir).getParent).getOrElse(".")
+    Seq(s"$base/quantizer", s"$base/quantizer.__old")
+      .find(d => Files.exists(Paths.get(d)))
+      .flatMap { d =>
+        spark.catalog.refreshByPath(d)
+        try spark.read.parquet(d).select("version").head(1).headOption
+          .map(_.getLong(0))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
+  }
+
   /** One generation's cell-occupancy report: `drifted` is the retrain
     * signal ([[PqIndexStore.audit]]); `projectedPairs` is the
     * Σ C(|cell|,2) candidate bound a pair build over these cells would

@@ -613,13 +613,25 @@ object Similarity {
     * change which candidate pairs the oracle-checked near-dup queries
     * see. */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 1,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   sampleInit: Boolean = false): Seq[Seq[Double]] = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     def normalized(v: Seq[Double]): Seq[Double] = {
       val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
       v.map(_ / nrm)
     }
-    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
+    // `sampleInit` draws the seed vectors UNIFORMLY across the corpus
+    // (smallest xxhash64(id) — deterministic, distributed TakeOrdered,
+    // no global sort) instead of the first nlist ids. First-k init is
+    // fine for a one-shot build, but a RETRAIN over base ∪ appended
+    // corpus never seeds a centroid inside the appended id range, so
+    // concentrated new mass stays one hot cell no matter how far nlist
+    // grows (§G11) — hash-sampled init seeds proportionally to mass
+    // and lets Lloyd split it. Kept opt-in: the oracle queries replay
+    // first-k init in SQL.
+    val seedOrder =
+      if (sampleInit) Seq(xxhash64(col(idCol)), col(idCol)) else Seq(col(idCol))
+    var cents: Seq[Seq[Double]] = corpus.orderBy(seedOrder: _*).limit(nlist)
       .select(col(vecCol)).collect()
       .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
     // an empty corpus trains no quantizer — return the empty set
@@ -938,7 +950,8 @@ object Similarity {
     * array, then of the assigned subvector). */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 1,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  normalize: Boolean = true): Seq[Seq[Seq[Double]]] = {
+                  normalize: Boolean = true,
+                  sampleInit: Boolean = false): Seq[Seq[Seq[Double]]] = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     def normalized(v: Seq[Double]): Seq[Double] =
       if (!normalize) v
@@ -946,7 +959,10 @@ object Similarity {
         val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
         v.map(_ / nrm)
       }
-    val init = corpus.orderBy(col(idCol)).limit(ksub)
+    // hash-sampled seed codewords for retrains — see [[ivfCentroids]]
+    val seedOrder =
+      if (sampleInit) Seq(xxhash64(col(idCol)), col(idCol)) else Seq(col(idCol))
+    val init = corpus.orderBy(seedOrder: _*).limit(ksub)
       .select(col(vecCol)).collect()
       .map(r => normalized(r.getSeq[Number](0).map(_.doubleValue()))).toSeq
     if (init.isEmpty) return Seq.empty
@@ -1030,13 +1046,14 @@ object Similarity {
     * build/append (encode-at-ingest). */
   private[graft] def pqEncodedBase(corpus: DataFrame, cents: Seq[Seq[Double]],
                                    cbs: Seq[Seq[Seq[Double]]], residual: Boolean,
-                                   idCol: String, vecCol: String): DataFrame =
+                                   idCol: String, vecCol: String,
+                                   superProbe: Option[Int] = None): DataFrame =
     if (!residual) corpus.select(col(idCol).as("n_id"), col(vecCol).as("__v"),
-      element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+      element_at(probeExpr(col(vecCol), cents, 1, superProbe), 1).as("cell"),
       graft.functions.pq_encode(col(vecCol), cbs).as("codes"))
     else corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("__v"),
-        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"))
+        element_at(probeExpr(col(vecCol), cents, 1, superProbe), 1).as("cell"))
       .select(col("n_id"), col("__v"), col("cell"),
         graft.functions.pq_encode(residCol(cents)(col("__v"), col("cell")), cbs,
           normalize = false).as("codes"))
@@ -1047,12 +1064,15 @@ object Similarity {
   private[graft] def trainPqCodebooks(corpus: DataFrame, cents: Seq[Seq[Double]],
                                       m: Int, ksub: Int, iters: Int,
                                       residual: Boolean,
-                                      idCol: String, vecCol: String): Seq[Seq[Seq[Double]]] =
-    if (!residual) pqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+                                      idCol: String, vecCol: String,
+                                      superProbe: Option[Int] = None,
+                                      sampleInit: Boolean = false): Seq[Seq[Seq[Double]]] =
+    if (!residual) pqCodebooks(corpus, m, ksub, iters, idCol, vecCol,
+      sampleInit = sampleInit)
     else pqCodebooks(
       corpus.select(col(idCol), residCol(cents)(col(vecCol),
-        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1)).as("__res")),
-      m, ksub, iters, idCol, "__res", normalize = false)
+        element_at(probeExpr(col(vecCol), cents, 1, superProbe), 1)).as("__res")),
+      m, ksub, iters, idCol, "__res", normalize = false, sampleInit = sampleInit)
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
@@ -1060,7 +1080,8 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 residual: Boolean = false,
                 hotCellFactor: Double = DefaultHotCellFactor,
-                index: Option[PqIndexArtifacts] = None): DataFrame = {
+                index: Option[PqIndexArtifacts] = None,
+                superProbe: Option[Int] = None): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     index.foreach { art =>
       require(art.residual == residual,
@@ -1085,7 +1106,8 @@ object Similarity {
     // per cell) — nprobe LUT builds per query instead of one.
     val residOf = residCol(cents) _
     val cbs = index.map(_.codebooks)
-      .getOrElse(trainPqCodebooks(corpus, cents, m, ksub, iters, residual, idCol, vecCol))
+      .getOrElse(trainPqCodebooks(corpus, cents, m, ksub, iters, residual,
+        idCol, vecCol, superProbe))
     val kEff = cbs.head.length // < ksub on a tiny corpus
     // codes and LUTs are computed under the TOP-LEVEL cell (residual
     // geometry is per Voronoi cell of the coarse quantizer); the
@@ -1099,7 +1121,8 @@ object Similarity {
         // partition it would then disagree with
         (stored.select(col("n_id"), col("cell"), col("codes")), Seq.empty[HotSplit])
       case None =>
-        val base = pqEncodedBase(corpus, cents, cbs, residual, idCol, vecCol)
+        val base = pqEncodedBase(corpus, cents, cbs, residual, idCol, vecCol,
+          superProbe)
         val s = detectHotSplits(base.select(col("n_id"), col("__v"), col("cell")),
           cents.length, "n_id", "__v", iters, hotCellFactor, "ivfPqTopK")
         (applyHotSplits(base, s, "__v", width = 1).drop("__v"), s)
@@ -1108,12 +1131,12 @@ object Similarity {
     val probedBase =
       if (!residual) queries.select(col(idCol).as("q_id"), col(vecCol).as("__v"),
         graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
-        explode(graft.functions.ivf_probe(col(vecCol), cents,
-          math.min(nprobe, cents.length))).as("cell"))
+        explode(probeExpr(col(vecCol), cents,
+          math.min(nprobe, cents.length), superProbe)).as("cell"))
       else queries
         .select(col(idCol).as("q_id"), col(vecCol).as("__v"),
-          explode(graft.functions.ivf_probe(col(vecCol), cents,
-            math.min(nprobe, cents.length))).as("cell"))
+          explode(probeExpr(col(vecCol), cents,
+            math.min(nprobe, cents.length), superProbe)).as("cell"))
         .select(col("q_id"), col("__v"), col("cell"),
           graft.functions.pq_lut(residOf(col("__v"), col("cell")), cbs,
             normalize = false).as("lut"))
@@ -1186,13 +1209,15 @@ object Similarity {
                         centroids: Option[Seq[Seq[Double]]] = None,
                         codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
                         sdcMargin: Double = 0.3,
-                        hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
+                        hotCellFactor: Double = DefaultHotCellFactor,
+                        superProbe: Option[Int] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus,
       resolveNlist(corpus, nlist, "ivfPqNearDupPairs"), iters, idCol, vecCol))
     if (cents.isEmpty) return noPairs(corpus, idCol)
     val cbs = codebooks.getOrElse(
-      trainPqCodebooks(corpus, cents, m, ksub, iters, residual = false, idCol, vecCol))
+      trainPqCodebooks(corpus, cents, m, ksub, iters, residual = false,
+        idCol, vecCol, superProbe))
     if (cbs.isEmpty || cbs.head.isEmpty) return noPairs(corpus, idCol)
     val kEff = cbs.head.length
     // codeword-pair distance tables: T[(j·kEff + a)·kEff + b] =
@@ -1214,7 +1239,7 @@ object Similarity {
     val probed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       graft.functions.pq_encode(col(vecCol), cbs).as("codes"),
       explode(probeExpr(col(vecCol), cents, math.min(nprobe, cents.length),
-        None)).as("cell"))
+        superProbe)).as("cell"))
     val splits = detectHotSplits(probed0, cents.length, "id", "v", iters,
       hotCellFactor, "ivfPqNearDupPairs")
     val pairWidth = if (nprobe >= cents.length) Int.MaxValue else 2

@@ -80,6 +80,7 @@ object StoreCompaction {
                                                  // the same name never exceeds
                                                  // maxFiles — sweep is a no-op)
     "postings", "docs",                          // BM25 index
+    "codes",                                     // PQ index code rows
     "funnel")                                    // curation funnel record
 
   /** Maintenance sweep: compact every known flat store found anywhere
@@ -105,7 +106,22 @@ object StoreCompaction {
         // canonicalization stays with the owning twin's compactStore
         // (it needs the twin's healing rule, which sweep must not guess)
         val sortCols = if (d.getName == "postings") Seq("token") else Nil
-        compactDir(spark, d.getPath, maxFiles, targetFiles, sortCols)
+        // PQ code stores append per retrain generation while reads pin
+        // `version = committed` — fold the superseded-generation prune
+        // into the rewrite (the committed version is readable from the
+        // sibling quantizer without instantiating the store; a `codes`
+        // dir with no quantizer beside it compacts plain)
+        val canonicalize: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+          if (d.getName != "codes") identity
+          else graft.ops.PqIndexStore.committedVersionBeside(spark, d.getPath) match {
+            case Some(v) => df =>
+              if (df.columns.contains("version"))
+                df.where(org.apache.spark.sql.functions.col("version") === v)
+              else df
+            case None => identity
+          }
+        compactDir(spark, d.getPath, maxFiles, targetFiles, sortCols, canonicalize)
       }
       .map(_.getPath)
   }

@@ -155,6 +155,115 @@ class PqIndexStoreSpec extends SparkSpec {
     val queries = emb.where(col("vec_id") < 5)
     assert(store.topK(emb, queries, k = 3, nprobe = 4, rerank = 1000000)
       .count() > 0)
+    // NOTE a retrain cannot heal THIS fixture: 1600 near-copies at
+    // cosine ≥ 0.9999 are duplicate mass (one Voronoi site wins them
+    // all at any nlist) — the lever for copies is the vec near-dup
+    // pipeline, not the quantizer. Distribution drift, which retrain
+    // DOES heal, is the next spec.
+  }
+
+  test("audit → retrain(sampleInit) → swap heals distribution drift end-to-end") {
+    import spark.implicits._
+    val dir = tmpDir("heal")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    assert(!store.audit().get.drifted)
+    // distribution drift: 1500 vectors in ONE cluster at the §G4-like
+    // geometry (member↔center cosine ≈ 0.89, member↔member ≈ 0.8,
+    // norms matching the corpus) whose mass the build corpus did not
+    // contain — the cluster collapses into one A-trained Voronoi cell
+    val rnd = new scala.util.Random(99)
+    val center = {
+      val c = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(8.0 * _ / n)
+    }
+    val drift = (0 until 1500).map { i =>
+      (5000L + i, center.map(x => (x + 0.5 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+      .localCheckpoint()
+    store.append(drift)
+    val drifted = store.audit().get
+    assert(drifted.total == 1900L)
+    assert(drifted.drifted, s"appended cluster mass not flagged: $drifted")
+    // the maintenance response the WARN names: retrain on the full
+    // corpus, nlist regrown ∝ n, HASH-SAMPLED init (first-k init never
+    // seeds a centroid inside the appended id range, so Lloyd could
+    // not split the new mass no matter how far nlist grows)
+    val full = emb.union(drift).localCheckpoint()
+    val nlist2 = Similarity.suggestNlist(1900, targetCellSize = 64)
+    val retrained = new PqIndexStore(spark, dir, nlist = nlist2,
+      m = 8, ksub = 16, iters = 2, sampleInit = true)
+    val v2 = retrained.build(full)
+    assert(retrained.load().get._1 == v2, "retrain did not swap the generation")
+    val healed = retrained.audit().get
+    assert(healed.total == 1900L)
+    assert(!healed.drifted, s"retrain left drift: $healed")
+    // recall restored bit-for-bat under the exhaustive config through
+    // the NEW generation's codes
+    val q2 = full.where(col("vec_id") % 400 === 0)
+    assert(rows(retrained.topK(full, q2, k = 5, nprobe = nlist2,
+        rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(full, q2, 5)))
+  }
+
+  test("two-level build assignment: full super coverage equals flat bit-for-bit; pruned stays exact at exhaustive serve") {
+    val queries = emb.where(col("vec_id") < 20)
+    // nlist 16 → ⌈√16⌉ = 4 super-cells; probing all 4 scans every
+    // centroid, so the hierarchical build must reproduce the flat build
+    // EXACTLY: same cells, same codes, same serve answers
+    val flatDir = tmpDir("hier_flat")
+    val hierDir = tmpDir("hier_full")
+    val flatStore = new PqIndexStore(spark, flatDir, nlist = 16, m = 8, ksub = 16)
+    flatStore.build(emb)
+    val fullStore = new PqIndexStore(spark, hierDir, nlist = 16, m = 8, ksub = 16,
+      superProbe = Some(4))
+    fullStore.build(emb)
+    def codeRows(s: PqIndexStore) = {
+      spark.catalog.refreshByPath(s.codesPath)
+      spark.read.parquet(s.codesPath)
+        .select("n_id", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+    }
+    assert(codeRows(fullStore) == codeRows(flatStore),
+      "full-coverage two-level build diverged from the flat build")
+    assert(rows(fullStore.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(flatStore.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)))
+    // the PRUNED configuration (the 10⁶-vector build shape): cell
+    // assignment is approximate, but the exhaustive serve probes every
+    // cell, so correctness cannot depend on which cell a vector landed in
+    val prunedDir = tmpDir("hier_pruned")
+    val pruned = new PqIndexStore(spark, prunedDir, nlist = 16, m = 8, ksub = 16,
+      superProbe = Some(2))
+    pruned.build(emb)
+    assert(rows(pruned.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, 5)))
+  }
+
+  test("maintenance sweep prunes superseded code generations behind the committed version") {
+    val dir = tmpDir("sweepgen")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb.where(col("vec_id") < 300))
+    store.append(emb.where(col("vec_id") >= 300))
+    // two retrains: each swaps the quantizer and strands the previous
+    // generation's code rows (reads pin version = committed)
+    store.build(emb)
+    val v3 = store.build(emb)
+    spark.catalog.refreshByPath(store.codesPath)
+    assert(spark.read.parquet(store.codesPath).select("version")
+      .distinct().count() == 3, "fixture should hold three generations")
+    val queries = emb.where(col("vec_id") % 40 === 0)
+    val before = rows(store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000))
+    val swept = graft.streaming.StoreCompaction.sweep(spark, dir, maxFiles = 1)
+    assert(swept.exists(_.endsWith("codes")), s"sweep skipped the codes store: $swept")
+    spark.catalog.refreshByPath(store.codesPath)
+    val codes = spark.read.parquet(store.codesPath)
+    assert(codes.select("version").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(v3), "superseded generations survived the sweep")
+    assert(codes.count() == 400)
+    assert(rows(store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) == before,
+      "sweep changed serve output")
   }
 
   test("hard negatives from a persisted quantizer: zero training, exhaustive ≡ exact") {

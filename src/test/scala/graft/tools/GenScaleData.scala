@@ -40,7 +40,13 @@ object GenScaleData {
     // (the hybrid-retrieval grading regime: realistic df on the
     // lexical arm, zipf cell skew on the dense arm)
     val mode = args.lift(2).getOrElse("")
-    val clustered = mode == "clustered" || mode == "stress"
+    // `shifted`: clustered geometry with the cluster CENTERS drawn from
+    // an independent seed — the mass sits on different sphere regions
+    // than the `clustered` corpus at the same size. Appending a shifted
+    // corpus to an index trained on the clustered one is the §G11
+    // quantizer-drift regime: cells shaped for corpus A serve corpus B.
+    val shifted = mode == "shifted"
+    val clustered = mode == "clustered" || mode == "stress" || shifted
     // `tailvocab`: 25% of tokens draw from a 100k-id uniform tail
     // ("tail<k>") on top of the 31-word head — the realistic df
     // distribution the BM25 serve-vs-scan separation needs (with the
@@ -55,10 +61,11 @@ object GenScaleData {
     // zipf(1)-weighted cluster centers for the clustered mode: center
     // sampling via inverse-CDF over the harmonic weights
     val nClusters = 1000
+    val centerRnd = if (shifted) new Random(9191) else rnd
     val centers: Array[Array[Float]] =
       if (!clustered) Array.empty
       else Array.fill(nClusters) {
-        val c = Array.fill(dims)(rnd.nextGaussian().toFloat)
+        val c = Array.fill(dims)(centerRnd.nextGaussian().toFloat)
         val nrm = math.sqrt(c.map(x => x * x).sum).toFloat
         c.map(_ / nrm)
       }

@@ -287,6 +287,26 @@ object ScaleBench {
         centroids = Some(cents)))
       ("e_hard_negatives_pinned", (System.nanoTime() - t) / 1e9)
     }
+    // PQ index BUILD, flat vs two-level assignment (§G10 follow-through
+    // of the §G9 serve-side fix): build pays the same n × nlist
+    // assignment term twice (residual-free codebook training is
+    // nlist-independent, but the full-corpus encode assigns every
+    // vector) — superProbe caps it at ≈ 3·√nlist dots per vector
+    def pqBuild(name: String, sp: Option[Int]) =
+      if (!want(name)) None else Some {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("vec_id", "embedding")
+        val n = emb.count()
+        val nlist = Similarity.suggestNlist(n)
+        val base = java.nio.file.Files.createTempDirectory("graft_pqb").toString
+        val store = new graft.ops.PqIndexStore(spark, base, nlist = nlist,
+          m = 8, ksub = 16, superProbe = sp)
+        val t = System.nanoTime()
+        store.build(emb)
+        (name, (System.nanoTime() - t) / 1e9)
+      }
+    val pqBuildFlat = pqBuild("pq_index_build", None)
+    val pqBuildHier = pqBuild("pq_index_build_hier", Some(2))
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -321,6 +341,7 @@ object ScaleBench {
       ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
+      pqBuildFlat ++ pqBuildHier ++
       bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
