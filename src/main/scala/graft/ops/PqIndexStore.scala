@@ -44,7 +44,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
                    residual: Boolean = false, iters: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    superProbe: Option[Int] = None,
-                   sampleInit: Boolean = false) {
+                   sampleInit: Boolean = false,
+                   trainCap: Int = 0) {
 
   private val quantDir = s"$baseDir/quantizer"
   private val codesDir = s"$baseDir/codes"
@@ -63,20 +64,32 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val version = System.currentTimeMillis()
     // nlist ≤ 0 derives via the nlist ∝ n rule — the right default for
     // a store whose corpus size is only known at build time
+    // `trainCap > 0` trains quantizer + codebooks on a hash-sampled
+    // subset (the smallest-xxhash64 trainCap vectors — deterministic,
+    // one distributed TakeOrdered) and only the ENCODE pass touches
+    // every vector — how production PQ trainers work (k-means sees
+    // ~50-250 vectors per centroid, not the corpus; at 10⁹ vectors
+    // training on everything prices each Lloyd iteration as a full
+    // corpus aggregate for no recall gain). nlist still derives from
+    // the FULL corpus count (nlist ∝ n bounds cell size at serve).
+    val trainSet =
+      if (trainCap <= 0) corpus
+      else corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+        .localCheckpoint()
     // `sampleInit` (hash-sampled Lloyd seeds) is the RETRAIN
     // configuration: first-k init never seeds a centroid inside an
     // appended id range, so a retrain over base ∪ drifted mass can't
     // split the hot cell the audit flagged (§G11)
-    val cents = Similarity.ivfCentroids(corpus,
+    val cents = Similarity.ivfCentroids(trainSet,
       Similarity.resolveNlist(corpus, nlist, "PqIndexStore.build"),
-      iters, idCol, vecCol, sampleInit)
+      iters, idCol, vecCol, sampleInit, superProbe)
     require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
     // `superProbe` threads the two-level assignment through BOTH
     // build-side n × nlist terms (residual codebook training and the
     // full-corpus encode) — the same escape hatch ivfTopK's serve path
     // got when nlist is grown ∝ n (§G9): without it an index BUILD at
     // 10⁶+ vectors pays the flat assignment the serve was rescued from
-    val cbs = Similarity.trainPqCodebooks(corpus, cents, m, ksub, iters,
+    val cbs = Similarity.trainPqCodebooks(trainSet, cents, m, ksub, iters,
       residual, idCol, vecCol, superProbe, sampleInit)
     val encoded = Similarity.pqEncodedBase(corpus, cents, cbs, residual,
       idCol, vecCol, superProbe)

@@ -426,7 +426,8 @@ object Similarity {
                       hotCellFactor: Double = DefaultHotCellFactor): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus,
-      resolveNlist(corpus, nlist, "ivfNearDupPairs"), iters, idCol, vecCol))
+      resolveNlist(corpus, nlist, "ivfNearDupPairs"), iters, idCol, vecCol,
+      superProbe = superProbe))
     // an empty corpus trains zero centroids; fewer vectors than nprobe
     // train fewer cells than the probe width — clamp, don't crash
     if (cents.isEmpty) return noPairs(corpus, idCol)
@@ -614,7 +615,8 @@ object Similarity {
     * see. */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   sampleInit: Boolean = false): Seq[Seq[Double]] = {
+                   sampleInit: Boolean = false,
+                   superProbe: Option[Int] = None): Seq[Seq[Double]] = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     def normalized(v: Seq[Double]): Seq[Double] = {
       val nrm = math.sqrt(v.map(x => x * x).sum) max 1e-12
@@ -639,8 +641,13 @@ object Similarity {
     // treat it as "no index": no pairs, no neighbors)
     if (cents.isEmpty) return cents
     for (_ <- 0 until iters) {
+      // `superProbe` runs the Lloyd ASSIGNMENT through the two-level
+      // probe (≈ 3·√nlist dots/vector instead of nlist) — hierarchical
+      // k-means, the same approximation FAISS-style IMI trainers use;
+      // the super-grouping rebuilds per iteration from the current
+      // centroids (driver-side k-means over nlist tiny points)
       val assigned = corpus.select(
-        element_at(graft.functions.ivf_probe(col(vecCol), cents, 1), 1).as("cell"),
+        element_at(probeExpr(col(vecCol), cents, 1, superProbe), 1).as("cell"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       val sums = assigned.groupBy("cell", "dim")
         .agg(sum(round(col("x").cast("double") * CentroidQuant).cast("long")).as("sq"),
@@ -689,7 +696,7 @@ object Similarity {
     // training jobs — mirrors ivfNearDupPairs' `centroids`
     val cents = centroids.getOrElse(
       ivfCentroids(corpus, resolveNlist(corpus, nlist, "ivfTopK"),
-        iters, idCol, vecCol))
+        iters, idCol, vecCol, superProbe = superProbe))
     // empty corpus ⇒ no index ⇒ no neighbors for any query
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
@@ -1092,7 +1099,8 @@ object Similarity {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = index.map(_.centroids)
       .getOrElse(ivfCentroids(corpus,
-        resolveNlist(corpus, nlist, "ivfPqTopK"), iters, idCol, vecCol))
+        resolveNlist(corpus, nlist, "ivfPqTopK"), iters, idCol, vecCol,
+        superProbe = superProbe))
     if (cents.isEmpty)
       return queries.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id")).limit(0)
@@ -1213,7 +1221,8 @@ object Similarity {
                         superProbe: Option[Int] = None): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val cents = centroids.getOrElse(ivfCentroids(corpus,
-      resolveNlist(corpus, nlist, "ivfPqNearDupPairs"), iters, idCol, vecCol))
+      resolveNlist(corpus, nlist, "ivfPqNearDupPairs"), iters, idCol, vecCol,
+      superProbe = superProbe))
     if (cents.isEmpty) return noPairs(corpus, idCol)
     val cbs = codebooks.getOrElse(
       trainPqCodebooks(corpus, cents, m, ksub, iters, residual = false,

@@ -266,6 +266,22 @@ class PqIndexStoreSpec extends SparkSpec {
       "sweep changed serve output")
   }
 
+  test("sampled training (trainCap) still serves exactly at the exhaustive config") {
+    val dir = tmpDir("traincap")
+    // Lloyd sees only 64 hash-sampled vectors; the encode pass sees all
+    // 400 — the exhaustive config is artifact-independent, so serve
+    // must still equal brute force bit-for-bit
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16,
+      superProbe = Some(4), trainCap = 64)
+    store.build(emb)
+    spark.catalog.refreshByPath(store.codesPath)
+    assert(spark.read.parquet(store.codesPath).count() == 400,
+      "encode pass must cover the full corpus, not the training sample")
+    val queries = emb.where(col("vec_id") < 20)
+    assert(rows(store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, 5)))
+  }
+
   test("hard negatives from a persisted quantizer: zero training, exhaustive ≡ exact") {
     import spark.implicits._
     val labeled = emb.withColumn("label", (col("vec_id") % 5).cast("int"))

@@ -43,7 +43,10 @@ object DriftStudy {
 
     val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
     val nlistA = Similarity.suggestNlist(nA)
-    val store = new PqIndexStore(spark, base, nlist = nlistA, m = 8, ksub = 16,
+    // ksub = 256 matches the §G4 ANN rows (recall there: flat 0.80 at
+    // 1% probe on clustered data); 16 codewords/subspace would price
+    // quantization error as recall and mask the drift signal
+    val store = new PqIndexStore(spark, base, nlist = nlistA, m = 8, ksub = 256,
       superProbe = Some(2))
 
     def timed[T](body: => T): (T, Double) = {
@@ -64,25 +67,31 @@ object DriftStudy {
     val truth = Similarity.bruteForceTopK(full, queries, k)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def recallAndTime(s: PqIndexStore, nprobe: Int): (Double, Double) = {
+    def recallAndTime(s: PqIndexStore, nlist: Int): (Double, Double) = {
+      // probe 1% of cells at either generation so the drifted/healed
+      // recall rows compare at the SAME probe fraction
+      val nprobe = math.max(8, nlist / 100)
       val (got, t) = timed {
-        s.topK(full, queries, k, nprobe = nprobe, rerank = 5 * k)
+        s.topK(full, queries, k, nprobe = nprobe, rerank = 10 * k)
           .select("q_id", "n_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
       (got.intersect(truth).size.toDouble / truth.size, t)
     }
 
-    val (recallDrifted, tServeDrifted) = recallAndTime(store, nprobe = 8)
+    val (recallDrifted, tServeDrifted) = recallAndTime(store, nlistA)
 
     // the maintenance lever the audit WARN names: retrain on the full
     // corpus with nlist regrown ∝ n, atomic swap
     val nlistFull = Similarity.suggestNlist(nA + nB)
+    // the maintenance recipe the healing spec pins: hash-sampled init
+    // (seeds proportional to mass) and a SECOND Lloyd round to settle
+    // the split of the newly-seeded cells
     val retrained = new PqIndexStore(spark, base, nlist = nlistFull,
-      m = 8, ksub = 16, superProbe = Some(2), sampleInit = true)
+      m = 8, ksub = 256, superProbe = Some(2), sampleInit = true, iters = 2)
     val (_, tRetrain) = timed(retrained.build(full))
     val auditHealed = retrained.audit().get
-    val (recallHealed, tServeHealed) = recallAndTime(retrained, nprobe = 8)
+    val (recallHealed, tServeHealed) = recallAndTime(retrained, nlistFull)
 
     def a(x: PqIndexStore.CellAudit): String =
       s"""{"cells":${x.nCells},"total":${x.total},"max_cell":${x.maxCell},""" +

@@ -292,7 +292,7 @@ object ScaleBench {
     // assignment term twice (residual-free codebook training is
     // nlist-independent, but the full-corpus encode assigns every
     // vector) — superProbe caps it at ≈ 3·√nlist dots per vector
-    def pqBuild(name: String, sp: Option[Int]) =
+    def pqBuild(name: String, sp: Option[Int], capPerCell: Int = 0) =
       if (!want(name)) None else Some {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           .selectExpr("vec_id", "embedding")
@@ -300,13 +300,18 @@ object ScaleBench {
         val nlist = Similarity.suggestNlist(n)
         val base = java.nio.file.Files.createTempDirectory("graft_pqb").toString
         val store = new graft.ops.PqIndexStore(spark, base, nlist = nlist,
-          m = 8, ksub = 16, superProbe = sp)
+          m = 8, ksub = 16, superProbe = sp,
+          trainCap = if (capPerCell > 0) capPerCell * nlist else 0)
         val t = System.nanoTime()
         store.build(emb)
         (name, (System.nanoTime() - t) / 1e9)
       }
     val pqBuildFlat = pqBuild("pq_index_build", None)
     val pqBuildHier = pqBuild("pq_index_build_hier", Some(2))
+    // the deployed build shape: two-level assignment AND sampled
+    // training (~50 vectors/centroid see the Lloyd loops; the corpus
+    // is touched once, by the encode pass)
+    val pqBuildSampled = pqBuild("pq_index_build_sampled", Some(2), capPerCell = 50)
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -341,7 +346,7 @@ object ScaleBench {
       ivfNdPinned ++ sdcNdPinned ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
-      pqBuildFlat ++ pqBuildHier ++
+      pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++
       bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
