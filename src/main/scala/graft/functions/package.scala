@@ -77,6 +77,9 @@ package object functions {
           exprs(3).eval().asInstanceOf[Number].intValue(),
           exprs(4).eval().asInstanceOf[Number].intValue()), "scala_udf")
       reg.createOrReplaceTempFunction(
+        "vec_rotate", exprs => VecRotate(exprs.head, doublesOf(exprs(1)),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      reg.createOrReplaceTempFunction(
         "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "gram_buckets", exprs => GramBuckets(exprs.head,
@@ -199,6 +202,14 @@ package object functions {
   def pq_sdc(a: Column, b: Column, table: Seq[Double], m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("pq_sdc", a, b, typedlit(table), lit(m), lit(ksub))
+  }
+
+  /** Rotate a vector by a plan-literal row-major d×d matrix (the OPQ
+    * rotation step — see [[VecRotate]]). */
+  def vec_rotate(vec: Column, mat: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    val d = mat.length
+    call_function("vec_rotate", vec, typedlit(mat.flatten), lit(d))
   }
 
   /** Unpack a packed-codes long into its m per-subspace code ids —

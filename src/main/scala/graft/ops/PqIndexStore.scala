@@ -45,7 +45,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    superProbe: Option[Int] = None,
                    sampleInit: Boolean = false,
-                   trainCap: Int = 0) {
+                   trainCap: Int = 0,
+                   opqRotate: Boolean = false) {
 
   private val quantDir = s"$baseDir/quantizer"
   private val codesDir = s"$baseDir/codes"
@@ -62,6 +63,21 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   def build(corpus: DataFrame): Long = {
     graft.functions.ensureRegistered(spark)
     val version = System.currentTimeMillis()
+    // `opqRotate` trains the OPQ rotation (driver-side Procrustes
+    // alternation on a hash sample — §G12) and builds the WHOLE index
+    // in rotated coordinates: orthogonality preserves dots, so cells,
+    // recalls, and the exhaustive config are unchanged while the PQ
+    // subspaces stop wasting codewords on an anisotropic spectrum
+    // (measured +0.22 recall@10 at ksub 16 on the aniso corpus; a
+    // no-op on variance-balanced corpora). The rotation persists with
+    // the quantizer (kind = 'rot'), so serve and append re-enter
+    // rotated coordinates with zero retraining.
+    val rotation: Option[Seq[Seq[Double]]] =
+      if (!opqRotate) None
+      else Some(Similarity.opqRotation(corpus, m = m, ksub = ksub,
+        idCol = idCol, vecCol = vecCol))
+    val rcorpus = rotation.map(Similarity.rotated(corpus, _, vecCol))
+      .getOrElse(corpus)
     // nlist ≤ 0 derives via the nlist ∝ n rule — the right default for
     // a store whose corpus size is only known at build time
     // `trainCap > 0` trains quantizer + codebooks on a hash-sampled
@@ -73,8 +89,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // corpus aggregate for no recall gain). nlist still derives from
     // the FULL corpus count (nlist ∝ n bounds cell size at serve).
     val trainSet =
-      if (trainCap <= 0) corpus
-      else corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+      if (trainCap <= 0) rcorpus
+      else rcorpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
         .localCheckpoint()
     // `sampleInit` (hash-sampled Lloyd seeds) is the RETRAIN
     // configuration: first-k init never seeds a centroid inside an
@@ -91,7 +107,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // 10⁶+ vectors pays the flat assignment the serve was rescued from
     val cbs = Similarity.trainPqCodebooks(trainSet, cents, m, ksub, iters,
       residual, idCol, vecCol, superProbe, sampleInit)
-    val encoded = Similarity.pqEncodedBase(corpus, cents, cbs, residual,
+    val encoded = Similarity.pqEncodedBase(rcorpus, cents, cbs, residual,
       idCol, vecCol, superProbe)
     // 1. codes first, behind the version pin (invisible until commit)
     encoded.select(lit(version).as("version"), col("n_id"), col("cell"),
@@ -112,9 +128,12 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
         cw.zipWithIndex.map { case (x, d) => (version, "cb", j, c, d, x) }
       }
     }
+    val rotRows = rotation.toSeq.flatMap(_.zipWithIndex.flatMap { case (row, r) =>
+      row.zipWithIndex.map { case (x, d) => (version, "rot", r, 0, d, x) }
+    })
     val tmp = s"$quantDir.__stage"
     val old = s"$quantDir.__old"
-    (centRows ++ cbRows).toDF("version", "kind", "a", "b", "d", "value")
+    (centRows ++ cbRows ++ rotRows).toDF("version", "kind", "a", "b", "d", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     if (Files.exists(Paths.get(quantDir))) {
       graft.sources.TierStore.deleteTree(new java.io.File(old))
@@ -153,11 +172,17 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
             js.groupBy(_._4).toSeq.sortBy(_._1)
               .map { case (_, cs) => cs.sortBy(_._5).map(_._6).toSeq }
           }
+        val rotRows = rows.filter(_._2 == "rot")
+        val rotation =
+          if (rotRows.isEmpty) None
+          else Some(rotRows.groupBy(_._3).toSeq.sortBy(_._1)
+            .map { case (_, rs) => rs.sortBy(_._5).map(_._6).toSeq })
         spark.catalog.refreshByPath(codesDir)
         val codes = spark.read.parquet(codesDir)
           .where(col("version") === version)
           .select(col("n_id"), col("cell"), col("codes"))
-        Some((version, Similarity.PqIndexArtifacts(cents, cbs, Some(codes), residual)))
+        Some((version, Similarity.PqIndexArtifacts(cents, cbs, Some(codes),
+          residual, rotation)))
       }
     }
   }
@@ -171,7 +196,10 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   def append(newVecs: DataFrame): Unit = {
     val (version, art) = load().getOrElse(
       throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
-    Similarity.pqEncodedBase(newVecs, art.centroids, art.codebooks, residual,
+    // a rotated index encodes appends in the same rotated coordinates
+    val rvecs = art.rotation.map(Similarity.rotated(newVecs, _, vecCol))
+      .getOrElse(newVecs)
+    Similarity.pqEncodedBase(rvecs, art.centroids, art.codebooks, residual,
         idCol, vecCol, superProbe)
       .select(lit(version).as("version"), col("n_id"), col("cell"), col("codes"))
       .write.mode("append").parquet(codesDir)
@@ -188,7 +216,14 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
            nprobe: Int = 4, rerank: Int = 50): DataFrame = {
     val (_, art) = load().getOrElse(
       throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
-    Similarity.ivfPqTopK(corpus, queries, k,
+    // a rotated index serves in rotated coordinates (dots/cosines are
+    // preserved, so ranks and the exact rerank are unchanged)
+    val (c, q) = art.rotation match {
+      case Some(r) => (Similarity.rotated(corpus, r, vecCol),
+        Similarity.rotated(queries, r, vecCol))
+      case None => (corpus, queries)
+    }
+    Similarity.ivfPqTopK(c, q, k,
       nlist = art.centroids.length, nprobe = nprobe, m = art.codebooks.length,
       ksub = art.codebooks.head.length, rerank = rerank, iters = iters,
       idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art),

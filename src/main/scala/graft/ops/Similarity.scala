@@ -946,6 +946,184 @@ object Similarity {
     edgeCentrality(mutualKnnPairs(corpus, k, nlist, nprobe, ivfIters, idCol, vecCol),
       powerIters)
 
+  /** OPQ rotation (Ge et al. 2014, public algorithm): a d×d orthogonal
+    * R minimizing the PQ reconstruction error of R·x — alternate
+    * (1) per-subspace k-means on the rotated sample and (2) the
+    * orthogonal Procrustes update R = U·Vᵀ from SVD(Y·Xᵀ), where Y is
+    * the quantized reconstruction. Plain PQ partitions dims into m
+    * fixed blocks; on anisotropic embeddings a block spanning only
+    * low-variance dims wastes its ksub codewords — the rotation
+    * redistributes variance so every subspace carries signal.
+    *
+    * Runs ENTIRELY on the driver over a hash-sampled `sampleCap`
+    * subset (unit-normalized — the geometry every PQ consumer here
+    * uses): 5 alternations × m × n_s × ksub × dsub flops, seconds at
+    * the default sizes, zero Spark jobs. Deterministic: fixed sample
+    * (smallest xxhash64), first-k codeword init, fixed Jacobi sweep
+    * order. Apply with [[rotated]]; because R is orthogonal, dots and
+    * cosines are preserved exactly, so coarse assignment, rerank, and
+    * every recall property are unchanged in rotated coordinates —
+    * ONLY the subspace partition (and hence PQ fidelity) changes. */
+  def opqRotation(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                  alternations: Int = 5, kmeansIters: Int = 4,
+                  sampleCap: Int = 10000,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val rows = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleCap)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(rows.nonEmpty, "opqRotation: empty corpus")
+    val d = rows.head.length
+    require(d % m == 0, s"dims $d not divisible into $m subspaces")
+    val dsub = d / m
+    val x = rows.map { v =>
+      val nrm = math.max(math.sqrt(v.map(a => a * a).sum), 1e-12)
+      v.map(_ / nrm)
+    }
+    val n = x.length
+    var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def mul(mat: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += mat(i)(j) * v(j); j += 1 }
+        out(i) = s; i += 1
+      }
+      out
+    }
+    for (_ <- 0 until alternations) {
+      val z = x.map(mul(rot, _))
+      // per-subspace deterministic k-means → quantized reconstruction y
+      val y = Array.fill(n)(new Array[Double](d))
+      for (j <- 0 until m) {
+        val off = j * dsub
+        val kEff = math.min(ksub, n)
+        val cb = Array.tabulate(kEff, dsub)((c, t) => z(c)(off + t))
+        val assign = new Array[Int](n)
+        for (_ <- 0 until kmeansIters) {
+          var i = 0
+          while (i < n) {
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < kEff) {
+              var s = 0.0; var t = 0
+              while (t < dsub) { val e = z(i)(off + t) - cb(c)(t); s += e * e; t += 1 }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            assign(i) = best; i += 1
+          }
+          val sums = Array.fill(kEff, dsub)(0.0)
+          val cnt = new Array[Int](kEff)
+          var i2 = 0
+          while (i2 < n) {
+            val c = assign(i2); cnt(c) += 1
+            var t = 0
+            while (t < dsub) { sums(c)(t) += z(i2)(off + t); t += 1 }
+            i2 += 1
+          }
+          for (c <- 0 until kEff if cnt(c) > 0; t <- 0 until dsub)
+            cb(c)(t) = sums(c)(t) / cnt(c)
+        }
+        var i = 0
+        while (i < n) {
+          var t = 0
+          while (t < dsub) { y(i)(off + t) = cb(assign(i))(t); t += 1 }
+          i += 1
+        }
+      }
+      // Procrustes: R = U·Vᵀ from SVD(M), M = Y·Xᵀ (d×d)
+      val mm = Array.fill(d, d)(0.0)
+      var i = 0
+      while (i < n) {
+        var r = 0
+        while (r < d) {
+          val yr = y(i)(r)
+          if (yr != 0.0) {
+            var c = 0
+            while (c < d) { mm(r)(c) += yr * x(i)(c); c += 1 }
+          }
+          r += 1
+        }
+        i += 1
+      }
+      rot = procrustesRotation(mm)
+    }
+    rot.map(_.toSeq).toSeq
+  }
+
+  /** U·Vᵀ of the input via deterministic one-sided Jacobi SVD —
+    * the orthogonal Procrustes solution (also orthogonal when the
+    * input is rank-deficient: zero-norm columns keep their rotated
+    * basis direction). Driver-side, d ≤ a few hundred. */
+  private[graft] def procrustesRotation(mIn: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mIn.length
+    // column-major copies: a(:,k) mutated in place, v accumulates V
+    val a = Array.tabulate(d, d)((r, c) => mIn(r)(c))
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    def colDot(p: Int, q: Int): Double = {
+      var s = 0.0; var r = 0
+      while (r < d) { s += a(r)(p) * a(r)(q); r += 1 }
+      s
+    }
+    var sweep = 0
+    var rotated = true
+    while (sweep < 60 && rotated) {
+      rotated = false
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        val app = colDot(p, p); val aqq = colDot(q, q); val apq = colDot(p, q)
+        if (math.abs(apq) > 1e-14 * math.sqrt(app * aqq) && apq != 0.0) {
+          rotated = true
+          val zeta = (aqq - app) / (2.0 * apq)
+          val t = math.signum(zeta) / (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+          val cs = 1.0 / math.sqrt(1.0 + t * t)
+          val sn = cs * t
+          var r = 0
+          while (r < d) {
+            val ap = a(r)(p); val aq = a(r)(q)
+            a(r)(p) = cs * ap - sn * aq
+            a(r)(q) = sn * ap + cs * aq
+            val vp = v(r)(p); val vq = v(r)(q)
+            v(r)(p) = cs * vp - sn * vq
+            v(r)(q) = sn * vp + cs * vq
+            r += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    // U columns = normalized columns of the rotated A; a zero singular
+    // value keeps the corresponding V direction (still orthogonal to
+    // the rest because Jacobi orthogonalized the columns)
+    val u = Array.fill(d, d)(0.0)
+    for (k <- 0 until d) {
+      val nrm = math.sqrt(colDot(k, k))
+      if (nrm > 1e-12) {
+        var r = 0
+        while (r < d) { u(r)(k) = a(r)(k) / nrm; r += 1 }
+      } else {
+        var r = 0
+        while (r < d) { u(r)(k) = v(r)(k); r += 1 }
+      }
+    }
+    // R = U·Vᵀ
+    Array.tabulate(d, d) { (r, c) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(r)(k) * v(c)(k); k += 1 }
+      s
+    }
+  }
+
+  /** The corpus with `vecCol` replaced by its [[opqRotation]] image —
+    * compose with any PQ entry point: train/encode/serve on the
+    * rotated frame and every result (ids, ranks, recalls at the
+    * exhaustive config) is geometrically identical, with PQ fidelity
+    * improved by the variance redistribution. */
+  def rotated(df: DataFrame, rotation: Seq[Seq[Double]],
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    df.withColumn(vecCol, graft.functions.vec_rotate(col(vecCol), rotation))
+  }
+
   /** Deterministic per-subspace PQ codebooks (m × ksub × dsub): init =
     * the ksub lowest-id vectors' subvectors, then `iters` Lloyd steps
     * with squared-L2 assignment over UNIT-NORMALIZED vectors (so ADC
@@ -1036,7 +1214,8 @@ object Similarity {
   case class PqIndexArtifacts(centroids: Seq[Seq[Double]],
                               codebooks: Seq[Seq[Seq[Double]]],
                               codes: Option[DataFrame] = None,
-                              residual: Boolean = false)
+                              residual: Boolean = false,
+                              rotation: Option[Seq[Seq[Double]]] = None)
 
   /** The residual of a vector against its cell centroid, on the unit
     * sphere — classic IVFADC geometry (see [[ivfPqTopK]]). */

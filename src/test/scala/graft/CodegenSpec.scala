@@ -46,6 +46,8 @@ class CodegenSpec extends AnyFunSuite {
       graft.functions.PqSdc(codes, codes,
         Seq.tabulate(2 * 4 * 4)(i => 0.01 * i), m = 2, ksub = 4),
       graft.functions.VecDot(vec, vec),
+      graft.functions.VecRotate(vec,
+        Seq.tabulate(dims * dims)(i => math.sin(i + 1.0)), dims),
       graft.functions.LshSigs(vec, dims, bits = 4, tables = 2, seed = 7))
     // throws CompileException (wrapped) on any bare-local collision
     val proj = GenerateUnsafeProjection.generate(exprs ++ exprs)

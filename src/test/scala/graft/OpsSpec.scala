@@ -2224,4 +2224,54 @@ class OpsSpec extends SparkSpec {
     assert(corpus.getDouble(1) < 0.0,
       s"natural text must slope down, got ${corpus.getDouble(1)}")
   }
+
+  test("OPQ rotation: orthogonal, dot-preserving, and recall-positive on anisotropic data") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    // anisotropic fixture — ALL signal in dims 0..7, noise elsewhere:
+    // plain PQ gives that one block 16 codewords for the entire signal
+    // while seven blocks quantize noise; OPQ's rotation spreads the
+    // signal across every subspace (the Ge et al. win case)
+    val rnd = new scala.util.Random(4)
+    val vecs = Array.fill(400)(Array.tabulate(64)(d =>
+      if (d < 8) rnd.nextGaussian().toFloat else 0.05f * rnd.nextGaussian().toFloat))
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+      .localCheckpoint()
+    val rot = Similarity.opqRotation(corpus, m = 8, ksub = 16)
+    // R is orthogonal: RᵀR = I to 1e-9
+    val d = rot.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rot(k)(i) * rot(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RtR[$i][$j] = $dot")
+    }
+    // rotation preserves pairwise dots (orthogonality, end to end
+    // through the codegen'd expression)
+    val pair = corpus.where(col("vec_id") < 2)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    val pairRot = Similarity.rotated(corpus.where(col("vec_id") < 2), rot)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    pair.zip(pairRot).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"rotation changed a self-dot: $a vs $b") }
+    // recall at fixed m·ksub with NO rerank slack (rerank = k, coarse
+    // stage exhaustive) — the PQ ADC ranking is the only approximation
+    val queries = corpus.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(c: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) = {
+      val got = Similarity.ivfPqTopK(c, q, k = 5, nlist = 4, nprobe = 4,
+        m = 8, ksub = 16, rerank = 5)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val plain = recallOf(corpus, queries)
+    val opq = recallOf(Similarity.rotated(corpus, rot).localCheckpoint(),
+      Similarity.rotated(queries, rot))
+    assert(opq >= plain + 0.1,
+      s"OPQ recall $opq did not beat plain PQ $plain by the expected margin")
+  }
 }

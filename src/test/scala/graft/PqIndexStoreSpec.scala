@@ -282,6 +282,30 @@ class PqIndexStoreSpec extends SparkSpec {
       rows(Similarity.bruteForceTopK(emb, queries, 5)))
   }
 
+  test("OPQ-rotated store: rotation persists, serve/append re-enter rotated coordinates") {
+    val dir = tmpDir("opq")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16,
+      opqRotate = true)
+    store.build(emb.where(col("vec_id") < 300))
+    val (_, art) = store.load().get
+    assert(art.rotation.isDefined, "rotation did not persist with the quantizer")
+    // orthogonality survives the parquet round trip
+    val r = art.rotation.get
+    for (i <- 0 until r.length; j <- 0 until r.length) {
+      val d = (0 until r.length).map(k => r(k)(i) * r(k)(j)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RtR[$i][$j] = $d")
+    }
+    // append encodes in the SAME rotated coordinates; a fresh instance
+    // (restart) serves exactly at the exhaustive config — rotation
+    // preserves cosine, so brute force over RAW vectors is the truth
+    store.append(emb.where(col("vec_id") >= 300))
+    val reopened = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16,
+      opqRotate = true)
+    val queries = emb.where(col("vec_id") % 40 === 0)
+    assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, 5)))
+  }
+
   test("hard negatives from a persisted quantizer: zero training, exhaustive ≡ exact") {
     import spark.implicits._
     val labeled = emb.withColumn("label", (col("vec_id") % 5).cast("int"))

@@ -47,6 +47,11 @@ object GenScaleData {
     // quantizer-drift regime: cells shaped for corpus A serve corpus B.
     val shifted = mode == "shifted"
     val clustered = mode == "clustered" || mode == "stress" || shifted
+    // `aniso`: isotropic gaussians scaled by an exponentially-decaying
+    // per-dim spectrum (σ_d = e^(−d/16)) — the variance profile real
+    // embedding models produce (what `Similarity.anisotropy` flags)
+    // and the regime OPQ's rotation exists for (§G12)
+    val aniso = mode == "aniso"
     // `tailvocab`: 25% of tokens draw from a 100k-id uniform tail
     // ("tail<k>") on top of the 31-word head — the realistic df
     // distribution the BM25 serve-vs-scan separation needs (with the
@@ -118,6 +123,9 @@ object GenScaleData {
             rnd.nextGaussian().toFloat)
         } else if (clustered)
           centers(sampleCluster()).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+        else if (aniso)
+          Array.tabulate(dims)(d =>
+            (rnd.nextGaussian() * math.exp(-d / 16.0)).toFloat)
         else Array.fill(dims)(rnd.nextGaussian().toFloat)
       vecs(i) = v
       (i.toLong, v.toSeq, rnd.nextInt(10))
