@@ -95,4 +95,48 @@ object Packing {
       .select(col("pack_id"), col("n_docs"), col("filled"))
       .orderBy("pack_id")
   }
+
+  /** Context-length tradeoff curve: for each candidate `contextLen`,
+    * the cost of BOTH packing disciplines a trainer chooses between —
+    * one-doc-per-context (pad short docs to L, truncate long ones:
+    * `pad_tokens`, `trunc_tokens`, `fill_rate_e6` = kept/(n·L)) and
+    * concat-then-chunk (`packed_contexts` = ⌈Σtokens/L⌉ windows, zero
+    * padding, but `split_docs` documents straddle a window boundary —
+    * the rows whose attention masking/loss a trainer must handle).
+    * This is the report that picks L before a [[packAssignments]] run:
+    * small L wastes long docs to truncation, large L wastes short docs
+    * to padding or splits more documents. All exact integers.
+    *
+    * Scale: the token counts + the two-level prefix sum compute ONCE
+    * (start offsets are contextLen-independent); each candidate L is
+    * then one map-side-combined aggregate over an exploded
+    * (doc, L) frame — |Ls| × n rows of three longs, no extra scan of
+    * the text. */
+  def efficiencyReport(docs: DataFrame, contextLens: Seq[Long],
+                       idCol: String = "doc_id", textCol: String = "text",
+                       bucketSize: Long = 4096L): DataFrame = {
+    require(contextLens.nonEmpty, "efficiencyReport needs candidate lengths")
+    val base = packAssignments(docs, contextLens.head, idCol, textCol, bucketSize)
+      .select(col(idCol), col("n_tokens"), col("start_offset"))
+    val l = col("context_len")
+    base
+      .select(col("n_tokens"), col("start_offset"),
+        explode(array(contextLens.map(lit): _*)).as("context_len"))
+      .groupBy("context_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(greatest(l - col("n_tokens"), lit(0L))).as("pad_tokens"),
+        sum(greatest(col("n_tokens") - l, lit(0L))).as("trunc_tokens"),
+        sum(least(col("n_tokens"), l)).as("__kept"),
+        sum(col("n_tokens")).as("__total"),
+        sum((col("n_tokens") > 0 &&
+          expr("start_offset DIV context_len") =!=
+            expr("(start_offset + n_tokens - 1) DIV context_len"))
+          .cast("long")).as("split_docs"))
+      .select(l, col("n_docs"), col("pad_tokens"), col("trunc_tokens"),
+        expr("__kept * 1000000 div (n_docs * context_len)").as("fill_rate_e6"),
+        expr("(__total + context_len - 1) DIV context_len").as("packed_contexts"),
+        col("split_docs"))
+      .orderBy("context_len")
+  }
 }

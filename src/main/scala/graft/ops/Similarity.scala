@@ -939,6 +939,42 @@ object Similarity {
           .as("anisotropy_e6"))
   }
 
+  /** Matryoshka / dimension-prefix serve evaluation: recall@k of
+    * brute-force cosine ranking over the FIRST `p` dimensions against
+    * the full-dimension ranking, for each prefix width — the "can we
+    * serve at 1/8th the vector bytes" question MRL-style embedding
+    * models are trained to answer (truncation is the standard
+    * cost/recall lever: a dim-prefix index reads p/d of the bytes and
+    * prices dots at p/d the flops). Returns one row per prefix:
+    * (dims, n_hits, recall_e6) — exact integers over the overlap of
+    * (q_id, n_id) pairs, so any engine reproduces the row bit-for-bit.
+    *
+    * Scale: one |queries|-broadcast scored pass per prefix (the
+    * [[bruteForceTopK]] plan) — prefixes.length passes over the corpus
+    * with column pruning down to the sliced vector; the ground-truth
+    * frame computes once and is shared. */
+  def dimPrefixRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                      prefixes: Seq[Int],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prefixes.nonEmpty, "dimPrefixRecall needs at least one prefix width")
+    import Checkpoints.SharedOps
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id")).sharedCheckpoint()
+    val per = prefixes.map { p =>
+      val c = corpus.select(col(idCol), slice(col(vecCol), 1, p).as(vecCol))
+      val q = queries.select(col(idCol), slice(col(vecCol), 1, p).as(vecCol))
+      bruteForceTopK(c, q, k, idCol, vecCol)
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("dims"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    val denom = broadcast(truth.groupBy().agg(count(lit(1)).as("__total")))
+    per.crossJoin(denom) // audited single-row broadcast
+      .select(col("dims"), col("n_hits"),
+        expr("n_hits * 1000000 div __total").as("recall_e6"))
+      .orderBy("dims")
+  }
+
   /** [[edgeCentrality]] over the [[mutualKnnPairs]] graph. */
   def knnCentrality(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
                     powerIters: Int = 3, ivfIters: Int = 1,

@@ -1109,6 +1109,21 @@ object PipelineQueries {
     graft.ops.Packing.packAssignments(Tables.documents(spark, dir),
       contextLen = 512L, bucketSize = 64L)
 
+  /** Context-length tradeoff curve over four candidate lengths — the
+    * pad/truncate/split cost report a trainer reads before picking L
+    * (see [[graft.ops.Packing.efficiencyReport]]). */
+  def packEfficiencyQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.efficiencyReport(Tables.documents(spark, dir),
+      contextLens = Seq(64L, 128L, 256L, 512L), bucketSize = 64L)
+
+  /** Matryoshka dim-prefix recall: serve quality at 1/8 .. 1/1 of the
+    * vector bytes (see [[Similarity.dimPrefixRecall]]). */
+  def dimPrefixRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.dimPrefixRecall(emb, emb.where(col("vec_id") < 20), k = 5,
+      prefixes = Seq(8, 16, 32, 64))
+  }
+
   /** Document-level PMI over the top-100 vocabulary (pairs seen in ≥ 5
     * docs) — pair space capped at C(100,2) whatever the corpus size. */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1506,6 +1521,8 @@ object PipelineQueries {
     "d_unigram_logprob"   -> (unigramLogProb _),
     "d_bigram_logprob"    -> (bigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
+    "d_pack_efficiency"   -> (packEfficiencyQ _),
+    "e_dim_prefix_recall" -> (dimPrefixRecallQ _),
     "d_pmi_pairs"         -> (pmiPairs _),
     "d_source_mix"        -> (sourceMix _),
     "d_source_overlap"    -> (sourceOverlapQ _),
@@ -2440,6 +2457,48 @@ object PipelineQueries {
          |       start_offset // 512 AS pack_id,
          |       start_offset % 512 AS pack_offset
          |FROM s ORDER BY doc_id""".stripMargin,
+    "d_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |      FROM t),
+         |x AS (SELECT s.*, CAST(l.context_len AS BIGINT) AS context_len
+         |      FROM s, (VALUES (64), (128), (256), (512)) AS l(context_len))
+         |SELECT context_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(GREATEST(context_len - n_tokens, 0)) AS BIGINT) AS pad_tokens,
+         |  CAST(SUM(GREATEST(n_tokens - context_len, 0)) AS BIGINT) AS trunc_tokens,
+         |  CAST(SUM(LEAST(n_tokens, context_len)) * 1000000
+         |    // (COUNT(*) * context_len) AS BIGINT) AS fill_rate_e6,
+         |  CAST((SUM(n_tokens) + context_len - 1) // context_len AS BIGINT) AS packed_contexts,
+         |  CAST(SUM(CASE WHEN n_tokens > 0 AND
+         |      start_offset // context_len <> (start_offset + n_tokens - 1) // context_len
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+         |FROM x GROUP BY context_len ORDER BY context_len""".stripMargin,
+    "e_dim_prefix_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |truth AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(qv, nv) DESC, n_id ASC) AS rank
+        |  FROM q, c WHERE q_id <> n_id) WHERE rank <= 5),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM truth),
+        |pfx AS (SELECT CAST(p AS INT) AS dims FROM (VALUES (8), (16), (32), (64)) AS v(p)),
+        |pr AS (SELECT dims, q_id, n_id FROM (
+        |  SELECT pfx.dims, q.q_id, c.n_id, ROW_NUMBER() OVER (
+        |      PARTITION BY pfx.dims, q.q_id
+        |      ORDER BY list_cosine_similarity(qv[1:pfx.dims], nv[1:pfx.dims]) DESC,
+        |               n_id ASC) AS rank
+        |  FROM pfx, q, c WHERE q_id <> n_id) WHERE rank <= 5),
+        |hits AS (SELECT dims, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM pr JOIN truth USING (q_id, n_id) GROUP BY dims)
+        |SELECT p.dims, COALESCE(h.n_hits, 0) AS n_hits,
+        |       CAST(COALESCE(h.n_hits, 0) * 1000000 // tot.total AS BIGINT) AS recall_e6
+        |FROM pfx p LEFT JOIN hits h USING (dims) CROSS JOIN tot
+        |ORDER BY dims""".stripMargin,
     "d_pmi_pairs" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS w FROM documents),
          |dt AS (SELECT doc_id, unnest(w) AS token FROM t),

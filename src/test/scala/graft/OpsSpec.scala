@@ -2225,6 +2225,38 @@ class OpsSpec extends SparkSpec {
       s"natural text must slope down, got ${corpus.getDouble(1)}")
   }
 
+  test("packing efficiency report: pad/trunc/fill/split arithmetic on a hand fixture") {
+    import spark.implicits._
+    // token counts 3, 5, 2, 0 — stream offsets 0, 3, 8, 10
+    val d = Seq(
+      (0L, "a b c"), (1L, "d e f g h"), (2L, "i j"), (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Packing.efficiencyReport(d, Seq(4L, 8L), bucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // L=4: pad = 1+0+2+4 = 7; trunc = 0+1+0+0 = 1; kept = 3+4+2+0 = 9
+    // fill = 9e6 div 16 = 562500; packed = ceil(10/4) = 3
+    // splits: doc1 spans offsets 3..7 → windows 0 and 1 → split; others not
+    assert(out(0) == (4L, 4L, 7L, 1L, 562500L, 3L, 1L), s"${out(0)}")
+    // L=8: pad = 5+3+6+8 = 22; trunc = 0; kept = 10; fill = 10e6 div 32
+    // = 312500; packed = ceil(10/8) = 2; doc2 spans 8..9 → window 1 only
+    assert(out(1) == (8L, 4L, 22L, 0L, 312500L, 2L, 0L), s"${out(1)}")
+  }
+
+  test("dim-prefix recall: full width is exact, informative prefixes order sensibly") {
+    graft.functions.ensureRegistered(spark)
+    val q = emb.where(col("vec_id") < 10)
+    val out = Similarity.dimPrefixRecall(emb, q, k = 5, prefixes = Seq(8, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(8, 64))
+    // the full-width prefix IS the ground-truth ranking
+    assert(out(1)._3 == 1000000L, s"full-dim recall must be exact: ${out(1)}")
+    // an 8-of-64 prefix on isotropic vectors keeps little of the
+    // signal — strictly below full-width, recall properly in (0, 1]
+    assert(out(0)._3 < 1000000L && out(0)._3 >= 0L, s"${out(0)}")
+    assert(out(0)._2 <= out(1)._2)
+  }
+
   test("OPQ rotation: orthogonal, dot-preserving, and recall-positive on anisotropic data") {
     import spark.implicits._
     graft.functions.ensureRegistered(spark)
