@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.SharedOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -429,5 +430,66 @@ object Sampling {
       .where(col("__n") > 0) // guards the descending-sequence edge too
       .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
       .drop("__n")
+  }
+
+  /** Hard-domain reweighting — the DoReMi signal (Xie et al. 2023,
+    * public) in its one-shot, integer-exact form: domains whose mean
+    * bigram log-probability under the corpus's own LM sits BELOW the
+    * corpus mean (harder / higher-perplexity text) get their mixture
+    * share multiplied up, easier domains down, by a factor linear in
+    * the normalized excess loss (the full DoReMi proxy-model loop
+    * distills the same per-domain excess-loss ordering; the one-shot
+    * form is what a pipeline can compute from corpus statistics
+    * alone). Output per source, ordered:
+    * (source, n_docs, mean_lp_e4, excess_e4, factor_e6, weight_e6)
+    * where factor_e6 ∈ [1e6−η, 1e6+η] and weight_e6 is the
+    * renormalized n_docs·factor share.
+    *
+    * Numerics: per-source means round through the SAME double
+    * expression on every engine (the d_bigram_logprob discipline);
+    * everything after is 64-bit integer arithmetic with divisions on
+    * NON-NEGATIVE operands only (truncating division diverges between
+    * engines on negatives), so the weights replay bit-for-bit.
+    *
+    * Scale: rides [[TextAnalysis.bigramScoreRaw]]'s one corpus-sized
+    * (prev,cur) count; everything after is |sources|-row frames and
+    * audited single-row broadcasts. */
+  def hardDomainWeights(docs: DataFrame, etaE6: Long = 500000L,
+                        lam: Double = 0.7,
+                        srcCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(etaE6 >= 0 && etaE6 < 1000000L, s"etaE6 must be in [0, 1e6), got $etaE6")
+    val raw = TextAnalysis.bigramScoreRaw(docs, lam, idCol, textCol)
+    val bySrc = docs.select(col(idCol), col(srcCol))
+      .join(raw, idCol)
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("__nb"),
+        sum("s").as("__ss"))
+      .sharedCheckpoint() // feeds the per-source frame AND the totals
+    val srcMean = bySrc.select(col(srcCol), col("n_docs"),
+      round(col("__ss").cast("double") / 100.0 / col("__nb").cast("double"))
+        .cast("long").as("mean_lp_e4"))
+    val overall = bySrc.agg(
+      round(sum("__ss").cast("double") / 100.0 / sum("__nb").cast("double"))
+        .cast("long").as("__o_e4"))
+    val ex = srcMean.crossJoin(broadcast(overall)) // audited single-row
+      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"),
+        (col("__o_e4") - col("mean_lp_e4")).as("excess_e4"))
+    val mx = ex.agg(max(abs(col("excess_e4"))).as("__ma"))
+    val fac = ex.crossJoin(broadcast(mx)) // audited single-row
+      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
+        when(col("__ma") === 0L, lit(1000000L))
+          .when(col("excess_e4") >= 0L,
+            lit(1000000L) + expr(s"($etaE6 * excess_e4) div __ma"))
+          .otherwise(
+            lit(1000000L) - expr(s"($etaE6 * (-excess_e4)) div __ma"))
+          .as("factor_e6"))
+    val den = fac.agg(sum(col("n_docs") * col("factor_e6")).as("__dsum"))
+    fac.crossJoin(broadcast(den)) // audited single-row
+      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
+        col("factor_e6"),
+        round(col("n_docs").cast("double") * col("factor_e6").cast("double") *
+          1e6 / col("__dsum").cast("double")).cast("long").as("weight_e6"))
+      .orderBy(srcCol)
   }
 }

@@ -826,7 +826,19 @@ object TextAnalysis {
     * count — identical in kind to the unigram term shuffle.
     */
   def bigramLogProb(docs: DataFrame, lam: Double = 0.7,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bigramScoreRaw(docs, lam, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"),
+        round(col("s").cast("double") / 1e6 / col("n_bigrams").cast("double"), 4)
+          .as("mean_logprob"))
+
+  /** The exact-integer frame behind [[bigramLogProb]]: per doc,
+    * (n_bigrams, s) where `s` is the Σ tf·lp_e6 quantized log-prob sum
+    * — shared with [[Sampling.hardDomainWeights]], whose per-source
+    * aggregation must run on the raw integers, not the rounded
+    * per-doc means. */
+  private[ops] def bigramScoreRaw(docs: DataFrame, lam: Double,
+                                  idCol: String, textCol: String): DataFrame = {
     require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
     val oneMinusLam = 1.0 - lam
     val w = tokens(col(textCol))
@@ -862,9 +874,6 @@ object TextAnalysis {
     ptf.join(lex, Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("s").cast("double") / 1e6 / col("n_bigrams").cast("double"), 4)
-          .as("mean_logprob"))
   }
 
   /** Per-document top-k terms by TF-IDF — the classic keyword /

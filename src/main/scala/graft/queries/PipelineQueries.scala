@@ -1116,6 +1116,11 @@ object PipelineQueries {
     graft.ops.Packing.efficiencyReport(Tables.documents(spark, dir),
       contextLens = Seq(64L, 128L, 256L, 512L), bucketSize = 64L)
 
+  /** One-shot DoReMi-style hard-domain reweighting off the corpus's
+    * own bigram-LM excess loss (see [[Sampling.hardDomainWeights]]). */
+  def domainReweightQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hardDomainWeights(Tables.documents(spark, dir))
+
   /** Matryoshka dim-prefix recall: serve quality at 1/8 .. 1/1 of the
     * vector bytes (see [[Similarity.dimPrefixRecall]]). */
   def dimPrefixRecallQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1522,6 +1527,7 @@ object PipelineQueries {
     "d_bigram_logprob"    -> (bigramLogProb _),
     "d_pack_contexts"     -> (packContexts _),
     "d_pack_efficiency"   -> (packEfficiencyQ _),
+    "d_domain_reweight"   -> (domainReweightQ _),
     "e_dim_prefix_recall" -> (dimPrefixRecallQ _),
     "d_pmi_pairs"         -> (pmiPairs _),
     "d_source_mix"        -> (sourceMix _),
@@ -2457,6 +2463,31 @@ object PipelineQueries {
          |       start_offset // 512 AS pack_id,
          |       start_offset % 512 AS pack_offset
          |FROM s ORDER BY doc_id""".stripMargin,
+    "d_domain_reweight" -> (BigramScoreCtes +
+      """,
+        |d AS (SELECT s.doc_id, s.n_bigrams, s.s, doc.source
+        |      FROM s JOIN documents doc USING (doc_id)),
+        |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(n_bigrams) AS BIGINT) AS nb, CAST(SUM(s) AS BIGINT) AS ss
+        |        FROM d GROUP BY 1),
+        |srcm AS (SELECT source, n_docs,
+        |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+        |         FROM src),
+        |gtot AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+        |        FROM src),
+        |ex AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+        |       FROM srcm CROSS JOIN gtot),
+        |mx AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM ex),
+        |fac AS (SELECT source, n_docs, mean_lp_e4, excess_e4,
+        |          CAST(CASE WHEN ma = 0 THEN 1000000
+        |               WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+        |               ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS factor_e6
+        |        FROM ex CROSS JOIN mx),
+        |den AS (SELECT CAST(SUM(n_docs * factor_e6) AS BIGINT) AS dsum FROM fac)
+        |SELECT source, n_docs, mean_lp_e4, excess_e4, factor_e6,
+        |  CAST(round(CAST(n_docs AS DOUBLE) * CAST(factor_e6 AS DOUBLE) * 1000000.0
+        |    / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
+        |FROM fac CROSS JOIN den ORDER BY source""".stripMargin),
     "d_pack_efficiency" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
          |           FROM documents),

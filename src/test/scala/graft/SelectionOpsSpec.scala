@@ -345,4 +345,36 @@ class SelectionOpsSpec extends SparkSpec {
     assert(cube.filter(r => r._1 == "ALL" && r._2 >= 0) == Seq(
       ("ALL", 0L, 3L, 2L), ("ALL", 1L, 1L, 1L)))
   }
+
+  test("hardDomainWeights: harder domain up, easier down, shares renormalize") {
+    import spark.implicits._
+    // source "fluent" repeats the same bigrams corpus-wide (high
+    // conditional probability); "garbled" uses the SAME vocabulary in
+    // per-doc shuffled orders — plausible unigrams, rare pairs, the
+    // case the bigram filter exists to catch (all-novel tokens would
+    // score HIGH: a 1/1 conditional MLE is confident, not garbled)
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluent = (0 until 6).map(i =>
+      (i.toLong, "fluent", "the cat sat on the mat and the dog ran"))
+    val hard = (6 until 12).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, "garbled", r.shuffle(vocab ++ vocab).mkString(" "))
+    }
+    val docs = (fluent ++ hard).toDF("doc_id", "source", "text")
+    val out = graft.ops.Sampling.hardDomainWeights(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == Seq("fluent", "garbled"))
+    val Seq(fl, ga) = out.toSeq
+    // the garbled domain scores lower logprob → positive excess → up
+    assert(ga._3 < fl._3, s"garbled must score lower: $ga vs $fl")
+    assert(ga._4 > 0 && fl._4 < 0)
+    assert(ga._5 > 1000000L && fl._5 < 1000000L)
+    // the max-|excess| domain pins the factor at exactly 1e6 ± eta
+    assert(math.max(ga._5, 2000000L - fl._5) == 1500000L)
+    // renormalized shares: sum within rounding of 1e6, ordered up
+    val wsum = out.map(_._6).sum
+    assert(math.abs(wsum - 1000000L) <= out.length, s"weights sum $wsum")
+    assert(ga._6 > fl._6)
+  }
 }
