@@ -27,7 +27,9 @@ object ScaleBench {
     // round-7 session-5 additions (§G9)
     "d_simhash_pairs", "d_dedup_eval", "d_cluster_sizes", "d_upsample_mix",
     "d_strip_markup", "d_length_outliers", "d_zipf_slope", "d_fertility",
-    "d_dedup_rate", "d_curation_lexicon", "d_training_upsample")
+    "d_dedup_rate", "d_curation_lexicon", "d_training_upsample",
+    // round-8 additions (§G13)
+    "d_pack_efficiency", "d_domain_reweight")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
