@@ -51,6 +51,8 @@ class PlanAuditSpec extends SparkSpec {
   // the corpus:
   private val boundedGlobalWindow = Set(
     "d_pack_contexts", // bucket-total prefix sum: n / 4096 rows
+    "d_pack_efficiency", // the same bucket-total prefix sum, computed
+                         // once before the per-L aggregates
     "d_epoch_shuffle", // bucket-count prefix sum: <= 8192 rows
     "d_mixture_plan",  // grand-total over the per-group token frame
     "d_source_mix",    // grand-total over the (source, lang) frame
