@@ -270,6 +270,68 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
         "PqIndexStore.audit")
     }
 
+  /** [[audit]], with the result APPENDED to the audit-history store
+    * (`audits/` — one tiny row per run, keyed by generation + a dense
+    * per-generation sequence number). §G11's key reading: on a
+    * zipf-clustered corpus the binary `drifted` flag fires even at a
+    * fresh build (head cells poke past a mean-relative cap), so the
+    * actionable maintenance signal is the TREND across recorded
+    * audits, not the level — see [[driftTrend]]. */
+  def recordAudit(hotCellFactor: Double = Similarity.DefaultHotCellFactor): Option[PqIndexStore.CellAudit] = {
+    val out = audit(hotCellFactor)
+    out.foreach { a =>
+      val version = load().get._1
+      val seq =
+        if (!Files.exists(Paths.get(auditsDir))) 0L
+        else {
+          spark.catalog.refreshByPath(auditsDir)
+          spark.read.parquet(auditsDir).agg(max(col("seq"))).head()
+            .getAs[Any](0) match {
+              case null => 0L
+              case n: Long => n + 1L
+            }
+        }
+      import spark.implicits._
+      Seq((seq, version, a.nCells, a.total, a.maxCell, a.cap, a.hotCells,
+        a.projectedPairs))
+        .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
+          "hot_cells", "projected_pairs")
+        .coalesce(1).write.mode("append").parquet(auditsDir)
+      spark.catalog.refreshByPath(auditsDir)
+    }
+    out
+  }
+
+  /** The cross-run drift TREND over the last two recorded audits: how
+    * the max-cell/cap ratio and the per-row projected candidate
+    * volume moved. `trending` fires when either grows past
+    * `growthFactor` — the alert a maintenance job should page on
+    * (§G11: the drifted-append state moved projected pairs 3.5× for
+    * 2× rows while a healthy append moves both ≈ 1×). None until two
+    * audits are recorded. Reading the two newest rows costs one tiny
+    * scan of the single-file audit store. */
+  def driftTrend(growthFactor: Double = 1.25): Option[PqIndexStore.DriftTrend] = {
+    if (!Files.exists(Paths.get(auditsDir))) return None
+    spark.catalog.refreshByPath(auditsDir)
+    val last2 = spark.read.parquet(auditsDir)
+      .orderBy(col("seq").desc).limit(2).collect()
+    if (last2.length < 2) return None
+    def ratio(r: org.apache.spark.sql.Row): (Double, Double) = {
+      val maxCell = r.getAs[Long]("max_cell").toDouble
+      val cap = math.max(1L, r.getAs[Long]("cap")).toDouble
+      val total = math.max(1L, r.getAs[Long]("total")).toDouble
+      (maxCell / cap, r.getAs[Double]("projected_pairs") / total)
+    }
+    val (curCap, curPpr) = ratio(last2(0))
+    val (prevCap, prevPpr) = ratio(last2(1))
+    val capGrowth = if (prevCap > 0) curCap / prevCap else 1.0
+    val pprGrowth = if (prevPpr > 0) curPpr / prevPpr else 1.0
+    Some(PqIndexStore.DriftTrend(capGrowth, pprGrowth,
+      capGrowth > growthFactor || pprGrowth > growthFactor))
+  }
+
+  private def auditsDir = s"$baseDir/audits"
+
   private def cellAuditOf(version: Long, nlistEff: Int, factor: Double,
                           opName: String): PqIndexStore.CellAudit = {
     spark.catalog.refreshByPath(codesDir)
@@ -324,4 +386,11 @@ object PqIndexStore {
                              cap: Long, hotCells: Int, projectedPairs: Double) {
     def drifted: Boolean = hotCells > 0
   }
+
+  /** Growth of the two §G11 drift signals between the last two
+    * recorded audits: `maxCapGrowth` = (max_cell/cap)ᵗ ÷ (…)ᵗ⁻¹,
+    * `pairsPerRowGrowth` the same for Σ C(|cell|,2)/total. A healthy
+    * append holds both near 1; drifted mass moves them together. */
+  final case class DriftTrend(maxCapGrowth: Double, pairsPerRowGrowth: Double,
+                              trending: Boolean)
 }

@@ -167,7 +167,9 @@ class PqIndexStoreSpec extends SparkSpec {
     val dir = tmpDir("heal")
     val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
     store.build(emb)
-    assert(!store.audit().get.drifted)
+    assert(!store.recordAudit().get.drifted)
+    // a single recorded audit has no trend yet
+    assert(store.driftTrend().isEmpty)
     // distribution drift: 1500 vectors in ONE cluster at the §G4-like
     // geometry (member↔center cosine ≈ 0.89, member↔member ≈ 0.8,
     // norms matching the corpus) whose mass the build corpus did not
@@ -184,9 +186,15 @@ class PqIndexStoreSpec extends SparkSpec {
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
       .localCheckpoint()
     store.append(drift)
-    val drifted = store.audit().get
+    val drifted = store.recordAudit().get
     assert(drifted.total == 1900L)
     assert(drifted.drifted, s"appended cluster mass not flagged: $drifted")
+    // the TREND across the two recorded audits is the §G11 maintenance
+    // signal: drifted mass moves max/cap and pairs-per-row together
+    val trendUp = store.driftTrend().get
+    assert(trendUp.trending, s"drift trend did not fire: $trendUp")
+    assert(trendUp.maxCapGrowth > 1.25 && trendUp.pairsPerRowGrowth > 1.0,
+      s"$trendUp")
     // the maintenance response the WARN names: retrain on the full
     // corpus, nlist regrown ∝ n, HASH-SAMPLED init (first-k init never
     // seeds a centroid inside the appended id range, so Lloyd could
@@ -197,9 +205,14 @@ class PqIndexStoreSpec extends SparkSpec {
       m = 8, ksub = 16, iters = 2, sampleInit = true)
     val v2 = retrained.build(full)
     assert(retrained.load().get._1 == v2, "retrain did not swap the generation")
-    val healed = retrained.audit().get
+    val healed = retrained.recordAudit().get
     assert(healed.total == 1900L)
     assert(!healed.drifted, s"retrain left drift: $healed")
+    // the post-retrain audit reads BELOW the drifted one — the trend
+    // de-escalates (same history store across the instance restart)
+    val trendDown = retrained.driftTrend().get
+    assert(!trendDown.trending, s"healed trend still firing: $trendDown")
+    assert(trendDown.maxCapGrowth < 1.0, s"$trendDown")
     // recall restored bit-for-bat under the exhaustive config through
     // the NEW generation's codes
     val q2 = full.where(col("vec_id") % 400 === 0)
