@@ -458,13 +458,24 @@ object Sampling {
                         lam: Double = 0.7,
                         srcCol: String = "source", idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    require(etaE6 >= 0 && etaE6 < 1000000L, s"etaE6 must be in [0, 1e6), got $etaE6")
     val raw = TextAnalysis.bigramScoreRaw(docs, lam, idCol, textCol)
-    val bySrc = docs.select(col(idCol), col(srcCol))
-      .join(raw, idCol)
+    hardDomainWeightsFromScores(
+      docs.select(col(idCol), col(srcCol)).join(raw, idCol), etaE6, srcCol)
+  }
+
+  /** [[hardDomainWeights]]' weight math over an already-scored frame
+    * (srcCol, n_bigrams, s) — one row per doc (batch path) or
+    * pre-aggregated per-source sums with an `n_docs` column (the
+    * streaming twin's cumulative stores). Split out so the continuous
+    * controller reuses the EXACT integer chain. */
+  private[graft] def hardDomainWeightsFromScores(scored: DataFrame, etaE6: Long,
+                                               srcCol: String): DataFrame = {
+    require(etaE6 >= 0 && etaE6 < 1000000L, s"etaE6 must be in [0, 1e6), got $etaE6")
+    val perDoc = !scored.columns.contains("n_docs")
+    val bySrc = scored
       .groupBy(srcCol)
-      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("__nb"),
-        sum("s").as("__ss"))
+      .agg((if (perDoc) count(lit(1)) else sum("n_docs")).as("n_docs"),
+        sum("n_bigrams").as("__nb"), sum("s").as("__ss"))
       .sharedCheckpoint() // feeds the per-source frame AND the totals
     val srcMean = bySrc.select(col(srcCol), col("n_docs"),
       round(col("__ss").cast("double") / 100.0 / col("__nb").cast("double"))
@@ -491,5 +502,28 @@ object Sampling {
         round(col("n_docs").cast("double") * col("factor_e6").cast("double") *
           1e6 / col("__dsum").cast("double")).cast("long").as("weight_e6"))
       .orderBy(srcCol)
+  }
+
+  /** [[hardDomainWeights]] priced over CUMULATIVE count stores — the
+    * streaming controller's entry: per-source bigram tables
+    * (srcCol, prev, cur, tf), global unigram counts (token, ufreq),
+    * and per-source doc counts (srcCol, n_docs). The lexicon builds
+    * from the CURRENT global sums, so every source's historical pairs
+    * re-price as the corpus evolves (per-doc scores would freeze a
+    * doc's contribution at ingest-time probabilities); a one-batch
+    * stream therefore equals the batch operator EXACTLY. State is
+    * |sources|·vocab² bounded — corpus-size-free. */
+  private[graft] def hardDomainWeightsFromGramStores(srcGrams: DataFrame,
+                                                     unigrams: DataFrame,
+                                                     srcDocs: DataFrame,
+                                                     etaE6: Long, lam: Double,
+                                                     srcCol: String): DataFrame = {
+    val bf = srcGrams.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
+    val lex = TextAnalysis.bigramLexiconOf(bf, unigrams, lam)
+    val scored = srcGrams.join(lex, Seq("prev", "cur"))
+      .groupBy(srcCol)
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
+      .join(srcDocs, srcCol)
+    hardDomainWeightsFromScores(scored, etaE6, srcCol)
   }
 }

@@ -837,33 +837,60 @@ object TextAnalysis {
     * — shared with [[Sampling.hardDomainWeights]], whose per-source
     * aggregation must run on the raw integers, not the rounded
     * per-doc means. */
-  private[ops] def bigramScoreRaw(docs: DataFrame, lam: Double,
-                                  idCol: String, textCol: String): DataFrame = {
-    require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
-    val oneMinusLam = 1.0 - lam
+  /** Per-key adjacent-pair counts (keyCols…, prev, cur, tf) — the
+    * (prev, cur) derivation shared by [[bigramScoreRaw]] (key = doc)
+    * and the streaming domain-reweight controller (key = source). */
+  private[graft] def bigramPairCounts(docs: DataFrame, keyCols: Seq[String],
+                                      textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val pairStructs = transform(sequence(lit(1), size(col("w")) - 1),
       i => struct(element_at(col("w"), i).as("prev"),
         element_at(col("w"), i + 1).as("cur")))
-    val ptf = docs
-      .select(col(idCol), w.as("w"))
+    docs
+      .select(keyCols.map(col) :+ w.as("w"): _*)
       .where(size(col("w")) >= 2)
-      .select(col(idCol), explode(pairStructs).as("p"))
-      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
-      .groupBy(col(idCol), col("prev"), col("cur"))
+      .select(keyCols.map(col) :+ explode(pairStructs).as("p"): _*)
+      .select(keyCols.map(col) ++ Seq(col("p.prev").as("prev"),
+        col("p.cur").as("cur")): _*)
+      .groupBy(keyCols.map(col) ++ Seq(col("prev"), col("cur")): _*)
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Unigram counts (token, ufreq) over every doc — shared the same
+    * way as [[bigramPairCounts]]. */
+  private[graft] def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ufreq"))
+
+  private[ops] def bigramScoreRaw(docs: DataFrame, lam: Double,
+                                  idCol: String, textCol: String): DataFrame = {
+    require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
+    val ptf = bigramPairCounts(docs, Seq(idCol), textCol)
       .sharedCheckpoint()
     val bf = ptf.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
       .sharedCheckpoint()
+    val uf = unigramCounts(docs, textCol)
+    ptf.join(bigramLexiconOf(bf, uf, lam), Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
+  }
+
+  /** The interpolated-bigram lexicon (prev, cur, lp_e6) from a bigram
+    * count frame (prev, cur, bfreq) and a unigram count frame (token,
+    * ufreq) — extracted from [[bigramScoreRaw]] so the streaming
+    * domain-reweight controller can price CURRENT log-probs over its
+    * cumulative count stores (an old doc's contribution must re-price
+    * as the lexicon evolves; storing per-doc scores would freeze it). */
+  private[graft] def bigramLexiconOf(bf: DataFrame, uf: DataFrame,
+                                   lam: Double): DataFrame = {
+    val oneMinusLam = 1.0 - lam
     val cf = bf.groupBy("prev").agg(sum("bfreq").as("cfreq"))
-    val uf = docs
-      .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("ufreq"))
     // guaranteed-one-row global aggregate, broadcast-attached (the
     // audited single-row-scalar exception; empty corpus → NULL total →
     // empty lexicon → empty result, never a bad division)
     val totFrame = uf.agg(sum("ufreq").cast("double").as("__total"))
-    val lex = bf.join(cf, "prev")
+    bf.join(cf, "prev")
       .join(uf.withColumnRenamed("token", "cur"), "cur")
       .crossJoin(broadcast(totFrame))
       .select(col("prev"), col("cur"),
@@ -871,9 +898,6 @@ object TextAnalysis {
           (lit(lam) * col("bfreq").cast("double")) / col("cfreq").cast("double") +
           (lit(oneMinusLam) * col("ufreq").cast("double")) / col("__total")) * 1e6)
           .cast("long").as("lp_e6"))
-    ptf.join(lex, Seq("prev", "cur"))
-      .groupBy(col(idCol))
-      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
   }
 
   /** Per-document top-k terms by TF-IDF — the classic keyword /

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{Sampling, TextAnalysis}
+import graft.sources.TierStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous hard-domain reweighting: [[Sampling.hardDomainWeights]]
+  * as a stream — the mixture CONTROLLER a crawl pipeline consults
+  * ("which domains deserve more share tonight") recomputed per batch
+  * from cumulative corpus statistics.
+  *
+  * Persistent state is three swap-committed count snapshots, all
+  * corpus-size-FREE:
+  *  - `srcgrams/` — per-source bigram tables (source, prev, cur, tf):
+  *    |sources|·vocab² bounded;
+  *  - `unigrams/` — global token counts (token, ufreq): vocab bounded;
+  *  - `srcdocs/`  — per-source doc counts: |sources| rows.
+  *
+  * The per-source STORES hold raw counts, not scores: a bigram's
+  * log-probability moves as the corpus lexicon evolves, so every
+  * source's historical pairs must re-price under the CURRENT counts —
+  * which also makes a one-batch stream equal the batch operator
+  * bit-for-bit (spec-pinned). Each batch folds its counts in, then
+  * publishes the recomputed weight frame to `weights/` with the same
+  * staged-rename/`__old`-fallback commit every snapshot store here
+  * uses; [[currentWeights]] serves the committed frame.
+  *
+  * Failure semantics: at-least-once — a replayed batch re-folds its
+  * counts, which biases every domain's statistics by the SAME
+  * duplicated mass (weights shift only to the extent the replayed
+  * batch's mix differs from the corpus mix, and never corrupt:
+  * the stores stay exact counts of what was folded).
+  */
+class StreamingDomainReweight(spark: SparkSession, baseDir: String,
+                              etaE6: Long = 500000L, lam: Double = 0.7,
+                              srcCol: String = "source",
+                              idCol: String = "doc_id", textCol: String = "text") {
+
+  private val storeLock = new Object
+  private def dirs(name: String) =
+    (new File(s"$baseDir/$name"), new File(s"$baseDir/${name}__tmp"),
+      new File(s"$baseDir/${name}__old"))
+
+  /** Streaming source for JSON-lines document files in `dir`. */
+  def readJsonDocs(dir: String): DataFrame =
+    spark.readStream
+      .schema(s"$idCol LONG, $textCol STRING, $srcCol STRING").json(dir)
+
+  private def readStore(s: SparkSession, name: String, emptyDf: => DataFrame): DataFrame =
+    storeLock.synchronized {
+      val (dst, tmp, old) = dirs(name)
+      TierStore.recoverSwap(dst, old)
+      TierStore.deleteTree(old)
+      TierStore.deleteTree(tmp)
+      if (!dst.exists()) emptyDf
+      else {
+        s.catalog.refreshByPath(dst.toString)
+        s.read.parquet(dst.toString)
+      }
+    }
+
+  private def publish(name: String, df: DataFrame): Unit = {
+    val (dst, tmp, old) = dirs(name)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (dst.exists()) TierStore.swapInto(dst, tmp, old)
+    else {
+      Files.createDirectories(Paths.get(baseDir))
+      require(tmp.renameTo(dst), s"could not publish $tmp")
+    }
+    spark.catalog.refreshByPath(dst.toString)
+  }
+
+  private def emptyGrams(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, String, String, Long)].toDF(srcCol, "prev", "cur", "tf")
+  }
+  private def emptyUnis(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long)].toDF("token", "ufreq")
+  }
+  private def emptyDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long)].toDF(srcCol, "n_docs")
+  }
+
+  /** The committed weight frame (the serving artifact), or None before
+    * the first completed batch. */
+  def currentWeights(s: SparkSession = spark): Option[DataFrame] = {
+    val (dst, _, old) = dirs("weights")
+    val dir =
+      if (dst.exists()) Some(dst) else if (old.exists()) Some(old) else None
+    dir.map { d =>
+      s.catalog.refreshByPath(d.toString)
+      s.read.parquet(d.toString)
+    }
+  }
+
+  def start(docs: DataFrame, trigger: Trigger): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", s"$baseDir/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // one row per id (the shared twin guard)
+        val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
+        val b = batch.select(col(idCol), col(textCol), col(srcCol))
+          .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
+          .drop("__rn")
+          .localCheckpoint() // three count folds share one evaluation
+        storeLock.synchronized {
+          val grams = readStore(s, "srcgrams", emptyGrams(s))
+            .unionByName(TextAnalysis.bigramPairCounts(b, Seq(srcCol), textCol))
+            .groupBy(srcCol, "prev", "cur").agg(sum("tf").as("tf"))
+            .localCheckpoint() // weights recompute + commit share one frame
+          val unis = readStore(s, "unigrams", emptyUnis(s))
+            .unionByName(TextAnalysis.unigramCounts(b, textCol))
+            .groupBy("token").agg(sum("ufreq").as("ufreq"))
+            .localCheckpoint()
+          // n_docs counts SCORED docs (>= 2 tokens), matching the batch
+          // operator's inner join of docs against their bigram scores
+          val bdocs = b
+            .where(size(graft.ops.Dedup.tokens(col(textCol))) >= 2)
+            .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
+          val sdocs = readStore(s, "srcdocs", emptyDocs(s))
+            .unionByName(bdocs)
+            .groupBy(srcCol).agg(sum("n_docs").as("n_docs"))
+            .localCheckpoint()
+          val weights = Sampling.hardDomainWeightsFromGramStores(
+            grams, unis, sdocs, etaE6, lam, srcCol)
+            .localCheckpoint() // evaluate before the stores swap under it
+          publish("srcgrams", grams)
+          publish("unigrams", unis)
+          publish("srcdocs", sdocs)
+          publish("weights", weights)
+        }
+        ()
+      }
+      .start()
+}

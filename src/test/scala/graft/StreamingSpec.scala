@@ -284,6 +284,58 @@ class StreamingSpec extends SparkSpec {
       .collect()(0).getLong(0) == 300L)
   }
 
+  test("streaming domain reweight: one batch equals the batch operator; history re-prices; restart serves") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdrw").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"$src"}"""
+    // the SelectionOpsSpec fixture: fluent repeats its bigrams, garbled
+    // shuffles the same vocabulary into rare pairs
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluentTxt = "the cat sat on the mat and the dog ran"
+    def garbledTxt(i: Int) = new scala.util.Random(i).shuffle(vocab ++ vocab).mkString(" ")
+    val b1 = (0 until 6).map(i => (i.toLong, "fluent", fluentTxt)) ++
+      (6 until 12).map(i => (i.toLong, "garbled", garbledTxt(i)))
+    val sd = new graft.streaming.StreamingDomainReweight(spark, base)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val q = sd.start(sd.readJsonDocs(in), trig)
+    def weightRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    try {
+      dropFile(in, "b1.json", b1.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      // weights recompute from counts INCLUDING the batch → a
+      // one-batch stream equals the batch operator bit-for-bit
+      val want = weightRows(graft.ops.Sampling.hardDomainWeights(
+        b1.toDF("doc_id", "source", "text")))
+      val got = weightRows(sd.currentWeights().get)
+      assert(got == want, s"one-batch stream diverged:\n$got\nvs\n$want")
+      // batch 2: more fluent mass. The garbled domain's HISTORICAL
+      // pairs re-price under the grown lexicon and its weight moves —
+      // equal to the batch operator over the UNION corpus, exactly
+      val b2 = (12 until 24).map(i => (i.toLong, "fluent", fluentTxt))
+      dropFile(in, "b2.json", b2.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val wantUnion = weightRows(graft.ops.Sampling.hardDomainWeights(
+        (b1 ++ b2).toDF("doc_id", "source", "text")))
+      val got2 = weightRows(sd.currentWeights().get)
+      assert(got2 == wantUnion, s"cumulative re-pricing diverged:\n$got2\nvs\n$wantUnion")
+      assert(got2 != got, "weights should move as the corpus mix shifts")
+    } finally q.stop()
+    // a restarted instance serves the committed weight frame, and the
+    // state stores stay vocabulary-bounded (not corpus-sized)
+    val sd2 = new graft.streaming.StreamingDomainReweight(spark, base)
+    assert(weightRows(sd2.currentWeights().get) ==
+      weightRows(sd.currentWeights().get))
+    spark.catalog.refreshByPath(s"$base/srcgrams")
+    val gramRows = spark.read.parquet(s"$base/srcgrams").count()
+    assert(gramRows <= 2L * vocab.size * vocab.size,
+      s"per-source gram store must stay vocab-bounded, got $gramRows")
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
