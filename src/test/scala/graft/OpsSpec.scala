@@ -2305,5 +2305,14 @@ class OpsSpec extends SparkSpec {
       Similarity.rotated(queries, rot))
     assert(opq >= plain + 0.1,
       s"OPQ recall $opq did not beat plain PQ $plain by the expected margin")
+    // rotation composes with residual (IVFADC) mode: global isometry
+    // leaves residual geometry unchanged, so the exhaustive config
+    // stays exact through BOTH transforms
+    val resRot = Similarity.ivfPqTopK(
+      Similarity.rotated(corpus, rot).localCheckpoint(),
+      Similarity.rotated(queries, rot), k = 5, nlist = 4, nprobe = 4,
+      m = 8, ksub = 16, rerank = 1000000, residual = true)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resRot == truth, "rotated residual mode broke exhaustive exactness")
   }
 }

@@ -42,10 +42,11 @@ object OpqStudy {
     }
 
     def recallOf(c: org.apache.spark.sql.DataFrame,
-                 q: org.apache.spark.sql.DataFrame, ksub: Int): (Double, Double) = {
+                 q: org.apache.spark.sql.DataFrame, ksub: Int,
+                 residual: Boolean = false): (Double, Double) = {
       val (got, t) = timed {
         Similarity.ivfPqTopK(c, q, k, nlist = nlist, nprobe = 8, m = 8,
-          ksub = ksub, rerank = 100)
+          ksub = ksub, rerank = 100, residual = residual)
           .select("q_id", "n_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
@@ -60,6 +61,12 @@ object OpqStudy {
     val (rOpq16, tOpq16) = recallOf(embRot, qRot, 16)
     val (rPlain256, tPlain256) = recallOf(emb, queries, 256)
     val (rOpq256, tOpq256) = recallOf(embRot, qRot, 256)
+    // residual (IVFADC) mode × rotation: rotation composes (it is
+    // global, residual geometry is isometric in rotated coordinates) —
+    // this row measures whether it still BUYS anything once residual
+    // encoding has already concentrated the codewords
+    val (rRes16, _) = recallOf(emb, queries, 16, residual = true)
+    val (rResOpq16, _) = recallOf(embRot, qRot, 16, residual = true)
     // the rotation matmul overhead in isolation: one full-corpus
     // rotated projection forced end to end
     val (_, tRotatePass) = timed {
@@ -72,6 +79,7 @@ object OpqStudy {
       s"""{"n":$n,"nlist":$nlist,""" +
       s""""recall_plain_k16":${f(rPlain16)},"recall_opq_k16":${f(rOpq16)},""" +
       s""""recall_plain_k256":${f(rPlain256)},"recall_opq_k256":${f(rOpq256)},""" +
+      s""""recall_resid_k16":${f(rRes16)},"recall_resid_opq_k16":${f(rResOpq16)},""" +
       s""""sec_plain_k16":${f(tPlain16)},"sec_opq_k16":${f(tOpq16)},""" +
       s""""sec_plain_k256":${f(tPlain256)},"sec_opq_k256":${f(tOpq256)},""" +
       s""""opq_train_sec":${f(tTrain)},"rotate_pass_sec":${f(tRotatePass)}}""")
