@@ -116,6 +116,11 @@ object Packing {
                        idCol: String = "doc_id", textCol: String = "text",
                        bucketSize: Long = 4096L): DataFrame = {
     require(contextLens.nonEmpty, "efficiencyReport needs candidate lengths")
+    // every candidate validates, not just the head that packAssignments
+    // range-checks — a zero L would otherwise emit a silent null row
+    // (integer division by zero) instead of failing fast
+    contextLens.foreach(l =>
+      require(l > 0, s"contextLen must be positive, got $l"))
     val base = packAssignments(docs, contextLens.head, idCol, textCol, bucketSize)
       .select(col(idCol), col("n_tokens"), col("start_offset"))
     val l = col("context_len")

@@ -88,17 +88,27 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // training on everything prices each Lloyd iteration as a full
     // corpus aggregate for no recall gain). nlist still derives from
     // the FULL corpus count (nlist ∝ n bounds cell size at serve).
+    val nlistEff = Similarity.resolveNlist(corpus, nlist, "PqIndexStore.build")
+    // a trainCap below nlist would silently train FEWER centroids than
+    // the nlist ∝ n rule promises (limit(nlist) over a smaller frame),
+    // quadrupling E|cell| with no signal — clamp up and say so
+    val capEff =
+      if (trainCap > 0 && trainCap < nlistEff) {
+        log.warn(s"PqIndexStore.build: trainCap $trainCap < nlist $nlistEff " +
+          s"would train too few centroids — clamping the training sample " +
+          s"to $nlistEff rows (aim for ~50-250 x nlist)")
+        nlistEff
+      } else trainCap
     val trainSet =
-      if (trainCap <= 0) rcorpus
-      else rcorpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+      if (capEff <= 0) rcorpus
+      else rcorpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(capEff)
         .localCheckpoint()
     // `sampleInit` (hash-sampled Lloyd seeds) is the RETRAIN
     // configuration: first-k init never seeds a centroid inside an
     // appended id range, so a retrain over base ∪ drifted mass can't
     // split the hot cell the audit flagged (§G11)
     val cents = Similarity.ivfCentroids(trainSet,
-      Similarity.resolveNlist(corpus, nlist, "PqIndexStore.build"),
-      iters, idCol, vecCol, sampleInit, superProbe)
+      nlistEff, iters, idCol, vecCol, sampleInit, superProbe)
     require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
     // `superProbe` threads the two-level assignment through BOTH
     // build-side n × nlist terms (residual codebook training and the
@@ -231,14 +241,17 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   }
 
   /** Compact the codes store's per-batch slivers and drop rows from
-    * superseded generations (maintenance-window op). */
+    * superseded generations (maintenance-window op). Keeps
+    * `version >= committed`, not `= committed` — a concurrent build's
+    * newer rows sit behind the version pin and must survive (same
+    * contract as the maintenance sweep's codes prune). */
   def compact(maxFiles: Int = 8): Boolean = {
     val keep = load().map(_._1)
     keep.exists { version =>
       if (!Files.exists(Paths.get(codesDir))) false
       else {
         spark.catalog.refreshByPath(codesDir)
-        val live = spark.read.parquet(codesDir).where(col("version") === version)
+        val live = spark.read.parquet(codesDir).where(col("version") >= version)
         val tmp = s"$codesDir.__compact"
         live.coalesce(math.max(1, maxFiles)).write.mode("overwrite").parquet(tmp)
         val old = s"$codesDir.__oldc"
@@ -278,9 +291,14 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     * actionable maintenance signal is the TREND across recorded
     * audits, not the level — see [[driftTrend]]. */
   def recordAudit(hotCellFactor: Double = Similarity.DefaultHotCellFactor): Option[PqIndexStore.CellAudit] = {
-    val out = audit(hotCellFactor)
-    out.foreach { a =>
-      val version = load().get._1
+    // ONE load: auditing then re-loading for the version would let a
+    // concurrent retrain commit in between and mislabel the recorded
+    // row's generation
+    val out = load().map { case (version, art) =>
+      (version, cellAuditOf(version, art.centroids.length, hotCellFactor,
+        "PqIndexStore.recordAudit"))
+    }
+    out.foreach { case (version, a) =>
       val seq =
         if (!Files.exists(Paths.get(auditsDir))) 0L
         else {
@@ -299,7 +317,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
         .coalesce(1).write.mode("append").parquet(auditsDir)
       spark.catalog.refreshByPath(auditsDir)
     }
-    out
+    out.map(_._2)
   }
 
   /** The cross-run drift TREND over the last two recorded audits: how

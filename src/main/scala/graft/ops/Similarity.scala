@@ -1127,19 +1127,42 @@ object Similarity {
       }
       sweep += 1
     }
-    // U columns = normalized columns of the rotated A; a zero singular
-    // value keeps the corresponding V direction (still orthogonal to
-    // the rest because Jacobi orthogonalized the columns)
+    // U columns = normalized columns of the rotated A. Zero-singular
+    // columns have NO left singular direction (V's column spans the
+    // row null space, which is not orthogonal to the column space —
+    // copying it would make R non-orthogonal whenever M is rank
+    // deficient, e.g. an OPQ sample with fewer vectors than dims), so
+    // they complete deterministically by Gram–Schmidt: first the V
+    // direction, then standard basis vectors, orthogonalized against
+    // every filled U column.
     val u = Array.fill(d, d)(0.0)
+    val filled = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (k <- 0 until d) {
       val nrm = math.sqrt(colDot(k, k))
       if (nrm > 1e-12) {
         var r = 0
         while (r < d) { u(r)(k) = a(r)(k) / nrm; r += 1 }
-      } else {
-        var r = 0
-        while (r < d) { u(r)(k) = v(r)(k); r += 1 }
+        filled += k
       }
+    }
+    for (k <- 0 until d if !filled.contains(k)) {
+      val candidates =
+        Iterator.single(Array.tabulate(d)(r => v(r)(k))) ++
+          Iterator.tabulate(d)(e => Array.tabulate(d)(r => if (r == e) 1.0 else 0.0))
+      val col = candidates.map { cand =>
+        val w = cand.clone()
+        filled.foreach { j =>
+          var dot = 0.0; var r = 0
+          while (r < d) { dot += w(r) * u(r)(j); r += 1 }
+          r = 0
+          while (r < d) { w(r) -= dot * u(r)(j); r += 1 }
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 1e-8) Some(w.map(_ / nrm)) else None
+      }.collectFirst { case Some(w) => w }.get
+      var r = 0
+      while (r < d) { u(r)(k) = col(r); r += 1 }
+      filled += k
     }
     // R = U·Vᵀ
     Array.tabulate(d, d) { (r, c) =>

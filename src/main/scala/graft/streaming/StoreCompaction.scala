@@ -110,14 +110,20 @@ object StoreCompaction {
         // `version = committed` — fold the superseded-generation prune
         // into the rewrite (the committed version is readable from the
         // sibling quantizer without instantiating the store; a `codes`
-        // dir with no quantizer beside it compacts plain)
+        // dir with no quantizer beside it compacts plain). The prune
+        // keeps `version >= committed`, NOT `= committed`: an in-flight
+        // retrain has already appended its NEWER rows behind the
+        // version pin, and dropping them would invalidate the build's
+        // codes-first/commit-second crash design; a crashed build's
+        // orphaned newer rows linger only until the next retrain
+        // commits past them.
         val canonicalize: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
           if (d.getName != "codes") identity
           else graft.ops.PqIndexStore.committedVersionBeside(spark, d.getPath) match {
             case Some(v) => df =>
               if (df.columns.contains("version"))
-                df.where(org.apache.spark.sql.functions.col("version") === v)
+                df.where(org.apache.spark.sql.functions.col("version") >= v)
               else df
             case None => identity
           }

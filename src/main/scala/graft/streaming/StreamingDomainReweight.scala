@@ -15,12 +15,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ("which domains deserve more share tonight") recomputed per batch
   * from cumulative corpus statistics.
   *
-  * Persistent state is three swap-committed count snapshots, all
-  * corpus-size-FREE:
-  *  - `srcgrams/` — per-source bigram tables (source, prev, cur, tf):
-  *    |sources|·vocab² bounded;
-  *  - `unigrams/` — global token counts (token, ufreq): vocab bounded;
-  *  - `srcdocs/`  — per-source doc counts: |sources| rows.
+  * Persistent state is ONE swap-committed parent (`state/`) holding
+  * three count snapshots plus the weight frame, all corpus-size-FREE
+  * and committed as a unit (a crash can never leave the counts from
+  * two different fold generations visible together):
+  *  - `state/srcgrams` — per-source bigram tables (source, prev, cur,
+  *    tf): |sources|·vocab² bounded;
+  *  - `state/unigrams` — global token counts: vocab bounded;
+  *  - `state/srcdocs`  — per-source doc counts: |sources| rows;
+  *  - `state/weights`  — the published serving artifact.
   *
   * The per-source STORES hold raw counts, not scores: a bigram's
   * log-probability moves as the corpus lexicon evolves, so every
@@ -43,9 +46,15 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
                               idCol: String = "doc_id", textCol: String = "text") {
 
   private val storeLock = new Object
-  private def dirs(name: String) =
-    (new File(s"$baseDir/$name"), new File(s"$baseDir/${name}__tmp"),
-      new File(s"$baseDir/${name}__old"))
+  // ONE parent directory holds all four snapshots and swaps as a unit:
+  // per-store swaps would let a crash between publishes fold a
+  // replayed batch twice into some stores and once into others — a
+  // permanent skew of the lexicon's conditionals no later batch heals.
+  // A crash anywhere leaves either the old complete state or the new
+  // complete state readable (recoverSwap heals the rename window).
+  private val stateDir = new File(s"$baseDir/state")
+  private val stateTmp = new File(s"$baseDir/state__tmp")
+  private val stateOld = new File(s"$baseDir/state__old")
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
@@ -54,26 +63,32 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
 
   private def readStore(s: SparkSession, name: String, emptyDf: => DataFrame): DataFrame =
     storeLock.synchronized {
-      val (dst, tmp, old) = dirs(name)
-      TierStore.recoverSwap(dst, old)
-      TierStore.deleteTree(old)
-      TierStore.deleteTree(tmp)
-      if (!dst.exists()) emptyDf
+      TierStore.recoverSwap(stateDir, stateOld)
+      TierStore.deleteTree(stateOld)
+      val leaf = new File(stateDir, name)
+      if (!leaf.exists()) emptyDf
       else {
-        s.catalog.refreshByPath(dst.toString)
-        s.read.parquet(dst.toString)
+        s.catalog.refreshByPath(leaf.toString)
+        s.read.parquet(leaf.toString)
       }
     }
 
-  private def publish(name: String, df: DataFrame): Unit = {
-    val (dst, tmp, old) = dirs(name)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (dst.exists()) TierStore.swapInto(dst, tmp, old)
+  /** Write all four frames into a staging parent, then swap the parent
+    * in ONE rename — state is always a consistent generation. */
+  private def publishAll(frames: Seq[(String, DataFrame)]): Unit = {
+    TierStore.deleteTree(stateTmp)
+    frames.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(new File(stateTmp, name).toString)
+    }
+    if (stateDir.exists()) TierStore.swapInto(stateDir, stateTmp, stateOld)
     else {
       Files.createDirectories(Paths.get(baseDir))
-      require(tmp.renameTo(dst), s"could not publish $tmp")
+      require(stateTmp.renameTo(stateDir), s"could not publish $stateTmp")
     }
-    spark.catalog.refreshByPath(dst.toString)
+    frames.foreach { case (name, _) =>
+      spark.catalog.refreshByPath(new File(stateDir, name).toString)
+    }
   }
 
   private def emptyGrams(s: SparkSession): DataFrame = {
@@ -92,9 +107,12 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
   /** The committed weight frame (the serving artifact), or None before
     * the first completed batch. */
   def currentWeights(s: SparkSession = spark): Option[DataFrame] = {
-    val (dst, _, old) = dirs("weights")
+    val weights = new File(stateDir, "weights")
+    val weightsOld = new File(stateOld, "weights")
     val dir =
-      if (dst.exists()) Some(dst) else if (old.exists()) Some(old) else None
+      if (weights.exists()) Some(weights)
+      else if (weightsOld.exists()) Some(weightsOld)
+      else None
     dir.map { d =>
       s.catalog.refreshByPath(d.toString)
       s.read.parquet(d.toString)
@@ -135,10 +153,8 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
           val weights = Sampling.hardDomainWeightsFromGramStores(
             grams, unis, sdocs, etaE6, lam, srcCol)
             .localCheckpoint() // evaluate before the stores swap under it
-          publish("srcgrams", grams)
-          publish("unigrams", unis)
-          publish("srcdocs", sdocs)
-          publish("weights", weights)
+          publishAll(Seq("srcgrams" -> grams, "unigrams" -> unis,
+            "srcdocs" -> sdocs, "weights" -> weights))
         }
         ()
       }

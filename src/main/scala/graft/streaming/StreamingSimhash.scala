@@ -46,15 +46,24 @@ class StreamingSimhash(spark: SparkSession, baseDir: String,
   /** Compact the signature and block stores' per-batch slivers
     * (maintenance-window op). Canonicalizes like the BM25 twin: an
     * at-least-once replay double-appends rows, and without folding the
-    * read-side healing (per-id dedup — a doc's signature is a pure
-    * function of its text) into the rewrite, duplicates would persist
+    * read-side healing into the rewrite, duplicates would persist
     * through compaction and permanently widen the candidate fan-out
-    * past the 'one long per kept doc' state bound. */
+    * past the 'one long per kept doc' state bound. The per-id pick is
+    * deterministic (max signature), and the BLOCK store rebuilds from
+    * the canonical signatures rather than deduping its own rows — a
+    * per-(id, blk) dedup could keep blocks from two DIFFERENT stored
+    * signatures of one id (a re-ingested edited doc), leaving bucket
+    * coverage that corresponds to no single signature and silently
+    * voiding the pigeonhole guarantee. */
   def compactStore(maxFiles: Int = 8): Boolean = {
+    def canonicalSigs(df: DataFrame): DataFrame =
+      df.groupBy("id").agg(max("simhash").as("simhash"))
     val a = StoreCompaction.compactDir(spark, sigDir, maxFiles,
-      canonicalize = _.dropDuplicates("id"))
+      canonicalize = canonicalSigs)
     val b = StoreCompaction.compactDir(spark, bkDir, maxFiles,
-      canonicalize = _.dropDuplicates("id", "blk"))
+      canonicalize = df =>
+        Dedup.simhashBands(canonicalSigs(df.select("id", "simhash")),
+          nBlocks, bits))
     a && b
   }
 

@@ -2314,5 +2314,17 @@ class OpsSpec extends SparkSpec {
       m = 8, ksub = 16, rerank = 1000000, residual = true)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(resRot == truth, "rotated residual mode broke exhaustive exactness")
+    // rank-deficient training: a sample with FEWER vectors than dims
+    // makes M = Y·Xᵀ rank-deficient, and the zero-singular-value
+    // completion must still return a fully orthogonal R (a V-column
+    // copy would not be — it spans the row null space)
+    val tiny = corpus.where(col("vec_id") < 20)
+    val rotTiny = Similarity.opqRotation(tiny, m = 8, ksub = 16)
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dotc = (0 until 64).map(k => rotTiny(k)(i) * rotTiny(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotc - want) < 1e-8,
+        s"rank-deficient RtR[$i][$j] = $dotc")
+    }
   }
 }

@@ -277,6 +277,20 @@ class PqIndexStoreSpec extends SparkSpec {
     assert(codes.count() == 400)
     assert(rows(store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) == before,
       "sweep changed serve output")
+    // an IN-FLIGHT build's newer rows sit behind the version pin (codes
+    // write first, quantizer commits second) — the prune must keep
+    // them, or a concurrent sweep would hollow out the build it races
+    import spark.implicits._
+    val future = v3 + 1000L
+    Seq((future, 9999L, 0, 0L)).toDF("version", "n_id", "cell", "codes")
+      .coalesce(1).write.mode("append").parquet(store.codesPath)
+    assert(graft.streaming.StoreCompaction.sweep(spark, dir, maxFiles = 1)
+      .exists(_.endsWith("codes")))
+    spark.catalog.refreshByPath(store.codesPath)
+    val after = spark.read.parquet(store.codesPath)
+    assert(after.where(col("version") === future).count() == 1L,
+      "sweep dropped an in-flight build's pinned rows")
+    assert(after.where(col("version") === v3).count() == 400L)
   }
 
   test("sampled training (trainCap) still serves exactly at the exhaustive config") {

@@ -330,8 +330,8 @@ class StreamingSpec extends SparkSpec {
     val sd2 = new graft.streaming.StreamingDomainReweight(spark, base)
     assert(weightRows(sd2.currentWeights().get) ==
       weightRows(sd.currentWeights().get))
-    spark.catalog.refreshByPath(s"$base/srcgrams")
-    val gramRows = spark.read.parquet(s"$base/srcgrams").count()
+    spark.catalog.refreshByPath(s"$base/state/srcgrams")
+    val gramRows = spark.read.parquet(s"$base/state/srcgrams").count()
     assert(gramRows <= 2L * vocab.size * vocab.size,
       s"per-source gram store must stay vocab-bounded, got $gramRows")
   }
