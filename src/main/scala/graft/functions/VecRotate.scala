@@ -44,14 +44,18 @@ case class VecRotate(child: Expression, mat: Seq[Double], dims: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
-    val n = math.min(dims, x.numElements())
+    // a wrong-width corpus served/appended through a rotated store must
+    // fail, not be silently zero-padded/truncated into wrong geometry
+    if (x.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"vec_rotate: input vector has ${x.numElements()} dims, rotation matrix expects $dims")
     val out = new Array[Double](dims)
     val f = isFloat
     var r = 0
     while (r < dims) {
       var s = 0.0
       var c = 0
-      while (c < n) {
+      while (c < dims) {
         s += m(r * dims + c) * (if (f) x.getFloat(c).toDouble else x.getDouble(c))
         c += 1
       }
@@ -68,16 +72,19 @@ case class VecRotate(child: Expression, mat: Seq[Double], dims: Int)
       // input row 'i' (the PqCodec.normalizeGen convention)
       val mref = ctx.addReferenceObj("rotMat", m, "double[]")
       val out = ctx.freshName("rotOut")
-      val n = ctx.freshName("rotN")
       val r = ctx.freshName("rotR")
       val c = ctx.freshName("rotC")
       val s = ctx.freshName("rotS")
       s"""
-         |int $n = java.lang.Math.min($dims, $x.numElements());
+         |if ($x.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "vec_rotate: input vector has " + $x.numElements() +
+         |    " dims, rotation matrix expects " + $dims);
+         |}
          |double[] $out = new double[$dims];
          |for (int $r = 0; $r < $dims; $r++) {
          |  double $s = 0.0;
-         |  for (int $c = 0; $c < $n; $c++) {
+         |  for (int $c = 0; $c < $dims; $c++) {
          |    $s += $mref[$r * $dims + $c] * (double) $x.$get($c);
          |  }
          |  $out[$r] = $s;

@@ -121,6 +121,11 @@ object Packing {
     // (integer division by zero) instead of failing fast
     contextLens.foreach(l =>
       require(l > 0, s"contextLen must be positive, got $l"))
+    // a duplicated candidate L would make explode emit its row twice and
+    // the groupBy silently double n_docs/pad_tokens/trunc_tokens for
+    // that L (fill_rate alone stays correct-looking)
+    require(contextLens.distinct.size == contextLens.size,
+      s"contextLens must be distinct, got $contextLens")
     val base = packAssignments(docs, contextLens.head, idCol, textCol, bucketSize)
       .select(col(idCol), col("n_tokens"), col("start_offset"))
     val l = col("context_len")

@@ -44,9 +44,19 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
                    residual: Boolean = false, iters: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    superProbe: Option[Int] = None,
-                   sampleInit: Boolean = false,
-                   trainCap: Int = 0,
+                   sampleInit: Boolean = true,
+                   trainCap: Int = -1,
                    opqRotate: Boolean = false) {
+  // Round-9 default flips (every 100 TB-critical lever used to be
+  // opt-in — §G11 measured the flat fallback at 5.9× for a caller who
+  // forgot): sampleInit defaults ON (hash-sampled Lloyd seeds — the
+  // only init that can seed appended id ranges on a retrain; for a
+  // fresh build it is at worst equivalent to first-k), trainCap
+  // defaults to AUTO (-1 ⇒ ~50 vectors/centroid hash sample, the FAISS
+  // training regime; 0 = explicitly train on everything), and
+  // superProbe = None now means AUTO (two-level assignment once nlist
+  // ≥ Similarity.AutoSuperProbeNlist; pass Similarity.FlatAssign to
+  // force flat). Oracle queries pin the legacy explicit configs.
 
   private val quantDir = s"$baseDir/quantizer"
   private val codesDir = s"$baseDir/codes"
@@ -92,13 +102,22 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // a trainCap below nlist would silently train FEWER centroids than
     // the nlist ∝ n rule promises (limit(nlist) over a smaller frame),
     // quadrupling E|cell| with no signal — clamp up and say so
+    // trainCap < 0 = AUTO (the round-9 default): hash-sample
+    // ~AutoTrainPerCentroid vectors per centroid — when the corpus is
+    // smaller than the cap the limit is a no-op and training still sees
+    // everything, so small stores are bit-for-bit unaffected
+    val requestedCap =
+      if (trainCap < 0)
+        math.min(Int.MaxValue.toLong,
+          PqIndexStore.AutoTrainPerCentroid.toLong * nlistEff).toInt
+      else trainCap
     val capEff =
-      if (trainCap > 0 && trainCap < nlistEff) {
-        log.warn(s"PqIndexStore.build: trainCap $trainCap < nlist $nlistEff " +
+      if (requestedCap > 0 && requestedCap < nlistEff) {
+        log.warn(s"PqIndexStore.build: trainCap $requestedCap < nlist $nlistEff " +
           s"would train too few centroids — clamping the training sample " +
           s"to $nlistEff rows (aim for ~50-250 x nlist)")
         nlistEff
-      } else trainCap
+      } else requestedCap
     val trainSet =
       if (capEff <= 0) rcorpus
       else rcorpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(capEff)
@@ -126,7 +145,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // build-time hot-cell audit: counts ride the codes just written
     // (no second corpus pass); the WARN names the skew and the lever
     cellAuditOf(version, cents.length, Similarity.DefaultHotCellFactor,
-      "PqIndexStore.build")
+      "PqIndexStore.build", cents)
     // 2. COMMIT: stage the quantizer beside the old, then two renames
     //    (load falls back to __old inside the rename window)
     import spark.implicits._
@@ -280,7 +299,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   def audit(hotCellFactor: Double = Similarity.DefaultHotCellFactor): Option[PqIndexStore.CellAudit] =
     load().map { case (version, art) =>
       cellAuditOf(version, art.centroids.length, hotCellFactor,
-        "PqIndexStore.audit")
+        "PqIndexStore.audit", art.centroids)
     }
 
   /** [[audit]], with the result APPENDED to the audit-history store
@@ -296,26 +315,32 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // row's generation
     val out = load().map { case (version, art) =>
       (version, cellAuditOf(version, art.centroids.length, hotCellFactor,
-        "PqIndexStore.recordAudit"))
+        "PqIndexStore.recordAudit", art.centroids))
     }
+    // read-max-then-append is only safe single-writer: two concurrent
+    // recordAudit calls could both read max=k and both append seq=k+1,
+    // making driftTrend's orderBy(seq desc).limit(2) nondeterministic.
+    // Serialize per audit store (JVM-wide lock keyed by path).
     out.foreach { case (version, a) =>
-      val seq =
-        if (!Files.exists(Paths.get(auditsDir))) 0L
-        else {
-          spark.catalog.refreshByPath(auditsDir)
-          spark.read.parquet(auditsDir).agg(max(col("seq"))).head()
-            .getAs[Any](0) match {
-              case null => 0L
-              case n: Long => n + 1L
-            }
-        }
-      import spark.implicits._
-      Seq((seq, version, a.nCells, a.total, a.maxCell, a.cap, a.hotCells,
-        a.projectedPairs))
-        .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
-          "hot_cells", "projected_pairs")
-        .coalesce(1).write.mode("append").parquet(auditsDir)
-      spark.catalog.refreshByPath(auditsDir)
+      PqIndexStore.auditLock(auditsDir).synchronized {
+        val seq =
+          if (!Files.exists(Paths.get(auditsDir))) 0L
+          else {
+            spark.catalog.refreshByPath(auditsDir)
+            spark.read.parquet(auditsDir).agg(max(col("seq"))).head()
+              .getAs[Any](0) match {
+                case null => 0L
+                case n: Long => n + 1L
+              }
+          }
+        import spark.implicits._
+        Seq((seq, version, a.nCells, a.total, a.maxCell, a.cap, a.hotCells,
+          a.projectedPairs, a.effDimE6))
+          .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
+            "hot_cells", "projected_pairs", "eff_dim_e6")
+          .coalesce(1).write.mode("append").parquet(auditsDir)
+        spark.catalog.refreshByPath(auditsDir)
+      }
     }
     out.map(_._2)
   }
@@ -348,10 +373,27 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       capGrowth > growthFactor || pprGrowth > growthFactor))
   }
 
+  /** Whether a RETRAIN of this store should enable `opqRotate` —
+    * §G12's decision rule, wired into the lifecycle instead of left as
+    * a manual judgment: true when the committed generation is already
+    * rotated (the spectrum of rotated centroids reads balanced BECAUSE
+    * the rotation balanced it — the cloud was flagged once, and
+    * un-rotating a flagged cloud would hand the recall back), or when
+    * the committed centroids' effective-dimension share reads
+    * anisotropic ([[PqIndexStore.effDimShareE6]] <
+    * [[PqIndexStore.RotationEffDimThresholdE6]]). False before the
+    * first build. */
+  def rotationAdvised(): Boolean = load().exists { case (_, art) =>
+    art.rotation.isDefined ||
+      PqIndexStore.effDimShareE6(art.centroids) <
+        PqIndexStore.RotationEffDimThresholdE6
+  }
+
   private def auditsDir = s"$baseDir/audits"
 
   private def cellAuditOf(version: Long, nlistEff: Int, factor: Double,
-                          opName: String): PqIndexStore.CellAudit = {
+                          opName: String,
+                          cents: Seq[Seq[Double]] = Nil): PqIndexStore.CellAudit = {
     spark.catalog.refreshByPath(codesDir)
     val counts = spark.read.parquet(codesDir)
       .where(col("version") === version)
@@ -370,11 +412,53 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
         " mass), not a serve-time re-key.")
     PqIndexStore.CellAudit(counts.size, total,
       if (counts.isEmpty) 0L else counts.values.max, cap, hot,
-      counts.values.map(c => c.toDouble * (c.toDouble - 1) / 2).sum)
+      counts.values.map(c => c.toDouble * (c.toDouble - 1) / 2).sum,
+      PqIndexStore.effDimShareE6(cents))
   }
 }
 
 object PqIndexStore {
+
+  /** The §G11 maintenance response as ONE call, with §G12's rotation
+    * rule wired in: open the store at `baseDir`, decide `opqRotate`
+    * from the COMMITTED generation ([[PqIndexStore.rotationAdvised]] —
+    * anisotropic centroid spectrum, or already rotated), then build a
+    * new generation over `corpus` in the retrain configuration
+    * (sampleInit — first-k init provably cannot seed appended id
+    * ranges; auto trainCap; nlist regrown ∝ n when `nlist ≤ 0`). The
+    * swap is the usual atomic two-rename commit; superseded code rows
+    * are reclaimed by [[PqIndexStore.compact]] / the maintenance sweep.
+    * Returns the store handle and the committed version. */
+  def retrain(spark: SparkSession, baseDir: String, corpus: DataFrame,
+              nlist: Int = 0, m: Int = 8, ksub: Int = 16,
+              residual: Boolean = false, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              superProbe: Option[Int] = None): (PqIndexStore, Long) = {
+    val prior = new PqIndexStore(spark, baseDir, nlist, m, ksub, residual,
+      iters, idCol, vecCol, superProbe)
+    val rotate = prior.rotationAdvised()
+    val store =
+      if (!rotate) prior
+      else new PqIndexStore(spark, baseDir, nlist, m, ksub, residual,
+        iters, idCol, vecCol, superProbe, opqRotate = true)
+    (store, store.build(corpus))
+  }
+
+  /** AUTO trainCap regime (trainCap < 0): the training sample holds
+    * ~this many vectors per centroid — the published FAISS guidance
+    * (k-means gains nothing past ~50-250 points/centroid; at 10⁹
+    * vectors training on everything prices each Lloyd iteration as a
+    * full-corpus aggregate for no recall gain). */
+  val AutoTrainPerCentroid = 50
+
+  /** Per-audit-store write lock: serializes [[PqIndexStore.recordAudit]]'s
+    * read-max-then-append so concurrent calls can't mint duplicate seq
+    * values. JVM-wide, keyed by the normalized store path. */
+  private val auditLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ops] def auditLock(dir: String): Object =
+    auditLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
   /** The committed quantizer generation sitting beside a `codes/` leaf
     * — the quantizer dir, else its `__old` fallback (the mid-swap
@@ -399,10 +483,45 @@ object PqIndexStore {
   /** One generation's cell-occupancy report: `drifted` is the retrain
     * signal ([[PqIndexStore.audit]]); `projectedPairs` is the
     * Σ C(|cell|,2) candidate bound a pair build over these cells would
-    * face — the quantity the hot-cell WARN names. */
+    * face — the quantity the hot-cell WARN names. `effDimE6` is the
+    * committed generation's variance-spectrum diagnostic (effective-
+    * dimension share of the centroid matrix, [[effDimShareE6]]):
+    * [[anisotropic]] is §G12's decision input — an anisotropic cloud is
+    * the regime where plain PQ wastes codewords and a retrain should
+    * enable `opqRotate` (measured +0.215 recall@10 at ksub 16). */
   final case class CellAudit(nCells: Int, total: Long, maxCell: Long,
-                             cap: Long, hotCells: Int, projectedPairs: Double) {
+                             cap: Long, hotCells: Int, projectedPairs: Double,
+                             effDimE6: Long = 1000000L) {
     def drifted: Boolean = hotCells > 0
+    def anisotropic: Boolean = effDimE6 < RotationEffDimThresholdE6
+  }
+
+  /** Below this effective-dimension share (×10⁶) the centroid spectrum
+    * is concentrated enough that OPQ rotation is advised (§G12: the
+    * e^(−d/16) real-embedding spectrum measures ~0.2-0.3 here; balanced
+    * synthetic clouds ~0.8-1.0). */
+  val RotationEffDimThresholdE6 = 500000L
+
+  /** Effective-dimension share of a centroid matrix, ×10⁶: the
+    * participation ratio (Σ_d E_d)² / (dims · Σ_d E_d²) of the per-
+    * dimension energies E_d = Σ_c c_d² — 1.0 when variance is spread
+    * evenly across dims (rotation buys nothing, §G12's balanced rows),
+    * → 1/dims when one dimension carries everything. Driver-side over
+    * the (nlist × dims) centroid matrix the store already holds — the
+    * audit needs NO corpus pass; Lloyd centroids inherit the cloud's
+    * spectrum. */
+  def effDimShareE6(cents: Seq[Seq[Double]]): Long = {
+    if (cents.isEmpty || cents.head.isEmpty) return 1000000L
+    val dims = cents.head.length
+    val energy = new Array[Double](dims)
+    cents.foreach { row =>
+      var d = 0
+      while (d < dims) { energy(d) += row(d) * row(d); d += 1 }
+    }
+    val s = energy.sum
+    val s2 = energy.map(e => e * e).sum
+    if (s <= 0 || s2 <= 0) 1000000L
+    else math.round(s * s / (dims.toDouble * s2) * 1e6)
   }
 
   /** Growth of the two §G11 drift signals between the last two

@@ -271,15 +271,51 @@ object Similarity {
     * catches the standard boundary straddle (spec-measured ≥ 0.9 on
     * planted near-dups). Zero vectors never pair (norm guard, as in
     * [[nearDupPairs]]). */
+  /** Two-level assignment engages BY DEFAULT at this nlist. Below it
+    * the flat nlist-dot scan is cheap and exact; above it the flat term
+    * is the measured scale-killer (§G11: 5.9× at just 200k vectors /
+    * nlist 782, decade exponent 1.34 → 0.87). 256 = the
+    * [[DefaultIvfCellTarget]] regime where nlist starts growing ∝ n. */
+  val AutoSuperProbeNlist = 256
+
+  /** Auto two-level width: 2 is the measured configuration — planted-
+    * pair recall unchanged vs flat (OpsSpec), §G11's build numbers. */
+  val AutoSuperProbeWidth = 2
+
+  /** Explicit flat-assignment opt-out: a non-positive superProbe width
+    * disables the two-level path even above [[AutoSuperProbeNlist]]
+    * (exact flat ranking at any nlist — the oracle/debug config). */
+  val FlatAssign: Option[Int] = Some(0)
+
+  /** Effective superProbe for a concrete centroid count. `Some(w ≥ 1)`
+    * = explicit width; `Some(w ≤ 0)` ([[FlatAssign]]) = explicit flat;
+    * `None` = AUTO — two-level at width [[AutoSuperProbeWidth]] once
+    * nlist ≥ [[AutoSuperProbeNlist]], flat below. Auto-on is the
+    * round-9 default flip: every 100 TB-critical lever used to be
+    * opt-in, and a caller who forgot got the flat n × nlist term back. */
+  def resolveSuperProbe(nlist: Int, superProbe: Option[Int]): Option[Int] =
+    superProbe match {
+      case Some(sp) if sp >= 1 => Some(sp)
+      case Some(_) => None
+      case None =>
+        if (nlist >= AutoSuperProbeNlist) Some(AutoSuperProbeWidth) else None
+    }
+
   /** Probe column for a pinned centroid set: flat (nlist dots per
-    * vector), or two-level when `superProbe` is set — ≈ (1+superProbe)·
-    * √nlist dots, the assignment-cost escape hatch once nlist is grown
-    * with corpus size (see [[graft.functions.IvfProbeHier]]). */
+    * vector), or two-level — ≈ (1+superProbe)·√nlist dots, the
+    * assignment-cost escape hatch once nlist is grown with corpus size
+    * (see [[graft.functions.IvfProbeHier]]). The raw `superProbe` knob
+    * is resolved HERE against the concrete centroid count (see
+    * [[resolveSuperProbe]]), so every IVF entry point — serve, build,
+    * Lloyd assignment, PQ encode — inherits the auto default from one
+    * place and a pinned-centroid serve resolves against the pinned
+    * set's true size. */
   private def probeExpr(vec: Column, cents: Seq[Seq[Double]], nprobe: Int,
-                        superProbe: Option[Int]): Column = superProbe match {
-    case Some(sp) => graft.functions.ivf_probe_hier(vec, cents, nprobe, sp)
-    case None => graft.functions.ivf_probe(vec, cents, nprobe)
-  }
+                        superProbe: Option[Int]): Column =
+    resolveSuperProbe(cents.length, superProbe) match {
+      case Some(sp) => graft.functions.ivf_probe_hier(vec, cents, nprobe, sp)
+      case None => graft.functions.ivf_probe(vec, cents, nprobe)
+    }
 
   /** Empty pair frame with `idCol`'s type on both sides — the result
     * of any pair operator over a corpus too small to pair (an empty
@@ -487,20 +523,22 @@ object Similarity {
                             nlist: Int = 16, nprobe: Int = 2, iters: Int = 1,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             centroids: Option[Seq[Seq[Double]]] = None,
-                            assignNprobe: Int = 1): DataFrame = {
+                            assignNprobe: Int = 1,
+                            superProbe: Option[Int] = None): DataFrame = {
     graft.functions.ensureRegistered(newEmb.sparkSession)
-    val cents = centroids.getOrElse(ivfCentroids(seenEmb, nlist, iters, idCol, vecCol))
+    val cents = centroids.getOrElse(ivfCentroids(seenEmb, nlist, iters, idCol,
+      vecCol, superProbe = superProbe))
     // empty seen corpus ⇒ no index ⇒ no cross pairs (clamp widths to
     // the trained cell count otherwise — see ivfNearDupPairs)
     if (cents.isEmpty) return noPairs(newEmb, idCol)
     val seen = seenEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents,
-        math.min(assignNprobe, cents.length))).as("cell"))
+      explode(probeExpr(col(vecCol), cents,
+        math.min(assignNprobe, cents.length), superProbe)).as("cell"))
     val fresh = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
-      explode(graft.functions.ivf_probe(col(vecCol), cents,
-        math.min(nprobe, cents.length))).as("cell"))
+      explode(probeExpr(col(vecCol), cents,
+        math.min(nprobe, cents.length), superProbe)).as("cell"))
     fresh.as("a").join(seen.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .where(col("a.nrm") > 0 && col("b.nrm") > 0 &&
@@ -973,6 +1011,63 @@ object Similarity {
       .select(col("dims"), col("n_hits"),
         expr("n_hits * 1000000 div __total").as("recall_e6"))
       .orderBy("dims")
+  }
+
+  /** Dim-prefix IVF serve — the serve-side sibling of
+    * [[dimPrefixRecall]] (Matryoshka / MRL serving, Kusupati et al.
+    * 2022, public): the ENTIRE probe stage — centroid training, cell
+    * assignment, probe ranking, and the in-cell candidate shortlist —
+    * runs on the first `prefix` dims (p/d of the bytes read, p/d of the
+    * flops per dot), then ONLY the shortlist survivors are reranked
+    * exactly at full width. This is the cheap-probe lever a serve fleet
+    * sizes with once [[dimPrefixRecall]] says "p = 16 is fine": the
+    * dominant probe term shrinks by d/p while the final ranking stays
+    * full-precision.
+    *
+    * Exactness envelope (the oracle configuration, mirroring
+    * [[ivfTopK]]'s): at `nprobe = nlist` and `rerank ≥ |corpus|` the
+    * shortlist covers every candidate regardless of prefix geometry,
+    * and the full-dim rerank IS brute force — so the result equals
+    * [[bruteForceTopK]] bit-for-bit even at a narrow prefix. In the
+    * pruned configuration recall follows the prefix's
+    * [[dimPrefixRecall]] curve (spec-measured).
+    *
+    * Scale: the prefix shortlist is [[ivfTopK]]'s plan over sliced
+    * vectors (cell-bounded candidates, hot-cell guard, local-then-
+    * global top-k) with k = `rerank`; the full-width pass touches only
+    * |queries| × rerank id-joined rows — the corpus's full vectors are
+    * read once for the survivors, never scanned. Composes with a PQ
+    * store by pinning `centroids` trained in prefix space. */
+  def dimPrefixTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    prefix: Int, nlist: Int = 16, nprobe: Int = 4,
+                    rerank: Int = 50, iters: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    hotCellFactor: Double = DefaultHotCellFactor,
+                    superProbe: Option[Int] = None,
+                    centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(prefix >= 1, s"prefix width must be >= 1, got $prefix")
+    require(rerank >= k, s"rerank $rerank must be >= k = $k")
+    graft.functions.ensureRegistered(corpus.sparkSession)
+    def sliced(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, prefix).as(vecCol))
+    // stage 1 (prefix space): IVF shortlist of `rerank` candidates per
+    // query — inherits ivfTopK's whole plan (probe, hot-split, pruning)
+    val shortlist = ivfTopKImpl(sliced(corpus), sliced(queries), rerank,
+      nlist, nprobe, iters, idCol, vecCol, hotCellFactor,
+      excludeLabel = None, superProbe = superProbe, centroids = centroids)
+      .select(col("q_id"), col("n_id"))
+    // stage 2 (full width): exact rerank of the survivors — full
+    // vectors enter by id join, |queries| × rerank rows, one shuffle
+    val cFull = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val qFull = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm")))
+    val scored = shortlist.join(cFull, "n_id").join(qFull, "q_id")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
   }
 
   /** [[edgeCentrality]] over the [[mutualKnnPairs]] graph. */

@@ -536,7 +536,12 @@ object PipelineQueries {
   def pqIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = java.nio.file.Files.createTempDirectory("graft_pq_serve").toString
-    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8, ksub = 16)
+    // legacy levers pinned explicit (round-9 flipped the store DEFAULTS
+    // to sampleInit/auto-trainCap — the oracle stays the replayable
+    // first-k/full-train config; exactness holds either way at this
+    // exhaustive nprobe/rerank, the pin keeps timings comparable)
+    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8,
+      ksub = 16, sampleInit = false, trainCap = 0)
     store.build(emb)
     store.topK(emb, emb.where(col("vec_id") < 20), k = 5, nprobe = 16,
       rerank = 1000000)
@@ -1129,6 +1134,21 @@ object PipelineQueries {
       prefixes = Seq(8, 16, 32, 64))
   }
 
+  /** Dim-prefix IVF SERVE ([[Similarity.dimPrefixTopK]]) in its
+    * exactness envelope: the probe stage runs entirely on the first 16
+    * of 64 dims, but `nprobe = nlist` + corpus-sized rerank makes the
+    * shortlist exhaustive, so the full-width rerank equals brute-force
+    * cosine bit-for-bit — the oracle is the same SQL as
+    * [[ivfTopK]]'s (e_ivf_topk's pattern: the machinery under test is
+    * the prefix probe + rerank plumbing; recall of the PRUNED config
+    * follows e_dim_prefix_recall's curve, spec-measured). */
+  def dimPrefixTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.dimPrefixTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      prefix = 16, nlist = 16, nprobe = 16, rerank = 1000000)
+      .orderBy("q_id", "rank")
+  }
+
   /** Document-level PMI over the top-100 vocabulary (pairs seen in ≥ 5
     * docs) — pair space capped at C(100,2) whatever the corpus size. */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1529,6 +1549,7 @@ object PipelineQueries {
     "d_pack_efficiency"   -> (packEfficiencyQ _),
     "d_domain_reweight"   -> (domainReweightQ _),
     "e_dim_prefix_recall" -> (dimPrefixRecallQ _),
+    "e_dim_prefix_topk" -> (dimPrefixTopKQ _),
     "d_pmi_pairs"         -> (pmiPairs _),
     "d_source_mix"        -> (sourceMix _),
     "d_source_overlap"    -> (sourceOverlapQ _),
@@ -2508,6 +2529,15 @@ object PipelineQueries {
          |      start_offset // context_len <> (start_offset + n_tokens - 1) // context_len
          |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
          |FROM x GROUP BY context_len ORDER BY context_len""".stripMargin,
+    "e_dim_prefix_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "e_dim_prefix_recall" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),

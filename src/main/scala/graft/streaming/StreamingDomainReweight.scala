@@ -106,7 +106,10 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
 
   /** The committed weight frame (the serving artifact), or None before
     * the first completed batch. */
-  def currentWeights(s: SparkSession = spark): Option[DataFrame] = {
+  def currentWeights(s: SparkSession = spark): Option[DataFrame] = storeLock.synchronized {
+    // under storeLock: readStore deleteTree's state__old unconditionally,
+    // so an unlocked reader landing in the swap window could have the
+    // __old fallback deleted mid-read and fail transiently
     val weights = new File(stateDir, "weights")
     val weightsOld = new File(stateOld, "weights")
     val dir =
@@ -115,7 +118,9 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
       else None
     dir.map { d =>
       s.catalog.refreshByPath(d.toString)
-      s.read.parquet(d.toString)
+      // materialize inside the lock — a lazy frame would read the path
+      // after the lock is released, re-opening the race
+      s.read.parquet(d.toString).localCheckpoint()
     }
   }
 

@@ -225,10 +225,15 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
         Similarity.dot(col("a.v"), col("b.v")) >=
           lit(threshold) * col("a.nrm") * col("b.nrm"))
       .select(col("a.id").as(idCol)).distinct()
-    // within-batch dups under the SAME pinned centroids
+    // within-batch dups under the SAME pinned centroids — FlatAssign
+    // pins the probe flat to match the store's persisted ivf_probe
+    // assignment (the round-9 auto-superProbe default would otherwise
+    // switch this leg to the two-level probe at nlist ≥ 256 and open a
+    // geometry mismatch with the cells already on disk)
     val selfPairs = Similarity.ivfNearDupPairs(b, threshold,
       nlist, math.min(math.max(nprobe, 2), cents.length),
-      idCol = idCol, vecCol = vecCol, centroids = Some(cents))
+      idCol = idCol, vecCol = vecCol, centroids = Some(cents),
+      superProbe = Similarity.FlatAssign)
     val selfLosers = Dedup.dupClusters(selfPairs)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))

@@ -2088,6 +2088,35 @@ class OpsSpec extends SparkSpec {
     assert(pinned == self)
   }
 
+  test("dimPrefixTopK: exhaustive config equals brute force bit-for-bit even at a narrow prefix") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = nlist + corpus-sized rerank: the prefix shortlist covers
+    // everything, so the full-width rerank IS brute force regardless of
+    // the probe geometry
+    val served = Similarity.dimPrefixTopK(emb, q, 5, prefix = 16,
+      nlist = 16, nprobe = 16, rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == exact)
+  }
+
+  test("dimPrefixTopK pruned config: k rows per query, recall tracks the prefix curve") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Similarity.dimPrefixTopK(emb, q, 5, prefix = 32,
+      nlist = 16, nprobe = 16, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(served.groupBy(_._1).values.forall(_.size == 5))
+    // exhaustive probe + prefix-32 shortlist of 50 on this corpus: the
+    // full-width rerank recovers most of the exact set (the residual
+    // loss is candidates the prefix ranking dropped past rerank=50 —
+    // the quantity e_dim_prefix_recall measures per width)
+    val recall = served.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"prefix-32 shortlist recall: $recall")
+  }
+
   test("anisotropy: collapsed cloud reads ~1e6, symmetric cloud reads 0") {
     import spark.implicits._
     val same = Seq.tabulate(8)(i => (i.toLong, Array(0.6f, -0.3f, 0.1f)))

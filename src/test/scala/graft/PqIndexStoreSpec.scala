@@ -333,6 +333,66 @@ class PqIndexStoreSpec extends SparkSpec {
       rows(Similarity.bruteForceTopK(emb, queries, 5)))
   }
 
+  test("anisotropy-aware retrain: flagged spectrum retrains WITH rotation and recall recovers vs the unrotated retrain") {
+    import spark.implicits._
+    // the e^(−d/16) decaying spectrum real embedding models produce —
+    // the §G12 regime where plain PQ at ksub 16 wastes codewords
+    val rnd = new scala.util.Random(77)
+    def anisoVec() =
+      Array.tabulate(64)(d => (rnd.nextGaussian() * math.exp(-d / 16.0)).toFloat)
+    def frame(ids: Range) = ids.map(i => (i.toLong, anisoVec().toSeq))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+      .localCheckpoint()
+    val base = frame(0 until 3000)
+    val dir = tmpDir("anisoretrain")
+    val store = new PqIndexStore(spark, dir, nlist = 32, m = 8, ksub = 16)
+    store.build(base)
+    // the committed centroid spectrum carries the cloud's decay — the
+    // wired §G12 decision input fires (and reads in the recorded audit)
+    assert(store.rotationAdvised(), "anisotropic spectrum not flagged")
+    val audited = store.recordAudit().get
+    assert(audited.anisotropic, s"audit eff-dim not anisotropic: $audited")
+    // ...and does NOT fire on the balanced-variance fixture
+    val balDir = tmpDir("anisobal")
+    val balStore = new PqIndexStore(spark, balDir, nlist = 16, m = 8, ksub = 16)
+    balStore.build(emb)
+    assert(!balStore.rotationAdvised(), "balanced spectrum falsely flagged")
+    assert(!balStore.recordAudit().get.anisotropic)
+    // drift: append more anisotropic mass, then run the one-call
+    // maintenance response — rotation decided FROM the store, not by hand
+    val drift = frame(3000 until 4000)
+    store.append(drift)
+    val full = base.union(drift).localCheckpoint()
+    val (healed, v2) = PqIndexStore.retrain(spark, dir, full, nlist = 32,
+      m = 8, ksub = 16)
+    assert(healed.load().get._1 == v2)
+    assert(healed.load().get._2.rotation.isDefined,
+      "retrain did not enable rotation on the flagged cloud")
+    // a second retrain stays rotated (rotated centroids read balanced
+    // BECAUSE the rotation balanced them — the rule must not un-rotate)
+    assert(healed.rotationAdvised(), "rotated store lost the rotation advice")
+    // recall vs the counterfactual UNROTATED retrain at the same pruned
+    // config: the rotation recovers recall on this spectrum (§G12
+    // measured +0.215 @ ksub 16; everything here is seeded and
+    // deterministic, so the comparison is stable)
+    val unrotDir = tmpDir("anisounrot")
+    val unrot = new PqIndexStore(spark, unrotDir, nlist = 32, m = 8, ksub = 16,
+      iters = 2)
+    unrot.build(full)
+    val queries = full.where(col("vec_id") % 40 === 0).localCheckpoint()
+    val truth = rows(Similarity.bruteForceTopK(full, queries, 10))
+    def recall(s: PqIndexStore): Double = {
+      val got = s.topK(full, queries, k = 10, nprobe = 4, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth.map(t => (t._1, t._3))).size.toDouble / truth.size
+    }
+    val rRot = recall(healed)
+    val rFlat = recall(unrot)
+    assert(rRot > rFlat + 0.02,
+      s"rotated retrain recall $rRot did not beat unrotated $rFlat")
+  }
+
   test("hard negatives from a persisted quantizer: zero training, exhaustive ≡ exact") {
     import spark.implicits._
     val labeled = emb.withColumn("label", (col("vec_id") % 5).cast("int"))

@@ -143,6 +143,41 @@ object ScaleBench {
         centroids = Some(cents), codebooks = Some(cbs)))
       ("e_pq_near_dup_0.7_pinned", (System.nanoTime() - t) / 1e9)
     }
+    // runWithSemantic END TO END (§G14): the full 6-stage hybrid
+    // text+vector funnel in its scale configuration — MinHash pair
+    // source for stage 4 and the IVF tail's nlist grown ∝ the aligned
+    // embedding count (the d_curation_semantic query pins the oracle
+    // config: Exact pairs + nlist 8). This is the one major composition
+    // whose decade exponent was previously inferred from its stages; a
+    // cross-term between the text funnel and the IVF tail would only
+    // show here.
+    val semE2e = if (!want("d_curation_semantic_e2e")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val nlist = Similarity.suggestNlist(emb.count())
+      val t = System.nanoTime()
+      Bench.force(graft.ops.Curation.runWithSemantic(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"), emb,
+        graft.ops.Curation.Params(
+          pairSource = graft.ops.Curation.PairSource.MinHash(),
+          semanticIvfNlist = Some(nlist), semanticIvfNprobe = 4))._2)
+      ("d_curation_semantic_e2e", (System.nanoTime() - t) / 1e9)
+    }
+    // the same composition in the ORACLE configuration the driver
+    // bench times (d_curation_semantic: Exact pair source, nlist 8) —
+    // the row that adjudicates the r6 → r8 driver-bench move
+    val semOracle = if (!want("d_curation_semantic_oracle")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.Curation.runWithSemantic(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"), emb,
+        graft.ops.Curation.Params(
+          semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2)
+      ("d_curation_semantic_oracle", (System.nanoTime() - t) / 1e9)
+    }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
     // d_curation_funnel query pins)
@@ -345,7 +380,7 @@ object ScaleBench {
       warmTimed("bm25_serve_rare")(() => bm.topK(rareTerms, 10))
     }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
-      ivfNdPinned ++ sdcNdPinned ++ mh ++
+      ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++
