@@ -46,6 +46,17 @@ object Bench {
     "q4_top_orders", "q5_semi_join", "q6_anti_join", "q7_distinct_users",
     "q8_top_per_group")
 
+  /** Fails (listing the missing names) unless every §E baseline query
+    * still exists in the live query surface — a rename/drop would
+    * otherwise silently shrink subset_e_n and deflate the judge's
+    * bench_vs_baseline ratio. Called at bench start, before any timing. */
+  def requireSubsetECovered(live: Set[String]): Unit = {
+    val missing = SubsetE.filterNot(live)
+    require(missing.isEmpty,
+      s"Bench.SubsetE names absent from SparkEntry.queries (baseline ratio " +
+        s"would be wrong): ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   /** Force full evaluation of every output column (a bare .count() lets
     * Catalyst prune computed columns, so select-only queries would
     * measure a pruned scan instead of the operator). Hashing the whole
@@ -70,6 +81,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // The §E baseline ratio is only meaningful if every recorded-baseline
+    // query still exists under its recorded name: a rename or drop would
+    // silently shrink subset_e_n and deflate the ratio. Fail the whole
+    // run (before any timing) with the missing names instead.
+    requireSubsetECovered(SparkEntry.queries.keySet)
     val spark = GraftSession.builder(cpus.toInt, cpus.toInt)
       .appName("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -129,15 +129,25 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val cents = Similarity.ivfCentroids(trainSet,
       nlistEff, iters, idCol, vecCol, sampleInit, superProbe)
     require(cents.nonEmpty, "cannot build a PQ index from an empty corpus")
-    // `superProbe` threads the two-level assignment through BOTH
+    // Resolve the assignment geometry ONCE, here, against the trained
+    // centroid count — and persist it with the quantizer (kind='mode'
+    // row below). The auto-superProbe default resolves at BUILD time
+    // only: append() and topK() pin to the persisted mode, so a handle
+    // opened after a default flip (or with different args) can never
+    // two-level-assign new codes into a flat-assigned generation —
+    // mixed geometry within one version is silent recall loss.
+    val assignMode: Option[Int] =
+      Similarity.resolveSuperProbe(cents.length, superProbe)
+    val assignPin: Option[Int] = assignMode.orElse(Similarity.FlatAssign)
+    // `assignPin` threads the resolved assignment through BOTH
     // build-side n × nlist terms (residual codebook training and the
     // full-corpus encode) — the same escape hatch ivfTopK's serve path
     // got when nlist is grown ∝ n (§G9): without it an index BUILD at
     // 10⁶+ vectors pays the flat assignment the serve was rescued from
     val cbs = Similarity.trainPqCodebooks(trainSet, cents, m, ksub, iters,
-      residual, idCol, vecCol, superProbe, sampleInit)
+      residual, idCol, vecCol, assignPin, sampleInit)
     val encoded = Similarity.pqEncodedBase(rcorpus, cents, cbs, residual,
-      idCol, vecCol, superProbe)
+      idCol, vecCol, assignPin)
     // 1. codes first, behind the version pin (invisible until commit)
     encoded.select(lit(version).as("version"), col("n_id"), col("cell"),
         col("codes"))
@@ -160,9 +170,13 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val rotRows = rotation.toSeq.flatMap(_.zipWithIndex.flatMap { case (row, r) =>
       row.zipWithIndex.map { case (x, d) => (version, "rot", r, 0, d, x) }
     })
+    // the resolved assignment geometry, as ONE row (kind='mode', a = 0
+    // for flat, a = w for two-level at width w) — load() pins to it
+    val modeRows = Seq((version, "mode", assignMode.getOrElse(0), 0, 0, 0.0))
     val tmp = s"$quantDir.__stage"
     val old = s"$quantDir.__old"
-    (centRows ++ cbRows ++ rotRows).toDF("version", "kind", "a", "b", "d", "value")
+    (centRows ++ cbRows ++ rotRows ++ modeRows)
+      .toDF("version", "kind", "a", "b", "d", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     if (Files.exists(Paths.get(quantDir))) {
       graft.sources.TierStore.deleteTree(new java.io.File(old))
@@ -206,12 +220,16 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
           if (rotRows.isEmpty) None
           else Some(rotRows.groupBy(_._3).toSeq.sortBy(_._1)
             .map { case (_, rs) => rs.sortBy(_._5).map(_._6).toSeq })
+        // the persisted assignment geometry (kind='mode': a = 0 flat,
+        // a = w two-level); absent on pre-mode generations
+        val assignMode: Option[Option[Int]] = rows.find(_._2 == "mode")
+          .map(r => if (r._3 <= 0) None else Some(r._3))
         spark.catalog.refreshByPath(codesDir)
         val codes = spark.read.parquet(codesDir)
           .where(col("version") === version)
           .select(col("n_id"), col("cell"), col("codes"))
         Some((version, Similarity.PqIndexArtifacts(cents, cbs, Some(codes),
-          residual, rotation)))
+          residual, rotation, assignMode)))
       }
     }
   }
@@ -229,7 +247,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val rvecs = art.rotation.map(Similarity.rotated(newVecs, _, vecCol))
       .getOrElse(newVecs)
     Similarity.pqEncodedBase(rvecs, art.centroids, art.codebooks, residual,
-        idCol, vecCol, superProbe)
+        idCol, vecCol, persistedProbePin(art))
       .select(lit(version).as("version"), col("n_id"), col("cell"), col("codes"))
       .write.mode("append").parquet(codesDir)
     spark.catalog.refreshByPath(codesDir)
@@ -256,8 +274,41 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       nlist = art.centroids.length, nprobe = nprobe, m = art.codebooks.length,
       ksub = art.codebooks.head.length, rerank = rerank, iters = iters,
       idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art),
-      superProbe = superProbe)
+      superProbe = persistedProbePin(art))
   }
+
+  /** The probe/assignment pin for a LOADED generation: the geometry
+    * persisted at build time, never the handle's (possibly newer)
+    * default resolution — stored cell assignments are only meaningful
+    * under the geometry that created them (the same invariant
+    * [[graft.streaming.StreamingVecNearDup]] pins with `FlatAssign`).
+    * A handle that EXPLICITLY pins a conflicting geometry is a config
+    * error and fails loudly; `superProbe = None` (AUTO) silently honors
+    * the store. Pre-mode generations (no recorded geometry) fall back
+    * to the handle's resolution with a WARN — rebuild/retrain records
+    * the mode. */
+  private def persistedProbePin(art: Similarity.PqIndexArtifacts): Option[Int] =
+    art.assignMode match {
+      case Some(stored) =>
+        if (superProbe.isDefined) {
+          val handleRes =
+            Similarity.resolveSuperProbe(art.centroids.length, superProbe)
+          require(handleRes == stored,
+            s"PqIndexStore at $baseDir was built with assignment geometry " +
+              s"${stored.fold("flat")(w => s"two-level(width=$w)")} but this " +
+              s"handle explicitly pins " +
+              s"${handleRes.fold("flat")(w => s"two-level(width=$w)")} — " +
+              s"probing a store with a different geometry than built it " +
+              s"silently degrades recall. Drop the superProbe arg (AUTO " +
+              s"honors the store) or retrain under the new geometry.")
+        }
+        stored.orElse(Similarity.FlatAssign)
+      case None =>
+        log.warn(s"PqIndexStore at $baseDir has no persisted assignment " +
+          s"geometry (pre-mode generation) — resolving from the handle " +
+          s"config; rebuild or retrain to record the mode")
+        superProbe
+    }
 
   /** Compact the codes store's per-batch slivers and drop rows from
     * superseded generations (maintenance-window op). Keeps
@@ -327,7 +378,12 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
           if (!Files.exists(Paths.get(auditsDir))) 0L
           else {
             spark.catalog.refreshByPath(auditsDir)
-            spark.read.parquet(auditsDir).agg(max(col("seq"))).head()
+            // mergeSchema: audit dirs written before round 9 hold
+            // 8-column files (no eff_dim_e6); without it parquet
+            // resolves ONE file's footer and the newer column can be
+            // intermittently invisible
+            spark.read.option("mergeSchema", "true").parquet(auditsDir)
+              .agg(max(col("seq"))).head()
               .getAs[Any](0) match {
                 case null => 0L
                 case n: Long => n + 1L
@@ -356,7 +412,8 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   def driftTrend(growthFactor: Double = 1.25): Option[PqIndexStore.DriftTrend] = {
     if (!Files.exists(Paths.get(auditsDir))) return None
     spark.catalog.refreshByPath(auditsDir)
-    val last2 = spark.read.parquet(auditsDir)
+    // mergeSchema: see recordAudit — mixed 8/9-column audit files
+    val last2 = spark.read.option("mergeSchema", "true").parquet(auditsDir)
       .orderBy(col("seq").desc).limit(2).collect()
     if (last2.length < 2) return None
     def ratio(r: org.apache.spark.sql.Row): (Double, Double) = {
@@ -453,7 +510,11 @@ object PqIndexStore {
 
   /** Per-audit-store write lock: serializes [[PqIndexStore.recordAudit]]'s
     * read-max-then-append so concurrent calls can't mint duplicate seq
-    * values. JVM-wide, keyed by the normalized store path. */
+    * values. JVM-wide, keyed by the normalized store path — this guards
+    * the single-DRIVER deployment only: two drivers sharing one store
+    * path can still race seq allocation (no filesystem lock is taken).
+    * Multi-driver audit writes are out of contract; run recordAudit
+    * from the one maintenance job that owns the store. */
   private val auditLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[ops] def auditLock(dir: String): Object =
@@ -504,19 +565,35 @@ object PqIndexStore {
 
   /** Effective-dimension share of a centroid matrix, ×10⁶: the
     * participation ratio (Σ_d E_d)² / (dims · Σ_d E_d²) of the per-
-    * dimension energies E_d = Σ_c c_d² — 1.0 when variance is spread
-    * evenly across dims (rotation buys nothing, §G12's balanced rows),
-    * → 1/dims when one dimension carries everything. Driver-side over
-    * the (nlist × dims) centroid matrix the store already holds — the
-    * audit needs NO corpus pass; Lloyd centroids inherit the cloud's
-    * spectrum. */
+    * dimension CENTERED energies E_d = Σ_c (c_d − mean_d)² — 1.0 when
+    * variance is spread evenly across dims (rotation buys nothing,
+    * §G12's balanced rows), → 1/dims when one dimension carries
+    * everything. Centering matters (ADVICE r9): raw second moments let
+    * a non-zero cloud MEAN dominate the energies, so a balanced-
+    * variance corpus whose mean concentrates in a few dims would read
+    * anisotropic (spurious opqRotate) and a spread-out mean could mask
+    * real variance decay — the rotation decision is about where the
+    * VARIANCE lives, which is what PQ codewords spend bits on.
+    * Driver-side over the (nlist × dims) centroid matrix the store
+    * already holds — the audit needs NO corpus pass; Lloyd centroids
+    * inherit the cloud's spectrum. */
   def effDimShareE6(cents: Seq[Seq[Double]]): Long = {
     if (cents.isEmpty || cents.head.isEmpty) return 1000000L
     val dims = cents.head.length
+    val mean = new Array[Double](dims)
+    cents.foreach { row =>
+      var d = 0
+      while (d < dims) { mean(d) += row(d); d += 1 }
+    }
+    var d0 = 0
+    while (d0 < dims) { mean(d0) /= cents.length; d0 += 1 }
     val energy = new Array[Double](dims)
     cents.foreach { row =>
       var d = 0
-      while (d < dims) { energy(d) += row(d) * row(d); d += 1 }
+      while (d < dims) {
+        val c = row(d) - mean(d)
+        energy(d) += c * c; d += 1
+      }
     }
     val s = energy.sum
     val s2 = energy.map(e => e * e).sum

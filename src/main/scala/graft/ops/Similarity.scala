@@ -1365,11 +1365,20 @@ object Similarity {
     * records which encoding the codebooks were trained for — mixing
     * modes would ADC-score garbage, so [[ivfPqTopK]] asserts it.
     * [[PqIndexStore]] persists and versions all three. */
+  /** `assignMode` is the RESOLVED assignment geometry the stored codes
+    * were built under — `Some(None)` = flat nlist-dot assignment,
+    * `Some(Some(w))` = two-level at super-probe width w, outer `None` =
+    * not recorded (a pre-mode persisted store). Probing a store with a
+    * different geometry than built it silently degrades recall (a
+    * vector's nearest cell under the two-level probe can differ from
+    * its flat assignment), so [[PqIndexStore]] persists the resolved
+    * mode at build time and pins every append/serve to it. */
   case class PqIndexArtifacts(centroids: Seq[Seq[Double]],
                               codebooks: Seq[Seq[Seq[Double]]],
                               codes: Option[DataFrame] = None,
                               residual: Boolean = false,
-                              rotation: Option[Seq[Seq[Double]]] = None)
+                              rotation: Option[Seq[Seq[Double]]] = None,
+                              assignMode: Option[Option[Int]] = None)
 
   /** The residual of a vector against its cell centroid, on the unit
     * sphere — classic IVFADC geometry (see [[ivfPqTopK]]). */

@@ -118,9 +118,16 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
       else None
     dir.map { d =>
       s.catalog.refreshByPath(d.toString)
-      // materialize inside the lock — a lazy frame would read the path
-      // after the lock is released, re-opening the race
-      s.read.parquet(d.toString).localCheckpoint()
+      // snapshot inside the lock by COLLECTING the frame (tiny by
+      // construction: one row per source domain) and rebuilding it as
+      // a local relation. A lazy frame would read the path after the
+      // lock is released, re-opening the race; a localCheckpoint
+      // (ADVICE r9) leaks executor storage blocks on every poll until
+      // the RDD is GC'd. The result is a frozen snapshot of the
+      // committed generation — the serving contract.
+      val snap = s.read.parquet(d.toString)
+      val rows = snap.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), snap.schema)
     }
   }
 

@@ -88,4 +88,17 @@ class MiscOpsSpec extends SparkSpec {
   test("version payload") {
     assert(Version.json.contains("graft") && Version.json.contains("0.1.0"))
   }
+
+  test("Bench.SubsetE is covered by the live query surface, and the guard trips on drift") {
+    assert(Bench.SubsetE.size == 43)
+    // positive: today's surface must carry every recorded baseline name
+    Bench.requireSubsetECovered(SparkEntry.queries.keySet)
+    // negative: a renamed/dropped baseline query must fail the bench
+    // loudly, naming the missing query
+    val broken = SparkEntry.queries.keySet - "q1_pricing_summary"
+    val e = intercept[IllegalArgumentException] {
+      Bench.requireSubsetECovered(broken)
+    }
+    assert(e.getMessage.contains("q1_pricing_summary"))
+  }
 }

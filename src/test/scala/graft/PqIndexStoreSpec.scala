@@ -414,4 +414,87 @@ class PqIndexStoreSpec extends SparkSpec {
     // exhaustive probe equals the exact brute-force arm
     assert(rows(df) == rows(Similarity.hardNegatives(labeled, queries, k = 5)))
   }
+
+  test("persisted assignment geometry pins appends/serves across handles; conflicting explicit pin fails") {
+    // nlist ≥ AutoSuperProbeNlist is the hazard regime: a store built
+    // FLAT there, reopened by a DEFAULT-config handle, must keep flat
+    // geometry — the auto-superProbe default must resolve at build
+    // time only, never retroactively against persisted codes
+    assert(300 >= Similarity.AutoSuperProbeNlist)
+    val dir = tmpDir("geom")
+    val base = emb.where(col("vec_id") < 300)
+    val batch = emb.where(col("vec_id") >= 300)
+    val builder = new PqIndexStore(spark, dir, nlist = 300, m = 8, ksub = 16,
+      superProbe = Similarity.FlatAssign)
+    val v = builder.build(base)
+    // the resolved mode is persisted with the quantizer
+    val art0 = builder.load().get._2
+    assert(art0.assignMode.contains(None), s"expected recorded flat mode, got ${art0.assignMode}")
+    // reopen with a DEFAULT handle (superProbe = None → AUTO, which at
+    // nlist 300 would resolve two-level) and append: the new codes'
+    // cells must be the FLAT assignment, bit-for-bit
+    val defaultHandle = new PqIndexStore(spark, dir, nlist = 300, m = 8, ksub = 16)
+    defaultHandle.append(batch)
+    val art = defaultHandle.load().get._2
+    val appended = spark.read.parquet(defaultHandle.codesPath)
+      .where(col("version") === v && col("n_id") >= 300)
+      .select("n_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def expectedUnder(pin: Option[Int]) =
+      Similarity.pqEncodedBase(batch, art.centroids, art.codebooks,
+          residual = false, "vec_id", "embedding", pin)
+        .select("n_id", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val flatExpected = expectedUnder(Similarity.FlatAssign)
+    assert(appended == flatExpected,
+      "default-config append diverged from the store's persisted flat geometry")
+    // counterfactual: the auto two-level assignment DOES differ here,
+    // so the equality above is load-bearing, not vacuous
+    assert(expectedUnder(Some(Similarity.AutoSuperProbeWidth)) != flatExpected,
+      "two-level assignment coincides with flat — the pin is untested at this size")
+    // serve through the default handle ≡ serve through an explicitly
+    // flat handle (and the exhaustive config stays exact)
+    val queries = emb.where(col("vec_id") < 20)
+    val flatHandle = new PqIndexStore(spark, dir, nlist = 300, m = 8, ksub = 16,
+      superProbe = Similarity.FlatAssign)
+    assert(rows(defaultHandle.topK(emb, queries, 5, nprobe = 300, rerank = 1000000)) ==
+      rows(flatHandle.topK(emb, queries, 5, nprobe = 300, rerank = 1000000)))
+    assert(rows(defaultHandle.topK(emb, queries, 5, nprobe = 300, rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, 5)))
+    // a handle that EXPLICITLY pins the conflicting geometry fails
+    // loudly instead of silently mixing assignments
+    val conflicting = new PqIndexStore(spark, dir, nlist = 300, m = 8, ksub = 16,
+      superProbe = Some(2))
+    val e = intercept[IllegalArgumentException] { conflicting.append(batch) }
+    assert(e.getMessage.contains("geometry"))
+    intercept[IllegalArgumentException] {
+      conflicting.topK(emb, queries, 5, nprobe = 300, rerank = 1000000)
+    }
+  }
+
+  test("pre-mode generation (no recorded geometry) still loads and serves via the handle config") {
+    val dir = tmpDir("geomlegacy")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    // simulate a pre-round-10 quantizer: strip the mode row in place
+    val quantDir = s"$dir/quantizer"
+    val legacy = spark.read.parquet(quantDir).where(col("kind") =!= "mode")
+      .collect()
+    val schema = spark.read.parquet(quantDir).schema
+    val tmp = s"$quantDir.__legacy"
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.sources.TierStore.deleteTree(new java.io.File(quantDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(quantDir))
+    spark.catalog.refreshByPath(quantDir)
+    val reopened = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    val art = reopened.load().get._2
+    assert(art.assignMode.isEmpty)
+    // legacy fallback: handle-config resolution, exactly the old
+    // behavior — the exhaustive config still serves exact
+    val queries = emb.where(col("vec_id") < 20)
+    assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, 5)))
+  }
 }
