@@ -259,8 +259,15 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     * is only read for |queries|·rerank survivor rows). No training, no
     * encoding of the corpus — the only per-call work on the corpus
     * side is the survivors' vector lookup. */
+  /** `probePrefix`: rank the probed cells on the first p dims only
+    * (Matryoshka composition — p/d of the query-side probe flops; the
+    * stored cells, codes, and exact rerank stay full-width, and the
+    * exhaustive config is bit-for-bit unchanged). The store's persisted
+    * assignment geometry still pins HOW cells are probed; the prefix
+    * only narrows WHAT the ranking reads. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-           nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+           nprobe: Int = 4, rerank: Int = 50,
+           probePrefix: Option[Int] = None): DataFrame = {
     val (_, art) = load().getOrElse(
       throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
     // a rotated index serves in rotated coordinates (dots/cosines are
@@ -274,7 +281,7 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       nlist = art.centroids.length, nprobe = nprobe, m = art.codebooks.length,
       ksub = art.codebooks.head.length, rerank = rerank, iters = iters,
       idCol = idCol, vecCol = vecCol, residual = residual, index = Some(art),
-      superProbe = persistedProbePin(art))
+      superProbe = persistedProbePin(art), probePrefix = probePrefix)
   }
 
   /** The probe/assignment pin for a LOADED generation: the geometry

@@ -463,6 +463,101 @@ object Sampling {
       docs.select(col(idCol), col(srcCol)).join(raw, idCol), etaE6, srcCol)
   }
 
+  /** ITERATIVE hard-domain reweighting — the DoReMi loop (Xie et al.
+    * 2023) over [[hardDomainWeights]]' one-shot signal: each round
+    * re-fits the interpolated-bigram reference LM on the CURRENT
+    * reweighted mixture (every source's bigram/unigram counts scaled
+    * by its cumulative factor), re-scores each domain's unweighted
+    * text under that LM, and multiplies the cumulative factor by the
+    * round's linear-excess factor. Hard domains get progressively
+    * upweighted until the reweighted reference stops seeing them as
+    * excess-loss outliers — the fixed point the paper's proxy-model
+    * loop approaches, computed from corpus statistics alone.
+    *
+    * Round 1 is BIT-FOR-BIT the one-shot operator (all cumulative
+    * factors start at 1e6, so count scaling is skipped and the lexicon
+    * is the plain corpus LM) — spec-pinned. Output adds
+    * `cum_factor_e6` (the product of per-round factors, truncating
+    * e6 arithmetic) to the one-shot schema; `mean_lp_e4` /
+    * `excess_e4` / `factor_e6` are the LAST round's values and
+    * `weight_e6` renormalizes n_docs · cum_factor.
+    *
+    * Numerics: the only floating-point is inside the lexicon log and
+    * the e4 mean rounding — the same expressions as the one-shot path,
+    * over weighted counts that stay exact 64-bit integers (tf ×
+    * factor_e6 products; bounded: factors ∈ [(1−η)ᴷ, (1+η)ᴷ]·1e6).
+    *
+    * Scale: the two corpus-sized passes (per-source bigram + unigram
+    * counts) run ONCE and are checkpointed; each round is vocab-sized
+    * joins over them plus |sources|-row frames. The driver holds only
+    * the |domains|-row factor vector between rounds (injected as a
+    * literal CASE column, the [[upsampleByEpochs]] pattern) — domains
+    * are dozens at 100 TB, not data-sized. */
+  def doremiWeights(docs: DataFrame, rounds: Int = 2, etaE6: Long = 500000L,
+                    lam: Double = 0.7,
+                    srcCol: String = "source", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sg = TextAnalysis.bigramPairCounts(docs, Seq(srcCol), textCol)
+      .sharedCheckpoint() // (src, prev, cur, tf) — reused every round
+    val su = docs
+      .select(col(srcCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(srcCol, "token").agg(count(lit(1)).as("uf"))
+      .sharedCheckpoint() // (src, token, uf) — reused every round
+    // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
+    // inner join of docs against their bigram scores has exactly this
+    // count, and the K = 1 ≡ one-shot pin needs it to match
+    val nd = docs.where(size(Dedup.tokens(col(textCol))) >= 2)
+      .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
+      .sharedCheckpoint()
+    var cum: Map[String, Long] =
+      nd.select(srcCol).collect().map(_.getString(0) -> 1000000L).toMap
+    var lastFac: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val uniform = cum.values.forall(_ == 1000000L)
+      // round 1 (and any all-1e6 state): raw counts, so the lexicon is
+      // the plain corpus LM and the round IS the one-shot operator —
+      // scaling by a literal 1e6 would perturb the lexicon's doubles
+      // by an ulp and break the K=1 ≡ one-shot pin
+      def cumExpr = cum.foldLeft(lit(1000000L)) { case (acc, (s, f)) =>
+        when(col(srcCol) === s, lit(f)).otherwise(acc)
+      }
+      val wbf =
+        if (uniform) sg.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
+        else sg.groupBy("prev", "cur")
+          .agg(sum(col("tf") * cumExpr).as("bfreq"))
+      val wuf =
+        if (uniform) su.groupBy("token").agg(sum("uf").as("ufreq"))
+        else su.groupBy("token").agg(sum(col("uf") * cumExpr).as("ufreq"))
+      val lex = TextAnalysis.bigramLexiconOf(wbf, wuf, lam)
+      val scored = sg.join(lex, Seq("prev", "cur"))
+        .groupBy(srcCol)
+        .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
+        .join(nd, srcCol)
+      lastFac = hardDomainWeightsFromScores(scored, etaE6, srcCol)
+        .sharedCheckpoint() // factor collect + final output share it
+      val roundFac = lastFac.select(col(srcCol), col("factor_e6")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      cum = cum.map { case (s, c) =>
+        // truncating div on non-negative operands — replays exactly
+        s -> c * roundFac.getOrElse(s, 1000000L) / 1000000L
+      }
+    }
+    val cumFinal = cum.foldLeft(lit(1000000L)) { case (acc, (s, f)) =>
+      when(col(srcCol) === s, lit(f)).otherwise(acc)
+    }
+    val withCum = lastFac
+      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
+        col("factor_e6"), cumFinal.as("cum_factor_e6"))
+    val den = withCum.agg(sum(col("n_docs") * col("cum_factor_e6")).as("__dsum"))
+    withCum.crossJoin(broadcast(den)) // audited single-row
+      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
+        col("factor_e6"), col("cum_factor_e6"),
+        round(col("n_docs").cast("double") * col("cum_factor_e6").cast("double") *
+          1e6 / col("__dsum").cast("double")).cast("long").as("weight_e6"))
+      .orderBy(srcCol)
+  }
+
   /** [[hardDomainWeights]]' weight math over an already-scored frame
     * (srcCol, n_bigrams, s) — one row per doc (batch path) or
     * pre-aggregated per-source sums with an `n_docs` column (the

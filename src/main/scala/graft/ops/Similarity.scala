@@ -1037,7 +1037,10 @@ object Similarity {
     * global top-k) with k = `rerank`; the full-width pass touches only
     * |queries| × rerank id-joined rows — the corpus's full vectors are
     * read once for the survivors, never scanned. Composes with a PQ
-    * store by pinning `centroids` trained in prefix space. */
+    * store via [[graft.ops.PqIndexStore.topK]]'s `probePrefix`: the
+    * store's query-side cell ranking runs on the first p dims while
+    * stored cells/codes/rerank stay full-width (spec-pinned exact at
+    * the exhaustive config). */
   def dimPrefixTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     prefix: Int, nlist: Int = 16, nprobe: Int = 4,
                     rerank: Int = 50, iters: Int = 1,
@@ -1430,8 +1433,10 @@ object Similarity {
                 residual: Boolean = false,
                 hotCellFactor: Double = DefaultHotCellFactor,
                 index: Option[PqIndexArtifacts] = None,
-                superProbe: Option[Int] = None): DataFrame = {
+                superProbe: Option[Int] = None,
+                probePrefix: Option[Int] = None): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    probePrefix.foreach(p => require(p >= 1, s"probePrefix must be >= 1, got $p"))
     index.foreach { art =>
       require(art.residual == residual,
         s"index artifacts encoded with residual=${art.residual}, call asks $residual")
@@ -1478,15 +1483,27 @@ object Similarity {
         (applyHotSplits(base, s, "__v", width = 1).drop("__v"), s)
     }
     val qWidth = if (nprobe >= cents.length) Int.MaxValue else 2
+    // Dim-prefix probe (the Matryoshka × PQ-store composition,
+    // [[dimPrefixTopK]]'s lever applied to a persisted index): the
+    // query-side cell RANKING runs on the first `probePrefix` dims of
+    // query and centroids — p/d of the probe flops per query — while
+    // stored cells, codes, LUTs, and the exact rerank stay full-width.
+    // At nprobe ≥ nlist every cell is probed regardless of ranking, so
+    // the exhaustive config is unchanged bit-for-bit (spec-pinned).
+    def queryProbe(vec: Column): Column = probePrefix match {
+      case Some(p) if p < cents.head.length =>
+        probeExpr(slice(vec, 1, p), cents.map(_.take(p)),
+          math.min(nprobe, cents.length), superProbe)
+      case _ =>
+        probeExpr(vec, cents, math.min(nprobe, cents.length), superProbe)
+    }
     val probedBase =
       if (!residual) queries.select(col(idCol).as("q_id"), col(vecCol).as("__v"),
         graft.functions.pq_lut(col(vecCol), cbs).as("lut"),
-        explode(probeExpr(col(vecCol), cents,
-          math.min(nprobe, cents.length), superProbe)).as("cell"))
+        explode(queryProbe(col(vecCol))).as("cell"))
       else queries
         .select(col(idCol).as("q_id"), col(vecCol).as("__v"),
-          explode(probeExpr(col(vecCol), cents,
-            math.min(nprobe, cents.length), superProbe)).as("cell"))
+          explode(queryProbe(col(vecCol))).as("cell"))
         .select(col("q_id"), col("__v"), col("cell"),
           graft.functions.pq_lut(residOf(col("__v"), col("cell")), cbs,
             normalize = false).as("lut"))

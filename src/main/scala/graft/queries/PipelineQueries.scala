@@ -1126,6 +1126,12 @@ object PipelineQueries {
   def domainReweightQ(spark: SparkSession, dir: String): DataFrame =
     Sampling.hardDomainWeights(Tables.documents(spark, dir))
 
+  /** ITERATIVE DoReMi (2 rounds): round 2 re-fits the bigram reference
+    * on the round-1-reweighted mixture before re-scoring — see
+    * [[Sampling.doremiWeights]]; the oracle unrolls both rounds. */
+  def doremiWeightsQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.doremiWeights(Tables.documents(spark, dir), rounds = 2)
+
   /** Matryoshka dim-prefix recall: serve quality at 1/8 .. 1/1 of the
     * vector bytes (see [[Similarity.dimPrefixRecall]]). */
   def dimPrefixRecallQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1548,6 +1554,7 @@ object PipelineQueries {
     "d_pack_contexts"     -> (packContexts _),
     "d_pack_efficiency"   -> (packEfficiencyQ _),
     "d_domain_reweight"   -> (domainReweightQ _),
+    "d_doremi_weights"    -> (doremiWeightsQ _),
     "e_dim_prefix_recall" -> (dimPrefixRecallQ _),
     "e_dim_prefix_topk" -> (dimPrefixTopKQ _),
     "d_pmi_pairs"         -> (pmiPairs _),
@@ -2509,6 +2516,80 @@ object PipelineQueries {
         |  CAST(round(CAST(n_docs AS DOUBLE) * CAST(factor_e6 AS DOUBLE) * 1000000.0
         |    / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
         |FROM fac CROSS JOIN den ORDER BY source""".stripMargin),
+    // iterative DoReMi, K = 2 unrolled: round 1 is the one-shot chain
+    // (raw counts); round 2 re-fits the lexicon on counts scaled by the
+    // round-1 factors, re-scores UNWEIGHTED per-source text under it,
+    // and the final share renormalizes n_docs x cumulative factor.
+    // All weighting arithmetic is 64-bit integer (tf * factor_e6);
+    // doubles appear only inside the lexicon ln() and the e4 rounds —
+    // the exact expressions the engine evaluates.
+    "d_doremi_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
+         |ix AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
+         |sg AS (SELECT source, w[i] AS prev, w[i+1] AS cur, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM ix GROUP BY 1, 2, 3),
+         |su AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS uf
+         |       FROM (SELECT source, unnest($ToksSql) AS token FROM documents) GROUP BY 1, 2),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM t WHERE len(w) >= 2 GROUP BY 1),
+         |bf1 AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM sg GROUP BY 1, 2),
+         |cf1 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf1 GROUP BY 1),
+         |u1 AS (SELECT token, CAST(SUM(uf) AS BIGINT) AS ufreq FROM su GROUP BY 1),
+         |tot1 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u1),
+         |lp1 AS (SELECT prev, cur,
+         |          CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |            + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |        FROM bf1 JOIN cf1 USING (prev) JOIN u1 ON u1.token = bf1.cur CROSS JOIN tot1),
+         |sc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |        FROM sg JOIN lp1 USING (prev, cur) GROUP BY 1),
+         |src1 AS (SELECT sc1.source, n_docs, nb, ss FROM sc1 JOIN nd USING (source)),
+         |srcm1 AS (SELECT source, n_docs,
+         |            CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |          FROM src1),
+         |g1 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |       FROM src1),
+         |ex1 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |        FROM srcm1 CROSS JOIN g1),
+         |mx1 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM ex1),
+         |fac1 AS (SELECT source,
+         |           CAST(CASE WHEN ma = 0 THEN 1000000
+         |                WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
+         |         FROM ex1 CROSS JOIN mx1),
+         |bf2 AS (SELECT prev, cur, CAST(SUM(tf * cum) AS BIGINT) AS bfreq
+         |        FROM sg JOIN fac1 USING (source) GROUP BY 1, 2),
+         |cf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf2 GROUP BY 1),
+         |u2 AS (SELECT token, CAST(SUM(uf * cum) AS BIGINT) AS ufreq
+         |       FROM su JOIN fac1 USING (source) GROUP BY 1),
+         |tot2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u2),
+         |lp2 AS (SELECT prev, cur,
+         |          CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |            + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |        FROM bf2 JOIN cf2 USING (prev) JOIN u2 ON u2.token = bf2.cur CROSS JOIN tot2),
+         |sc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |        FROM sg JOIN lp2 USING (prev, cur) GROUP BY 1),
+         |src2 AS (SELECT sc2.source, n_docs, nb, ss FROM sc2 JOIN nd USING (source)),
+         |srcm2 AS (SELECT source, n_docs,
+         |            CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |          FROM src2),
+         |g2 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |       FROM src2),
+         |ex2 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |        FROM srcm2 CROSS JOIN g2),
+         |mx2 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM ex2),
+         |fac2 AS (SELECT source, n_docs, mean_lp_e4, excess_e4,
+         |           CAST(CASE WHEN ma = 0 THEN 1000000
+         |                WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS factor_e6
+         |         FROM ex2 CROSS JOIN mx2),
+         |cum2 AS (SELECT fac2.source, n_docs, mean_lp_e4, excess_e4, factor_e6,
+         |           CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
+         |         FROM fac2 JOIN fac1 ON fac1.source = fac2.source),
+         |den AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM cum2)
+         |SELECT source, n_docs, mean_lp_e4, excess_e4, factor_e6, cum_factor_e6,
+         |  CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
+         |    / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
+         |FROM cum2 CROSS JOIN den ORDER BY source""".stripMargin,
     "d_pack_efficiency" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
          |           FROM documents),

@@ -472,6 +472,27 @@ class PqIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("probePrefix serve: exhaustive config bit-for-bit; pruned config returns full top-k per query") {
+    val dir = tmpDir("prefix")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    val queries = emb.where(col("vec_id") < 20)
+    // exhaustive envelope: every cell probed regardless of the prefix
+    // ranking, so the narrow-probe serve equals the full-width serve
+    // (and brute force) exactly
+    val full = store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)
+    val pref = store.topK(emb, queries, 5, nprobe = 16, rerank = 1000000,
+      probePrefix = Some(16))
+    assert(rows(pref) == rows(full))
+    assert(rows(pref) == rows(Similarity.bruteForceTopK(emb, queries, 5)))
+    // pruned config: a well-formed result (k rows per query), recall
+    // governed by the prefix curve (measured in dimPrefixRecall specs)
+    val pruned = store.topK(emb, queries, 5, nprobe = 4, rerank = 50,
+      probePrefix = Some(16))
+    val perQ = pruned.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 5L))
+  }
+
   test("pre-mode generation (no recorded geometry) still loads and serves via the handle config") {
     val dir = tmpDir("geomlegacy")
     val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)

@@ -377,4 +377,45 @@ class SelectionOpsSpec extends SparkSpec {
     assert(math.abs(wsum - 1000000L) <= out.length, s"weights sum $wsum")
     assert(ga._6 > fl._6)
   }
+
+  test("doremiWeights: K=1 is the one-shot operator bit-for-bit; K=2 compounds the update") {
+    import spark.implicits._
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluent = (0 until 6).map(i =>
+      (i.toLong, "fluent", "the cat sat on the mat and the dog ran"))
+    val hard = (6 until 12).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, "garbled", r.shuffle(vocab ++ vocab).mkString(" "))
+    }
+    // a short doc (1 token) must NOT count toward n_docs — the
+    // one-shot operator's inner score join drops it
+    val docs = (fluent ++ hard :+ (12L, "fluent", "the"))
+      .toDF("doc_id", "source", "text")
+    val oneShot = graft.ops.Sampling.hardDomainWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val k1 = graft.ops.Sampling.doremiWeights(docs, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toSeq // skip cum_factor_e6 col
+    assert(k1 == oneShot, s"K=1 diverged from one-shot:\n$k1\nvs\n$oneShot")
+    // K=1 cum factor equals the round's factor exactly
+    val k1cum = graft.ops.Sampling.doremiWeights(docs, rounds = 1).collect()
+      .map(r => (r.getLong(4), r.getLong(5)))
+    assert(k1cum.forall { case (f, c) => f == c })
+    // K=2: the reweighted reference moves TOWARD the hard domain, so
+    // the second-round excess magnitude shrinks but the cumulative
+    // factor keeps compounding in the same direction
+    val k2 = graft.ops.Sampling.doremiWeights(docs, rounds = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val k1m = k1.map(t => t._1 -> t).toMap
+    val gaCum = k2("garbled")._3
+    val flCum = k2("fluent")._3
+    assert(gaCum > k1m("garbled")._5 || k2("garbled")._2 == 1000000L,
+      s"hard domain cum factor must compound up (cum $gaCum)")
+    assert(flCum < k1m("fluent")._5 || k2("fluent")._2 == 1000000L)
+    // shares still renormalize
+    val wsum2 = k2.values.map(_._4).sum
+    assert(math.abs(wsum2 - 1000000L) <= k2.size, s"weights sum $wsum2")
+  }
 }

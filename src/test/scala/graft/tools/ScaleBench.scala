@@ -343,12 +343,63 @@ object ScaleBench {
         store.build(emb)
         (name, (System.nanoTime() - t) / 1e9)
       }
-    val pqBuildFlat = pqBuild("pq_index_build", None)
+    // NOTE (round 10): superProbe = None is AUTO since round 9 — at
+    // nlist ≥ 256 it resolves two-level, so the "flat" §G11 row must
+    // now pin FlatAssign explicitly to keep measuring the flat term
+    val pqBuildFlat = pqBuild("pq_index_build", Similarity.FlatAssign)
     val pqBuildHier = pqBuild("pq_index_build_hier", Some(2))
     // the deployed build shape: two-level assignment AND sampled
     // training (~50 vectors/centroid see the Lloyd loops; the corpus
     // is touched once, by the encode pass)
     val pqBuildSampled = pqBuild("pq_index_build_sampled", Some(2), capPerCell = 50)
+    // §G11 addendum (round 10): the NAKED-defaults build — constructor
+    // args only (superProbe AUTO, trainCap AUTO, sampleInit on). The
+    // row proves a caller who touches no knob gets the capped path the
+    // r8 study had to opt into (vs pq_index_build's pinned-flat term).
+    val pqBuildDefault = if (!want("pq_index_build_default")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val base = java.nio.file.Files.createTempDirectory("graft_pqbd").toString
+      val store = new graft.ops.PqIndexStore(spark, base, nlist = nlist,
+        m = 8, ksub = 16)
+      val t = System.nanoTime()
+      store.build(emb)
+      ("pq_index_build_default", (System.nanoTime() - t) / 1e9)
+    }
+    // Dim-prefix (MRL) serve vs full-width IVF serve at the SAME
+    // nlist/nprobe/rerank, both with centroids pinned (trained untimed
+    // — the deployed shape): the delta is the probe-term reduction the
+    // prefix buys (p/d of the bytes and flops in assignment, probe
+    // ranking, and the in-cell shortlist; the full-width exact rerank
+    // touches only |queries| × rerank id-joined rows in both).
+    val prefixServe = if (!want("e_dim_prefix_serve")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").localCheckpoint()
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000").localCheckpoint()
+      val prefix = 16 // of 64 dims — the dimPrefixRecall-approved width
+      val slicedEmb = emb.selectExpr("vec_id",
+        s"slice(embedding, 1, $prefix) as embedding")
+      val prefCents = Similarity.ivfCentroids(slicedEmb, nlist)
+      warmTimed("e_dim_prefix_serve")(() =>
+        Similarity.dimPrefixTopK(emb, qs, k = 10, prefix = prefix,
+          nlist = nlist, nprobe = 8, rerank = 100,
+          centroids = Some(prefCents)))
+    }
+    val fullServe = if (!want("e_ivf_serve_full")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").localCheckpoint()
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000").localCheckpoint()
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      warmTimed("e_ivf_serve_full")(() =>
+        Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
+          centroids = Some(cents)))
+    }
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -383,7 +434,8 @@ object ScaleBench {
       ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
-      pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++
+      pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++ pqBuildDefault ++
+      prefixServe ++ fullServe ++
       bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
