@@ -29,7 +29,12 @@ object ScaleBench {
     "d_strip_markup", "d_length_outliers", "d_zipf_slope", "d_fertility",
     "d_dedup_rate", "d_curation_lexicon", "d_training_upsample",
     // round-8 additions (§G13)
-    "d_pack_efficiency", "d_domain_reweight")
+    "d_pack_efficiency", "d_domain_reweight",
+    // round-10 addition (§G15): the iterative DoReMi loop — two
+    // corpus-sized count passes + K vocab-sized rounds; the decade
+    // exponent should match d_domain_reweight's (the loop adds
+    // vocab-sized work only)
+    "d_doremi_weights")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -400,6 +405,43 @@ object ScaleBench {
         Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
           centroids = Some(cents)))
     }
+    // The SAME prefix-vs-full pair at d = 512 — the regime MRL serving
+    // is actually designed for (real text embeddings are 768–4096-d;
+    // GenScaleData's are 64-d, where the prefix's flop saving cannot
+    // pay for dimPrefixTopK's extra rerank join). Widening = tiling the
+    // 64-d vector 8×: cosine is invariant under tiling (dot and both
+    // norms scale by 8), so the candidate sets and recall semantics are
+    // IDENTICAL to the 64-d rows — the pair isolates pure byte/flop
+    // scaling with dimension. prefix = 64 keeps the probe stage at the
+    // original width; the full-width row scans 8× the bytes.
+    def widen(df: org.apache.spark.sql.DataFrame) = df.selectExpr("vec_id",
+      "flatten(array_repeat(embedding, 8)) as embedding")
+    val prefixServeWide = if (!want("e_dim_prefix_serve_w512")) None else Some {
+      val emb = widen(spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")).localCheckpoint()
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000").localCheckpoint()
+      val prefix = 64
+      val slicedEmb = emb.selectExpr("vec_id",
+        s"slice(embedding, 1, $prefix) as embedding")
+      val prefCents = Similarity.ivfCentroids(slicedEmb, nlist)
+      warmTimed("e_dim_prefix_serve_w512")(() =>
+        Similarity.dimPrefixTopK(emb, qs, k = 10, prefix = prefix,
+          nlist = nlist, nprobe = 8, rerank = 100,
+          centroids = Some(prefCents)))
+    }
+    val fullServeWide = if (!want("e_ivf_serve_full_w512")) None else Some {
+      val emb = widen(spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")).localCheckpoint()
+      val n = emb.count()
+      val nlist = Similarity.suggestNlist(n)
+      val qs = emb.where("vec_id < 1000").localCheckpoint()
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      warmTimed("e_ivf_serve_full_w512")(() =>
+        Similarity.ivfTopK(emb, qs, k = 10, nlist = nlist, nprobe = 8,
+          centroids = Some(cents)))
+    }
     val bm25Scan = if (!want("bm25_scan")) None else Some {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       warmTimed("bm25_scan")(() => graft.ops.TextAnalysis.bm25TopK(docs,
@@ -435,7 +477,7 @@ object ScaleBench {
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++ pqBuildDefault ++
-      prefixServe ++ fullServe ++
+      prefixServe ++ fullServe ++ prefixServeWide ++ fullServeWide ++
       bm25Scan ++ bm25Serve ++ bm25ScanRare ++ bm25ServeRare
     println(all.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}"))
