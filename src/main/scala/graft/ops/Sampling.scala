@@ -497,19 +497,45 @@ object Sampling {
                     lam: Double = 0.7,
                     srcCol: String = "source", idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sg = TextAnalysis.bigramPairCounts(docs, Seq(srcCol), textCol)
-      .sharedCheckpoint() // (src, prev, cur, tf) — reused every round
-    val su = docs
-      .select(col(srcCol), explode(Dedup.tokens(col(textCol))).as("token"))
-      .groupBy(srcCol, "token").agg(count(lit(1)).as("uf"))
-      .sharedCheckpoint() // (src, token, uf) — reused every round
+    val su = srcUnigramCounts(docs, srcCol, textCol)
     // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
     // inner join of docs against their bigram scores has exactly this
     // count, and the K = 1 ≡ one-shot pin needs it to match
     val nd = docs.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
-      .sharedCheckpoint()
+    doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
+  }
+
+  /** Per-source unigram counts (srcCol, token, uf) — the third
+    * sufficient statistic of the DoReMi loop (reweighting the lexicon's
+    * unigram back-off needs counts SPLIT by source; the one-shot path
+    * only ever needs their global sum). Shared by [[doremiWeights]] and
+    * the streaming controller's `srcunis` store so the twin folds the
+    * exact same frame. */
+  private[graft] def srcUnigramCounts(docs: DataFrame, srcCol: String,
+                                      textCol: String): DataFrame =
+    docs
+      .select(col(srcCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(srcCol, "token").agg(count(lit(1)).as("uf"))
+
+  /** [[doremiWeights]]' K-round loop over the three sufficient-statistic
+    * frames — per-source bigram counts (srcCol, prev, cur, tf),
+    * per-source unigram counts (srcCol, token, uf), per-source scored
+    * doc counts (srcCol, n_docs). The streaming controller's entry
+    * (its cumulative stores have exactly these shapes), and the batch
+    * operator delegates here after its two corpus passes. Inputs are
+    * checkpointed HERE (each is read every round). */
+  private[graft] def doremiWeightsFromGramStores(srcGrams: DataFrame,
+                                                 srcUnis: DataFrame,
+                                                 srcDocs: DataFrame,
+                                                 rounds: Int, etaE6: Long,
+                                                 lam: Double,
+                                                 srcCol: String): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sg = srcGrams.sharedCheckpoint() // reused every round
+    val su = srcUnis.sharedCheckpoint()
+    val nd = srcDocs.sharedCheckpoint()
     var cum: Map[String, Long] =
       nd.select(srcCol).collect().map(_.getString(0) -> 1000000L).toMap
     var lastFac: DataFrame = null

@@ -21,9 +21,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * two different fold generations visible together):
   *  - `state/srcgrams` — per-source bigram tables (source, prev, cur,
   *    tf): |sources|·vocab² bounded;
-  *  - `state/unigrams` — global token counts: vocab bounded;
+  *  - `state/srcunis`  — per-source token counts (source, token, uf):
+  *    |sources|·vocab bounded (round 10 — replaces the global
+  *    `unigrams` leaf; the iterative rounds below need unigram mass
+  *    SPLIT by source, and the one-shot path derives the global sum);
   *  - `state/srcdocs`  — per-source doc counts: |sources| rows;
   *  - `state/weights`  — the published serving artifact.
+  *
+  * `rounds` ≥ 2 publishes ITERATIVE DoReMi weights
+  * ([[Sampling.doremiWeightsFromGramStores]] — the K-round
+  * refit-rescore loop over the same three stores; the weight frame
+  * gains `cum_factor_e6`); `rounds = 1` (default) keeps the one-shot
+  * schema and behavior bit-for-bit.
+  *
+  * Migration: a state dir written by the pre-`srcunis` version (global
+  * `unigrams` leaf) CANNOT be upgraded in place — global counts don't
+  * split by source — so the first batch fails loudly naming the fix
+  * (rebuild the state from the corpus) instead of silently folding a
+  * fresh per-source store beside stale global counts.
   *
   * The per-source STORES hold raw counts, not scores: a bigram's
   * log-probability moves as the corpus lexicon evolves, so every
@@ -43,7 +58,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 class StreamingDomainReweight(spark: SparkSession, baseDir: String,
                               etaE6: Long = 500000L, lam: Double = 0.7,
                               srcCol: String = "source",
-                              idCol: String = "doc_id", textCol: String = "text") {
+                              idCol: String = "doc_id", textCol: String = "text",
+                              rounds: Int = 1) {
+
+  require(rounds >= 1, s"rounds must be >= 1, got $rounds")
 
   private val storeLock = new Object
   // ONE parent directory holds all four snapshots and swaps as a unit:
@@ -95,9 +113,9 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
     import s.implicits._
     Seq.empty[(String, String, String, Long)].toDF(srcCol, "prev", "cur", "tf")
   }
-  private def emptyUnis(s: SparkSession): DataFrame = {
+  private def emptySrcUnis(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq.empty[(String, Long)].toDF("token", "ufreq")
+    Seq.empty[(String, String, Long)].toDF(srcCol, "token", "uf")
   }
   private def emptyDocs(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -145,13 +163,22 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
           .drop("__rn")
           .localCheckpoint() // three count folds share one evaluation
         storeLock.synchronized {
+          // a pre-srcunis state (global `unigrams` leaf) cannot be
+          // split by source — refuse loudly rather than folding a
+          // fresh per-source store beside stale global counts
+          if (new File(stateDir, "unigrams").exists() &&
+              !new File(stateDir, "srcunis").exists())
+            throw new IllegalStateException(
+              s"$stateDir was written by a pre-srcunis StreamingDomainReweight " +
+                "(global `unigrams` leaf): global counts cannot be split by " +
+                "source. Rebuild the state by re-streaming the corpus.")
           val grams = readStore(s, "srcgrams", emptyGrams(s))
             .unionByName(TextAnalysis.bigramPairCounts(b, Seq(srcCol), textCol))
             .groupBy(srcCol, "prev", "cur").agg(sum("tf").as("tf"))
             .localCheckpoint() // weights recompute + commit share one frame
-          val unis = readStore(s, "unigrams", emptyUnis(s))
-            .unionByName(TextAnalysis.unigramCounts(b, textCol))
-            .groupBy("token").agg(sum("ufreq").as("ufreq"))
+          val srcUnis = readStore(s, "srcunis", emptySrcUnis(s))
+            .unionByName(Sampling.srcUnigramCounts(b, srcCol, textCol))
+            .groupBy(srcCol, "token").agg(sum("uf").as("uf"))
             .localCheckpoint()
           // n_docs counts SCORED docs (>= 2 tokens), matching the batch
           // operator's inner join of docs against their bigram scores
@@ -162,10 +189,19 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
             .unionByName(bdocs)
             .groupBy(srcCol).agg(sum("n_docs").as("n_docs"))
             .localCheckpoint()
-          val weights = Sampling.hardDomainWeightsFromGramStores(
-            grams, unis, sdocs, etaE6, lam, srcCol)
-            .localCheckpoint() // evaluate before the stores swap under it
-          publishAll(Seq("srcgrams" -> grams, "unigrams" -> unis,
+          val weights = (
+            if (rounds == 1)
+              // one-shot path: the global unigram sum derives from the
+              // per-source store (identical integers), keeping the
+              // published schema and the one-batch ≡ batch pin intact
+              Sampling.hardDomainWeightsFromGramStores(
+                grams,
+                srcUnis.groupBy("token").agg(sum("uf").as("ufreq")),
+                sdocs, etaE6, lam, srcCol)
+            else Sampling.doremiWeightsFromGramStores(
+              grams, srcUnis, sdocs, rounds, etaE6, lam, srcCol)
+          ).localCheckpoint() // evaluate before the stores swap under it
+          publishAll(Seq("srcgrams" -> grams, "srcunis" -> srcUnis,
             "srcdocs" -> sdocs, "weights" -> weights))
         }
         ()

@@ -336,6 +336,64 @@ class StreamingSpec extends SparkSpec {
       s"per-source gram store must stay vocab-bounded, got $gramRows")
   }
 
+  test("streaming iterative DoReMi: N-batch stream equals the batch loop over the union corpus; legacy state fails loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdoremi").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"$src"}"""
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluentTxt = "the cat sat on the mat and the dog ran"
+    def garbledTxt(i: Int) = new scala.util.Random(i).shuffle(vocab ++ vocab).mkString(" ")
+    val b1 = (0 until 6).map(i => (i.toLong, "fluent", fluentTxt)) ++
+      (6 until 12).map(i => (i.toLong, "garbled", garbledTxt(i)))
+    val b2 = (12 until 24).map(i => (i.toLong, "fluent", fluentTxt))
+    val sd = new graft.streaming.StreamingDomainReweight(spark, base, rounds = 2)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val q = sd.start(sd.readJsonDocs(in), trig)
+    // 7 columns: the one-shot schema + cum_factor_e6
+    def rows7(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    try {
+      dropFile(in, "b1.json", b1.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val want1 = rows7(graft.ops.Sampling.doremiWeights(
+        b1.toDF("doc_id", "source", "text"), rounds = 2))
+      assert(rows7(sd.currentWeights().get) == want1,
+        "one-batch stream diverged from batch doremiWeights")
+      // second batch: the stores fold, the K=2 loop re-runs over the
+      // UNION statistics — equal to the batch loop over the union
+      dropFile(in, "b2.json", b2.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val wantU = rows7(graft.ops.Sampling.doremiWeights(
+        (b1 ++ b2).toDF("doc_id", "source", "text"), rounds = 2))
+      assert(rows7(sd.currentWeights().get) == wantU,
+        "two-batch stream diverged from batch doremiWeights over the union")
+    } finally q.stop()
+    // a state dir from the pre-srcunis layout (global `unigrams` leaf)
+    // must fail the batch loudly — global counts cannot split by source
+    val legacyBase = Files.createTempDirectory("graft_sdoremi_legacy").toString
+    Seq(("the", 5L)).toDF("token", "ufreq").write
+      .parquet(s"$legacyBase/state/unigrams")
+    val sdLegacy = new graft.streaming.StreamingDomainReweight(spark, legacyBase)
+    val inL = s"$legacyBase/in"
+    Files.createDirectories(Paths.get(inL))
+    val qL = sdLegacy.start(sdLegacy.readJsonDocs(inL), trig)
+    try {
+      dropFile(inL, "b1.json", Seq(doc(1, "fluent", fluentTxt)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qL.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => Option(t.getMessage).exists(_.contains("pre-srcunis"))),
+        s"expected the pre-srcunis migration error, got: $e")
+    } finally qL.stop()
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
