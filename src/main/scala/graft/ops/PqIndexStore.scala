@@ -264,12 +264,21 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     * stored cells, codes, and exact rerank stay full-width, and the
     * exhaustive config is bit-for-bit unchanged). The store's persisted
     * assignment geometry still pins HOW cells are probed; the prefix
-    * only narrows WHAT the ranking reads. */
+    * only narrows WHAT the ranking reads. Refused on an OPQ-rotated
+    * store: rotation balances variance ACROSS dims (its whole job), so
+    * the first p rotated dims are an arbitrary ~p/d-variance projection,
+    * not the front-loaded MRL prefix the recall curve was measured on —
+    * serving would silently degrade well below [[Similarity.dimPrefixRecall]]. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nprobe: Int = 4, rerank: Int = 50,
            probePrefix: Option[Int] = None): DataFrame = {
     val (_, art) = load().getOrElse(
       throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
+    require(probePrefix.isEmpty || art.rotation.isEmpty,
+      s"PqIndexStore at $baseDir is OPQ-rotated: probePrefix ranks cells on " +
+        "the first p ROTATED dims, which carry no front-loaded (Matryoshka) " +
+        "structure — serve full-width, or build an unrotated store for " +
+        "prefix serving.")
     // a rotated index serves in rotated coordinates (dots/cosines are
     // preserved, so ranks and the exact rerank are unchanged)
     val (c, q) = art.rotation match {

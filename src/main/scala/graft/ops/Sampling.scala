@@ -484,25 +484,33 @@ object Sampling {
     *
     * Numerics: the only floating-point is inside the lexicon log and
     * the e4 mean rounding — the same expressions as the one-shot path,
-    * over weighted counts that stay exact 64-bit integers (tf ×
-    * factor_e6 products; bounded: factors ∈ [(1−η)ᴷ, (1+η)ᴷ]·1e6).
+    * over weighted counts that stay exact 64-bit integers. Reweighted
+    * rounds scale counts by the e3-QUANTIZED cumulative factor
+    * (max(1, cum_factor_e6 div 1000)): tf × cum_e6 sums would overflow
+    * int64 near ~10¹³ corpus tokens (exactly the design scale), while
+    * tf × cum_e3 keeps ~200× headroom at K = 2 and the ≤0.4% weight
+    * quantization sits far below the lexicon's own e6 log rounding.
+    * Truncating division on non-negative operands — replays exactly.
     *
-    * Scale: the two corpus-sized passes (per-source bigram + unigram
-    * counts) run ONCE and are checkpointed; each round is vocab-sized
-    * joins over them plus |sources|-row frames. The driver holds only
-    * the |domains|-row factor vector between rounds (injected as a
-    * literal CASE column, the [[upsampleByEpochs]] pattern) — domains
-    * are dozens at 100 TB, not data-sized. */
+    * Scale: the upstream plan behind `docs` is evaluated ONCE (a
+    * checkpointed two-column projection feeds all three statistics
+    * passes); the three resulting count frames are vocab-bounded,
+    * checkpointed, and reused every round — each round is vocab-sized
+    * joins plus |sources|-row frames. The driver holds only the
+    * |domains|-row factor vector between rounds (injected as a literal
+    * CASE column, the [[upsampleByEpochs]] pattern) — domains are
+    * dozens at 100 TB, not data-sized. */
   def doremiWeights(docs: DataFrame, rounds: Int = 2, etaE6: Long = 500000L,
                     lam: Double = 0.7,
-                    srcCol: String = "source", idCol: String = "doc_id",
+                    srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
-    val sg = TextAnalysis.bigramPairCounts(docs, Seq(srcCol), textCol)
-    val su = srcUnigramCounts(docs, srcCol, textCol)
+    val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint()
+    val sg = TextAnalysis.bigramPairCounts(d, Seq(srcCol), textCol)
+    val su = srcUnigramCounts(d, srcCol, textCol)
     // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
     // inner join of docs against their bigram scores has exactly this
     // count, and the K = 1 ≡ one-shot pin needs it to match
-    val nd = docs.where(size(Dedup.tokens(col(textCol))) >= 2)
+    val nd = d.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
     doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
   }
@@ -539,27 +547,38 @@ object Sampling {
     var cum: Map[String, Long] =
       nd.select(srcCol).collect().map(_.getString(0) -> 1000000L).toMap
     var lastFac: DataFrame = null
+    // a NULL-source domain is a real group (the weight math keys it
+    // like any other); `col === lit(null)` can never be true, so the
+    // CASE fold needs an isNull arm for the null key
+    def keyIs(s: String): org.apache.spark.sql.Column =
+      if (s == null) col(srcCol).isNull else col(srcCol) === s
     for (_ <- 1 to rounds) {
       val uniform = cum.values.forall(_ == 1000000L)
       // round 1 (and any all-1e6 state): raw counts, so the lexicon is
       // the plain corpus LM and the round IS the one-shot operator —
-      // scaling by a literal 1e6 would perturb the lexicon's doubles
-      // by an ulp and break the K=1 ≡ one-shot pin
-      def cumExpr = cum.foldLeft(lit(1000000L)) { case (acc, (s, f)) =>
-        when(col(srcCol) === s, lit(f)).otherwise(acc)
+      // scaling by a literal would perturb the lexicon's doubles by an
+      // ulp and break the K=1 ≡ one-shot pin. Reweighted rounds scale
+      // by the e3-quantized factor (overflow headroom — see scaladoc);
+      // truncating div on non-negatives, orable as `cum // 1000`
+      def cumE3Expr = cum.foldLeft(lit(1000L)) { case (acc, (s, f)) =>
+        when(keyIs(s), lit(math.max(1L, f / 1000L))).otherwise(acc)
       }
       val wbf =
         if (uniform) sg.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
         else sg.groupBy("prev", "cur")
-          .agg(sum(col("tf") * cumExpr).as("bfreq"))
+          .agg(sum(col("tf") * cumE3Expr).as("bfreq"))
       val wuf =
         if (uniform) su.groupBy("token").agg(sum("uf").as("ufreq"))
-        else su.groupBy("token").agg(sum(col("uf") * cumExpr).as("ufreq"))
+        else su.groupBy("token").agg(sum(col("uf") * cumE3Expr).as("ufreq"))
       val lex = TextAnalysis.bigramLexiconOf(wbf, wuf, lam)
-      val scored = sg.join(lex, Seq("prev", "cur"))
+      // null-safe join: a NULL-source group must survive the n_docs
+      // attach (an equi-join would silently drop it, diverging from
+      // the one-shot operator's plain groupBy)
+      val grouped = sg.join(lex, Seq("prev", "cur"))
         .groupBy(srcCol)
         .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
-        .join(nd, srcCol)
+      val scored = grouped.join(nd, grouped(srcCol) <=> nd(srcCol))
+        .drop(nd(srcCol))
       lastFac = hardDomainWeightsFromScores(scored, etaE6, srcCol)
         .sharedCheckpoint() // factor collect + final output share it
       val roundFac = lastFac.select(col(srcCol), col("factor_e6")).collect()
@@ -570,7 +589,7 @@ object Sampling {
       }
     }
     val cumFinal = cum.foldLeft(lit(1000000L)) { case (acc, (s, f)) =>
-      when(col(srcCol) === s, lit(f)).otherwise(acc)
+      when(keyIs(s), lit(f)).otherwise(acc)
     }
     val withCum = lastFac
       .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
@@ -641,10 +660,12 @@ object Sampling {
                                                      srcCol: String): DataFrame = {
     val bf = srcGrams.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
     val lex = TextAnalysis.bigramLexiconOf(bf, unigrams, lam)
-    val scored = srcGrams.join(lex, Seq("prev", "cur"))
+    // null-safe n_docs attach — see doremiWeightsFromGramStores
+    val grouped = srcGrams.join(lex, Seq("prev", "cur"))
       .groupBy(srcCol)
       .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
-      .join(srcDocs, srcCol)
+    val scored = grouped.join(srcDocs, grouped(srcCol) <=> srcDocs(srcCol))
+      .drop(srcDocs(srcCol))
     hardDomainWeightsFromScores(scored, etaE6, srcCol)
   }
 }

@@ -2518,11 +2518,12 @@ object PipelineQueries {
         |FROM fac CROSS JOIN den ORDER BY source""".stripMargin),
     // iterative DoReMi, K = 2 unrolled: round 1 is the one-shot chain
     // (raw counts); round 2 re-fits the lexicon on counts scaled by the
-    // round-1 factors, re-scores UNWEIGHTED per-source text under it,
-    // and the final share renormalizes n_docs x cumulative factor.
-    // All weighting arithmetic is 64-bit integer (tf * factor_e6);
-    // doubles appear only inside the lexicon ln() and the e4 rounds —
-    // the exact expressions the engine evaluates.
+    // E3-QUANTIZED round-1 factors (GREATEST(cum // 1000, 1) — the
+    // engine's int64-overflow headroom at design scale), re-scores
+    // UNWEIGHTED per-source text under it, and the final share
+    // renormalizes n_docs x cumulative factor. All weighting arithmetic
+    // is 64-bit integer; doubles appear only inside the lexicon ln()
+    // and the e4 rounds — the exact expressions the engine evaluates.
     "d_doremi_weights" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksSql AS w FROM documents),
          |ix AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
@@ -2556,10 +2557,12 @@ object PipelineQueries {
          |                WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
          |                ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
          |         FROM ex1 CROSS JOIN mx1),
-         |bf2 AS (SELECT prev, cur, CAST(SUM(tf * cum) AS BIGINT) AS bfreq
+         |bf2 AS (SELECT prev, cur,
+         |          CAST(SUM(tf * GREATEST(cum // 1000, 1)) AS BIGINT) AS bfreq
          |        FROM sg JOIN fac1 USING (source) GROUP BY 1, 2),
          |cf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf2 GROUP BY 1),
-         |u2 AS (SELECT token, CAST(SUM(uf * cum) AS BIGINT) AS ufreq
+         |u2 AS (SELECT token,
+         |         CAST(SUM(uf * GREATEST(cum // 1000, 1)) AS BIGINT) AS ufreq
          |       FROM su JOIN fac1 USING (source) GROUP BY 1),
          |tot2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u2),
          |lp2 AS (SELECT prev, cur,

@@ -163,6 +163,12 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
           .drop("__rn")
           .localCheckpoint() // three count folds share one evaluation
         storeLock.synchronized {
+          // heal the swap window FIRST: a legacy state parked at
+          // state__old by a crash inside swapInto would otherwise slip
+          // past the layout check below, get recovered by readStore,
+          // and be silently folded beside an empty srcunis store
+          TierStore.recoverSwap(stateDir, stateOld)
+          TierStore.deleteTree(stateOld)
           // a pre-srcunis state (global `unigrams` leaf) cannot be
           // split by source — refuse loudly rather than folding a
           // fresh per-source store beside stale global counts

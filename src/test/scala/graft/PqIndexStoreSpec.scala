@@ -491,6 +491,17 @@ class PqIndexStoreSpec extends SparkSpec {
       probePrefix = Some(16))
     val perQ = pruned.groupBy("q_id").count().collect().map(_.getLong(1))
     assert(perQ.nonEmpty && perQ.forall(_ == 5L))
+    // an OPQ-rotated store refuses prefix serving: the first p ROTATED
+    // dims carry no Matryoshka structure (rotation balances variance)
+    val rdir = tmpDir("prefixrot")
+    val rstore = new PqIndexStore(spark, rdir, nlist = 16, m = 8, ksub = 16,
+      opqRotate = true)
+    rstore.build(emb)
+    val e = intercept[IllegalArgumentException] {
+      rstore.topK(emb, queries, 5, nprobe = 4, rerank = 50,
+        probePrefix = Some(16))
+    }
+    assert(e.getMessage.contains("OPQ-rotated"), e.getMessage)
   }
 
   test("pre-mode generation (no recorded geometry) still loads and serves via the handle config") {

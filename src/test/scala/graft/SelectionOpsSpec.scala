@@ -388,8 +388,15 @@ class SelectionOpsSpec extends SparkSpec {
       (i.toLong, "garbled", r.shuffle(vocab ++ vocab).mkString(" "))
     }
     // a short doc (1 token) must NOT count toward n_docs — the
-    // one-shot operator's inner score join drops it
-    val docs = (fluent ++ hard :+ (12L, "fluent", "the"))
+    // one-shot operator's inner score join drops it. A NULL-source
+    // domain (missing metadata) is a real group: its cumulative factor
+    // must compound like any named domain's (a `col === null` CASE arm
+    // would silently freeze it at 1e6)
+    val nullSrc = (20 until 26).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (i.toLong, null.asInstanceOf[String], r.shuffle(vocab ++ vocab).mkString(" "))
+    }
+    val docs = (fluent ++ hard ++ nullSrc :+ (12L, "fluent", "the"))
       .toDF("doc_id", "source", "text")
     val oneShot = graft.ops.Sampling.hardDomainWeights(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -414,6 +421,12 @@ class SelectionOpsSpec extends SparkSpec {
     assert(gaCum > k1m("garbled")._5 || k2("garbled")._2 == 1000000L,
       s"hard domain cum factor must compound up (cum $gaCum)")
     assert(flCum < k1m("fluent")._5 || k2("fluent")._2 == 1000000L)
+    // the NULL-source domain is garbled-style (hard): its cum factor
+    // must compound past its round-1 factor exactly like a named
+    // domain's — the regression case for the CASE-fold null arm
+    assert(k2.contains(null), "null-source domain missing from K=2 output")
+    assert(k2(null)._3 > k1m(null)._5 || k2(null)._2 == 1000000L,
+      s"null-source cum factor frozen: ${k2(null)}")
     // shares still renormalize
     val wsum2 = k2.values.map(_._4).sum
     assert(math.abs(wsum2 - 1000000L) <= k2.size, s"weights sum $wsum2")
