@@ -419,8 +419,11 @@ object Sampling {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 1000),
       "epochs must be in [0, 1000]")
     def e6(f: Double): Long = math.round(f * 1e6)
+    // a null group key needs an isNull arm — `col === lit(null)` can
+    // never match, which would silently freeze the group at the default
     val rate = epochs.foldLeft(lit(e6(defaultEpochs))) { case (acc, (g, f)) =>
-      when(col(groupCol) === g, lit(e6(f))).otherwise(acc)
+      when(if (g == null) col(groupCol).isNull else col(groupCol) === g,
+        lit(e6(f))).otherwise(acc)
     }
     docs
       .withColumn("__n",
@@ -513,6 +516,31 @@ object Sampling {
     val nd = d.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
     doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
+  }
+
+  /** Per-source epoch counts from a domain-weight frame — the bridge
+    * from [[hardDomainWeights]]/[[doremiWeights]] output to
+    * [[upsampleByEpochs]]: a domain sampled at mixture share w from
+    * natural share n_i/N repeats for w·N/n_i epochs. Integer-exact
+    * (epochs_e6 = weight_e6 · N div n_docs, truncating on
+    * non-negatives), capped at `maxEpochsE6` — repetition past a few
+    * epochs has sharply diminishing returns (Muennighoff et al. 2023),
+    * and the cap also bounds a tiny hard domain's blow-up. Output:
+    * (srcCol, n_docs, weight_e6, epochs_e6), ordered.
+    *
+    * Numerics: weight_e6 ≤ 1e6 and N ≤ ~9·10¹² keeps the product in
+    * int64 — two orders past a 100 TB corpus's ~5·10¹⁰ docs. */
+  def epochsFromWeights(weights: DataFrame, maxEpochsE6: Long = 8000000L,
+                        srcCol: String = "source"): DataFrame = {
+    require(maxEpochsE6 >= 1000000L && maxEpochsE6 <= 1000000000L,
+      s"maxEpochsE6 must be in [1e6, 1e9], got $maxEpochsE6")
+    val tot = weights.agg(sum("n_docs").as("__N"))
+    weights.select(col(srcCol), col("n_docs"), col("weight_e6"))
+      .crossJoin(broadcast(tot)) // audited single-row
+      .select(col(srcCol), col("n_docs"), col("weight_e6"),
+        least(lit(maxEpochsE6),
+          expr("weight_e6 * __N div n_docs")).as("epochs_e6"))
+      .orderBy(srcCol)
   }
 
   /** Per-source unigram counts (srcCol, token, uf) — the third

@@ -91,6 +91,13 @@ object TrainingRun {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
       .sharedCheckpoint()
+    upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
+  }
+
+  /** The shared upsample → replica-key shuffle → stripe tail. */
+  private def upsampledTail(curated: DataFrame, epochs: Map[String, Double],
+                            nShards: Int, seed: Long, groupCol: String,
+                            idCol: String): DataFrame = {
     val up = Sampling.upsampleByEpochs(curated, epochs, 1.0, groupCol, idCol)
       .select(col(idCol), col("copy"),
         (col(idCol) * 1024L + col("copy")).as("rep_id"))
@@ -98,6 +105,39 @@ object TrainingRun {
     up.join(asg, "rep_id")
       .select(col(idCol), col("copy"), col("pos"),
         pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+  }
+
+  /** DoReMi-driven training order — the deployment loop closed: curate
+    * ONCE, fit [[Sampling.doremiWeights]] (K iterative reweighting
+    * rounds) on the CURATED corpus, convert the learned mixture to
+    * per-source epoch counts ([[Sampling.epochsFromWeights]]: a domain
+    * at mixture share w and natural share n/N repeats w·N/n epochs,
+    * capped), then the standard upsample → replica-key shuffle →
+    * stripe tail. Hard (high-excess-loss) domains repeat more; easy
+    * ones thin toward their factor floor. Output:
+    * (idCol, copy, pos, shard) — deterministic for a (corpus,
+    * benchmark, params, rounds, seed) tuple.
+    *
+    * Scale: the weights fit adds two vocab-bounded count passes over
+    * the curated frame (already checkpointed) plus K vocab-sized
+    * rounds; the |domains|-row epoch vector crosses the driver (the
+    * [[Sampling.upsampleByEpochs]] literal-CASE contract — domains are
+    * dozens at 100 TB). Sources the fit never scored (only sub-2-token
+    * docs) keep 1.0 epochs. */
+  def prepareDoremi(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
+                    rounds: Int = 2, maxEpochsE6: Long = 8000000L,
+                    seed: Long = 0L, p: Curation.Params = Curation.Params(),
+                    groupCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
+      .sharedCheckpoint()
+    val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
+      textCol = textCol)
+    val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
+      .select(col(groupCol), col("epochs_e6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
   }
 
   /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */

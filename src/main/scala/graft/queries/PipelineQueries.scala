@@ -193,6 +193,19 @@ object PipelineQueries {
       .orderBy("doc_id", "copy")
   }
 
+  /** DoReMi-driven training order — the deployment loop closed:
+    * curate → iterative doremiWeights (K = 2) on the curated corpus →
+    * learned mixture to per-source epoch counts → upsample → replica
+    * shuffle → stripe. The oracle replays EVERY stage, including both
+    * unrolled reweighting rounds. */
+  def trainingDoremiQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.prepareDoremi(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      nShards = 4, rounds = 2, seed = 1L)
+      .orderBy("doc_id", "copy")
+  }
+
   /** The training-prep manifest with the mixture stage engaged — the
     * SEVEN-operator composition (quality → exact → near-dup →
     * decontam → temperature mix → epoch shuffle → stripe), every step
@@ -1621,6 +1634,7 @@ object PipelineQueries {
     "d_dedup_rate"      -> (dedupRateQ _),
     "e_emb_coverage"    -> (embCoverageQ _),
     "d_training_upsample" -> (trainingUpsampleQ _),
+    "d_training_doremi"   -> (trainingDoremiQ _),
     "d_source_card"     -> (sourceCardQ _),
     "d_release_manifest" -> (releaseManifestQ _),
     "d_overlap_f1"      -> (overlapF1Q _),
@@ -3705,6 +3719,108 @@ object PipelineQueries {
         |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
         |       CAST(pos % 4 AS BIGINT) AS shard
         |FROM ordx ORDER BY doc_id, copy""".stripMargin),
+    // DoReMi-driven training order, EVERY stage replayed: funnel
+    // prefix (→ clean), the K=2 iterative reweighting chain over the
+    // CURATED corpus (both rounds unrolled — same math as
+    // d_doremi_weights, dm-prefixed against the funnel's CTE names),
+    // learned weights → capped per-source epoch rates
+    // (weight_e6 · N // n_docs, LEAST 8e6), then the upsample gate,
+    // replica key, seed-1 permutation, and striping of
+    // d_training_upsample. dmcd/dmsg/dmsu are MATERIALIZED: DuckDB
+    // inlines CTEs per reference, and four inlined copies of the
+    // recursive funnel exhaust the fd limit.
+    "d_training_doremi" -> (CurationFunnelPrefix +
+      s""",
+         |dmcd AS MATERIALIZED (SELECT c.doc_id, d.source, c.w FROM clean c
+         |         JOIN documents d USING (doc_id)),
+         |dmix AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM dmcd WHERE len(w) >= 2),
+         |dmsg AS MATERIALIZED (SELECT source, w[i] AS prev, w[i+1] AS cur, CAST(COUNT(*) AS BIGINT) AS tf
+         |         FROM dmix GROUP BY 1, 2, 3),
+         |dmsu AS MATERIALIZED (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS uf
+         |         FROM (SELECT source, unnest(w) AS token FROM dmcd) GROUP BY 1, 2),
+         |dmnd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |         FROM dmcd WHERE len(w) >= 2 GROUP BY 1),
+         |dmbf1 AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM dmsg GROUP BY 1, 2),
+         |dmcf1 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf1 GROUP BY 1),
+         |dmu1 AS (SELECT token, CAST(SUM(uf) AS BIGINT) AS ufreq FROM dmsu GROUP BY 1),
+         |dmt1 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu1),
+         |dmlp1 AS (SELECT prev, cur,
+         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |          FROM dmbf1 JOIN dmcf1 USING (prev) JOIN dmu1 ON dmu1.token = dmbf1.cur CROSS JOIN dmt1),
+         |dmsc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |          FROM dmsg JOIN dmlp1 USING (prev, cur) GROUP BY 1),
+         |dmsrc1 AS (SELECT dmsc1.source, n_docs, nb, ss FROM dmsc1 JOIN dmnd USING (source)),
+         |dmm1 AS (SELECT source, n_docs,
+         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |         FROM dmsrc1),
+         |dmg1 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |         FROM dmsrc1),
+         |dmex1 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |          FROM dmm1 CROSS JOIN dmg1),
+         |dmmx1 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex1),
+         |dmfac1 AS (SELECT source,
+         |             CAST(CASE WHEN ma = 0 THEN 1000000
+         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
+         |           FROM dmex1 CROSS JOIN dmmx1),
+         |dmbf2 AS (SELECT prev, cur,
+         |            CAST(SUM(tf * GREATEST(cum // 1000, 1)) AS BIGINT) AS bfreq
+         |          FROM dmsg JOIN dmfac1 USING (source) GROUP BY 1, 2),
+         |dmcf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf2 GROUP BY 1),
+         |dmu2 AS (SELECT token,
+         |           CAST(SUM(uf * GREATEST(cum // 1000, 1)) AS BIGINT) AS ufreq
+         |         FROM dmsu JOIN dmfac1 USING (source) GROUP BY 1),
+         |dmt2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu2),
+         |dmlp2 AS (SELECT prev, cur,
+         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |          FROM dmbf2 JOIN dmcf2 USING (prev) JOIN dmu2 ON dmu2.token = dmbf2.cur CROSS JOIN dmt2),
+         |dmsc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |          FROM dmsg JOIN dmlp2 USING (prev, cur) GROUP BY 1),
+         |dmsrc2 AS (SELECT dmsc2.source, n_docs, nb, ss FROM dmsc2 JOIN dmnd USING (source)),
+         |dmm2 AS (SELECT source, n_docs,
+         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |         FROM dmsrc2),
+         |dmg2 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |         FROM dmsrc2),
+         |dmex2 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |          FROM dmm2 CROSS JOIN dmg2),
+         |dmmx2 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex2),
+         |dmfac2 AS (SELECT source, n_docs, excess_e4,
+         |             CAST(CASE WHEN ma = 0 THEN 1000000
+         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS factor_e6
+         |           FROM dmex2 CROSS JOIN dmmx2),
+         |dmcum AS (SELECT dmfac2.source, n_docs,
+         |            CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
+         |          FROM dmfac2 JOIN dmfac1 ON dmfac1.source = dmfac2.source),
+         |dmden AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM dmcum),
+         |dmw AS (SELECT source, n_docs,
+         |          CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
+         |            / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
+         |        FROM dmcum CROSS JOIN dmden),
+         |dmnn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM dmw),
+         |dmep AS (SELECT source,
+         |           LEAST(CAST(8000000 AS BIGINT), (weight_e6 * nn) // n_docs) AS rate
+         |         FROM dmw CROSS JOIN dmnn),
+         |dupr AS (SELECT dmcd.doc_id, COALESCE(dmep.rate, 1000000) AS rate
+         |         FROM dmcd LEFT JOIN dmep USING (source)),
+         |dupn AS (SELECT doc_id, rate // 1000000 +
+         |           CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
+         |                  < rate % 1000000 THEN 1 ELSE 0 END AS n FROM dupr),
+         |dupc AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS copy
+         |         FROM dupn WHERE n > 0),
+         |drep AS (SELECT doc_id, copy, doc_id * 1024 + copy AS rep_id FROM dupc),
+         |dshx AS (SELECT rep_id, doc_id, copy,
+         |  (rep_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+         |  (rep_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+         |FROM drep),
+         |dord AS (SELECT doc_id, copy,
+         |           ROW_NUMBER() OVER (ORDER BY b, k, rep_id) - 1 AS pos FROM dshx)
+         |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
+         |       CAST(pos % 4 AS BIGINT) AS shard
+         |FROM dord ORDER BY doc_id, copy""".stripMargin),
     // the seven-operator composition: funnel prefix (→ clean) +
     // temperature gate over the survivors + the seed-1 permutation +
     // striping, all in one replay

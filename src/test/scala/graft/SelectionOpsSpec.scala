@@ -431,4 +431,64 @@ class SelectionOpsSpec extends SparkSpec {
     val wsum2 = k2.values.map(_._4).sum
     assert(math.abs(wsum2 - 1000000L) <= k2.size, s"weights sum $wsum2")
   }
+
+  test("epochsFromWeights: integer-exact share-to-epochs bridge with cap") {
+    import spark.implicits._
+    val w = Seq(("a", 10L, 900000L), ("b", 90L, 100000L))
+      .toDF("source", "n_docs", "weight_e6")
+    val ep = graft.ops.Sampling.epochsFromWeights(w).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // a: 900000 * 100 / 10 = 9e6 → capped at the 8-epoch default;
+    // b: 100000 * 100 / 90 = 111111 (truncating)
+    assert(ep("a") == 8000000L, s"cap: $ep")
+    assert(ep("b") == 111111L, s"truncating div: $ep")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.epochsFromWeights(w, maxEpochsE6 = 999L)
+    }
+  }
+
+  test("prepareDoremi: hard domains repeat more; wiring equals the hand-built chain; deterministic") {
+    import spark.implicits._
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluent = (0 until 20).map(i =>
+      (i.toLong * 10 + 1, "fluent", "the cat sat on the mat and the dog ran"))
+    val hard = (0 until 20).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong * 10 + 2, "garbled", r.shuffle(vocab ++ vocab).mkString(" "))
+    }
+    val bench = (0 until 4).map(i => (i.toLong * 10, "fluent", "held out eval text"))
+    val corpus = (fluent ++ hard).toDF("doc_id", "source", "text")
+    val benchDf = bench.toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "copy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = rows(graft.ops.TrainingRun.prepareDoremi(
+      corpus, benchDf, nShards = 4, rounds = 2, seed = 1L))
+    // deterministic
+    assert(got == rows(graft.ops.TrainingRun.prepareDoremi(
+      corpus, benchDf, nShards = 4, rounds = 2, seed = 1L)))
+    // wiring: identical to the hand-built chain over the same stages
+    val curated = graft.ops.Curation.curate(corpus, benchDf)
+    val w = graft.ops.Sampling.doremiWeights(curated, rounds = 2)
+    val epochs = graft.ops.Sampling.epochsFromWeights(w)
+      .select("source", "epochs_e6").collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    val want = rows(graft.ops.TrainingRun.prepareUpsampled(
+      corpus, benchDf, epochs, nShards = 4, seed = 1L))
+    assert(got == want, "prepareDoremi diverged from the hand-built chain")
+    // the learned epoch rates move the right way, deterministically:
+    // the hard (garbled) domain repeats MORE than once per epoch, the
+    // easy (fluent) domain — which exact-dedup collapsed to one doc —
+    // thins below once. (Copy COUNTS are hash-gated per doc, so the
+    // rate map, not the realized copies, is the robust assertion.)
+    assert(epochs("garbled") > 1.0 && epochs("garbled") > epochs("fluent"),
+      s"hard domain must earn more epochs: $epochs")
+    assert(epochs("fluent") < 1.0, s"easy domain must thin: $epochs")
+    // and the realized stream is dominated by the hard domain
+    val curSrc = curated.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val copies = got.groupBy(t => curSrc(t._1)).view.mapValues(_.size).toMap
+    assert(copies.getOrElse("garbled", 0) > copies.getOrElse("fluent", 0),
+      s"hard domain must dominate the stream: $copies")
+  }
 }
