@@ -34,7 +34,10 @@ object ScaleBench {
     // corpus-sized count passes + K vocab-sized rounds; the decade
     // exponent should match d_domain_reweight's (the loop adds
     // vocab-sized work only)
-    "d_doremi_weights")
+    "d_doremi_weights",
+    // §G15b: the full DoReMi training prep (curate → fit → upsample →
+    // shuffle → stripe) — bounded by the funnel + fit + shuffle stages
+    "d_training_doremi")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -182,6 +185,21 @@ object ScaleBench {
         graft.ops.Curation.Params(
           semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2)
       ("d_curation_semantic_oracle", (System.nanoTime() - t) / 1e9)
+    }
+    // DoReMi training prep in the SCALE configuration (MinHash pair
+    // source; the driver query pins the oracle's exact-Jaccard stage,
+    // which — like d_curation_semantic_oracle — cannot complete the
+    // 500k decade: >80 GB spill, disk-full; that boundary is §G15b's
+    // adjudication, not a defect)
+    val doremiMh = if (!want("d_training_doremi_minhash")) None else Some {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t = System.nanoTime()
+      Bench.force(graft.ops.TrainingRun.prepareDoremi(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        nShards = 4, rounds = 2, seed = 1L,
+        p = graft.ops.Curation.Params(
+          pairSource = graft.ops.Curation.PairSource.MinHash())))
+      ("d_training_doremi_minhash", (System.nanoTime() - t) / 1e9)
     }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
@@ -473,7 +491,7 @@ object ScaleBench {
       warmTimed("bm25_serve_rare")(() => bm.topK(rareTerms, 10))
     }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
-      ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ mh ++
+      ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ doremiMh ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++ pqBuildDefault ++
