@@ -508,13 +508,20 @@ object Sampling {
                     srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
     val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint()
+    // the three count frames are read every round — checkpoint them
+    // HERE (the from-stores entry leaves that to its caller: the
+    // streaming controller passes already-localCheckpointed stores,
+    // and re-checkpointing the corpus-scale gram frame per batch would
+    // double its materialization)
     val sg = TextAnalysis.bigramPairCounts(d, Seq(srcCol), textCol)
-    val su = srcUnigramCounts(d, srcCol, textCol)
+      .sharedCheckpoint()
+    val su = srcUnigramCounts(d, srcCol, textCol).sharedCheckpoint()
     // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
     // inner join of docs against their bigram scores has exactly this
     // count, and the K = 1 ≡ one-shot pin needs it to match
     val nd = d.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
+      .sharedCheckpoint()
     doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
   }
 
@@ -560,8 +567,15 @@ object Sampling {
     * per-source unigram counts (srcCol, token, uf), per-source scored
     * doc counts (srcCol, n_docs). The streaming controller's entry
     * (its cumulative stores have exactly these shapes), and the batch
-    * operator delegates here after its two corpus passes. Inputs are
-    * checkpointed HERE (each is read every round). */
+    * operator delegates here after its two corpus passes. Each input is
+    * read every round — the CALLER must pass cheaply re-readable frames
+    * (both entries do: the batch operator checkpoints its count frames,
+    * the streaming controller passes localCheckpointed stores; a second
+    * checkpoint here would double-materialize the gram frame per batch).
+    * Per-round factor frames never checkpoint at all: each round's
+    * |sources|-row result is COLLECTED once, and the final output is a
+    * local relation — nothing loop-scoped leaks into executor storage
+    * or a reliable checkpoint dir. */
   private[graft] def doremiWeightsFromGramStores(srcGrams: DataFrame,
                                                  srcUnis: DataFrame,
                                                  srcDocs: DataFrame,
@@ -569,12 +583,14 @@ object Sampling {
                                                  lam: Double,
                                                  srcCol: String): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sg = srcGrams.sharedCheckpoint() // reused every round
-    val su = srcUnis.sharedCheckpoint()
-    val nd = srcDocs.sharedCheckpoint()
+    val sg = srcGrams
+    val su = srcUnis
+    val nd = srcDocs
     var cum: Map[String, Long] =
       nd.select(srcCol).collect().map(_.getString(0) -> 1000000L).toMap
-    var lastFac: DataFrame = null
+    // last round's collected (source, n_docs, mean_lp_e4, excess_e4,
+    // factor_e6) rows — the |domains|-row frame the output builds from
+    var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
     // a NULL-source domain is a real group (the weight math keys it
     // like any other); `col === lit(null)` can never be true, so the
     // CASE fold needs an isNull arm for the null key
@@ -607,28 +623,49 @@ object Sampling {
         .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_e6")).as("s"))
       val scored = grouped.join(nd, grouped(srcCol) <=> nd(srcCol))
         .drop(nd(srcCol))
-      lastFac = hardDomainWeightsFromScores(scored, etaE6, srcCol)
-        .sharedCheckpoint() // factor collect + final output share it
-      val roundFac = lastFac.select(col(srcCol), col("factor_e6")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      lastRows = hardDomainWeightsFromScores(scored, etaE6, srcCol)
+        .select(col(srcCol), col("n_docs"), col("mean_lp_e4"),
+          col("excess_e4"), col("factor_e6"))
+        .collect() // one driver round-trip per round, |sources| rows
+      val roundFac = lastRows
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
       cum = cum.map { case (s, c) =>
         // truncating div on non-negative operands — replays exactly
         s -> c * roundFac.getOrElse(s, 1000000L) / 1000000L
       }
     }
-    val cumFinal = cum.foldLeft(lit(1000000L)) { case (acc, (s, f)) =>
-      when(keyIs(s), lit(f)).otherwise(acc)
-    }
-    val withCum = lastFac
-      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
-        col("factor_e6"), cumFinal.as("cum_factor_e6"))
-    val den = withCum.agg(sum(col("n_docs") * col("cum_factor_e6")).as("__dsum"))
-    withCum.crossJoin(broadcast(den)) // audited single-row
-      .select(col(srcCol), col("n_docs"), col("mean_lp_e4"), col("excess_e4"),
-        col("factor_e6"), col("cum_factor_e6"),
-        round(col("n_docs").cast("double") * col("cum_factor_e6").cast("double") *
-          1e6 / col("__dsum").cast("double")).cast("long").as("weight_e6"))
-      .orderBy(srcCol)
+    // final frame assembled driver-side from the last round's rows —
+    // same double expression as the Spark path (n·cum as doubles, ×1e6,
+    // HALF_UP round), so the values are bit-identical to the previous
+    // crossJoin(broadcast(den)) plan
+    val dsum = lastRows.map(r => r.getLong(1) * cum.getOrElse(r.getString(0), 1000000L)).sum
+    val outRows: Seq[org.apache.spark.sql.Row] = lastRows.toSeq
+      .map { r =>
+        val src = r.getString(0)
+        val nDocs = r.getLong(1)
+        val cumF = cum.getOrElse(src, 1000000L)
+        org.apache.spark.sql.Row(src, nDocs, r.getLong(2), r.getLong(3),
+          r.getLong(4), cumF,
+          math.round(nDocs.toDouble * cumF.toDouble * 1e6 / dsum.toDouble))
+      }
+      .sortBy(r => Option(r.getString(0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(srcCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mean_lp_e4",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("excess_e4",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("factor_e6",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_factor_e6",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight_e6",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    srcGrams.sparkSession.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), schema)
   }
 
   /** [[hardDomainWeights]]' weight math over an already-scored frame

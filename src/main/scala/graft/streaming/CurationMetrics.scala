@@ -90,7 +90,16 @@ object CurationMetrics {
   private[streaming] def publishCounterCascade(spark: SparkSession,
                                                measurements: DataFrame,
                                                storeDir: String): Unit = {
-    val tmp = new File(s"$storeDir.tmp${System.nanoTime()}")
+    // FIXED staging name, cleared up front (single-publisher contract,
+    // like every other twin's commit): a unique-suffix tmp dir would
+    // leak one full cascade per crashed publish, with nothing ever
+    // scanning for stale suffixes. The glob also clears leftovers from
+    // the pre-round-10 nanoTime-suffixed layout.
+    val tmp = new File(s"$storeDir.tmp")
+    Option(new File(storeDir).getParentFile).map(_.listFiles()).flatMap(Option(_))
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(new File(storeDir).getName + ".tmp"))
+      .foreach(TierStore.deleteTree)
     val tmpStore = new TierStore(spark, tmp.toString)
     // localCheckpoint: the measurement frame materializes once; every
     // tier and the catalog derive from it

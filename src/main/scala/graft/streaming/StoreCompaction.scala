@@ -65,6 +65,38 @@ object StoreCompaction {
     true
   }
 
+  /** Keep-`version >= v` prune as a compactDir canonicalizer; identity
+    * when no committed version is readable or the store lacks the
+    * column (same-named stores with other schemas compact plain). */
+  private[streaming] def versionPrune(committed: Option[Long]):
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    committed match {
+      case Some(v) => df =>
+        if (df.columns.contains("version"))
+          df.where(org.apache.spark.sql.functions.col("version") >= v)
+        else df
+      case None => identity
+    }
+
+  /** The committed centroid generation beside a vec near-dup `cells`
+    * dir ([[StreamingVecNearDup]] layout: sibling `centroids` holds
+    * exactly the current generation, so its max version IS the
+    * commit). None when no centroids sibling exists or it is
+    * unreadable — the caller compacts plain. */
+  private[streaming] def centroidVersionBeside(spark: SparkSession,
+                                               cellsDir: String): Option[Long] = {
+    val base = Option(new File(cellsDir).getParent).getOrElse(".")
+    val cent = new File(base, "centroids")
+    if (!cent.exists()) None
+    else {
+      spark.catalog.refreshByPath(cent.getPath)
+      try spark.read.parquet(cent.getPath)
+        .agg(org.apache.spark.sql.functions.max("version")).head(1).headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+  }
+
   /** Known flat-store leaf names across every streaming twin — the ONE
     * registry a deployment's maintenance job walks. Streaming-engine
     * internals (`chk`, `in`), outputs (`kept`), and the swap-committed
@@ -119,14 +151,17 @@ object StoreCompaction {
         // commits past them.
         val canonicalize: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (d.getName != "codes") identity
-          else graft.ops.PqIndexStore.committedVersionBeside(spark, d.getPath) match {
-            case Some(v) => df =>
-              if (df.columns.contains("version"))
-                df.where(org.apache.spark.sql.functions.col("version") >= v)
-              else df
-            case None => identity
-          }
+          if (d.getName == "codes")
+            versionPrune(graft.ops.PqIndexStore.committedVersionBeside(spark, d.getPath))
+          else if (d.getName == "cells")
+            // vec near-dup assignment rows: reads pin version = the
+            // committed centroid generation, so superseded generations
+            // prune exactly like PQ code rows (keep >= committed — an
+            // in-flight retrain's newer rows must survive, same crash
+            // design). The CMS snapshot store of the same name has no
+            // version column / no centroids sibling → identity.
+            versionPrune(centroidVersionBeside(spark, d.getPath))
+          else identity
         compactDir(spark, d.getPath, maxFiles, targetFiles, sortCols, canonicalize)
       }
       .map(_.getPath)

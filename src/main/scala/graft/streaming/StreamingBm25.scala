@@ -57,7 +57,7 @@ class StreamingBm25(spark: SparkSession, baseDir: String,
       canonicalize = df => df.groupBy("token", idCol).agg(max("tf").as("tf")))
     val b = StoreCompaction.compactDir(spark, docsDir, maxFiles,
       canonicalize = df => df.groupBy(idCol).agg(max("dl").as("dl")))
-    a && b
+    a || b // true when ANY store compacted (compactDir's contract)
   }
 
   private def readStore(s: SparkSession, dir: String, like: DataFrame): DataFrame =

@@ -46,7 +46,12 @@ class StreamingCms(spark: SparkSession, baseDir: String,
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)
 
-  /** Current cell frame (r, b, cnt); empty before the first batch. */
+  /** Current cell frame (r, b, cnt); empty before the first batch.
+    * Snapshotted by COLLECTING inside the lock (bounded by the sketch:
+    * ≤ depth·width touched cells): a lazy scan would read the store
+    * path after the lock is released, racing the per-batch three-name
+    * swap — the transient-FileNotFound window the lock exists to
+    * close (the [[StreamingDomainReweight.currentWeights]] rule). */
   def cells(s: SparkSession = spark): DataFrame = storeLock.synchronized {
     TierStore.recoverSwap(storeDir, oldDir)
     TierStore.deleteTree(oldDir)
@@ -55,7 +60,8 @@ class StreamingCms(spark: SparkSession, baseDir: String,
       return s.range(0).select(col("id").cast("int").as("r"),
         col("id").as("b"), col("id").as("cnt")).limit(0)
     s.catalog.refreshByPath(storeDir.toString)
-    s.read.parquet(storeDir.toString)
+    val snap = s.read.parquet(storeDir.toString)
+    s.createDataFrame(java.util.Arrays.asList(snap.collect(): _*), snap.schema)
   }
 
   /** Point estimates for `probes` from the persisted cells: min over

@@ -86,34 +86,16 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
     val a = StoreCompaction.compactDir(spark, digestDir, maxFiles)
     val b = StoreCompaction.compactDir(spark, sigDir, maxFiles)
     val c = StoreCompaction.compactDir(spark, bkDir, maxFiles)
-    a && b && c
+    a || b || c // true when ANY store compacted (compactDir's contract)
   }
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)
 
-  private def sigArrOf(docs: DataFrame): DataFrame =
-    Dedup.minhashSignatures(docs, k, numHashes, idCol, textCol)
-      .select(col("id"),
-        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
-
-  private def bucketsOf(sigArr: DataFrame): DataFrame =
-    Dedup.bandBuckets(
-      sigArr.select(col("id") +:
-        (0 until numHashes).map(j => col("sig")(j).as(s"h$j")): _*),
-      bands, rows)
-
-  private def estimate(cand: DataFrame, sigA: DataFrame, sigB: DataFrame): DataFrame = {
-    val matches = (0 until numHashes)
-      .map(j => when(col("sig_a")(j) === col("sig_b")(j), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (matches.cast("double") / numHashes).as("est"))
-  }
+  // signature/bucket/estimate pipeline shared with StreamingNearDup
+  private val mh = new MinhashTwinOps(k, numHashes, bands, rows, idCol, textCol)
+  import mh.{sigArrOf, bucketsOf, estimate}
 
   private def readStore(s: SparkSession, dir: String, like: DataFrame): DataFrame =
     if (Files.exists(Paths.get(dir))) {

@@ -54,7 +54,10 @@ class StreamingDrift(spark: SparkSession, baseDir: String,
     }
   }
 
-  /** Current reference (token, cnt); empty before the first publish. */
+  /** Current reference (token, cnt); empty before the first publish.
+    * Snapshotted by COLLECTING inside the lock (vocab-bounded by
+    * design): a lazy scan would read the path after the lock is
+    * released, racing a concurrent [[publishReference]] swap. */
   def reference(s: SparkSession = spark): DataFrame = storeLock.synchronized {
     TierStore.recoverSwap(refDir, refOld)
     TierStore.deleteTree(refOld)
@@ -63,7 +66,8 @@ class StreamingDrift(spark: SparkSession, baseDir: String,
       return s.range(0).select(col("id").cast("string").as("token"),
         col("id").as("cnt")).limit(0)
     s.catalog.refreshByPath(refDir.toString)
-    s.read.parquet(refDir.toString)
+    val snap = s.read.parquet(refDir.toString)
+    s.createDataFrame(java.util.Arrays.asList(snap.collect(): _*), snap.schema)
   }
 
   /** The drift log, one row per processed batch (batch_id, n_tokens,

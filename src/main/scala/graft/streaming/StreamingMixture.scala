@@ -54,7 +54,12 @@ class StreamingMixture(spark: SparkSession, baseDir: String,
     spark.readStream
       .schema(s"$idCol LONG, $textCol STRING, $groupCol STRING").json(dir)
 
-  /** Current cumulative per-source counts (groupCol, n_docs). */
+  /** Current cumulative per-source counts (groupCol, n_docs).
+    * Snapshotted by COLLECTING inside the lock (|sources| rows): a
+    * lazy scan would read the store path after the lock is released,
+    * racing the per-batch swap — the transient-FileNotFound window the
+    * lock exists to close ([[StreamingDomainReweight.currentWeights]]'
+    * rule). */
   def counts(s: SparkSession = spark): DataFrame = storeLock.synchronized {
     TierStore.recoverSwap(countsDir, oldDir)
     TierStore.deleteTree(oldDir)
@@ -64,7 +69,8 @@ class StreamingMixture(spark: SparkSession, baseDir: String,
       return Seq.empty[(String, Long)].toDF(groupCol, "n_docs")
     }
     s.catalog.refreshByPath(countsDir.toString)
-    s.read.parquet(countsDir.toString)
+    val snap = s.read.parquet(countsDir.toString)
+    s.createDataFrame(java.util.Arrays.asList(snap.collect(): _*), snap.schema)
   }
 
   /** The rates the NEXT batch would be gated with. */

@@ -59,34 +59,16 @@ class StreamingNearDup(spark: SparkSession, baseDir: String,
   def compactStore(maxFiles: Int = 8): Boolean = {
     val a = StoreCompaction.compactDir(spark, sigDir, maxFiles)
     val b = StoreCompaction.compactDir(spark, bkDir, maxFiles)
-    a && b
+    a || b // true when ANY store compacted (compactDir's contract)
   }
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =
     spark.readStream.schema(s"$idCol LONG, $textCol STRING").json(dir)
 
-  /** (id, sig array<long>) signature frame for a document batch. */
-  private def sigArrOf(docs: DataFrame): DataFrame =
-    Dedup.minhashSignatures(docs, k, numHashes, idCol, textCol)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
-
-  private def bucketsOf(sigArr: DataFrame): DataFrame =
-    Dedup.bandBuckets(
-      sigArr.select(col("id") +: (0 until numHashes).map(j => col("sig")(j).as(s"h$j")): _*),
-      bands, rows)
-
-  /** Estimated Jaccard per candidate pair: matching-minhash fraction. */
-  private def estimate(cand: DataFrame, sigA: DataFrame, sigB: DataFrame): DataFrame = {
-    val matches = (0 until numHashes)
-      .map(j => when(col("sig_a")(j) === col("sig_b")(j), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (matches.cast("double") / numHashes).as("est"))
-  }
+  // signature/bucket/estimate pipeline shared with StreamingCuration
+  private val mh = new MinhashTwinOps(k, numHashes, bands, rows, idCol, textCol)
+  import mh.{sigArrOf, bucketsOf, estimate}
 
   def start(docs: DataFrame, trigger: Trigger): StreamingQuery =
     docs.writeStream

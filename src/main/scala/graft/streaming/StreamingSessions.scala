@@ -66,23 +66,30 @@ object StreamingSessions {
             Iterator.single(Session(user, s.start, s.end, s.n))
           } else {
             val out = Seq.newBuilder[Session]
-            var open = state.getOption
-            // per-batch events arrive unordered; the state machine is
-            // order-sensitive, so sort the (small, per-user-per-batch)
-            // group before folding
-            evts.toSeq.sortBy(_.ts_ms).foreach { e =>
+            // Fold the open session AND the (small, per-user-per-batch)
+            // group as START-SORTED intervals — standard gap clustering.
+            // Per-batch events arrive unordered, and an out-of-order
+            // (but not-late) event can even precede the open session's
+            // start: sorting the open interval in with the events
+            // handles every arrival order with one rule. In particular
+            // an event more than gapMs BEFORE the open session's start
+            // becomes its own (earlier) session, exactly as the batch
+            // twin splits it — the old fold's `e.ts - end <= gap` test
+            // was vacuously true for such events and glued them in
+            // (only reachable when the watermark delay exceeds gapMs).
+            val items = (state.getOption.toSeq ++
+              evts.toSeq.map(e => OpenSession(e.ts_ms, e.ts_ms, 1L)))
+              .sortBy(s => (s.start, s.end))
+            var open: Option[OpenSession] = None
+            items.foreach { it =>
               open = open match {
-                case Some(s) if e.ts_ms - s.end <= gapMs =>
-                  // an out-of-order (but not-late) event from an earlier
-                  // batch can precede the open session's start — widen
-                  // both bounds, or the emitted interval excludes it
-                  Some(OpenSession(math.min(s.start, e.ts_ms),
-                    math.max(s.end, e.ts_ms), s.n + 1))
+                case Some(s) if it.start - s.end <= gapMs =>
+                  Some(OpenSession(s.start, math.max(s.end, it.end), s.n + it.n))
                 case Some(s) =>
                   out += Session(user, s.start, s.end, s.n)
-                  Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                  Some(it)
                 case None =>
-                  Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                  Some(it)
               }
             }
             open.foreach { s =>

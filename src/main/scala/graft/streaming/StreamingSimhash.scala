@@ -64,7 +64,7 @@ class StreamingSimhash(spark: SparkSession, baseDir: String,
       canonicalize = df =>
         Dedup.simhashBands(canonicalSigs(df.select("id", "simhash")),
           nBlocks, bits))
-    a && b
+    a || b // true when ANY store compacted (compactDir's contract)
   }
 
   /** Streaming source for JSON-lines document files in `dir`. */

@@ -56,9 +56,16 @@ class StreamingVecNearDup(spark: SparkSession, baseDir: String,
     spark.readStream.schema(s"$idCol LONG, $vecCol ARRAY<FLOAT>").json(dir)
 
   /** Compact the assignment store's per-batch slivers (maintenance-
-    * window op, as in [[StreamingNearDup.compactStore]]). */
+    * window op, as in [[StreamingNearDup.compactStore]]), folding in
+    * the superseded-generation prune: reads pin `version` = the
+    * committed centroid generation, so rows behind older versions —
+    * one full corpus of assignments left by EACH [[retrain]] — are
+    * dead weight the rewrite drops (keep >= committed; an in-flight
+    * retrain's newer rows survive, same crash design as PQ codes). */
   def compactStore(maxFiles: Int = 8): Boolean =
-    StoreCompaction.compactDir(spark, cellDir, maxFiles)
+    StoreCompaction.compactDir(spark, cellDir, maxFiles,
+      canonicalize = StoreCompaction.versionPrune(
+        StoreCompaction.centroidVersionBeside(spark, cellDir)))
 
   /** Retrain the quantizer on the FULL kept corpus and re-key every
     * assignment under the new centroid version — the index-maintenance

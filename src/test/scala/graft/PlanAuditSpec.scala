@@ -60,6 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_training_packs", // shuffle + packing bucket prefix sums, both bounded
     "d_training_upsample", // epochShuffle's bucket-count prefix sum over
                            // the replica key: <= 8192 rows
+    "d_training_doremi",   // the same replica-key prefix sum — the
+                           // doremi fit upstream adds aggregates only
     "d_temperature_mix", // grand totals over the |sources|-row rate frame
     "d_curation_mixture", // the same rate-frame grand totals, stage 6
     "d_vocab_coverage", // rank/cumsum over the TakeOrdered top-maxCut

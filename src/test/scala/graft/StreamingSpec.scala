@@ -800,6 +800,17 @@ class StreamingSpec extends SparkSpec {
     val retrained = spark.read.parquet(s"$base/cells")
     assert(retrained.where(col("version") === centVers.head)
       .select("id").distinct().count() == 3L)
+    // compactStore folds the superseded-generation prune in: the prior
+    // generation's parked rows are DROPPED (store would otherwise grow
+    // by one full corpus per retrain), the committed generation kept
+    assert(retrained.where(col("version") =!= centVers.head).count() > 0,
+      "fixture must have parked old-generation rows for the prune to drop")
+    assert(s3.compactStore(maxFiles = 0))
+    spark.catalog.refreshByPath(s"$base/cells")
+    val compacted = spark.read.parquet(s"$base/cells")
+    assert(compacted.where(col("version") =!= centVers.head).count() == 0L,
+      "superseded-generation cell rows must be pruned by compaction")
+    assert(compacted.select("id").distinct().count() == 3L)
     val q3 = s3.start(s3.readJsonVecs(in),
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
     try {
@@ -1133,6 +1144,43 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("sess_ooo").as[Session].collect().toSet
       assert(got.contains(Session(9, B + 100, B + 600000, 2)),
         s"expected widened session, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming sessions: an out-of-order event past the gap forms its own session, never glued in") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.{Session, SessionEvent}
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[SessionEvent]
+    // the hazard regime: watermark allowance EXCEEDS the gap, so an
+    // event can arrive non-late yet sit more than gapMs before the
+    // open session — the old fold's `ts - end <= gap` test was
+    // vacuously true for it and merged, diverging from the batch twin
+    val q = StreamingSessions.sessions(src.toDS(), gapMs = 60000L, delay = "30 minutes")
+      .writeStream.format("memory").queryName("sess_stray").outputMode("append").start()
+    try {
+      val B = 1000000L
+      def ev(u: Long, ms: Long) = SessionEvent(u, ms, new java.sql.Timestamp(ms))
+      src.addData(ev(7, B + 2000000)) // opens [B+2000000]
+      q.processAllAvailable()
+      // 28+ minutes BEFORE the open session (gap is 1 minute), above
+      // the watermark: its own (earlier) session, emitted immediately
+      src.addData(ev(7, B + 300000))
+      q.processAllAvailable()
+      val afterStray = spark.table("sess_stray").as[Session].collect().toSet
+      assert(afterStray == Set(Session(7, B + 300000, B + 300000, 1)),
+        s"stray event must form its own session, got $afterStray")
+      // flush the open session via watermark timeout
+      src.addData(ev(7, B + 4000000))
+      q.processAllAvailable()
+      src.addData(ev(8, B + 4100000)) // advance a trigger for the timeout
+      q.processAllAvailable()
+      val got = spark.table("sess_stray").as[Session].collect().toSet
+      assert(got.contains(Session(7, B + 2000000, B + 2000000, 1)),
+        s"open session must stay intact (n=1), got $got")
     } finally q.stop()
   }
 
