@@ -176,9 +176,16 @@ object Curation {
       case Some(w) =>
         // trained gate: keep docs the classifier scores σ > ½ — the
         // weight frame is dim-bounded and broadcasts inside
-        // classifierScore; the semi-join key is the id only
-        screened.join(
-          TextAnalysis.classifierScore(screened, w, p.classifierDim, idCol, textCol)
+        // classifierScore; the semi-join key is the id only. The frame
+        // feeds BOTH the feature build and the join's left side, so it
+        // must be checkpointed — without a gate upstream it would be
+        // the raw scoring projection and the corpus would scan twice
+        // (the keepFrac arm checkpoints `scored` for the same reason)
+        val sc =
+          if (p.lexicon.isDefined || p.minNovelty.isDefined) screened
+          else screened.sharedCheckpoint()
+        sc.join(
+          TextAnalysis.classifierScore(sc, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
           Seq(idCol), "left_semi")
       case None => p.qualityKeepFrac match {
@@ -253,13 +260,26 @@ object Curation {
       })
   }
 
-  /** Internal carried-token-count column (see [[stageFrames]]). */
-  private val TokCol = "__n_toks"
+  /** Internal carried-token-count column (see [[stageFrames]]) —
+    * package-visible so [[TrainingRun]] can reuse the already-computed
+    * per-doc count instead of re-tokenizing the curated corpus. */
+  private[ops] val TokCol = "__n_toks"
 
   /** The curated corpus: every stage applied, original columns kept. */
   def curate(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     stageFrames(corpus, benchmark, p, idCol, textCol).last._2.drop(TokCol)
+
+  /** [[curate]] KEEPING the carried [[TokCol]] token count — for
+    * package consumers whose next step is a token aggregate
+    * ([[TrainingRun.summary]]): re-deriving the count would re-scan and
+    * re-tokenize the full surviving text, the exact pass the carried
+    * 8-byte column exists to avoid. */
+  private[ops] def curateWithTokenCounts(corpus: DataFrame, benchmark: DataFrame,
+                                         p: Params = Params(),
+                                         idCol: String = "doc_id",
+                                         textCol: String = "text"): DataFrame =
+    stageFrames(corpus, benchmark, p, idCol, textCol).last._2
 
   /** Per-stage survivor counts as (stage, n_docs, n_tokens) rows —
     * the curation funnel. Token counts matter as much as doc counts to
@@ -276,8 +296,14 @@ object Curation {
     * their own stage frames and execute the full pipeline twice. */
   def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
-    val st = stageFrames(corpus, benchmark, p, idCol, textCol)
-    (st.last._2.drop(TokCol), funnelOf(st))
+    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
+    // the terminal frame has two consumers here (the returned corpus
+    // and its funnel row) — share one materialization, exactly as
+    // [[runWithSemantic]] does; stageFrames leaves it un-checkpointed
+    // because it is normally terminal
+    val last = st0.last._2.sharedCheckpoint()
+    val st = st0.init :+ (st0.last._1 -> last)
+    (last.drop(TokCol), funnelOf(st))
   }
 
   /** [[run]] plus a SEMANTIC dedup tail (stage 6): after text-level

@@ -68,7 +68,13 @@ object Packing {
     val bucketOffsets = bucketTotals
       .withColumn("__boff", coalesce(sum("__bt").over(wBuckets), lit(0L)))
       .drop("__bt")
-    val wLocal = Window.partitionBy("__bucket").orderBy(idCol)
+    // n_tokens tiebreak: duplicate ids would otherwise tie with shuffle-
+    // dependent order, making the running sum (and every offset after
+    // the tie) differ between runs — with the tiebreak, equal (id, n)
+    // rows are interchangeable and the output is one deterministic
+    // multiset, preserving the bit-for-bit reproducibility contract
+    val wLocal = Window.partitionBy("__bucket")
+      .orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(bucketOffsets), "__bucket")
       .withColumn("start_offset",
@@ -83,7 +89,16 @@ object Packing {
     * window and how many of its `contextLen` slots the stream fills
     * (every window is full except possibly the last). A pack whose
     * `n_docs` is large is stuffed with short documents — the signal a
-    * curriculum/packing-efficiency report reads. */
+    * curriculum/packing-efficiency report reads.
+    *
+    * Windows where NO document starts — the interior of a document
+    * longer than `contextLen` — are deliberately absent: they are 100%
+    * filled by construction and carry no packing signal, and a report
+    * row per interior window would make the output grow with total
+    * tokens rather than documents. Consumers needing the full window
+    * count use ⌈Σ n_tokens / contextLen⌉ ([[efficiencyReport]]'s
+    * `packed_contexts`), not a row count or `sum(filled)` over this
+    * frame. */
   def packSummary(assignments: DataFrame, contextLen: Long): DataFrame = {
     val totalEnd = max(col("start_offset") + col("n_tokens"))
     assignments
@@ -144,7 +159,12 @@ object Packing {
             expr("(start_offset + n_tokens - 1) DIV context_len"))
           .cast("long")).as("split_docs"))
       .select(l, col("n_docs"), col("pad_tokens"), col("trunc_tokens"),
-        expr("__kept * 1000000 div (n_docs * context_len)").as("fill_rate_e6"),
+        // decimal(38,0) intermediates: __kept * 1e6 overflows int64 past
+        // ~9.2e12 kept tokens (inside the 100 TB design scale — the
+        // DuckDB oracle already computes this in hugeint); div stays the
+        // integral divide, so the value is bit-identical where both fit
+        expr("cast(__kept as decimal(38,0)) * 1000000 div " +
+          "(cast(n_docs as decimal(38,0)) * context_len)").as("fill_rate_e6"),
         expr("(__total + context_len - 1) DIV context_len").as("packed_contexts"),
         col("split_docs"))
       .orderBy("context_len")

@@ -28,7 +28,12 @@ object TrainingRun {
                          seed: Long, p: Curation.Params,
                          idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
+    // keep the curation stage's carried per-doc token count (8 bytes):
+    // summary()'s manifest reads it directly instead of re-scanning and
+    // re-tokenizing the full surviving text — the single most expensive
+    // per-row pass the pipeline has
+    val curated = Curation
+      .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
       .sharedCheckpoint()
     // NOT checkpointed: epochShuffle already checkpoints its hash base,
     // so re-deriving the rank per consumer is one cheap window — and a
@@ -98,9 +103,20 @@ object TrainingRun {
   private def upsampledTail(curated: DataFrame, epochs: Map[String, Double],
                             nShards: Int, seed: Long, groupCol: String,
                             idCol: String): DataFrame = {
+    // rep_id = id·1024 + copy is only injective while the product fits
+    // int64 — a 64-bit hash/snowflake id would wrap (silently colliding
+    // replica keys with ANSI off, aborting mid-job with it on). Refuse
+    // out-of-range ids loudly AT the row, with the fix named; the
+    // comparison is one codegen'd branch per row.
+    val maxSafeId = (Long.MaxValue - 1023L) / 1024L
+    val guardedId = when(col(idCol) >= 0L && col(idCol) <= maxSafeId, col(idCol))
+      .otherwise(raise_error(concat(lit(
+        s"training-prep replica key needs 0 <= $idCol <= $maxSafeId " +
+          "(id*1024+copy must stay in int64); re-key hash/snowflake ids " +
+          "first, got "), col(idCol).cast("string"))))
     val up = Sampling.upsampleByEpochs(curated, epochs, 1.0, groupCol, idCol)
       .select(col(idCol), col("copy"),
-        (col(idCol) * 1024L + col("copy")).as("rep_id"))
+        (guardedId * 1024L + col("copy")).as("rep_id"))
     val asg = Sampling.epochShuffle(up, seed, idCol = "rep_id")
     up.join(asg, "rep_id")
       .select(col(idCol), col("copy"), col("pos"),
@@ -145,8 +161,8 @@ object TrainingRun {
               seed: Long = 0L, p: Curation.Params = Curation.Params(),
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val (curated, asg) = assignment(corpus, benchmark, nShards, seed, p, idCol, textCol)
-    val tok = curated.select(col(idCol),
-      size(Dedup.tokens(col(textCol))).cast("long").as("__nt"))
+    // the carried curation token count — NOT a fresh tokenizer pass
+    val tok = curated.select(col(idCol), col(Curation.TokCol).as("__nt"))
     asg.join(tok, idCol)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
