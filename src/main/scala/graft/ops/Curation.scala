@@ -30,8 +30,10 @@ object Curation {
       * join): every pair at or above the threshold, recall 1.0. The
       * candidate volume is Σ_s C(df_s, 2), which grows super-linearly
       * on corpora whose shingle frequencies grow with corpus size
-      * (measured: BASELINE.md §G). The default — exactness matches the
-      * SQL oracle. */
+      * (measured: BASELINE.md §G) — at the 500k-doc decade the
+      * self-join spills > 80 GB and aborts (§G14/§G15b). Exactness
+      * matches the SQL oracle, so the oracle configs pin this
+      * explicitly; it is no longer the facade default. */
     case object Exact extends PairSource
     /** MinHash+LSH candidates with exact verify — the measured-linear
       * scale path (BASELINE.md §G: exponent 0.33 vs 1.3 for Exact on a
@@ -40,7 +42,39 @@ object Curation {
       * funnel's. Size bands for the threshold via the usual
       * (1/b)^(1/r) rule. */
     final case class MinHash(numHashes: Int = 96, bands: Int = 32) extends PairSource
+    /** AUTO — the default: [[Exact]] while the pair stage's input
+      * (the exact-dedup survivors) stays at or below
+      * `maxExactSurvivors`, [[MinHash]] above it. The round-9 lesson
+      * ([[Similarity.resolveSuperProbe]], §G11 addendum) applied to
+      * the curation facade: the 100 TB-critical lever must be ON by
+      * default, because a naked `Params()` caller at scale otherwise
+      * inherits the plan that §G15b measured DYING at the 500k decade.
+      * The survivor count is read off the stage-3 checkpoint the
+      * funnel materializes anyway, so resolution costs one count of an
+      * already-shared frame and nothing else. Below the threshold the
+      * plan, and therefore every result, is bit-identical to
+      * [[Exact]]. */
+    final case class Auto(maxExactSurvivors: Long = AutoMinHashSurvivors,
+                          numHashes: Int = 96, bands: Int = 32) extends PairSource
   }
+
+  /** Survivor count at which [[PairSource.Auto]] switches stage 4 from
+    * exact Jaccard to MinHash+LSH. 100 000 splits the measured §G
+    * decades: 50k (Exact completes comfortably — §G3/§G15b) stays
+    * exact-recall, 500k (Exact aborts with > 80 GB of spill — §G14)
+    * routes to the measured-sub-linear banded path. */
+  val AutoMinHashSurvivors = 100000L
+
+  /** Effective pair source for a concrete survivor count.
+    * `survivors` is by-name: [[PairSource.Exact]]/[[PairSource.MinHash]]
+    * callers never pay the count. */
+  def resolvePairSource(ps: PairSource, survivors: => Long): PairSource =
+    ps match {
+      case PairSource.Auto(maxExact, numHashes, bands) =>
+        if (survivors <= maxExact) PairSource.Exact
+        else PairSource.MinHash(numHashes, bands)
+      case other => other
+    }
 
   /** Tuning knobs, defaulted to the values the driver corpus is
     * exercised with. `minQuality` compares against the 4-dp-rounded
@@ -50,20 +84,22 @@ object Curation {
     * pair generation onto the IVF-bucketed path
     * ([[Similarity.ivfNearDupPairs]]) — candidates bounded by
     * Σ C(|cell|, 2) instead of hyperplane LSH's fixed fraction of ALL
-    * pairs; this is THE knob a 100 TB semantic-dedup run sets.
-    * `Some(0)` derives nlist from the survivor-embedding count via
-    * [[Similarity.suggestNlist]] — the "grow nlist with corpus size"
-    * rule as default behavior, the right setting when the corpus size
-    * isn't known at config time. None keeps the recall-sized LSH
-    * source, exact on small corpora but degenerate-quadratic at low
-    * cosine thresholds. */
+    * pairs; this is THE knob a 100 TB semantic-dedup run sets, so it
+    * defaults ON: `Some(0)` derives nlist from the survivor-embedding
+    * count via [[Similarity.suggestNlist]] — the "grow nlist with
+    * corpus size" rule as default behavior (the same default-flip as
+    * `pairSource = Auto`: at the default 0.45 threshold the LSH source
+    * degenerates to the quadratic brute-force blocks, exactly the plan
+    * a naked caller must not inherit at scale). `None` opts back into
+    * the recall-sized LSH source — exact on small corpora, the
+    * debug/recall-study configuration. */
   case class Params(minQuality: Double = 0.15,
                     shingleK: Int = 3,
                     jaccardThreshold: Double = 0.5,
                     minSharedShingles: Int = 2,
                     semanticThreshold: Double = 0.45,
-                    pairSource: PairSource = PairSource.Exact,
-                    semanticIvfNlist: Option[Int] = None,
+                    pairSource: PairSource = PairSource.Auto(),
+                    semanticIvfNlist: Option[Int] = Some(0),
                     semanticIvfNprobe: Int = 2,
                     qualityKeepFrac: Option[Double] = None,
                     qualityGroupCol: String = "source",
@@ -204,12 +240,18 @@ object Curation {
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
       .sharedCheckpoint()
-    val pairs = p.pairSource match {
+    // Auto resolution counts `exact` — a frame that is already
+    // sharedCheckpoint()'d and consumed by stage 4 and the funnel, so
+    // the count materializes work every downstream consumer reuses.
+    // Explicit Exact/MinHash configs never count (by-name argument).
+    val pairs = resolvePairSource(p.pairSource, exact.count()) match {
       case PairSource.Exact =>
         Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)
       case PairSource.MinHash(numHashes, bands) =>
         Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
           p.jaccardThreshold, idCol, textCol)
+      case auto: PairSource.Auto => throw new IllegalStateException(
+        s"resolvePairSource must not return Auto: $auto")
     }
     val nearDup = Dedup.applyClusters(exact, Dedup.dupClusters(pairs), idCol)
       .sharedCheckpoint()
@@ -315,8 +357,9 @@ object Curation {
     * the id, so only SURVIVORS' vectors enter the pair generator;
     * documents without an embedding row pass through unjudged (they
     * can never appear in a pair). Stage 6's pair source follows
-    * `p.semanticIvfNlist`: the IVF-bucketed path when set (the scale
-    * configuration), recall-sized hyperplane LSH otherwise. */
+    * `p.semanticIvfNlist`: the IVF-bucketed path when set — the scale
+    * configuration and the default, with `Some(0)` growing nlist with
+    * the survivor count — recall-sized hyperplane LSH on `None`. */
   def runWithSemantic(corpus: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
                       p: Params = Params(),
                       idCol: String = "doc_id", textCol: String = "text",

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Curation params for EVERY oracle query that runs the facade's
+    * near-dup stage: the pair source is pinned to exact Jaccard
+    * because that is what the SQL oracle replays — `Params()` now
+    * auto-selects MinHash above [[graft.ops.Curation
+    * .AutoMinHashSurvivors]] survivors (the round-11 scale-safe
+    * default), and an oracle row must not change shape with corpus
+    * size. */
+  private val OracleCurationParams = graft.ops.Curation.Params(
+    pairSource = graft.ops.Curation.PairSource.Exact)
+
   /** Normalized-text shingle set and token pipeline shared with the
     * oracle SQL below. */
   private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
@@ -179,7 +189,10 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.TrainingRun.summary(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      nShards = 4, seed = 1L)
+      nShards = 4, seed = 1L,
+      // oracle configs pin the exact-recall pair source: the SQL
+      // replay is exact Jaccard, and Params() now auto-selects
+      p = OracleCurationParams)
   }
 
   /** Upsampled training order: curation → per-source epoch upsampling
@@ -189,7 +202,8 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.TrainingRun.prepareUpsampled(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      epochs = Map("src0" -> 2.0, "src1" -> 1.5), nShards = 4, seed = 1L)
+      epochs = Map("src0" -> 2.0, "src1" -> 1.5), nShards = 4, seed = 1L,
+      p = OracleCurationParams)
       .orderBy("doc_id", "copy")
   }
 
@@ -202,7 +216,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.TrainingRun.prepareDoremi(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      nShards = 4, rounds = 2, seed = 1L)
+      nShards = 4, rounds = 2, seed = 1L, p = OracleCurationParams)
       .orderBy("doc_id", "copy")
   }
 
@@ -215,7 +229,7 @@ object PipelineQueries {
     graft.ops.TrainingRun.summary(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
       nShards = 4, seed = 1L,
-      graft.ops.Curation.Params(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
+      OracleCurationParams.copy(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
   }
 
   /** The packed token stream in epoch order (contextLen 512, seed 1):
@@ -224,7 +238,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.TrainingRun.packed(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      contextLen = 512L, seed = 1L)
+      contextLen = 512L, seed = 1L, p = OracleCurationParams)
   }
 
   /** BM25 retrieval for the literal query {spark, query, window}:
@@ -752,7 +766,7 @@ object PipelineQueries {
     graft.ops.Curation.runWithSemantic(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
       Tables.embeddings(spark, dir),
-      graft.ops.Curation.Params(semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
+      OracleCurationParams.copy(semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
   }
 
   /** Cross-document repeated 8-token spans (exact-substring-dedup
@@ -1000,7 +1014,8 @@ object PipelineQueries {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     graft.ops.Curation.funnel(
-      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      OracleCurationParams)
   }
 
   /** Ordered view → click → purchase conversion funnel. Cascade
@@ -1442,7 +1457,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.Curation.curate(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      graft.ops.Curation.Params(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
+      OracleCurationParams.copy(sourceAlpha = Some(0.5), mixTargetFrac = 0.4))
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -1454,7 +1469,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.Curation.curate(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      graft.ops.Curation.Params(
+      OracleCurationParams.copy(
         minNovelty = Some(200000L),
         noveltyGrams = Some(TextAnalysis.spanGramStore(docs.where(col("doc_id") % 5 === 1)))))
       .select("doc_id").orderBy("doc_id")
@@ -1466,7 +1481,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     graft.ops.Curation.curate(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
-      graft.ops.Curation.Params(
+      OracleCurationParams.copy(
         lexicon = Some(Seq("slow", "error", "crash")),
         lexiconMaxHitRate = 0.05))
       .select("doc_id").orderBy("doc_id")

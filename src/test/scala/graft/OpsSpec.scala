@@ -159,6 +159,41 @@ class OpsSpec extends SparkSpec {
       s"unexpected recall loss on this corpus: ${mh("4_near_dup")} vs ${exact("4_near_dup")}")
   }
 
+  test("auto pair source: Exact at/below the survivor threshold, MinHash above") {
+    // resolution is pure and by-name: explicit sources never count
+    import Curation.PairSource
+    assert(Curation.resolvePairSource(PairSource.Exact,
+      sys.error("counted")) == PairSource.Exact)
+    assert(Curation.resolvePairSource(PairSource.MinHash(4, 2),
+      sys.error("counted")) == PairSource.MinHash(4, 2))
+    // boundary: survivors == threshold stays Exact, +1 flips
+    assert(Curation.resolvePairSource(PairSource.Auto(10), 10L) == PairSource.Exact)
+    assert(Curation.resolvePairSource(PairSource.Auto(10), 11L) ==
+      PairSource.MinHash(96, 32))
+    assert(Curation.resolvePairSource(PairSource.Auto(10, 48, 16), 11L) ==
+      PairSource.MinHash(48, 16))
+
+    // end-to-end both sides on the driver corpus: a threshold the
+    // corpus can't reach ⇒ the funnel is bit-identical to Exact's; a
+    // zero threshold ⇒ bit-identical to the explicit MinHash config's
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    def funnelOf(p: Curation.Params) = Curation.funnel(corpus, bench, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaExact = funnelOf(Curation.Params(pairSource = PairSource.Exact))
+    val belowThreshold = funnelOf(Curation.Params(
+      pairSource = PairSource.Auto(maxExactSurvivors = Long.MaxValue)))
+    assert(belowThreshold == viaExact, "Auto below threshold must BE Exact")
+    // the default Params() is Auto at the 100k threshold — this corpus
+    // sits far below it, so the naked default is exact-recall here
+    assert(funnelOf(Curation.Params()) == viaExact,
+      "naked Params() must resolve to Exact on a sub-threshold corpus")
+    val aboveThreshold = funnelOf(Curation.Params(
+      pairSource = PairSource.Auto(maxExactSurvivors = 0L)))
+    val viaMinhash = funnelOf(Curation.Params(pairSource = PairSource.MinHash()))
+    assert(aboveThreshold == viaMinhash, "Auto above threshold must BE MinHash")
+  }
+
   test("novelty gate: stage 1b drops exactly the seen docs, rest of funnel follows") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
@@ -343,7 +378,9 @@ class OpsSpec extends SparkSpec {
     def funnelOf(p: Curation.Params) =
       Curation.runWithSemantic(corpus, bench, emb, p)._2.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val viaLsh = funnelOf(Curation.Params())
+    // the LSH arm is opt-in since r11 (None; the default Some(0)
+    // auto-derives an IVF nlist from the survivor count)
+    val viaLsh = funnelOf(Curation.Params(semanticIvfNlist = None))
     // e_ivf_near_dup's oracle-exact geometry: 4-of-8 probing catches
     // every boundary straddle on this corpus, so the facade's IVF tail
     // must reproduce the LSH tail's funnel stage for stage
