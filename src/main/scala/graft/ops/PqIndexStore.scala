@@ -387,9 +387,16 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // read-max-then-append is only safe single-writer: two concurrent
     // recordAudit calls could both read max=k and both append seq=k+1,
     // making driftTrend's orderBy(seq desc).limit(2) nondeterministic.
-    // Serialize per audit store (JVM-wide lock keyed by path).
+    // Serialize per audit store: the JVM-wide lock (keyed by path)
+    // covers threads in one driver; the OS file lock extends the
+    // guard across DRIVERS sharing one store path (round-11: the
+    // previously documented-only contract, now enforced wherever the
+    // filesystem supports locking — local disk and NFSv4 do; object
+    // stores don't, which is why [[driftTrend]] also detects the
+    // duplicate-seq symptom on read).
     out.foreach { case (version, a) =>
       PqIndexStore.auditLock(auditsDir).synchronized {
+       PqIndexStore.withFileLock(auditsDir) {
         val seq =
           if (!Files.exists(Paths.get(auditsDir))) 0L
           else {
@@ -406,12 +413,20 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
               }
           }
         import spark.implicits._
+        // eff_dim_formula versions the eff_dim_e6 SEMANTICS (2 =
+        // centered energies, the r10 formula; rows without the column
+        // — pre-r10 8-col or r10 9-col files, NULL under mergeSchema —
+        // are raw-second-moment or unknown). eff_dim_e6 is comparable
+        // across rows ONLY within one formula version; [[driftTrend]]
+        // itself never ratios it (cap/ppr only), so the column exists
+        // for external trend readers, which must group by it.
         Seq((seq, version, a.nCells, a.total, a.maxCell, a.cap, a.hotCells,
-          a.projectedPairs, a.effDimE6))
+          a.projectedPairs, a.effDimE6, 2L))
           .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
-            "hot_cells", "projected_pairs", "eff_dim_e6")
+            "hot_cells", "projected_pairs", "eff_dim_e6", "eff_dim_formula")
           .coalesce(1).write.mode("append").parquet(auditsDir)
         spark.catalog.refreshByPath(auditsDir)
+       }
       }
     }
     out.map(_._2)
@@ -432,6 +447,16 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     val last2 = spark.read.option("mergeSchema", "true").parquet(auditsDir)
       .orderBy(col("seq").desc).limit(2).collect()
     if (last2.length < 2) return None
+    // duplicate-seq detector: two rows sharing a seq means the store
+    // was appended by concurrent unguarded writers (possible only on
+    // filesystems where withFileLock degraded) — the trend over an
+    // arbitrary two-of-three ordering would be nondeterministic, so
+    // refuse loudly instead of paging on garbage
+    if (last2(0).getAs[Long]("seq") == last2(1).getAs[Long]("seq"))
+      throw new IllegalStateException(
+        s"audit store $auditsDir holds duplicate seq=${last2(0).getAs[Long]("seq")} " +
+          "rows - concurrent recordAudit writers corrupted the history; " +
+          "rebuild the audit dir and run recordAudit from one maintenance job")
     def ratio(r: org.apache.spark.sql.Row): (Double, Double) = {
       val maxCell = r.getAs[Long]("max_cell").toDouble
       val cap = math.max(1L, r.getAs[Long]("cap")).toDouble
@@ -526,16 +551,47 @@ object PqIndexStore {
 
   /** Per-audit-store write lock: serializes [[PqIndexStore.recordAudit]]'s
     * read-max-then-append so concurrent calls can't mint duplicate seq
-    * values. JVM-wide, keyed by the normalized store path — this guards
-    * the single-DRIVER deployment only: two drivers sharing one store
-    * path can still race seq allocation (no filesystem lock is taken).
-    * Multi-driver audit writes are out of contract; run recordAudit
-    * from the one maintenance job that owns the store. */
+    * values. JVM-wide, keyed by the normalized store path, guarding
+    * threads within one driver; [[withFileLock]] extends the guard
+    * across drivers on lock-capable filesystems. */
   private val auditLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[ops] def auditLock(dir: String): Object =
     auditLocks.computeIfAbsent(
       Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Cross-PROCESS mutual exclusion for the audit append: a blocking
+    * OS file lock on `<dir>.lock` held for the read-max-then-append
+    * critical section. Two drivers sharing one store path on a
+    * lock-capable filesystem (local disk, NFSv4) serialize here; on
+    * filesystems without advisory locking the lock() call itself
+    * fails and we degrade (loudly, via WARN) to the documented
+    * single-driver contract — the read-side duplicate-seq detector in
+    * [[PqIndexStore.driftTrend]] still refuses a store two unguarded
+    * writers corrupted. Callers must already hold [[auditLock]]: the
+    * JVM-wide monitor prevents the OverlappingFileLockException two
+    * threads of ONE process would otherwise get from the OS lock. */
+  private[ops] def withFileLock[T](dir: String)(body: => T): T = {
+    val lockPath = Paths.get(dir + ".lock")
+    Option(lockPath.getParent).foreach(Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.lock()
+        catch {
+          case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"no advisory locking on $lockPath (${e.getMessage}); " +
+                "multi-driver recordAudit is unguarded here - " +
+                "single-driver contract applies")
+            null
+        }
+      try body
+      finally if (lock != null) lock.release()
+    } finally ch.close()
+  }
 
   /** The committed quantizer generation sitting beside a `codes/` leaf
     * — the quantizer dir, else its `__old` fallback (the mid-swap

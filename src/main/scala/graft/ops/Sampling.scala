@@ -596,14 +596,19 @@ object Sampling {
     // CASE fold needs an isNull arm for the null key
     def keyIs(s: String): org.apache.spark.sql.Column =
       if (s == null) col(srcCol).isNull else col(srcCol) === s
-    for (_ <- 1 to rounds) {
-      val uniform = cum.values.forall(_ == 1000000L)
-      // round 1 (and any all-1e6 state): raw counts, so the lexicon is
-      // the plain corpus LM and the round IS the one-shot operator —
-      // scaling by a literal would perturb the lexicon's doubles by an
-      // ulp and break the K=1 ≡ one-shot pin. Reweighted rounds scale
-      // by the e3-quantized factor (overflow headroom — see scaladoc);
-      // truncating div on non-negatives, orable as `cum // 1000`
+    for (round <- 1 to rounds) {
+      // ROUND 1 scores raw counts, so the lexicon is the plain corpus
+      // LM and the round IS the one-shot operator — scaling by a
+      // literal would perturb the lexicon's doubles by an ulp and
+      // break the K=1 ≡ one-shot pin. Every LATER round scales
+      // unconditionally by the e3-quantized cumulative factor — even
+      // in the degenerate all-factors-exactly-1e6 state (single-domain
+      // corpora), because the oracle SQL scales unconditionally and a
+      // data-dependent plan switch there could flip a quantized lp_e6
+      // by an ulp at a rounding boundary (r10 ADVICE). Overflow
+      // headroom per scaladoc; truncating div on non-negatives,
+      // orable as `cum // 1000`
+      val uniform = round == 1
       def cumE3Expr = cum.foldLeft(lit(1000L)) { case (acc, (s, f)) =>
         when(keyIs(s), lit(math.max(1L, f / 1000L))).otherwise(acc)
       }
@@ -638,7 +643,15 @@ object Sampling {
     // same double expression as the Spark path (n·cum as doubles, ×1e6,
     // HALF_UP round), so the values are bit-identical to the previous
     // crossJoin(broadcast(den)) plan
-    val dsum = lastRows.map(r => r.getLong(1) * cum.getOrElse(r.getString(0), 1000000L)).sum
+    // exact accumulation: cum factors compound per round (up to
+    // ~1.5^K · 1e6), so at design-scale doc counts the Σ n_docs·cum
+    // product chain can approach int64 — overflow must fail loudly
+    // (the refuse-loudly convention; epochsFromWeights bounds its
+    // product the same way), not silently wrap every weight_e6
+    val dsum = lastRows.foldLeft(0L) { (acc, r) =>
+      Math.addExact(acc,
+        Math.multiplyExact(r.getLong(1), cum.getOrElse(r.getString(0), 1000000L)))
+    }
     val outRows: Seq[org.apache.spark.sql.Row] = lastRows.toSeq
       .map { r =>
         val src = r.getString(0)

@@ -2572,7 +2572,8 @@ object PipelineQueries {
          |        FROM bf1 JOIN cf1 USING (prev) JOIN u1 ON u1.token = bf1.cur CROSS JOIN tot1),
          |sc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
          |        FROM sg JOIN lp1 USING (prev, cur) GROUP BY 1),
-         |src1 AS (SELECT sc1.source, n_docs, nb, ss FROM sc1 JOIN nd USING (source)),
+         |src1 AS (SELECT sc1.source, n_docs, nb, ss
+         |         FROM sc1 JOIN nd ON sc1.source IS NOT DISTINCT FROM nd.source),
          |srcm1 AS (SELECT source, n_docs,
          |            CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
          |          FROM src1),
@@ -2587,12 +2588,16 @@ object PipelineQueries {
          |                ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
          |         FROM ex1 CROSS JOIN mx1),
          |bf2 AS (SELECT prev, cur,
-         |          CAST(SUM(tf * GREATEST(cum // 1000, 1)) AS BIGINT) AS bfreq
-         |        FROM sg JOIN fac1 USING (source) GROUP BY 1, 2),
+         |          CAST(SUM(tf * CASE WHEN cum IS NULL THEN 1000
+         |                       ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS bfreq
+         |        FROM sg LEFT JOIN fac1 ON sg.source IS NOT DISTINCT FROM fac1.source
+         |        GROUP BY 1, 2),
          |cf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM bf2 GROUP BY 1),
          |u2 AS (SELECT token,
-         |         CAST(SUM(uf * GREATEST(cum // 1000, 1)) AS BIGINT) AS ufreq
-         |       FROM su JOIN fac1 USING (source) GROUP BY 1),
+         |         CAST(SUM(uf * CASE WHEN cum IS NULL THEN 1000
+         |                      ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS ufreq
+         |       FROM su LEFT JOIN fac1 ON su.source IS NOT DISTINCT FROM fac1.source
+         |       GROUP BY 1),
          |tot2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM u2),
          |lp2 AS (SELECT prev, cur,
          |          CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
@@ -2600,7 +2605,8 @@ object PipelineQueries {
          |        FROM bf2 JOIN cf2 USING (prev) JOIN u2 ON u2.token = bf2.cur CROSS JOIN tot2),
          |sc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
          |        FROM sg JOIN lp2 USING (prev, cur) GROUP BY 1),
-         |src2 AS (SELECT sc2.source, n_docs, nb, ss FROM sc2 JOIN nd USING (source)),
+         |src2 AS (SELECT sc2.source, n_docs, nb, ss
+         |         FROM sc2 JOIN nd ON sc2.source IS NOT DISTINCT FROM nd.source),
          |srcm2 AS (SELECT source, n_docs,
          |            CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
          |          FROM src2),
@@ -2616,7 +2622,7 @@ object PipelineQueries {
          |         FROM ex2 CROSS JOIN mx2),
          |cum2 AS (SELECT fac2.source, n_docs, mean_lp_e4, excess_e4, factor_e6,
          |           CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
-         |         FROM fac2 JOIN fac1 ON fac1.source = fac2.source),
+         |         FROM fac2 JOIN fac1 ON fac1.source IS NOT DISTINCT FROM fac2.source),
          |den AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM cum2)
          |SELECT source, n_docs, mean_lp_e4, excess_e4, factor_e6, cum_factor_e6,
          |  CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
@@ -3765,7 +3771,8 @@ object PipelineQueries {
          |          FROM dmbf1 JOIN dmcf1 USING (prev) JOIN dmu1 ON dmu1.token = dmbf1.cur CROSS JOIN dmt1),
          |dmsc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
          |          FROM dmsg JOIN dmlp1 USING (prev, cur) GROUP BY 1),
-         |dmsrc1 AS (SELECT dmsc1.source, n_docs, nb, ss FROM dmsc1 JOIN dmnd USING (source)),
+         |dmsrc1 AS (SELECT dmsc1.source, n_docs, nb, ss
+         |           FROM dmsc1 JOIN dmnd ON dmsc1.source IS NOT DISTINCT FROM dmnd.source),
          |dmm1 AS (SELECT source, n_docs,
          |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
          |         FROM dmsrc1),
@@ -3780,12 +3787,18 @@ object PipelineQueries {
          |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
          |           FROM dmex1 CROSS JOIN dmmx1),
          |dmbf2 AS (SELECT prev, cur,
-         |            CAST(SUM(tf * GREATEST(cum // 1000, 1)) AS BIGINT) AS bfreq
-         |          FROM dmsg JOIN dmfac1 USING (source) GROUP BY 1, 2),
+         |            CAST(SUM(tf * CASE WHEN cum IS NULL THEN 1000
+         |                         ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS bfreq
+         |          FROM dmsg LEFT JOIN dmfac1
+         |            ON dmsg.source IS NOT DISTINCT FROM dmfac1.source
+         |          GROUP BY 1, 2),
          |dmcf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf2 GROUP BY 1),
          |dmu2 AS (SELECT token,
-         |           CAST(SUM(uf * GREATEST(cum // 1000, 1)) AS BIGINT) AS ufreq
-         |         FROM dmsu JOIN dmfac1 USING (source) GROUP BY 1),
+         |           CAST(SUM(uf * CASE WHEN cum IS NULL THEN 1000
+         |                        ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS ufreq
+         |         FROM dmsu LEFT JOIN dmfac1
+         |           ON dmsu.source IS NOT DISTINCT FROM dmfac1.source
+         |         GROUP BY 1),
          |dmt2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu2),
          |dmlp2 AS (SELECT prev, cur,
          |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
@@ -3793,7 +3806,8 @@ object PipelineQueries {
          |          FROM dmbf2 JOIN dmcf2 USING (prev) JOIN dmu2 ON dmu2.token = dmbf2.cur CROSS JOIN dmt2),
          |dmsc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
          |          FROM dmsg JOIN dmlp2 USING (prev, cur) GROUP BY 1),
-         |dmsrc2 AS (SELECT dmsc2.source, n_docs, nb, ss FROM dmsc2 JOIN dmnd USING (source)),
+         |dmsrc2 AS (SELECT dmsc2.source, n_docs, nb, ss
+         |           FROM dmsc2 JOIN dmnd ON dmsc2.source IS NOT DISTINCT FROM dmnd.source),
          |dmm2 AS (SELECT source, n_docs,
          |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
          |         FROM dmsrc2),
@@ -3809,7 +3823,8 @@ object PipelineQueries {
          |           FROM dmex2 CROSS JOIN dmmx2),
          |dmcum AS (SELECT dmfac2.source, n_docs,
          |            CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
-         |          FROM dmfac2 JOIN dmfac1 ON dmfac1.source = dmfac2.source),
+         |          FROM dmfac2 JOIN dmfac1
+         |            ON dmfac1.source IS NOT DISTINCT FROM dmfac2.source),
          |dmden AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM dmcum),
          |dmw AS (SELECT source, n_docs,
          |          CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
@@ -3820,7 +3835,8 @@ object PipelineQueries {
          |           LEAST(CAST(8000000 AS BIGINT), (weight_e6 * nn) // n_docs) AS rate
          |         FROM dmw CROSS JOIN dmnn),
          |dupr AS (SELECT dmcd.doc_id, COALESCE(dmep.rate, 1000000) AS rate
-         |         FROM dmcd LEFT JOIN dmep USING (source)),
+         |         FROM dmcd LEFT JOIN dmep
+         |           ON dmcd.source IS NOT DISTINCT FROM dmep.source),
          |dupn AS (SELECT doc_id, rate // 1000000 +
          |           CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
          |                  < rate % 1000000 THEN 1 ELSE 0 END AS n FROM dupr),

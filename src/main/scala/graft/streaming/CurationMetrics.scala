@@ -89,7 +89,14 @@ object CurationMetrics {
     * [[CorpusMetrics]]. */
   private[streaming] def publishCounterCascade(spark: SparkSession,
                                                measurements: DataFrame,
-                                               storeDir: String): Unit = {
+                                               storeDir: String): Unit =
+   // JVM-wide per-store lock (the PqIndexStore.auditLock pattern):
+   // the fixed staging name below means two concurrent publishers
+   // against one store path would delete each other's in-flight
+   // staging mid-write — the lock ENFORCES the single-publisher
+   // contract the r10 comment only asserted. Cross-process publishers
+   // remain out of contract (documented; same stance as every twin).
+   publishLock(storeDir).synchronized {
     // FIXED staging name, cleared up front (single-publisher contract,
     // like every other twin's commit): a unique-suffix tmp dir would
     // leak one full cascade per crashed publish, with nothing ever
@@ -118,7 +125,15 @@ object CurationMetrics {
     TierStore.recoverSwap(dst, old) // a crashed previous publish
     if (dst.exists()) TierStore.swapInto(dst, tmp, old)
     else require(tmp.renameTo(dst), s"could not move $tmp into place at $dst")
-  }
+   }
+
+  /** Per-store publish locks, JVM-wide and keyed by normalized path —
+    * see [[publishCounterCascade]]. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(dir: String): Object =
+    publishLocks.computeIfAbsent(
+      new File(dir).getAbsoluteFile.toPath.normalize.toString, _ => new Object)
 }
 
 /** Bridge from [[graft.ops.Reports.sourceCard]] to the metrics half:

@@ -55,9 +55,13 @@ class StreamingDrift(spark: SparkSession, baseDir: String,
   }
 
   /** Current reference (token, cnt); empty before the first publish.
-    * Snapshotted by COLLECTING inside the lock (vocab-bounded by
-    * design): a lazy scan would read the path after the lock is
-    * released, racing a concurrent [[publishReference]] swap. */
+    * Snapshotted INSIDE the lock by an eager `localCheckpoint`: the
+    * blocks materialize distributed (the reference is VOCAB-sized —
+    * tens of millions of tokens at design scale, far too large for the
+    * driver round-trip the |domains|-row twins use) and the truncated
+    * lineage means no consumer re-reads the path after the lock is
+    * released, so a concurrent [[publishReference]] swap cannot race
+    * the scoring join. */
   def reference(s: SparkSession = spark): DataFrame = storeLock.synchronized {
     TierStore.recoverSwap(refDir, refOld)
     TierStore.deleteTree(refOld)
@@ -66,8 +70,7 @@ class StreamingDrift(spark: SparkSession, baseDir: String,
       return s.range(0).select(col("id").cast("string").as("token"),
         col("id").as("cnt")).limit(0)
     s.catalog.refreshByPath(refDir.toString)
-    val snap = s.read.parquet(refDir.toString)
-    s.createDataFrame(java.util.Arrays.asList(snap.collect(): _*), snap.schema)
+    s.read.parquet(refDir.toString).localCheckpoint(eager = true)
   }
 
   /** The drift log, one row per processed batch (batch_id, n_tokens,

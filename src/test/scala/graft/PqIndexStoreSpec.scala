@@ -529,4 +529,39 @@ class PqIndexStoreSpec extends SparkSpec {
     assert(rows(reopened.topK(emb, queries, 5, nprobe = 16, rerank = 1000000)) ==
       rows(Similarity.bruteForceTopK(emb, queries, 5)))
   }
+
+  test("audit writers collide safely: concurrent recorders mint distinct seqs; a duplicate-seq store refuses driftTrend") {
+    import spark.implicits._
+    val dir = tmpDir("auditlock")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    // four concurrent recorders (the two-writer collision, doubled):
+    // the JVM monitor + the OS file lock serialize read-max-then-
+    // append, so the seqs must come out dense 0..3 — any duplicate
+    // means the critical section leaked
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map(_ => new Thread(() =>
+      try store.recordAudit()
+      catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"recorder threw: ${errs.peek()}")
+    val auditsDir = s"$dir/audits"
+    spark.catalog.refreshByPath(auditsDir)
+    val seqs = spark.read.option("mergeSchema", "true").parquet(auditsDir)
+      .select("seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(0L, 1L, 2L, 3L), s"seq allocation raced: $seqs")
+    // r11 rows carry the eff_dim formula version (2 = centered energies)
+    assert(spark.read.parquet(auditsDir)
+      .where(col("eff_dim_formula") === 2L).count() == 4L)
+    assert(store.driftTrend().isDefined)
+    // hand-corrupt the history with a duplicate max seq — the state
+    // two UNGUARDED writers on a lock-free filesystem leave behind —
+    // and the read path must refuse loudly, not page on garbage
+    Seq((3L, 0L, 16, 400L, 100L, 100L, 0, 0.0, 1000000L, 2L))
+      .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
+        "hot_cells", "projected_pairs", "eff_dim_e6", "eff_dim_formula")
+      .coalesce(1).write.mode("append").parquet(auditsDir)
+    spark.catalog.refreshByPath(auditsDir)
+    intercept[IllegalStateException] { store.driftTrend() }
+  }
 }

@@ -844,6 +844,80 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("vec near-dup geometry pin: cells persist FLAT assignments in the auto-superProbe regime; a default reopen serves them") {
+    // the r11 sweep completing the r9/r10 geometry-pin work: at
+    // nlist ≥ AutoSuperProbeNlist the AUTO probe default is two-level,
+    // so the cell store — persisted flat since its first version —
+    // must keep PINNING flat on every path or a reopened default
+    // handle would probe a different Voronoi geometry than the rows
+    // on disk (silent under-dedup).
+    assert(graft.ops.Similarity
+      .resolveSuperProbe(300, None).contains(graft.ops.Similarity.AutoSuperProbeWidth),
+      "premise: AUTO must be two-level at nlist 300")
+    val base = Files.createTempDirectory("graft_svndup_geo").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val rnd = new scala.util.Random(11)
+    def vecJson(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val vecs = (0 until 300).map(i => i.toLong -> Seq.fill(64)(rnd.nextGaussian()))
+    def mk() = new graft.streaming.StreamingVecNearDup(spark, base,
+      threshold = 0.7, nlist = 300, nprobe = 2)
+    val s1 = mk()
+    val q1 = s1.start(s1.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", vecs.map { case (i, v) => vecJson(i, v) })
+      q1.processAllAvailable()
+    } finally q1.stop()
+    graft.functions.ensureRegistered(spark)
+    spark.catalog.refreshByPath(s"$base/centroids")
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$base/centroids")
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("dim"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    assert(cents.length >= graft.ops.Similarity.AutoSuperProbeNlist,
+      s"premise: trained ${cents.length} cells, need the auto regime")
+    spark.catalog.refreshByPath(s"$base/cells")
+    val stored = spark.read.parquet(s"$base/cells")
+      .select("id", "v", "cell").localCheckpoint()
+    // 1. the persisted assignment IS the flat geometry, row for row
+    val flatDiff = stored.where(col("cell") =!=
+      element_at(graft.functions.ivf_probe(col("v"), cents, 1), 1)).count()
+    assert(flatDiff == 0L, s"$flatDiff stored cells diverge from the flat probe")
+    // 2. ...and the pin is LOAD-BEARING: for boundary-straddling
+    // queries (fresh random vectors, far from every centroid — unlike
+    // the stored vectors, which ARE their own centroids here) the
+    // two-level probe the AUTO default would pick ranks a different
+    // top cell than flat, so an unpinned probe WOULD mismatch the
+    // stored geometry
+    import spark.implicits._
+    val probes = Seq.fill(200)(Seq.fill(64)(rnd.nextGaussian())).toDF("v")
+    val hierDiff = probes.where(
+      element_at(graft.functions.ivf_probe(col("v"), cents, 1), 1) =!=
+      element_at(graft.functions.ivf_probe_hier(col("v"), cents, 1,
+        graft.ops.Similarity.AutoSuperProbeWidth), 1)).count()
+    assert(hierDiff > 0L,
+      "two-level probe agrees with flat on every query - divergence premise gone, re-examine the pin")
+    // 3. a NEW default handle over the same dir serves the flat store:
+    // a near-copy of a stored survivor is caught, a fresh vector kept
+    val dupOf0 = vecs.head._2.updated(0, vecs.head._2.head + 0.01)
+    val fresh = Seq.fill(64)(rnd.nextGaussian())
+    val s2 = mk()
+    val q2 = s2.start(s2.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b2.json", Seq(vecJson(9999L, dupOf0), vecJson(9998L, fresh)))
+      q2.processAllAvailable()
+      spark.catalog.refreshByPath(s2.keptPath)
+      val kept = spark.read.parquet(s2.keptPath)
+        .where(col("vec_id") >= 9000L).collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(9998L),
+        s"default reopen mis-served the flat store: new-id survivors $kept")
+    } finally q2.stop()
+  }
+
   test("counter streaming path: 5s sums, cascade adds") {
     val base = Files.createTempDirectory("graft_cstream").toString
     val in = s"$base/in"
