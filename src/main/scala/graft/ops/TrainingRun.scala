@@ -99,10 +99,14 @@ object TrainingRun {
     upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
   }
 
-  /** The shared upsample → replica-key shuffle → stripe tail. */
-  private def upsampledTail(curated: DataFrame, epochs: Map[String, Double],
-                            nShards: Int, seed: Long, groupCol: String,
-                            idCol: String): DataFrame = {
+  /** The shared upsample → replica-key shuffle → stripe tail.
+    * `private[graft]`: [[graft.streaming.StreamingTrainingPrep]]
+    * publishes its manifest through this EXACT code path so the
+    * N-batch ≡ batch equality pin holds by construction. Needs only
+    * (`idCol`, `groupCol`) columns. */
+  private[graft] def upsampledTail(curated: DataFrame, epochs: Map[String, Double],
+                                   nShards: Int, seed: Long, groupCol: String,
+                                   idCol: String): DataFrame = {
     // rep_id = id·1024 + copy is only injective while the product fits
     // int64 — a 64-bit hash/snowflake id would wrap (silently colliding
     // replica keys with ANSI off, aborting mid-job with it on). Refuse

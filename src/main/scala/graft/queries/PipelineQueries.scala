@@ -1183,6 +1183,25 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** §G14b promoted to the driver surface (r10 verdict stretch): the
+    * dim-prefix serve at d = 512 — the regime MRL serving is designed
+    * for and the one plan ScaleBench measured winning 11.8× at
+    * 500k×512d. Vectors are the 64-d table TILED 8× (cosine is
+    * invariant under tiling: dot and both norms scale by 8, so the
+    * ranking and the recall semantics are identical to the 64-d rows
+    * while the byte/flop scaling is honestly 512-d); the probe stage
+    * runs on the 64-d prefix, and the same exactness envelope as
+    * [[dimPrefixTopKQ]] (nprobe = nlist, corpus-sized rerank) makes
+    * the result equal brute-force cosine bit-for-bit. The oracle
+    * replays the tiling explicitly. */
+  def dimPrefixW512Q(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "flatten(array_repeat(embedding, 8)) AS embedding")
+    Similarity.dimPrefixTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      prefix = 64, nlist = 16, nprobe = 16, rerank = 1000000)
+      .orderBy("q_id", "rank")
+  }
+
   /** Document-level PMI over the top-100 vocabulary (pairs seen in ≥ 5
     * docs) — pair space capped at C(100,2) whatever the corpus size. */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1585,6 +1604,7 @@ object PipelineQueries {
     "d_doremi_weights"    -> (doremiWeightsQ _),
     "e_dim_prefix_recall" -> (dimPrefixRecallQ _),
     "e_dim_prefix_topk" -> (dimPrefixTopKQ _),
+    "e_dim_prefix_w512" -> (dimPrefixW512Q _),
     "d_pmi_pairs"         -> (pmiPairs _),
     "d_source_mix"        -> (sourceMix _),
     "d_source_overlap"    -> (sourceOverlapQ _),
@@ -2651,6 +2671,17 @@ object PipelineQueries {
     "e_dim_prefix_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e_dim_prefix_w512" ->
+      """WITH w AS (SELECT vec_id, flatten([e, e, e, e, e, e, e, e]) AS embedding
+        |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM w WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, embedding AS nv FROM w),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
         |      FROM q, c WHERE q_id <> n_id),
         |r AS (SELECT q_id, n_id,

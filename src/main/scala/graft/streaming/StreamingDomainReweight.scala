@@ -155,6 +155,15 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
       .outputMode("append")
       .option("checkpointLocation", s"$baseDir/chk")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch)
+        ()
+      }
+      .start()
+
+  /** One micro-batch's fold + weight publish — the foreachBatch body,
+    * callable directly so composing twins ([[StreamingTrainingPrep]])
+    * can run the reweight controller inside their own batch hook. */
+  private[streaming] def processBatch(batch: DataFrame): Unit = {
         val s = batch.sparkSession
         // one row per id (the shared twin guard)
         val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
@@ -210,7 +219,5 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
           publishAll(Seq("srcgrams" -> grams, "srcunis" -> srcUnis,
             "srcdocs" -> sdocs, "weights" -> weights))
         }
-        ()
-      }
-      .start()
+  }
 }

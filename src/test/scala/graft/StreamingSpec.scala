@@ -394,6 +394,69 @@ class StreamingSpec extends SparkSpec {
     } finally qL.stop()
   }
 
+  test("streaming training prep: N-batch manifest equals the batch chain over the union; restart serves") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stprep").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"$src"}"""
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluentTxt = "the cat sat on the mat and the dog ran"
+    def garbledTxt(i: Int) = new scala.util.Random(i).shuffle(vocab ++ vocab).mkString(" ")
+    val b1 = (0 until 6).map(i => (i.toLong, "fluent", fluentTxt)) ++
+      (6 until 12).map(i => (i.toLong, "garbled", garbledTxt(i)))
+    val b2 = (12 until 24).map(i => (i.toLong, "fluent", fluentTxt))
+    val st = new graft.streaming.StreamingTrainingPrep(spark, base,
+      nShards = 4, rounds = 2, seed = 1L)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    def manRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "copy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the batch chain the stream must reproduce: fit on the union,
+    // bridge to epochs, then THE SAME tail (upsample → replica shuffle
+    // → stripe) the batch operator runs
+    def wantFor(docs: Seq[(Long, String, String)]) = {
+      val d = docs.toDF("doc_id", "source", "text")
+      val w = graft.ops.Sampling.doremiWeights(d, rounds = 2)
+      val epochs = graft.ops.Sampling.epochsFromWeights(w)
+        .select("source", "epochs_e6").collect()
+        .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      manRows(graft.ops.TrainingRun.upsampledTail(
+        d.select(col("doc_id"), col("source")), epochs,
+        nShards = 4, seed = 1L, groupCol = "source", idCol = "doc_id"))
+    }
+    val q = st.start(st.readJsonDocs(in), trig)
+    try {
+      assert(st.currentManifest().isEmpty, "manifest before any batch")
+      dropFile(in, "b1.json", b1.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val got1 = manRows(st.currentManifest().get)
+      assert(got1 == wantFor(b1),
+        s"one-batch manifest diverged from the batch chain")
+      // batch 2 shifts the mix; the manifest REPUBLISHES over the
+      // cumulative corpus and must equal the batch chain on the union
+      // (every pos is a fresh global permutation, so simple appends
+      // could never pass this)
+      dropFile(in, "b2.json", b2.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val got2 = manRows(st.currentManifest().get)
+      assert(got2 == wantFor(b1 ++ b2),
+        s"two-batch manifest diverged from the batch chain over the union")
+      // the learned mixture visibly drives the manifest: the hard
+      // (garbled) domain gets upsampled copies, and stripes cover all
+      // shards
+      val copies = got2.groupBy(_._1).view.mapValues(_.size)
+      assert((6 until 12).exists(i => copies.getOrElse(i.toLong, 0) > 1),
+        s"hard domain never upsampled: $copies")
+      assert(got2.map(_._4).toSet == Set(0L, 1L, 2L, 3L))
+    } finally q.stop()
+    // a restarted instance serves the committed manifest unchanged
+    val st2 = new graft.streaming.StreamingTrainingPrep(spark, base,
+      nShards = 4, rounds = 2, seed = 1L)
+    assert(manRows(st2.currentManifest().get) == wantFor(b1 ++ b2))
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
