@@ -444,19 +444,24 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     if (!Files.exists(Paths.get(auditsDir))) return None
     spark.catalog.refreshByPath(auditsDir)
     // mergeSchema: see recordAudit — mixed 8/9-column audit files
-    val last2 = spark.read.option("mergeSchema", "true").parquet(auditsDir)
-      .orderBy(col("seq").desc).limit(2).collect()
-    if (last2.length < 2) return None
-    // duplicate-seq detector: two rows sharing a seq means the store
-    // was appended by concurrent unguarded writers (possible only on
-    // filesystems where withFileLock degraded) — the trend over an
-    // arbitrary two-of-three ordering would be nondeterministic, so
-    // refuse loudly instead of paging on garbage
-    if (last2(0).getAs[Long]("seq") == last2(1).getAs[Long]("seq"))
+    val audits = spark.read.option("mergeSchema", "true").parquet(auditsDir)
+    // duplicate-seq detector over the WHOLE (tiny, one-row-per-audit)
+    // history: rows sharing a seq mean the store was appended by
+    // concurrent unguarded writers (possible only on filesystems where
+    // withFileLock degraded). A duplicate ANYWHERE poisons ordering —
+    // orderBy(seq desc).limit(2) would return an arbitrary one of the
+    // twins whenever the window slides over it — so refuse loudly
+    // instead of paging on garbage, however deep the duplicate sits.
+    val dupSeq = audits.groupBy("seq").count().where(col("count") > 1)
+      .select("seq").collect().map(_.getLong(0))
+    if (dupSeq.nonEmpty)
       throw new IllegalStateException(
-        s"audit store $auditsDir holds duplicate seq=${last2(0).getAs[Long]("seq")} " +
-          "rows - concurrent recordAudit writers corrupted the history; " +
-          "rebuild the audit dir and run recordAudit from one maintenance job")
+        s"audit store $auditsDir holds duplicate seq rows " +
+          s"(${dupSeq.sorted.mkString(", ")}) - concurrent recordAudit " +
+          "writers corrupted the history; rebuild the audit dir and run " +
+          "recordAudit from one maintenance job")
+    val last2 = audits.orderBy(col("seq").desc).limit(2).collect()
+    if (last2.length < 2) return None
     def ratio(r: org.apache.spark.sql.Row): (Double, Double) = {
       val maxCell = r.getAs[Long]("max_cell").toDouble
       val cap = math.max(1L, r.getAs[Long]("cap")).toDouble
@@ -551,14 +556,11 @@ object PqIndexStore {
 
   /** Per-audit-store write lock: serializes [[PqIndexStore.recordAudit]]'s
     * read-max-then-append so concurrent calls can't mint duplicate seq
-    * values. JVM-wide, keyed by the normalized store path, guarding
-    * threads within one driver; [[withFileLock]] extends the guard
-    * across drivers on lock-capable filesystems. */
-  private val auditLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * values. JVM-wide via the shared [[graft.sources.TierStore.pathLock]]
+    * registry, guarding threads within one driver; [[withFileLock]]
+    * extends the guard across drivers on lock-capable filesystems. */
   private[ops] def auditLock(dir: String): Object =
-    auditLocks.computeIfAbsent(
-      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+    graft.sources.TierStore.pathLock(dir)
 
   /** Cross-PROCESS mutual exclusion for the audit append: a blocking
     * OS file lock on `<dir>.lock` held for the read-max-then-append
@@ -571,7 +573,7 @@ object PqIndexStore {
     * writers corrupted. Callers must already hold [[auditLock]]: the
     * JVM-wide monitor prevents the OverlappingFileLockException two
     * threads of ONE process would otherwise get from the OS lock. */
-  private[ops] def withFileLock[T](dir: String)(body: => T): T = {
+  private[graft] def withFileLock[T](dir: String)(body: => T): T = {
     val lockPath = Paths.get(dir + ".lock")
     Option(lockPath.getParent).foreach(Files.createDirectories(_))
     val ch = java.nio.channels.FileChannel.open(lockPath,

@@ -159,6 +159,20 @@ object TierStore {
     f.delete()
   }
 
+  /** THE per-path JVM lock registry: one monitor per normalized
+    * absolute path, shared by every store that needs to serialize a
+    * read-modify-write or staged-publish critical section against
+    * other threads of this driver (PqIndexStore audits,
+    * CurationMetrics publishes, …). Keeping the registry — and its
+    * one normalization rule — in a single place is the point: two
+    * spellings of one path must map to one monitor. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def pathLock(dir: String): Object =
+    pathLocks.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   /** Recovery half of the three-name swap protocol: a crashed run can
     * leave the data moved aside at `old` with nothing at `dst` — put it
     * back. Call before inspecting `dst`. */

@@ -127,13 +127,9 @@ object CurationMetrics {
     else require(tmp.renameTo(dst), s"could not move $tmp into place at $dst")
    }
 
-  /** Per-store publish locks, JVM-wide and keyed by normalized path —
-    * see [[publishCounterCascade]]. */
-  private val publishLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def publishLock(dir: String): Object =
-    publishLocks.computeIfAbsent(
-      new File(dir).getAbsoluteFile.toPath.normalize.toString, _ => new Object)
+  /** Per-store publish lock, JVM-wide via the shared
+    * [[TierStore.pathLock]] registry — see [[publishCounterCascade]]. */
+  private def publishLock(dir: String): Object = TierStore.pathLock(dir)
 }
 
 /** Bridge from [[graft.ops.Reports.sourceCard]] to the metrics half:

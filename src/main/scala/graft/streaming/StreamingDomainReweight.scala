@@ -160,17 +160,26 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
       }
       .start()
 
-  /** One micro-batch's fold + weight publish — the foreachBatch body,
-    * callable directly so composing twins ([[StreamingTrainingPrep]])
-    * can run the reweight controller inside their own batch hook. */
+  /** One micro-batch's fold + weight publish — the foreachBatch body. */
   private[streaming] def processBatch(batch: DataFrame): Unit = {
-        val s = batch.sparkSession
         // one row per id (the shared twin guard)
         val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
         val b = batch.select(col(idCol), col(textCol), col(srcCol))
           .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
           .drop("__rn")
           .localCheckpoint() // three count folds share one evaluation
+        processGuardedBatch(b)
+  }
+
+  /** [[processBatch]] minus the per-id guard + checkpoint — for
+    * composing twins ([[StreamingTrainingPrep]]) that have ALREADY
+    * deduplicated and materialized the batch for their own folds:
+    * re-running the window + a second eager localCheckpoint over the
+    * same rows would double the hottest per-batch path's shuffle and
+    * storage-block footprint. Contract: `b` is one row per `idCol`,
+    * carries (`idCol`, `textCol`, `srcCol`), and is materialized. */
+  private[streaming] def processGuardedBatch(b: DataFrame): Unit = {
+        val s = b.sparkSession
         storeLock.synchronized {
           // heal the swap window FIRST: a legacy state parked at
           // state__old by a crash inside swapInto would otherwise slip

@@ -125,8 +125,10 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
           .localCheckpoint() // the controller fold + the doc fold share it
         if (b.isEmpty) ()
         else {
-          // 1. refit the mixture on the cumulative counts
-          reweight.processBatch(b)
+          // 1. refit the mixture on the cumulative counts — the
+          // guarded entry point: b is already one-row-per-id and
+          // materialized above, so the controller folds it directly
+          reweight.processGuardedBatch(b)
           storeLock.synchronized {
             // 2. fold (id, source): one row per id across ALL batches —
             // a replayed or re-crawled id must not gain manifest copies

@@ -563,5 +563,37 @@ class PqIndexStoreSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(auditsDir)
     spark.catalog.refreshByPath(auditsDir)
     intercept[IllegalStateException] { store.driftTrend() }
+    // ...and a duplicate BURIED below the newest rows must refuse too:
+    // orderBy(seq desc).limit(2) alone would slide past it and return
+    // an arbitrary twin — the detector scans the whole history
+    Seq((4L, 0L, 16, 400L, 100L, 100L, 0, 0.0, 1000000L, 2L),
+        (5L, 0L, 16, 400L, 100L, 100L, 0, 0.0, 1000000L, 2L))
+      .toDF("seq", "version", "n_cells", "total", "max_cell", "cap",
+        "hot_cells", "projected_pairs", "eff_dim_e6", "eff_dim_formula")
+      .coalesce(1).write.mode("append").parquet(auditsDir)
+    spark.catalog.refreshByPath(auditsDir)
+    val buried = intercept[IllegalStateException] { store.driftTrend() }
+    assert(buried.getMessage.contains("3"), s"buried duplicate not named: $buried")
+
+    // the OS file lock is REAL on this filesystem, not silently
+    // degraded: while withFileLock holds <audits>.lock, a second
+    // channel cannot acquire it (the JVM surfaces the held lock as
+    // OverlappingFileLockException; a foreign process would block);
+    // after the body exits, acquisition succeeds — proof of release
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Paths => P, StandardOpenOption => O}
+    val lockPath = P.get(auditsDir + ".lock")
+    PqIndexStore.withFileLock(auditsDir) {
+      val probe = FileChannel.open(lockPath, O.CREATE, O.WRITE)
+      try intercept[java.nio.channels.OverlappingFileLockException] {
+        probe.tryLock()
+      } finally probe.close()
+    }
+    val probe2 = FileChannel.open(lockPath, O.CREATE, O.WRITE)
+    try {
+      val l = probe2.tryLock()
+      assert(l != null, "file lock not released after withFileLock body")
+      l.release()
+    } finally probe2.close()
   }
 }
