@@ -455,6 +455,37 @@ class StreamingSpec extends SparkSpec {
     val st2 = new graft.streaming.StreamingTrainingPrep(spark, base,
       nShards = 4, rounds = 2, seed = 1L)
     assert(manRows(st2.currentManifest().get) == wantFor(b1 ++ b2))
+    // CRASH WINDOW: die inside the state swap — the parent moved aside
+    // to state__old, nothing at state/. A fresh instance must recover
+    // the committed generation (recoverSwap), not serve None.
+    Files.move(Paths.get(s"$base/state"), Paths.get(s"$base/state__old"))
+    val st3 = new graft.streaming.StreamingTrainingPrep(spark, base,
+      nShards = 4, rounds = 2, seed = 1L)
+    assert(manRows(st3.currentManifest().get) == wantFor(b1 ++ b2),
+      "mid-swap crash state lost the committed manifest")
+
+    // rounds = 1: the controller publishes the one-shot weight schema
+    // and the manifest equals the one-shot fit → epochs → tail chain
+    val base1 = Files.createTempDirectory("graft_stprep1").toString
+    val in1 = s"$base1/in"
+    Files.createDirectories(Paths.get(in1))
+    val s1 = new graft.streaming.StreamingTrainingPrep(spark, base1,
+      nShards = 4, rounds = 1, seed = 1L)
+    val q1 = s1.start(s1.readJsonDocs(in1), trig)
+    try {
+      dropFile(in1, "b1.json", b1.map { case (i, s, t) => doc(i, s, t) })
+      q1.processAllAvailable()
+      val d = b1.toDF("doc_id", "source", "text")
+      val w1 = graft.ops.Sampling.hardDomainWeights(d)
+      val ep1 = graft.ops.Sampling.epochsFromWeights(w1)
+        .select("source", "epochs_e6").collect()
+        .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      assert(manRows(s1.currentManifest().get) ==
+        manRows(graft.ops.TrainingRun.upsampledTail(
+          d.select(col("doc_id"), col("source")), ep1,
+          nShards = 4, seed = 1L, groupCol = "source", idCol = "doc_id")),
+        "rounds=1 manifest diverged from the one-shot chain")
+    } finally q1.stop()
   }
 
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
