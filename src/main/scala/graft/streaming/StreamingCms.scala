@@ -40,7 +40,12 @@ class StreamingCms(spark: SparkSession, baseDir: String,
   private val oldDir = new File(s"$baseDir/cells__old")
 
   // serializes reads against the mid-swap window (see StreamingTopK)
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =

@@ -63,7 +63,12 @@ class StreamingDomainReweight(spark: SparkSession, baseDir: String,
 
   require(rounds >= 1, s"rounds must be >= 1, got $rounds")
 
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
   // ONE parent directory holds all four snapshots and swaps as a unit:
   // per-store swaps would let a crash between publishes fold a
   // replayed batch twice into some stores and once into others — a

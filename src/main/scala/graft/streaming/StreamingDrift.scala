@@ -36,7 +36,12 @@ class StreamingDrift(spark: SparkSession, baseDir: String,
   private val refOld = new File(s"$baseDir/ref__old")
   private val logDir = s"$baseDir/log"
 
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =

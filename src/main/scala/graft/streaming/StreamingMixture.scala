@@ -45,7 +45,12 @@ class StreamingMixture(spark: SparkSession, baseDir: String,
   private val countsDir = new File(s"$baseDir/counts")
   private val tmpDir = new File(s"$baseDir/counts__tmp")
   private val oldDir = new File(s"$baseDir/counts__old")
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
 
   def keptPath: String = keptDir
 

@@ -43,7 +43,12 @@ class StreamingTopK(spark: SparkSession, baseDir: String,
     * writer's rename). summary() is documented for use WHILE the
     * stream runs, so reads and commits serialize here; monitors are
     * reentrant, so the batch path's own summary() call is fine. */
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
 
   /** Streaming source for JSON-lines document files in `dir`. */
   def readJsonDocs(dir: String): DataFrame =

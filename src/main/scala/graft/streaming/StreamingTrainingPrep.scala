@@ -63,7 +63,12 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
   private val reweight = new StreamingDomainReweight(spark,
     s"$baseDir/reweight", etaE6, lam, srcCol, idCol, textCol, rounds)
 
-  private val storeLock = new Object
+  // path-keyed JVM-wide lock (TierStore.pathLock): two handles over
+  // one store dir in one driver serialize their swap/read critical
+  // sections instead of racing them (the per-instance lock only ever
+  // guarded a single handle; cross-process publishers remain out of
+  // contract, as documented)
+  private val storeLock = TierStore.pathLock(baseDir)
   // docs + manifest commit as ONE parent swap (the reweight twin's
   // design): a crash can never publish a manifest computed over a doc
   // generation that is not the one on disk beside it
