@@ -89,7 +89,7 @@ object Dedup {
       math.ceil(-nSeen * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val bloom = seen
       .agg(graft.functions.bloom_agg(xxhash64(col("digest")), nSeen, numBits).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val probed = newDig.withColumn("maybe_seen",
       graft.functions.bloom_might_contain(lit(bloom), xxhash64(col("digest"))))
     val fresh = probed.where(!col("maybe_seen")).drop("maybe_seen")
@@ -310,7 +310,7 @@ object Dedup {
                            maxCandidatePairs: Long = 100000000L): DataFrame = {
     val sh = shingleFrame(docs, k, idCol, textCol)
     val candVolume = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * (col("df") - 1) / 2)).head.getAs[Any](0) match {
+      .agg(sum(col("df") * (col("df") - 1) / 2)).head().getAs[Any](0) match {
         case null          => 0L
         case d: java.math.BigDecimal => d.longValue()
         case n: Number     => n.longValue()

@@ -788,7 +788,7 @@ object TextAnalysis {
     val freq = terms.groupBy("token").agg(sum("tf").as("freq"))
     // sum over an all-empty corpus is NULL; the result frame is empty
     // then, so the placeholder total never reaches an output row
-    val totalRow = freq.agg(sum("freq")).head
+    val totalRow = freq.agg(sum("freq")).head()
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     val lpE6 = round(log(col("freq").cast("double") / lit(total.toDouble)) * 1e6)
       .cast("long")

@@ -133,13 +133,18 @@ class InfluxParser(now: () => Long = () => System.currentTimeMillis()) extends R
     intLit ~ opt("(?i)[smhdw]\\b".r) ^^ {
       case n ~ suffix =>
         val v = n.toLong
-        suffix.map(_.toLowerCase) match {
+        suffix.map(_.toLowerCase()) match {
           case Some("s") => v * 1000L
           case Some("m") => v * 60000L
           case Some("h") => v * 3600000L
           case Some("d") => v * 86400000L
           case Some("w") => v * 7L * 86400000L
           case None      => v
+          // unreachable: the regex admits only [smhdw]; keeps the
+          // match exhaustive for the compiler and refuses loudly if
+          // the regex ever widens without this table
+          case Some(other) =>
+            throw new IllegalArgumentException(s"unknown time suffix '$other'")
         }
     }
 

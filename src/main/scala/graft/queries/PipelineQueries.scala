@@ -659,7 +659,7 @@ object PipelineQueries {
     // measured scalar (same pattern as the adaptive dedup plans): one
     // count job instead of a vocab-wide global window or a 1-row
     // nested-loop cross join
-    val n = { val r = exact.agg(sum(col("freq"))).head
+    val n = { val r = exact.agg(sum(col("freq"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) }
     exact
       .where(col("freq") * (cap + 1) > lit(n))

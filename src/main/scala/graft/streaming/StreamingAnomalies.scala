@@ -100,7 +100,7 @@ object StreamingAnomalies {
           }
           // judge every bucket the watermark has passed, in time order —
           // each judged count then joins the trailing history
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val (due, stillOpen) = open.partition { case (b, _) => b + bucketMs <= wm }
           var history = st0.history
           val out = due.toSeq.sortBy(_._1).map { case (b, n) =>

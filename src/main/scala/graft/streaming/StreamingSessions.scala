@@ -99,7 +99,7 @@ object StreamingSessions {
               // expired relative to the watermark it times out on the
               // next trigger
               state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
