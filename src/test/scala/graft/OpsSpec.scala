@@ -370,6 +370,13 @@ class OpsSpec extends SparkSpec {
           semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(funnel("6_semantic") == 0L && funnel("2_quality") == 0L)
+    // ...and under the r11 NAKED defaults (Auto pair source + Some(0)
+    // derived nlist): zero survivors must flow through suggestNlist(0)
+    // and the Auto count without degenerate training or a throw
+    val funnelAuto = graft.ops.Curation.runWithSemantic(corpus, bench, emb,
+        graft.ops.Curation.Params(minQuality = 2.0))._2
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnelAuto("6_semantic") == 0L && funnelAuto("2_quality") == 0L)
   }
 
   test("semantic curation IVF tail: funnel equals the LSH tail's on the driver corpus") {
