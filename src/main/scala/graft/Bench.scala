@@ -65,7 +65,7 @@ object Bench {
   def force(df: DataFrame): Unit = {
     // modular sum: a straight sum of 64-bit hashes overflows (ANSI mode
     // raises) after a handful of rows
-    val h = xxhash64(df.columns.map(col): _*) % 1000000007L
+    val h = xxhash64(df.columns.toIndexedSeq.map(col): _*) % 1000000007L
     df.agg(sum(h)).collect()
     ()
   }

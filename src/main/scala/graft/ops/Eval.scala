@@ -108,6 +108,55 @@ object Eval {
           "ELSE 2 * n_overlap * 1000000 div (n_pred + n_ref) END").as("f1_e6"))
   }
 
+  /** ROC-AUC of a continuous score against a binary label — the
+    * threshold-free complement to [[binaryClassification]] ("how well
+    * does this score RANK positives above negatives", before any keep
+    * cutoff is chosen). Computed as the Mann–Whitney U statistic with
+    * tie-averaged ranks, entirely in exact integer arithmetic: tied
+    * scores each take the group's average rank, and DOUBLED rank sums
+    * keep the half-steps integral. One row out: (n_pos, n_neg,
+    * auc_e6 = floor(1e6 · AUC)), NULL when either class is empty
+    * (AUC is undefined, and a silent 0 would read as "worst score").
+    *
+    * `scored` carries (scoreCol numeric, labelCol ∈ {0,1}); grouping
+    * is by exact score VALUE, so quantized scores (the package's 4-dp
+    * / e6 convention) group identically on any engine.
+    *
+    * Scale: one groupBy on the score value (map-side combine; the
+    * frame is |distinct score| rows — resolution-bounded for the
+    * quantized scores this package emits), one serial window over that
+    * frame (the [[Sampling.epochShuffle]] bucket-count pattern), one
+    * single-row aggregate. The doubled rank sum is accumulated in
+    * decimal(38,0) (the [[Packing]] fill-rate precedent), so the
+    * n·(2n+1) intermediate cannot wrap int64 at corpus scale; the
+    * output division is decimal too. Scores should be quantized (not
+    * raw doubles) above ~1e9 rows or the distinct-score frame itself
+    * becomes corpus-sized. */
+  def rocAuc(scored: DataFrame, scoreCol: String = "score",
+             labelCol: String = "y"): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
+    // rows strictly below this score group: the only serial window,
+    // over the distinct-score frame
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("__cb", coalesce(sum("__c").over(w), lit(0L)))
+      // 2 × (tie-averaged rank of each positive in the group)
+      // = 2·cb + c + 1, summed in decimal against int64 wrap
+      .agg(
+        sum("__cp").as("n_pos"),
+        (sum("__c") - sum("__cp")).as("n_neg"),
+        sum(col("__cp").cast("decimal(38,0)")
+          * (col("__cb") * 2L + col("__c") + 1L)).as("__r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((__r2 - cast(n_pos as decimal(38,0)) * (n_pos + 1)) " +
+          "* 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg) AS BIGINT) END")
+          .as("auc_e6"))
+  }
+
   /** Pair-set agreement: precision/recall of a candidate pair
     * generator against a reference pair set — the audit every
     * approximate dedup family owes its operator ("what fraction of

@@ -148,6 +148,63 @@ object Sampling {
       .select(col(idCol), col("pos").cast("long").as("pos"))
   }
 
+  /** Curriculum ordering (Bengio et al. 2009, "Curriculum Learning"):
+    * a dense position over (difficulty asc, seeded shuffle, id) — easy
+    * documents first, and WITHIN a difficulty level a deterministic
+    * pseudo-random permutation (equal-difficulty docs must not follow
+    * crawl order, for the same reason [[epochShuffle]] exists at all).
+    * Returns (idCol, pos) with pos a bijection onto [0, n); rerunning
+    * a (docs, diffCol, seed) tuple reproduces it bit-for-bit.
+    *
+    * `diffCol` is any integral difficulty signal — token count (the
+    * classic short-to-long LM curriculum), a negated quality score, a
+    * perplexity bucket.
+    *
+    * Scale: a THREE-level prefix sum — the [[epochShuffle]] pattern
+    * with a difficulty level on top. Per-(difficulty, bucket) counts
+    * prefix-sum WITHIN each difficulty (a difficulty-partitioned
+    * window — distributed), per-difficulty totals prefix-sum over the
+    * |distinct difficulty| frame (the only serial window — token
+    * counts, score quantiles and bucket ids are all
+    * lexicon-/resolution-bounded), offsets join back (the per-level
+    * frame broadcasts; the (difficulty, bucket) frame hash-joins at
+    * any size), ranks compute inside (difficulty, bucket) partitions.
+    * A difficulty level with billions of docs — the 100 TB norm, most
+    * docs share a few hundred distinct lengths — splits across
+    * `buckets` sub-partitions instead of serializing into one sort. */
+  def curriculumOrder(docs: DataFrame, diffCol: String, seed: Long = 0L,
+                      buckets: Long = 1024L, idCol: String = "doc_id"): DataFrame = {
+    require(seed >= 0 && seed < 1000000006L, s"seed must be in [0, 1e9+5], got $seed")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import graft.ops.Checkpoints.SharedOps
+    val idm = pmod(col(idCol), lit(1000000007L))
+    val base = docs.select(col(idCol), col(diffCol).cast("long").as("__d"),
+        detHashMod(idm + lit(seed), buckets).as("__b"),
+        detHashMod(idm + lit(seed + 1L), 1000000007L).as("__k"))
+      .sharedCheckpoint() // the count pass + the final rank pass
+    val cntDb = base.groupBy("__d", "__b").agg(count(lit(1)).as("__n"))
+      .sharedCheckpoint() // within-difficulty offsets + per-level totals
+    // offset of bucket b within its difficulty level: PARTITIONED
+    // window — distributed, never a global sort
+    val wInD = Window.partitionBy("__d").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offB = cntDb
+      .withColumn("__offb", coalesce(sum("__n").over(wInD), lit(0L)))
+      .drop("__n")
+    // offset of the difficulty level itself: the only serial window,
+    // over the |distinct difficulty| frame
+    val cntD = cntDb.groupBy("__d").agg(sum("__n").as("__n"))
+    val wD = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    val offD = cntD
+      .withColumn("__offd", coalesce(sum("__n").over(wD), lit(0L)))
+      .drop("__n")
+    val wL = Window.partitionBy("__d", "__b").orderBy(col("__k").asc, col(idCol).asc)
+    base.join(offB, Seq("__d", "__b"))
+      .join(broadcast(offD), "__d")
+      .withColumn("pos", col("__offd") + col("__offb") + row_number().over(wL) - 1)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+  }
+
   /** Hashed-ngram (id, bucket) frame shared by the DSIR estimators:
     * unigrams plus word bigrams (the DSIR feature set), [[TextAnalysis
     * .polyHash]]'d into [0, nBuckets) so any engine replays the

@@ -160,6 +160,32 @@ object TrainingRun {
     upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
   }
 
+  /** Curriculum training order (Bengio et al. 2009): curate ONCE, then
+    * order the survivors easy-to-hard by the carried per-doc token
+    * count — the classic short-to-long LM curriculum — with a seeded
+    * deterministic shuffle WITHIN each length (equal-length docs must
+    * not follow crawl order), then stripe. Output (idCol, pos, shard):
+    * pos the dense curriculum position, shard = pos mod nShards, so
+    * every shard reads in curriculum order and the shard set at any
+    * prefix of training is an unbiased sample of that difficulty band.
+    * Deterministic for a (corpus, benchmark, params, seed) tuple.
+    *
+    * Scale: the difficulty signal is the curation stage's carried
+    * 8-byte token count — no re-tokenization — and the ordering is
+    * [[Sampling.curriculumOrder]]'s three-level prefix sum (the only
+    * serial window is over the |distinct length| frame). */
+  def prepareCurriculum(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
+                        seed: Long = 0L, p: Curation.Params = Curation.Params(),
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val curated = Curation
+      .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
+      .sharedCheckpoint()
+    Sampling.curriculumOrder(curated, Curation.TokCol, seed, idCol = idCol)
+      .select(col(idCol), col("pos"),
+        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+  }
+
   /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */
   def summary(corpus: DataFrame, benchmark: DataFrame, nShards: Int,
               seed: Long = 0L, p: Curation.Params = Curation.Params(),

@@ -61,7 +61,7 @@ class EventMetricStore(spark: SparkSession, dir: String) extends SummaryProvider
   private lazy val events = Tables.events(spark, dir)
 
   private lazy val eventTypes: Seq[String] =
-    events.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    events.select("event_type").distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
 
   override lazy val catalog: MetricCatalog = MetricCatalog(
     eventTypes.map(Metric(_, "timer")) ++

@@ -1018,6 +1018,48 @@ object PipelineQueries {
       OracleCurationParams)
   }
 
+  /** The curation funnel through the DEFAULT pair source
+    * ([[graft.ops.Curation.PairSource.Auto]]) — the round-11 scale-safe
+    * default on the driver correctness surface: at this corpus size the
+    * survivor count sits below [[graft.ops.Curation
+    * .AutoMinHashSurvivors]], so Auto must resolve to exact Jaccard and
+    * the funnel must equal d_curation_funnel bit-for-bit (the SQL
+    * oracle IS the same funnel replay). A regression here means the
+    * auto-threshold routing broke, not the stage math. */
+  def curationAutoQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.funnel(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      OracleCurationParams.copy(pairSource = graft.ops.Curation.PairSource.Auto()))
+  }
+
+  /** Curriculum training order: curate → short-to-long token-count
+    * order with a seeded within-length shuffle → stripe. The oracle
+    * replays the funnel prefix, the three-part sort key, and the
+    * striping. */
+  def trainingCurriculumQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.prepareCurriculum(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      nShards = 4, seed = 1L, p = OracleCurationParams)
+      .orderBy("doc_id")
+  }
+
+  /** ROC-AUC of the heuristic quality score against the Gopher-rule
+    * keep label — "does the cheap score rank rule-passing docs above
+    * failing ones", the calibration diagnostic run before trusting a
+    * quality threshold. Tie-averaged ranks in exact integers. */
+  def qualityAucQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
+    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    Eval.rocAuc(scored.join(labels, "doc_id"), "score", "y")
+  }
+
   /** Ordered view → click → purchase conversion funnel. Cascade
     * comparisons run on epoch-ms (`ts_ms`), the engine's native time
     * unit, so the oracle's epoch_ms(ts) sees identical values. */
@@ -1620,6 +1662,8 @@ object PipelineQueries {
     "d_tfidf_topk"        -> (tfidfTerms _),
     "d_token_quantiles"   -> (tokenLenQuantiles _),
     "d_curation_funnel"   -> (curationFunnel _),
+    "d_curation_auto"     -> (curationAutoQ _),
+    "d_quality_auc"       -> (qualityAucQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
     "d_epoch_shuffle"     -> (epochShuffleQ _),
@@ -1679,6 +1723,7 @@ object PipelineQueries {
     "d_quality_train"   -> (qualityTrainQ _),
     "d_bm25_topk"       -> (bm25Q _),
     "d_training_prep"   -> (trainingPrepQ _),
+    "d_training_curriculum" -> (trainingCurriculumQ _),
     "d_training_packs"  -> (trainingPacksQ _),
     "e_semantic_clusters" -> (semanticClustersQ _),
     "e_near_dup_pairs"  -> (embNearDups _),
@@ -3687,6 +3732,11 @@ object PipelineQueries {
          |FROM c JOIN b ON c.s = b.s
          |GROUP BY c.doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
     "d_curation_funnel" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
+    // the DEFAULT Auto pair source at driver scale resolves to exact
+    // Jaccard (survivors << AutoMinHashSurvivors) — the oracle is the
+    // IDENTICAL funnel replay; a mismatch means the threshold routing
+    // broke
+    "d_curation_auto" -> (CurationFunnelPrefix + CurationFunnelStages + "\nORDER BY stage"),
     // funnel prefix (→ clean) + the d_temperature_mix rate/gate math
     // over the SURVIVORS' source mix at α = ½, target 0.4
     // stage-1b novelty gate ahead of the full four-stage chain: the
@@ -3746,6 +3796,20 @@ object PipelineQueries {
         |SELECT CAST(pos % 4 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens
         |FROM ordx JOIN clean USING (doc_id) GROUP BY 1 ORDER BY shard""".stripMargin),
+    // curation → curriculum order (token count asc, seed-1 shuffle
+    // within a length, id tie-break) → striping: prepareCurriculum's
+    // three-level prefix sum collapses to ONE dense rank over the
+    // composite sort key (d, b, k, id)
+    "d_training_curriculum" -> (CurationFunnelPrefix +
+      """,
+        |shc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS d,
+        |  (doc_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 1024 AS b,
+        |  (doc_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM clean),
+        |ordc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY d, b, k, doc_id) - 1 AS pos
+        |         FROM shc)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(pos % 4 AS BIGINT) AS shard
+        |FROM ordc ORDER BY doc_id""".stripMargin),
     // curation → epoch upsample (deterministic fractional copies) →
     // seed-1 permutation over the replica key (id·1024 + copy) →
     // striping: the multi-epoch composition in one replay
@@ -4016,6 +4080,60 @@ object PipelineQueries {
          |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
          |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    // ROC-AUC of the 4-dp quality score vs the Gopher keep label:
+    // tie-averaged ranks via grouped cumulative counts — each score
+    // group's positives take DOUBLED average rank 2·cb + c + 1, so the
+    // arithmetic stays integral end to end
+    "d_quality_auc" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
+         |qc AS (SELECT doc_id,
+         |        CASE WHEN len(w) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+         |      FROM t),
+         |qs AS (SELECT doc_id,
+         |  round(GREATEST(0.0, LEAST(1.0,
+         |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+         |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS s
+         |  FROM qc),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+         |        string_split(text, chr(10)) AS lines,
+         |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+         |        CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS nstop
+         |      FROM t),
+         |gr AS (SELECT doc_id, n_words,
+         |        CASE WHEN n_words = 0 THEN 0
+         |             ELSE sumlen * 1000000 // n_words END AS mean_len_e6,
+         |        nhash, CAST(len(lines) AS BIGINT) AS nlines,
+         |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS nell,
+         |        CAST(len(list_filter(lines, l -> list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS nbul,
+         |        nalpha, nstop
+         |      FROM gm),
+         |lab AS (SELECT doc_id,
+         |        CASE WHEN (n_words >= 20 AND n_words <= 80) AND
+         |          (mean_len_e6 >= 3000000 AND mean_len_e6 <= 10000000) AND
+         |          (nhash * 10 <= n_words) AND (nell * 10 <= nlines * 3) AND
+         |          (nbul * 10 <= nlines * 9) AND (nalpha * 5 >= n_words * 4) AND
+         |          (nstop >= 2) THEN 1 ELSE 0 END AS y
+         |      FROM gr),
+         |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS cp
+         |      FROM qs JOIN lab USING (doc_id) GROUP BY 1),
+         |rk AS (SELECT c, cp,
+         |        CAST(COALESCE(SUM(c) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |      FROM g),
+         |a AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+         |             CAST(SUM(c) - SUM(cp) AS BIGINT) AS nn,
+         |             CAST(SUM(cp * (2 * cb + c + 1)) AS BIGINT) AS r2 FROM rk)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  CASE WHEN np = 0 OR nn = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST((r2 - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT) END AS auc_e6
+         |FROM a""".stripMargin,
     "d_quality_calibration" ->
       s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
          |c AS (SELECT doc_id, source,

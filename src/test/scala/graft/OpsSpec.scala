@@ -1491,7 +1491,7 @@ class OpsSpec extends SparkSpec {
     val once = TextAnalysis.removeBoilerplate(pages, minDocs = 3)
       .select(col("doc_id"), col("clean_text").as("text"))
     val twice = TextAnalysis.removeBoilerplate(once, minDocs = 3)
-    assert(twice.agg(sum("n_removed")).head.getLong(0) == 0L)
+    assert(twice.agg(sum("n_removed")).head().getLong(0) == 0L)
   }
 
   test("semantic dedup keeps exactly the min id of each cosine cluster") {

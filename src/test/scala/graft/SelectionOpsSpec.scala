@@ -491,4 +491,89 @@ class SelectionOpsSpec extends SparkSpec {
     assert(copies.getOrElse("garbled", 0) > copies.getOrElse("fluent", 0),
       s"hard domain must dominate the stream: $copies")
   }
+
+  test("curriculumOrder: dense bijection, difficulty-sorted, seeded shuffle within a level") {
+    import spark.implicits._
+    // three difficulty levels with deliberately interleaved ids, one
+    // heavy level (ids 100-139 all difficulty 7) to exercise the
+    // sub-bucket split, and a level holding a single doc
+    val rows = (100L until 140L).map(id => (id, 7L)) ++
+      Seq((5L, 2L), (93L, 2L), (8L, 2L), (1L, 11L)) ++
+      (200L until 210L).map(id => (id, 7L))
+    val df = rows.toDF("doc_id", "d")
+    val got = Sampling.curriculumOrder(df, "d", seed = 3L, buckets = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense bijection onto [0, n)
+    assert(got.values.toSeq.sorted == (0L until rows.size.toLong).toList)
+    // driver-side replay of the composite sort key (d, b, k, id)
+    val P = 1000000007L
+    def hm(id: Long, seed: Long, m: Long): Long =
+      ((id % P + seed) % P * 2654435761L % P) % m
+    val want = rows.sortBy { case (id, d) =>
+      (d, hm(id, 3L, 4L), hm(id, 4L, P), id)
+    }.map(_._1).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want, "engine order diverged from the (d, b, k, id) sort")
+    // determinism + the seed actually permutes within a level
+    val again = Sampling.curriculumOrder(df, "d", seed = 3L, buckets = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+    val other = Sampling.curriculumOrder(df, "d", seed = 4L, buckets = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got != other, "a different seed must reshuffle within levels")
+    // difficulty is non-decreasing along pos for EVERY seed
+    val byPos = got.toSeq.sortBy(_._2).map { case (id, _) =>
+      rows.find(_._1 == id).get._2 }
+    assert(byPos == byPos.sorted, "difficulty must be non-decreasing along pos")
+  }
+
+  test("prepareCurriculum equals the hand-built curate -> order -> stripe chain") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf).where(col("doc_id") % 10 =!= 0)
+    val bench = Tables.documents(spark, sf).where(col("doc_id") % 10 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = asMap(graft.ops.TrainingRun.prepareCurriculum(
+      corpus, bench, nShards = 4, seed = 1L))
+    val curated = graft.ops.Curation.curate(corpus, bench)
+      .withColumn("__nt", size(Dedup.tokens(col("text"))).cast("long"))
+    val want = asMap(Sampling.curriculumOrder(curated, "__nt", seed = 1L)
+      .select(col("doc_id"), col("pos"), pmod(col("pos"), lit(4L)).as("shard")))
+    assert(got == want, "prepareCurriculum diverged from the hand-built chain")
+    // shards stripe the curriculum order
+    assert(got.values.forall { case (pos, shard) => shard == pos % 4 })
+    // short docs really do come first: the first quarter of the stream
+    // has a mean token count no larger than the last quarter's
+    val nt = curated.select("doc_id", "__nt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = got.toSeq.sortBy(_._2._1).map(t => nt(t._1))
+    val q = ordered.size / 4
+    assert(q > 0 && ordered.take(q).sum.toDouble / q
+      <= ordered.takeRight(q).sum.toDouble / q)
+  }
+
+  test("rocAuc: exact tie-averaged ranks; separation, reversal, ties, empty class") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Long)]): Option[Long] = {
+      val r = graft.ops.Eval.rocAuc(rows.toDF("score", "y")).collect()(0)
+      assert(r.getLong(0) == rows.count(_._2 == 1L))
+      assert(r.getLong(1) == rows.count(_._2 == 0L))
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation -> 1.0; reversal -> 0.0
+    assert(auc(Seq((0.1, 0L), (0.2, 0L), (0.8, 1L), (0.9, 1L))) == Some(1000000L))
+    assert(auc(Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L))) == Some(0L))
+    // all-tied scores -> 0.5 exactly (rank information is zero)
+    assert(auc(Seq((0.5, 0L), (0.5, 1L), (0.5, 0L), (0.5, 1L))) == Some(500000L))
+    // mixed ties: scores [1,1,2,2], labels [0,1,0,1]:
+    // R+ = 1.5 + 3.5 = 5, AUC = (10 - 6) / (2*2*2) = 0.5
+    assert(auc(Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (2.0, 1L))) == Some(500000L))
+    // a hand case with partial order: scores 1,2,3,4 labels 0,1,0,1
+    // pairs: (2>1)=1, (2<3)=0, (4>1)=1, (4>3)=1 -> U=3, AUC=3/4
+    assert(auc(Seq((1.0, 0L), (2.0, 1L), (3.0, 0L), (4.0, 1L))) == Some(750000L))
+    // floor quantization: U = 1 of 3 pairs -> 333333 (never rounds up)
+    assert(auc(Seq((2.0, 1L), (1.0, 0L), (3.0, 0L), (4.0, 0L))) == Some(333333L))
+    // single-class inputs are undefined, not zero
+    assert(auc(Seq((0.1, 1L), (0.2, 1L))) == None)
+    assert(auc(Seq((0.1, 0L), (0.2, 0L))) == None)
+  }
 }
