@@ -241,6 +241,25 @@ object ScaleBench {
         docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
         nShards = 4, rounds = 2, seed = 1L))
     }
+    // curriculum prep, naked defaults (§G17): curate (Auto pair source)
+    // → three-level curriculum rank → stripe. The driver's
+    // d_training_curriculum row pins the oracle's Exact pair stage,
+    // which cannot complete the 500k decade — this row is the config a
+    // real caller runs
+    val curriculumDefault = warmDocsRow("d_training_curriculum_default") { docs =>
+      Bench.force(graft.ops.TrainingRun.prepareCurriculum(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        nShards = 4, seed = 1L))
+    }
+    // the curriculum rank ISOLATED from curation (§G17): orders the
+    // whole corpus by text length — the three-level prefix sum's own
+    // decade exponent, expected ≈ d_epoch_shuffle's (same shape plus
+    // one distributed window)
+    val curriculumOrderRow = warmDocsRow("d_curriculum_order") { docs =>
+      Bench.force(graft.ops.Sampling.curriculumOrder(
+        docs.selectExpr("doc_id", "cast(length(text) as long) as diff"),
+        "diff", seed = 1L))
+    }
     // curation funnel with the MinHash pair source — the documented
     // scale path for the near-dup stage (vs the Exact default the
     // d_curation_funnel query pins)
@@ -532,7 +551,8 @@ object ScaleBench {
     }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ doremiMh ++
-      runDefault ++ semDefault ++ doremiDefault ++ mh ++
+      runDefault ++ semDefault ++ doremiDefault ++
+      curriculumDefault ++ curriculumOrderRow ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++ pqBuildDefault ++
