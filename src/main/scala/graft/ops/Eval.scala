@@ -157,6 +157,76 @@ object Eval {
           .as("auc_e6"))
   }
 
+  /** Precision–recall curve of a continuous score against a binary
+    * label: one row per DISTINCT score value s — the operating point
+    * "keep everything scoring ≥ s" — with exact-integer confusion
+    * counts and quantized precision/recall/F1. The threshold-sweep
+    * companion to [[rocAuc]] (one number for ranking power) and
+    * [[binaryClassification]] (one chosen threshold): this is the
+    * frame a threshold DECISION is read off. Output (score, tp, fp,
+    * precision_e6, recall_e6, f1_e6), ordered by score descending —
+    * curve order, the direction a threshold sweep reads.
+    *
+    * Scale: the same shape as [[rocAuc]] — one groupBy on the score
+    * value, then cumulative sums over the |distinct score| frame in
+    * ONE serial window pass (descending score order; the class totals
+    * ride the same pass as unbounded-frame sums). Quantized ratios are
+    * plain int64 (`x·1e6 div n`, safe to ~9.2e12 rows — the package's
+    * eval convention); scores should be quantized above ~1e9 rows or
+    * the distinct-score frame itself becomes corpus-sized. */
+  def prCurve(scored: DataFrame, scoreCol: String = "score",
+              labelCol: String = "y"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .select(col(scoreCol).as("score"), col(labelCol).cast("long").as("__y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
+    val desc = Window.orderBy(col("score").desc)
+    val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tp", sum("__cp").over(cum))
+      .withColumn("__n_at", sum("__c").over(cum))
+      .withColumn("__pos", sum("__cp").over(all))
+      .select(col("score"), col("tp"), (col("__n_at") - col("tp")).as("fp"),
+        expr("tp * 1000000 div __n_at").as("precision_e6"),
+        expr("CASE WHEN __pos = 0 THEN 0 " +
+          "ELSE tp * 1000000 div __pos END").as("recall_e6"),
+        expr("CASE WHEN __n_at + __pos = 0 THEN 0 " +
+          "ELSE 2 * tp * 1000000 div (__n_at + __pos) END").as("f1_e6"))
+      .orderBy(col("score").desc)
+  }
+
+  /** Calibration (reliability) bins of a [0, 1] score against a binary
+    * label: the score range split into `nBins` equal-width bins, one
+    * row per non-empty bin with the bin's exact empirical positive
+    * rate next to its mean score — the "is a 0.8 score actually right
+    * 80% of the time" diagram, read before treating a quality score as
+    * a probability. Output (bin, n, n_pos, mean_score_e6,
+    * pos_rate_e6), ordered by bin; scores are clamped into [0, 1]
+    * (score = 1.0 lands in the top bin, not a phantom nBins-th one).
+    * Exact integers: scores quantize to floor(1e6·s) before summing,
+    * rates by integer div — any engine replays the rows bit-for-bit.
+    *
+    * Scale: ONE groupBy on the bin id (≤ nBins groups, map-side
+    * combine) — the cheapest eval in the package; int64-safe to
+    * ~9.2e12 rows per bin (the package's eval convention). */
+  def calibrationBins(scored: DataFrame, nBins: Int = 10,
+                      scoreCol: String = "score",
+                      labelCol: String = "y"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0L)),
+      lit(nBins - 1L))
+    scored
+      .select(bin.as("bin"), col(labelCol).cast("long").as("__y"),
+        floor(col(scoreCol) * 1e6).cast("long").as("__s6"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"), sum("__s6").as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__ss div n").as("mean_score_e6"),
+        expr("n_pos * 1000000 div n").as("pos_rate_e6"))
+      .orderBy("bin")
+  }
+
   /** Pair-set agreement: precision/recall of a candidate pair
     * generator against a reference pair set — the audit every
     * approximate dedup family owes its operator ("what fraction of

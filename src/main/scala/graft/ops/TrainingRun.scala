@@ -181,10 +181,18 @@ object TrainingRun {
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
       .sharedCheckpoint()
-    Sampling.curriculumOrder(curated, Curation.TokCol, seed, idCol = idCol)
+    curriculumTail(curated, nShards, seed, idCol, Curation.TokCol)
+  }
+
+  /** The shared curriculum-rank → stripe tail. `private[graft]`:
+    * [[graft.streaming.StreamingCurriculumPrep]] publishes its manifest
+    * through this EXACT code path so the N-batch ≡ batch equality pin
+    * holds by construction. Needs only (`idCol`, `tokCol`) columns. */
+  private[graft] def curriculumTail(curated: DataFrame, nShards: Int, seed: Long,
+                                    idCol: String, tokCol: String): DataFrame =
+    Sampling.curriculumOrder(curated, tokCol, seed, idCol = idCol)
       .select(col(idCol), col("pos"),
         pmod(col("pos"), lit(nShards.toLong)).as("shard"))
-  }
 
   /** Per-shard manifest (shard, n_docs, n_tokens), ordered by shard. */
   def summary(corpus: DataFrame, benchmark: DataFrame, nShards: Int,

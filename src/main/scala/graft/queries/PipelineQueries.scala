@@ -1060,6 +1060,34 @@ object PipelineQueries {
     Eval.rocAuc(scored.join(labels, "doc_id"), "score", "y")
   }
 
+  /** Precision–recall curve of the quality score against the
+    * Gopher-rule keep label — one operating point per distinct score,
+    * the frame a minQuality threshold decision is read off. */
+  def qualityPrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
+    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    Eval.prCurve(scored.join(labels, "doc_id"), "score", "y")
+  }
+
+  /** Calibration bins of the quality score against the Gopher keep
+    * label — empirical positive rate per score decile, the "is the
+    * score a probability" reliability diagram. */
+  def qualityBinsQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
+    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    Eval.calibrationBins(scored.join(labels, "doc_id"), nBins = 10, "score", "y")
+  }
+
   /** Ordered view → click → purchase conversion funnel. Cascade
     * comparisons run on epoch-ms (`ts_ms`), the engine's native time
     * unit, so the oracle's epoch_ms(ts) sees identical values. */
@@ -1664,6 +1692,8 @@ object PipelineQueries {
     "d_curation_funnel"   -> (curationFunnel _),
     "d_curation_auto"     -> (curationAutoQ _),
     "d_quality_auc"       -> (qualityAucQ _),
+    "d_quality_pr"        -> (qualityPrQ _),
+    "d_quality_bins"      -> (qualityBinsQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
     "d_epoch_shuffle"     -> (epochShuffleQ _),
@@ -2022,6 +2052,51 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
       |UNION ALL SELECT '5_decontaminated', COUNT(*),
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
+
+  /** Shared CTE chain of the quality-score-vs-Gopher-label evals
+    * (d_quality_auc, d_quality_pr): the 4-dp quality score per doc
+    * (`qs.s`), the Gopher keep label (`lab.y`), and their join grouped
+    * by distinct score value ending at `g(s, c, cp)` — c rows and cp
+    * positives per score group. */
+  private val QualityLabelCtes: String =
+    s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
+       |qc AS (SELECT doc_id,
+       |        CASE WHEN len(w) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
+       |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
+       |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
+       |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+       |      FROM t),
+       |qs AS (SELECT doc_id,
+       |  round(GREATEST(0.0, LEAST(1.0,
+       |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
+       |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS s
+       |  FROM qc),
+       |gm AS (SELECT doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_words,
+       |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+       |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+       |        string_split(text, chr(10)) AS lines,
+       |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+       |        CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS nstop
+       |      FROM t),
+       |gr AS (SELECT doc_id, n_words,
+       |        CASE WHEN n_words = 0 THEN 0
+       |             ELSE sumlen * 1000000 // n_words END AS mean_len_e6,
+       |        nhash, CAST(len(lines) AS BIGINT) AS nlines,
+       |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS nell,
+       |        CAST(len(list_filter(lines, l -> list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS nbul,
+       |        nalpha, nstop
+       |      FROM gm),
+       |lab AS (SELECT doc_id,
+       |        CASE WHEN (n_words >= 20 AND n_words <= 80) AND
+       |          (mean_len_e6 >= 3000000 AND mean_len_e6 <= 10000000) AND
+       |          (nhash * 10 <= n_words) AND (nell * 10 <= nlines * 3) AND
+       |          (nbul * 10 <= nlines * 9) AND (nalpha * 5 >= n_words * 4) AND
+       |          (nstop >= 2) THEN 1 ELSE 0 END AS y
+       |      FROM gr),
+       |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS cp
+       |      FROM qs JOIN lab USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** The interpolated-bigram scoring chain (λ = 0.7, ln quantized to
     * 1e-6 LONG sums) ending at per-doc CTE `s` — shared by
@@ -4084,45 +4159,8 @@ object PipelineQueries {
     // tie-averaged ranks via grouped cumulative counts — each score
     // group's positives take DOUBLED average rank 2·cb + c + 1, so the
     // arithmetic stays integral end to end
-    "d_quality_auc" ->
-      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents),
-         |qc AS (SELECT doc_id,
-         |        CASE WHEN len(w) = 0 THEN 0.0
-         |             ELSE CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS swr,
-         |        CAST(len(w) AS DOUBLE) / 100.0 AS lenr,
-         |        len(regexp_replace(text, '\\s', '', 'g')) AS chars,
-         |        len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
-         |      FROM t),
-         |qs AS (SELECT doc_id,
-         |  round(GREATEST(0.0, LEAST(1.0,
-         |    LEAST(lenr, 1.0) * 0.5 + LEAST(swr * 5.0, 1.0) * 0.5
-         |    - LEAST(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) END * 2.0, 1.0) * 0.25)), 4) AS s
-         |  FROM qc),
-         |gm AS (SELECT doc_id,
-         |        CAST(len(w) AS BIGINT) AS n_words,
-         |        CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
-         |        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
-         |        string_split(text, chr(10)) AS lines,
-         |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
-         |        CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS nstop
-         |      FROM t),
-         |gr AS (SELECT doc_id, n_words,
-         |        CASE WHEN n_words = 0 THEN 0
-         |             ELSE sumlen * 1000000 // n_words END AS mean_len_e6,
-         |        nhash, CAST(len(lines) AS BIGINT) AS nlines,
-         |        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS nell,
-         |        CAST(len(list_filter(lines, l -> list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS nbul,
-         |        nalpha, nstop
-         |      FROM gm),
-         |lab AS (SELECT doc_id,
-         |        CASE WHEN (n_words >= 20 AND n_words <= 80) AND
-         |          (mean_len_e6 >= 3000000 AND mean_len_e6 <= 10000000) AND
-         |          (nhash * 10 <= n_words) AND (nell * 10 <= nlines * 3) AND
-         |          (nbul * 10 <= nlines * 9) AND (nalpha * 5 >= n_words * 4) AND
-         |          (nstop >= 2) THEN 1 ELSE 0 END AS y
-         |      FROM gr),
-         |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS cp
-         |      FROM qs JOIN lab USING (doc_id) GROUP BY 1),
+    "d_quality_auc" -> (QualityLabelCtes +
+      s""",
          |rk AS (SELECT c, cp,
          |        CAST(COALESCE(SUM(c) OVER (ORDER BY s
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
@@ -4133,7 +4171,39 @@ object PipelineQueries {
          |SELECT np AS n_pos, nn AS n_neg,
          |  CASE WHEN np = 0 OR nn = 0 THEN CAST(NULL AS BIGINT)
          |       ELSE CAST((r2 - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT) END AS auc_e6
-         |FROM a""".stripMargin,
+         |FROM a""".stripMargin),
+    // precision-recall curve over the same score/label pair: one
+    // operating point per distinct score, cumulative counts in
+    // DESCENDING score order ("keep everything scoring >= s");
+    // precision denominator = rows at or above the threshold,
+    // f1 denominator = (tp+fp) + (tp+fn) = n_at + pos
+    "d_quality_pr" -> (QualityLabelCtes +
+      s""",
+         |cum AS (SELECT s,
+         |  CAST(SUM(cp) OVER (ORDER BY s DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |  CAST(SUM(c) OVER (ORDER BY s DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
+         |  CAST(SUM(cp) OVER () AS BIGINT) AS pos
+         |FROM g)
+         |SELECT s AS score, tp, n_at - tp AS fp,
+         |  tp * 1000000 // n_at AS precision_e6,
+         |  CASE WHEN pos = 0 THEN 0 ELSE tp * 1000000 // pos END AS recall_e6,
+         |  CASE WHEN n_at + pos = 0 THEN 0
+         |       ELSE 2 * tp * 1000000 // (n_at + pos) END AS f1_e6
+         |FROM cum ORDER BY score DESC""".stripMargin),
+    // calibration deciles over the same score/label pair: equal-width
+    // bins with top-clamp (score = 1.0 -> bin 9), quantized mean score
+    // and empirical positive rate per bin
+    "d_quality_bins" -> (QualityLabelCtes +
+      s""",
+         |pb AS (SELECT LEAST(GREATEST(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+         |              y, CAST(floor(s * 1000000) AS BIGINT) AS s6
+         |       FROM qs JOIN lab USING (doc_id))
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  CAST(SUM(s6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+         |  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_e6
+         |FROM pb GROUP BY bin ORDER BY bin""".stripMargin),
     "d_quality_calibration" ->
       s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
          |c AS (SELECT doc_id, source,

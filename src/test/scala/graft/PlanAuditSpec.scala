@@ -69,10 +69,17 @@ class PlanAuditSpec extends SparkSpec {
     "d_training_mixture", // rate-frame grand totals + epochShuffle's
                           // bucket-count prefix sum, both bounded
     "d_zipf_slope",    // rank window over the TakeOrdered topN frame
-    "d_hybrid_topk"    // single-query facade: the lexical arm's literal
+    "d_hybrid_topk",   // single-query facade: the lexical arm's literal
                        // q_id folds, leaving one rank window over the
                        // <= depth-row BM25 cut (multi-query callers
                        // partition by a real q_id attribute)
+    "d_quality_auc",   // rank cumsum over the |distinct score| frame:
+                       // <= 10001 rows for the 4-dp quality score
+    "d_quality_pr",    // the same distinct-score frame, descending sweep
+    "d_training_curriculum" // curriculumOrder's per-difficulty prefix
+                            // sum: |distinct token count| rows; the
+                            // corpus-sized rank is partitioned by
+                            // (difficulty, bucket)
   )
 
   test("unpartitioned windows appear only on bounded frames") {

@@ -576,4 +576,54 @@ class SelectionOpsSpec extends SparkSpec {
     assert(auc(Seq((0.1, 1L), (0.2, 1L))) == None)
     assert(auc(Seq((0.1, 0L), (0.2, 0L))) == None)
   }
+
+  test("prCurve: one operating point per distinct score, exact cumulative confusion") {
+    import spark.implicits._
+    val rows = Seq((0.9, 1L), (0.8, 0L), (0.8, 1L), (0.5, 0L), (0.3, 1L))
+    val got = graft.ops.Eval.prCurve(rows.toDF("score", "y")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // hand-computed sweep, descending: (score, tp, fp, prec, recall, f1)
+    assert(got == Seq(
+      (0.9, 1L, 0L, 1000000L, 333333L, 500000L),
+      (0.8, 2L, 1L, 666666L, 666666L, 666666L),
+      (0.5, 2L, 2L, 500000L, 666666L, 571428L),
+      (0.3, 3L, 2L, 600000L, 1000000L, 750000L)))
+    // each operating point agrees with binaryClassification at that
+    // threshold (keep = score >= s): the curve IS the threshold sweep
+    val ids = rows.zipWithIndex.map { case ((s, y), i) => (i.toLong, s, y) }
+      .toDF("doc_id", "score", "y")
+    got.foreach { case (s, tp, fp, prec, recall, f1) =>
+      val bc = graft.ops.Eval.binaryClassification(
+        ids.where(col("score") >= s).select(col("doc_id"), lit(true).as("keep")),
+        ids.select(col("doc_id"), col("y"))).collect()(0)
+      assert((bc.getLong(0), bc.getLong(1)) == ((tp, fp)), s"confusion at $s")
+      assert((bc.getLong(4), bc.getLong(5), bc.getLong(6)) == ((prec, recall, f1)),
+        s"metrics at $s")
+    }
+  }
+
+  test("calibrationBins: equal-width bins, top clamp, exact empirical rates") {
+    import spark.implicits._
+    val rows = Seq((0.05, 0L), (0.12, 1L), (0.55, 0L), (0.55, 1L),
+      (0.95, 1L), (1.0, 1L))
+    val got = graft.ops.Eval.calibrationBins(rows.toDF("score", "y"), nBins = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // driver-side replay of the same IEEE binning/quantization
+    def bin(s: Double) = math.min(math.max(math.floor(s * 10).toLong, 0L), 9L)
+    def s6(s: Double) = math.floor(s * 1e6).toLong
+    val want = rows.groupBy { case (s, _) => bin(s) }.toSeq.sortBy(_._1)
+      .map { case (b, g) =>
+        val n = g.size.toLong
+        val np = g.count(_._2 == 1L).toLong
+        (b, n, np, g.map(t => s6(t._1)).sum / n, np * 1000000L / n)
+      }
+    assert(got == want, s"bins diverged: got $got want $want")
+    // the clamp really fires: score 1.0 sits in bin 9, no bin 10 exists
+    assert(got.map(_._1).contains(9L) && got.map(_._1).forall(_ <= 9L))
+    // half-positive bin 5 reads exactly 500000
+    assert(got.find(_._1 == 5L).get._5 == 500000L)
+  }
 }

@@ -488,6 +488,69 @@ class StreamingSpec extends SparkSpec {
     } finally q1.stop()
   }
 
+  test("streaming curriculum prep: N-batch manifest equals the batch tail over the union; restart serves") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scprep").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    // lengths deliberately interleaved across batches so the republished
+    // rank must move batch-1 docs (simple appends could never pass)
+    val b1 = Seq(1L -> "one two three four five", 2L -> "one", 3L -> "one two three")
+    val b2 = Seq(4L -> "one two", 5L -> "one two three four five six seven", 6L -> "one")
+    val st = new graft.streaming.StreamingCurriculumPrep(spark, base,
+      nShards = 2, seed = 1L)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    def manRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the batch tail the stream must reproduce, over the union corpus
+    def wantFor(docs: Seq[(Long, String)]) = {
+      val d = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      manRows(graft.ops.TrainingRun.curriculumTail(
+        d, nShards = 2, seed = 1L, idCol = "doc_id", tokCol = "n_tokens"))
+    }
+    val q = st.start(st.readJsonDocs(in), trig)
+    try {
+      assert(st.currentManifest().isEmpty, "manifest before any batch")
+      dropFile(in, "b1.json", b1.map { case (i, t) => doc(i, t) })
+      q.processAllAvailable()
+      assert(manRows(st.currentManifest().get) == wantFor(b1),
+        "one-batch manifest diverged from the batch tail")
+      dropFile(in, "b2.json", b2.map { case (i, t) => doc(i, t) })
+      q.processAllAvailable()
+      val got2 = manRows(st.currentManifest().get)
+      assert(got2 == wantFor(b1 ++ b2),
+        "two-batch manifest diverged from the batch tail over the union")
+      // the curriculum really is short-to-long over the UNION: pos
+      // order sorts by token count (ids 2,6 length 1 first; id 5 last)
+      val lenOf = (b1 ++ b2).map { case (i, t) =>
+        i -> t.split(" ").length.toLong }.toMap
+      val byPos = got2.sortBy(_._2).map(t => lenOf(t._1))
+      assert(byPos == byPos.sorted, s"curriculum order broken: $byPos")
+      assert(got2.sortBy(_._2).last._1 == 5L, "longest doc must rank last")
+      // a REPLAYED batch folds into the same one-row-per-id store: the
+      // manifest is unchanged
+      dropFile(in, "b1_replay.json", b1.map { case (i, t) => doc(i, t) })
+      q.processAllAvailable()
+      assert(manRows(st.currentManifest().get) == got2,
+        "a replayed batch moved the curriculum")
+    } finally q.stop()
+    // a restarted instance serves the committed manifest unchanged
+    val st2 = new graft.streaming.StreamingCurriculumPrep(spark, base,
+      nShards = 2, seed = 1L)
+    assert(manRows(st2.currentManifest().get) == wantFor(b1 ++ b2))
+    // CRASH WINDOW: die inside the state swap — recoverSwap must serve
+    // the committed generation, not None
+    Files.move(Paths.get(s"$base/state"), Paths.get(s"$base/state__old"))
+    val st3 = new graft.streaming.StreamingCurriculumPrep(spark, base,
+      nShards = 2, seed = 1L)
+    assert(manRows(st3.currentManifest().get) == wantFor(b1 ++ b2),
+      "mid-swap crash state lost the committed manifest")
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
