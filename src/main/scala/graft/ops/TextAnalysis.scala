@@ -158,6 +158,42 @@ object TextAnalysis {
         round(col("max_gram_freq").cast("double") / col("n_grams").cast("double"), 4)
           .as("repetition"))
 
+  /** Per-document unigram (token) entropy — the information-density
+    * quality signal (the Dolma/RedPajama "unigram entropy" heuristic:
+    * keyword-stuffed and template pages score low, natural prose
+    * high). entropy = −Σ (c/n)·ln(c/n) over the doc's own token
+    * frequencies, emitted as (idCol, n_tokens, n_distinct,
+    * entropy_e6): each distinct token's ln(n/c) is 1e6-quantized (the
+    * [[unigramLogProb]] convention — engines agree bit-for-bit on
+    * ln of an integer ratio), weighted by its count in exact integer
+    * arithmetic, and divided once at the end. Empty docs score 0.
+    *
+    * Scale: a pure per-row projection — token run-lengths come from
+    * ONE array_sort of the doc's own tokens plus index lambdas, so
+    * there is no explode, no (doc, token) aggregate, NO shuffle at
+    * all; whole-stage codegen keeps it in the scan stage (contrast
+    * [[ngramRepetition]], whose cross-gram max genuinely needs the
+    * keyed aggregate). */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), expr("array_sort(__w)").as("__sw"),
+        size(col("__w")).cast("long").as("n_tokens"))
+      // run starts in the sorted array (1-based): i = 1 or a new token
+      .withColumn("__st", expr(
+        "filter(IF(n_tokens = 0, array(), sequence(1, int(n_tokens))), " +
+          "i -> i = 1 OR element_at(__sw, i) != element_at(__sw, i - 1))"))
+      // run lengths: next start (or n+1) minus this start; j is 0-based
+      .withColumn("__cnts", expr(
+        "transform(__st, (s, j) -> IF(j = size(__st) - 1, " +
+          "int(n_tokens) + 1 - s, element_at(__st, j + 2) - s))"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__st")).cast("long").as("n_distinct"),
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE " +
+          "aggregate(__cnts, 0L, (acc, c) -> acc + c * " +
+          "CAST(round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)" +
+          ") div n_tokens END").as("entropy_e6"))
+
   /** Cross-document repeated token spans — the exact-substring-dedup
     * signal (Lee et al. 2022 trigger condition: a length-n token
     * window shared VERBATIM by ≥ minDocs distinct documents). Emits

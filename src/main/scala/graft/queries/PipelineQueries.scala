@@ -1190,6 +1190,12 @@ object PipelineQueries {
     TextAnalysis.perplexityBuckets(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** Per-doc unigram entropy — the information-density quality signal
+    * (keyword-stuffed pages score low, natural prose high); a pure
+    * per-row projection, no shuffle. */
+  def tokenEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Per-source token-distribution KL against the corpus marginal —
     * quantized-integer exact, the drift/domain-shift magnitude. */
   def sourceKlQ(spark: SparkSession, dir: String): DataFrame =
@@ -1694,6 +1700,7 @@ object PipelineQueries {
     "d_quality_auc"       -> (qualityAucQ _),
     "d_quality_pr"        -> (qualityPrQ _),
     "d_quality_bins"      -> (qualityBinsQ _),
+    "d_token_entropy"     -> (tokenEntropyQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
     "d_epoch_shuffle"     -> (epochShuffleQ _),
@@ -4204,6 +4211,27 @@ object PipelineQueries {
          |  CAST(SUM(s6) // COUNT(*) AS BIGINT) AS mean_score_e6,
          |  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_e6
          |FROM pb GROUP BY bin ORDER BY bin""".stripMargin),
+    // per-doc unigram entropy: run lengths of the doc's own sorted
+    // token list (no per-token rows ever materialize), each distinct
+    // token's ln(n/c) 1e6-quantized then count-weighted — exact
+    // integers after the one round()
+    "d_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, list_sort(w) AS sw, len(w) AS n FROM t),
+         |r AS (SELECT doc_id, n, sw,
+         |        list_filter(range(1, n + 1), i -> i = 1 OR sw[i] <> sw[i - 1]) AS st
+         |      FROM s),
+         |cn AS (SELECT doc_id, n, len(st) AS nd,
+         |        list_transform(range(1, len(st) + 1), j ->
+         |          CASE WHEN j = len(st) THEN n + 1 - st[j]
+         |               ELSE st[j + 1] - st[j] END) AS cnts
+         |      FROM r)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+         |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(list_sum(list_transform(cnts, c -> c *
+         |         CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))), 0)
+         |         // n AS BIGINT) END AS entropy_e6
+         |FROM cn ORDER BY doc_id""".stripMargin,
     "d_quality_calibration" ->
       s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS w FROM documents),
          |c AS (SELECT doc_id, source,

@@ -460,4 +460,51 @@ class PipelineOpsPropertySpec extends SparkSpec {
       assert(got == want, s"pigeonhole missed pairs at d=$d bits=$bits")
     }
   }
+
+  test("curriculum order: bijection, difficulty-monotone, stable across bucket counts") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(1, 40)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1000000L)).map(_.distinct)
+      diffs <- Gen.listOfN(ids.size, Gen.choose(0L, 5L))
+    } yield ids.zip(diffs)
+    forAllSeeded(genRows, trials = 8) { rows =>
+      val df = rows.toDF("doc_id", "d")
+      val got = Sampling.curriculumOrder(df, "d", seed = 7L, buckets = 8L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // bijection onto [0, n)
+      assert(got.values.toSeq.sorted == (0L until rows.size.toLong).toList)
+      // difficulty never decreases along pos
+      val dOf = rows.toMap
+      val byPos = got.toSeq.sortBy(_._2).map(t => dOf(t._1))
+      assert(byPos == byPos.sorted, s"difficulty order broken: $byPos")
+      // the (d, b, k, id) order is bucket-count-INDEPENDENT in its
+      // difficulty grouping: a different bucket count permutes within
+      // levels only, never across
+      val other = Sampling.curriculumOrder(df, "d", seed = 7L, buckets = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byPos2 = other.toSeq.sortBy(_._2).map(t => dOf(t._1))
+      assert(byPos2 == byPos, "bucket count leaked across difficulty levels")
+    }
+  }
+
+  test("token entropy: in [0, ln n]; 0 iff one distinct token; max iff all distinct") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" "))
+    forAllSeeded(genDoc, trials = 20) { text =>
+      val r = TextAnalysis.tokenEntropy(Seq((1L, text)).toDF("doc_id", "text"))
+        .collect()(0)
+      val (n, nd, e6) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      assert(n == toks.length && nd == toks.distinct.length)
+      assert(e6 >= 0L && e6 <= math.round(math.log(n.toDouble) * 1e6) + 1,
+        s"entropy out of range: $e6 for n=$n")
+      if (nd == 1L) assert(e6 == 0L, s"single-type doc must score 0: $text")
+      if (nd == n) assert(math.abs(e6 - math.round(math.log(n.toDouble) * 1e6)) <= 1,
+        s"all-distinct doc must score ~ln n: $e6 vs n=$n")
+    }
+  }
 }

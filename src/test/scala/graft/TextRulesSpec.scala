@@ -98,4 +98,34 @@ class TextRulesSpec extends SparkSpec {
       s"disjoint source not dominant: $kl")
     assert(kl("gamma") > 500000L, s"gamma KL suspiciously small: $kl")
   }
+
+  test("tokenEntropy: exact quantized unigram entropy, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b"),          // uniform over 2 tokens: ln 2
+      (2L, "a a a a"),          // single token type: 0
+      (3L, "a b c d"),          // uniform over 4: ln 4
+      (4L, "a a a b"),          // skewed: (3·ln(4/3) + 1·ln 4) / 4
+      (5L, ""),                 // empty: 0, 0 tokens
+      (6L, "z y x w z y x w")   // order/sortedness must not matter: ln 4
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tokenEntropy(docs).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def q(x: Double) = math.round(x * 1e6)
+    val ln2 = q(math.log(2.0))   // 693147
+    val ln4 = q(math.log(4.0))   // 1386294
+    val skew = (3 * q(math.log(4.0 / 3.0)) + q(math.log(4.0))) / 4
+    assert(got == Seq(
+      (1L, 4L, 2L, 2 * ln2 * 2 / 4),
+      (2L, 4L, 1L, 0L),
+      (3L, 4L, 4L, ln4),
+      (4L, 4L, 2L, skew),
+      (5L, 0L, 0L, 0L),
+      (6L, 8L, 4L, ln4)), s"got $got")
+    // the plan is a pure projection: no exchange anywhere
+    val plan = graft.ops.TextAnalysis.tokenEntropy(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenEntropy must not shuffle:\n$plan")
+  }
 }
