@@ -59,6 +59,96 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR 1998) over a per-query candidate shortlist —
+    * greedily pick the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * result covers the query's neighborhood instead of returning k
+    * near-copies of the top hit (the dedup-aware serving shape, and
+    * the diverse-exemplar selector for training-data inspection).
+    *
+    * `cands` carries (q_id, n_id, rel_e6, n_vec): a per-query
+    * shortlist (any arm's top-`depth` with its vectors re-attached —
+    * [[mmrTopK]] wires the brute-force arm). All MMR arithmetic is
+    * exact-integer over 1e6-quantized cosines: score =
+    * λ_e6·rel_e6 − (1e6−λ_e6)·maxsim_e6, ties by n_id — so any engine
+    * replays pick-for-pick. λ_e6 = 1e6 degenerates to the relevance
+    * ranking; 0 to pure diversity after the first pick. Output
+    * (q_id, rank, n_id) — every arm's shape, [[rrfFuse]]- and
+    * [[Eval.rankMetrics]]-compatible.
+    *
+    * Scale: candidate pair similarities are computed ONCE
+    * (|queries|·depth² rows, query-bounded — depth is tens); each of
+    * the k−1 greedy rounds is one join + one keyed max + one per-query
+    * argmax window over |queries|·depth-bounded frames, all
+    * partitioned by q_id — rounds are sequential BY DEFINITION (greedy
+    * data dependence), the work inside each is fully distributed. */
+  def mmrRerank(cands: DataFrame, k: Int, lambdaE6: Long = 700000L,
+                vecCol: String = "n_vec"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L,
+      s"lambdaE6 must be in [0, 1e6], got $lambdaE6")
+    import graft.ops.Checkpoints.SharedOps
+    graft.functions.ensureRegistered(cands.sparkSession)
+    val base = cands.select(col("q_id"), col("n_id"), col("rel_e6"),
+        col(vecCol).as("__v"))
+      .sharedCheckpoint() // pair sims + every greedy round read it
+    // both orientations, so a round's lookup is (q_id, cand, picked)
+    val ps = base.as("a").join(base.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.q_id").as("q_id"), col("a.n_id").as("cand"),
+        col("b.n_id").as("other"),
+        floor(Similarity.dot(col("a.__v"), col("b.__v")) /
+          (Similarity.norm(col("a.__v")) * Similarity.norm(col("b.__v")))
+          * 1e6).cast("long").as("sim_e6"))
+      .sharedCheckpoint()
+    val w = Window.partitionBy("q_id").orderBy(col("__score").desc, col("n_id").asc)
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(rank.toLong).as("rank"))
+    var sel = pick(base.withColumn("__score", col("rel_e6")), 1)
+    var i = 2
+    while (i <= k) {
+      val remaining = base.join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"),
+        "left_anti")
+      val maxSim = ps.join(sel.select(col("q_id"), col("n_id").as("other")),
+          Seq("q_id", "other"))
+        .groupBy(col("q_id"), col("cand").as("n_id"))
+        .agg(max("sim_e6").as("__ms"))
+      val scored = remaining.join(maxSim, Seq("q_id", "n_id"))
+        .withColumn("__score",
+          lit(lambdaE6) * col("rel_e6") - lit(1000000L - lambdaE6) * col("__ms"))
+      // each round's picks are tiny (one row per query): checkpoint so
+      // round i+1's plan does not re-derive rounds 1..i
+      sel = sel.unionByName(pick(scored, i)).sharedCheckpoint()
+      i += 1
+    }
+    sel.select(col("q_id"), col("rank"), col("n_id"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** [[mmrRerank]] over the exact brute-force shortlist: top-`depth`
+    * cosine candidates per query with 1e6-quantized relevance, then
+    * the k-step greedy diversity rerank. The oracle-exact
+    * configuration; at scale swap the shortlist arm for an ANN one and
+    * call [[mmrRerank]] directly. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, depth: Int,
+              lambdaE6: Long = 700000L, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(depth >= k, s"depth ($depth) must be >= k ($k)")
+    val short = Similarity.bruteForceTopK(corpus, queries, depth, idCol, vecCol)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
+    val cands = short
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("n_id"),
+        floor(Similarity.dot(col("__qv"), col("n_vec")) /
+          (Similarity.norm(col("__qv")) * Similarity.norm(col("n_vec")))
+          * 1e6).cast("long").as("rel_e6"),
+        col("n_vec"))
+    mmrRerank(cands, k, lambdaE6)
+  }
+
   /** Hybrid lexical + dense top-k for ONE query (`qId` labels it in the
     * output): BM25 over `docs` for `queryTerms`, fused with a
     * caller-supplied dense ranking (q_id, rank, n_id) — the output of

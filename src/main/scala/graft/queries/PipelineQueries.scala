@@ -1088,6 +1088,16 @@ object PipelineQueries {
     Eval.calibrationBins(scored.join(labels, "doc_id"), nBins = 10, "score", "y")
   }
 
+  /** MMR diverse top-k (λ = 0.7) over the exact brute-force shortlist:
+    * the greedy pick-by-pick rerank replayed by the oracle in exact
+    * integers (1e6-floored cosines — probed bit-identical between the
+    * engines; all downstream arithmetic integer). */
+  def mmrTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Retrieval.mmrTopK(emb, emb.where(col("vec_id") < 20),
+      k = 5, depth = 12, lambdaE6 = 700000L)
+  }
+
   /** Ordered view → click → purchase conversion funnel. Cascade
     * comparisons run on epoch-ms (`ts_ms`), the engine's native time
     * unit, so the oracle's epoch_ms(ts) sees identical values. */
@@ -1701,6 +1711,7 @@ object PipelineQueries {
     "d_quality_pr"        -> (qualityPrQ _),
     "d_quality_bins"      -> (qualityBinsQ _),
     "d_token_entropy"     -> (tokenEntropyQ _),
+    "e_mmr_topk"          -> (mmrTopKQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
     "d_epoch_shuffle"     -> (epochShuffleQ _),
@@ -2059,6 +2070,49 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM nd
       |UNION ALL SELECT '5_decontaminated', COUNT(*),
       |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM clean""".stripMargin
+
+  /** Unrolled MMR oracle: the k-step greedy diversity rerank in plain
+    * SQL — round i's max-sim-to-selected join reads round i−1's
+    * cumulative picks, exactly the engine loop's data dependence. All
+    * comparisons run on 1e6-FLOORED cosines (probed bit-identical
+    * between the engines: sequential double accumulation both sides),
+    * so every argmax is integer-exact with the n_id tie-break. */
+  private def mmrOracle(k: Int, depth: Int, lambdaE6: Long): String = {
+    def cos(a: String, b: String) =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    val rounds = (2 to k).map { i =>
+      s"""ms$i AS (SELECT ps.q_id, ps.cand AS n_id, MAX(ps.sim_e6) AS ms
+         |         FROM ps JOIN cum${i - 1} sel ON ps.q_id = sel.q_id AND ps.other = sel.n_id
+         |         GROUP BY 1, 2),
+         |sc$i AS (SELECT shv.q_id, shv.n_id,
+         |           $lambdaE6 * shv.rel - ${1000000L - lambdaE6} * ms$i.ms AS score
+         |         FROM shv JOIN ms$i ON shv.q_id = ms$i.q_id AND shv.n_id = ms$i.n_id
+         |         LEFT JOIN cum${i - 1} cm ON shv.q_id = cm.q_id AND shv.n_id = cm.n_id
+         |         WHERE cm.n_id IS NULL),
+         |sel$i AS (SELECT q_id, n_id, CAST($i AS BIGINT) AS rank FROM
+         |          (SELECT q_id, n_id,
+         |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+         |           FROM sc$i) WHERE rn = 1),
+         |cum$i AS (SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+       |s AS (SELECT q_id, n_id, ${cos("qv", "nv")} AS sim FROM q, c WHERE q_id <> n_id),
+       |sh AS (SELECT q_id, n_id, CAST(floor(sim * 1000000.0) AS BIGINT) AS rel
+       |       FROM (SELECT q_id, n_id, sim,
+       |               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk FROM s)
+       |       WHERE rk <= $depth),
+       |shv AS (SELECT sh.q_id, sh.n_id, sh.rel, c.nv FROM sh JOIN c USING (n_id)),
+       |ps AS (SELECT a.q_id, a.n_id AS cand, b.n_id AS other,
+       |         CAST(floor(${cos("a.nv", "b.nv")} * 1000000.0) AS BIGINT) AS sim_e6
+       |       FROM shv a JOIN shv b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |cum1 AS (SELECT q_id, n_id, CAST(1 AS BIGINT) AS rank FROM
+       |         (SELECT q_id, n_id,
+       |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id ASC) AS rn
+       |          FROM shv) WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, rank, n_id FROM cum$k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Shared CTE chain of the quality-score-vs-Gopher-label evals
     * (d_quality_auc, d_quality_pr): the 4-dp quality score per doc
@@ -4260,6 +4314,9 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // MMR diverse rerank, every greedy round unrolled (k=5, depth=12,
+    // lambda 0.7) — the d_bpe_merges convention for iterative operators
+    "e_mmr_topk" -> mmrOracle(k = 5, depth = 12, lambdaE6 = 700000L),
     "e_ann_recall" ->
       """WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |              FROM embeddings WHERE vec_id < 8),

@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     "e_cosine_topk",   // intentional broadcast×scan baseline
     "e_knn_labels",    // builds on the same brute-force baseline scan
     "e_hard_negatives", // exact arm of the miner: same baseline shape
-    "e_ann_recall"      // recall eval NEEDS the brute-force reference arm
+    "e_ann_recall",     // recall eval NEEDS the brute-force reference arm
+    "e_mmr_topk"        // oracle-exact config rides the brute-force
+                        // shortlist arm; scale callers pass an ANN arm
+                        // to mmrRerank directly
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin anywhere in the surface") {

@@ -603,6 +603,41 @@ class SelectionOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: lambda=1 is the relevance order; diversity displaces the near-copy") {
+    import spark.implicits._
+    // query at (1, 0); candidate 10 closest, 11 a near-copy of 10,
+    // 12 almost as relevant but on the query's OTHER side (far from
+    // 10): pure relevance ranks 10, 11, 12 — MMR at lambda 0.5 must
+    // displace the near-copy and rank 10, 12, 11
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (10L, Seq(0.99f, 0.12f)),
+      (11L, Seq(0.99f, 0.13f)), // near-copy of 10
+      (12L, Seq(0.98f, -0.17f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") === 0L)
+    def ranksOf(lambdaE6: Long) =
+      graft.ops.Retrieval.mmrTopK(emb, qs, k = 3, depth = 3, lambdaE6 = lambdaE6)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(ranksOf(1000000L) == Seq(10L, 11L, 12L),
+      "lambda=1 must reproduce the relevance ranking")
+    assert(ranksOf(500000L) == Seq(10L, 12L, 11L),
+      "diversity must displace the near-copy")
+    // lambda=1 agrees with the brute-force arm for any fixture
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, qs, k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(ranksOf(1000000L) == brute)
+    // shape: one row per (q, rank), ranks dense from 1
+    val out = graft.ops.Retrieval.mmrTopK(emb, qs, k = 3, depth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(_._2).sorted == Seq(1L, 2L, 3L))
+    // a query with fewer candidates than k stops early, no phantom rows
+    val tiny = vecs.take(2).toDF("vec_id", "embedding")
+    val short = graft.ops.Retrieval.mmrTopK(tiny,
+      tiny.where(col("vec_id") === 0L), k = 3, depth = 3)
+    assert(short.count() == 1L, "1-candidate query must emit exactly rank 1")
+  }
+
   test("calibrationBins: equal-width bins, top clamp, exact empirical rates") {
     import spark.implicits._
     val rows = Seq((0.05, 0L), (0.12, 1L), (0.55, 0L), (0.55, 1L),
