@@ -148,7 +148,16 @@ object Curation {
                       * a one-scan literal predicate: everything it
                       * drops is cost the pair generators never pay. */
                     lexicon: Option[Seq[String]] = None,
-                    lexiconMaxHitRate: Double = 0.0)
+                    lexiconMaxHitRate: Double = 0.0,
+                    /** Entropy gate (stage 1d): docs whose unigram
+                      * entropy ([[TextAnalysis.tokenEntropy]], 1e6-
+                      * quantized nats) falls below this drop before
+                      * scoring and dedup — the keyword-stuffing /
+                      * template-page screen. Grouped with the 1-series
+                      * gates because it is a pure per-row projection
+                      * (no join inputs at all): everything it drops is
+                      * cost the pair generators never pay. */
+                    minEntropyE6: Option[Long] = None)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
                           idCol: String, textCol: String): Seq[(String, DataFrame)] = {
@@ -203,6 +212,19 @@ object Curation {
           .sharedCheckpoint()
       case None => gated
     }
+    // Entropy gate (stage 1d, optional): a pure per-row predicate over
+    // the doc's own token distribution — the cheapest gate in the
+    // chain (the entropy projection never shuffles; the semi-join
+    // carries ids only)
+    val entGated = p.minEntropyE6 match {
+      case Some(minEnt) =>
+        screened.join(
+          TextAnalysis.tokenEntropy(screened, idCol, textCol)
+            .where(col("entropy_e6") >= minEnt).select(idCol),
+          Seq(idCol), "left_semi")
+          .sharedCheckpoint()
+      case None => screened
+    }
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
     // switches to [[TextAnalysis.qualityCalibration]] semantics — the
     // top fraction of EVERY `qualityGroupCol` group survives, so a
@@ -218,17 +240,18 @@ object Curation {
         // the raw scoring projection and the corpus would scan twice
         // (the keepFrac arm checkpoints `scored` for the same reason)
         val sc =
-          if (p.lexicon.isDefined || p.minNovelty.isDefined) screened
-          else screened.sharedCheckpoint()
+          if (p.lexicon.isDefined || p.minNovelty.isDefined ||
+            p.minEntropyE6.isDefined) entGated
+          else entGated.sharedCheckpoint()
         sc.join(
           TextAnalysis.classifierScore(sc, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
           Seq(idCol), "left_semi")
       case None => p.qualityKeepFrac match {
-      case None => screened.where(col("__q") >= p.minQuality)
+      case None => entGated.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
-        val scored = screened.sharedCheckpoint()
+        val scored = entGated.sharedCheckpoint()
         val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish
@@ -290,6 +313,7 @@ object Curation {
     Seq("1_total" -> withTok.drop("__q")) ++
       (if (p.minNovelty.isDefined) Seq("1b_novelty" -> gated.drop("__q")) else Nil) ++
       (if (p.lexicon.isDefined) Seq("1c_lexicon" -> screened.drop("__q")) else Nil) ++
+      (if (p.minEntropyE6.isDefined) Seq("1d_entropy" -> entGated.drop("__q")) else Nil) ++
       Seq(
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,

@@ -1580,6 +1580,17 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Curation with the stage-1d entropy gate: low-information docs
+    * (unigram entropy < 2.5 nats) drop before quality/dedup — the
+    * keyword-stuffing screen ahead of the full four-stage chain. */
+  def curationEntropyQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.curate(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      OracleCurationParams.copy(minEntropyE6 = Some(2500000L)))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Curation with the stage-1c lexicon policy gate: blockword docs
     * (hit rate > 5% on the 3-word list) drop before quality/dedup. */
   def curationLexiconQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1712,6 +1723,7 @@ object PipelineQueries {
     "d_quality_bins"      -> (qualityBinsQ _),
     "d_token_entropy"     -> (tokenEntropyQ _),
     "e_mmr_topk"          -> (mmrTopKQ _),
+    "d_curation_entropy"  -> (curationEntropyQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
     "d_epoch_shuffle"     -> (epochShuffleQ _),
@@ -2057,6 +2069,28 @@ object PipelineQueries {
       |       WHERE NOT (len(list_filter(w, x -> x IN ('slow', 'error', 'crash'))) > 0
       |         AND (CASE WHEN len(w) = 0 THEN 0
       |              ELSE len(list_filter(w, x -> x IN ('slow', 'error', 'crash'))) * 1000000 // len(w) END) > 50000)),""".stripMargin
+
+  /** Stage-1d entropy gate CTEs feeding the quality stage the gated
+    * frame `en`: the d_token_entropy run-length math replayed on
+    * `base`, keep iff entropy_e6 ≥ 2.5e6 (2.5 nats). */
+  private val EntropyGateCtes: String =
+    """
+      |ees AS (SELECT doc_id, list_sort(w) AS esw, len(w) AS en_n FROM base),
+      |eer AS (SELECT doc_id, en_n,
+      |         list_filter(range(1, en_n + 1), i -> i = 1 OR esw[i] <> esw[i - 1]) AS est
+      |       FROM ees),
+      |eec AS (SELECT doc_id, en_n,
+      |         list_transform(range(1, len(est) + 1), j ->
+      |           CASE WHEN j = len(est) THEN en_n + 1 - est[j]
+      |                ELSE est[j + 1] - est[j] END) AS ecnts
+      |       FROM eer),
+      |eee AS (SELECT doc_id,
+      |         CASE WHEN en_n = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(COALESCE(list_sum(list_transform(ecnts, cc -> cc *
+      |                CAST(round(ln(CAST(en_n AS DOUBLE) / CAST(cc AS DOUBLE)) * 1000000.0) AS BIGINT))), 0)
+      |                // en_n AS BIGINT) END AS ent
+      |       FROM eec),
+      |en AS (SELECT base.* FROM base JOIN eee USING (doc_id) WHERE eee.ent >= 2500000),""".stripMargin
 
   private val CurationFunnelStages: String =
     """
@@ -3882,6 +3916,10 @@ object PipelineQueries {
     // stage-1c lexicon gate ahead of the chain: the quality stage reads
     // the screened frame `lx` instead of `base`
     "d_curation_lexicon" -> (curationPrefixFrom(LexiconGateCtes, "lx") +
+      "\nSELECT doc_id FROM clean ORDER BY doc_id"),
+    // stage-1d entropy gate ahead of the chain: the quality stage
+    // reads the information-density-gated frame `en` instead of `base`
+    "d_curation_entropy" -> (curationPrefixFrom(EntropyGateCtes, "en") +
       "\nSELECT doc_id FROM clean ORDER BY doc_id"),
     "d_curation_mixture" -> (CurationFunnelPrefix +
       """,

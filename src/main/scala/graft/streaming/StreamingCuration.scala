@@ -54,6 +54,14 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
                           * stores. */
                         lexicon: Option[Seq[String]] = None,
                         lexiconMaxHitRate: Double = 0.0,
+                        /** Optional stage-1d entropy gate — mirrors the
+                          * batch facade's `Params(minEntropyE6)`:
+                          * low-information docs ([[graft.ops
+                          * .TextAnalysis.tokenEntropy]] below the
+                          * threshold) drop before quality and never
+                          * reach the dedup stores. Stateless: the gate
+                          * is a per-row projection of the batch. */
+                        minEntropyE6: Option[Long] = None,
                         /** When set, [[CurationMetrics.publish]] runs
                           * after every `publishEveryBatches`-th batch's
                           * funnel append — the `~curation.*` counters
@@ -129,9 +137,20 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
               .localCheckpoint()
           case None => b
         }
+        // stage 1d (optional): entropy gate, as the batch facade —
+        // stateless per-row projection, ids-only semi-join
+        val entGated = minEntropyE6 match {
+          case Some(minEnt) =>
+            screened.join(
+              TextAnalysis.tokenEntropy(screened, idCol, textCol)
+                .where(col("entropy_e6") >= minEnt).select(idCol),
+              Seq(idCol), "left_semi")
+              .localCheckpoint()
+          case None => screened
+        }
         // stage 2: quality gate — the same rounded score the batch
         // facade thresholds on
-        val quality = screened
+        val quality = entGated
           .where(round(TextAnalysis.qualityScoreOf(
             Dedup.tokens(col(textCol)), col(textCol)), 4) >= minQuality)
           .localCheckpoint()
@@ -192,6 +211,7 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
         val nowMs = System.currentTimeMillis()
         (Seq("1_total" -> b) ++
             (if (lexicon.isDefined) Seq("1c_lexicon" -> screened) else Nil) ++
+            (if (minEntropyE6.isDefined) Seq("1d_entropy" -> entGated) else Nil) ++
             Seq("2_quality" -> quality, "3_exact_dedup" -> exact,
               "4_near_dup" -> nearDup, "5_decontaminated" -> kept))
           .map { case (st, df) =>

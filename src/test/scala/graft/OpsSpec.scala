@@ -239,6 +239,26 @@ class OpsSpec extends SparkSpec {
     assert(funnel("5_decontaminated") <= funnel("4_near_dup"))
   }
 
+  test("entropy gate: stage 1d drops exactly the low-entropy docs, funnel monotone") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val minEnt = 2500000L
+    val p = Curation.Params(minEntropyE6 = Some(minEnt))
+    val funnel = Curation.funnel(corpus, bench, p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(funnel.contains("1d_entropy"))
+    val dropped = TextAnalysis.tokenEntropy(corpus)
+      .where(col("entropy_e6") < minEnt).count()
+    assert(funnel("1d_entropy") == funnel("1_total") - dropped)
+    assert(dropped > 0, "threshold never fired — fixture lost its teeth")
+    assert(funnel("1d_entropy") > 0, "gate wiped the corpus")
+    assert(funnel("2_quality") <= funnel("1d_entropy"))
+    assert(funnel("5_decontaminated") <= funnel("4_near_dup"))
+    // ungated funnel has no 1d row
+    assert(!Curation.funnel(corpus, bench).collect()
+      .map(_.getString(0)).contains("1d_entropy"))
+  }
+
   test("reliable-checkpoint knob: funnel and clusters identical, checkpoint dir used") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)

@@ -1712,6 +1712,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/digests").count() == 2L)
   }
 
+  test("streaming curation entropy gate: low-entropy docs drop before quality and the stores") {
+    val base = Files.createTempDirectory("graft_scent").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    import spark.implicits._
+    val benchmark = Seq((900L, "eval question alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val minEnt = 1500000L // 1.5 nats
+    val sc = new graft.streaming.StreamingCuration(spark, base, benchmark,
+      minEntropyE6 = Some(minEnt))
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    val varied = "the quick brown fox jumps over the lazy dog and then " +
+      "some more genuinely varied words follow here for good measure today"
+    val stuffed = ("buy now " * 12).trim // 2 distinct tokens: ln 2 << 1.5
+    val q = sc.start(sc.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", Seq(
+        doc(1, varied), doc(2, stuffed),
+        doc(3, "an entirely different second document whose words share " +
+          "nothing with the first so every dedup stage keeps it intact")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the engine's own entropy op agrees with the gate's decisions
+    val ent = graft.ops.TextAnalysis.tokenEntropy(
+      Seq((1L, varied), (2L, stuffed)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ent(1L) >= minEnt && ent(2L) < minEnt, s"fixture lost its teeth: $ent")
+    spark.catalog.refreshByPath(s"$base/kept")
+    assert(spark.read.parquet(s"$base/kept").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    spark.catalog.refreshByPath(s"$base/funnel")
+    val f = spark.read.parquet(s"$base/funnel")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("1_total") == 3L && f("1d_entropy") == 2L && f("2_quality") == 2L)
+    // the stuffed doc never reached the digest store
+    spark.catalog.refreshByPath(s"$base/digests")
+    assert(spark.read.parquet(s"$base/digests").count() == 2L)
+  }
+
   test("reliable-checkpoint mode: streaming twins hold store integrity across restarts") {
     // The batch pipelines have their block-loss spec (OpsSpec); here
     // each persistent-store streaming twin runs its two-batch +
