@@ -218,9 +218,15 @@ object Curation {
     // carries ids only)
     val entGated = p.minEntropyE6 match {
       case Some(minEnt) =>
+        // the entropy frame materializes BEFORE the threshold: even
+        // with tokenEntropy's inlining-safe shape, a pushed filter
+        // still re-derives the run-length chain a constant number of
+        // times per row (measured 4× at sf0.1) — the checkpointed
+        // (id, entropy) frame is 16 B/doc and pays the projection once
+        val ent = TextAnalysis.tokenEntropy(screened, idCol, textCol)
+          .select(col(idCol), col("entropy_e6")).sharedCheckpoint()
         screened.join(
-          TextAnalysis.tokenEntropy(screened, idCol, textCol)
-            .where(col("entropy_e6") >= minEnt).select(idCol),
+          ent.where(col("entropy_e6") >= minEnt).select(idCol),
           Seq(idCol), "left_semi")
           .sharedCheckpoint()
       case None => screened

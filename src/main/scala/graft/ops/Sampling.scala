@@ -178,7 +178,13 @@ object Sampling {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import graft.ops.Checkpoints.SharedOps
     val idm = pmod(col(idCol), lit(1000000007L))
-    val base = docs.select(col(idCol), col(diffCol).cast("long").as("__d"),
+    // NULL difficulty would silently vanish at the offset join (null
+    // keys never match) and break the bijection — refuse loudly at the
+    // row, with the fix named
+    val diff = when(col(diffCol).isNotNull, col(diffCol).cast("long"))
+      .otherwise(raise_error(lit(
+        s"curriculumOrder: NULL $diffCol — coalesce or filter the difficulty first")))
+    val base = docs.select(col(idCol), diff.as("__d"),
         detHashMod(idm + lit(seed), buckets).as("__b"),
         detHashMod(idm + lit(seed + 1L), 1000000007L).as("__k"))
       .sharedCheckpoint() // the count pass + the final rank pass

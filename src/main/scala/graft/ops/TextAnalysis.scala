@@ -169,30 +169,50 @@ object TextAnalysis {
     * arithmetic, and divided once at the end. Empty docs score 0.
     *
     * Scale: a pure per-row projection — token run-lengths come from
-    * ONE array_sort of the doc's own tokens plus index lambdas, so
-    * there is no explode, no (doc, token) aggregate, NO shuffle at
-    * all; whole-stage codegen keeps it in the scan stage (contrast
-    * [[ngramRepetition]], whose cross-gram max genuinely needs the
-    * keyed aggregate). */
+    * ONE array_sort of the doc's own tokens plus element-wise lambdas,
+    * so there is no explode, no (doc, token) aggregate, NO shuffle at
+    * all (contrast [[ngramRepetition]], whose cross-gram max genuinely
+    * needs the keyed aggregate).
+    *
+    * Inlining safety (load-bearing): every lambda body below touches
+    * ONLY its own arguments — derived arrays enter the higher-order
+    * functions as arguments, never by reference from inside a lambda.
+    * When a downstream `.where(entropy_e6 >= x)` pushes this whole
+    * chain into one Filter condition, alias substitution re-derives
+    * each intermediate a CONSTANT number of times per row; the
+    * original element_at(__sw, i)-inside-a-lambda formulation
+    * re-evaluated the array_sort PER LAMBDA STEP under that inlining —
+    * O(n² log n) per doc, measured 842 s for the sf0.1 curation gate
+    * vs ~2 s for this shape. */
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__w"))
       .select(col(idCol), expr("array_sort(__w)").as("__sw"),
         size(col("__w")).cast("long").as("n_tokens"))
-      // run starts in the sorted array (1-based): i = 1 or a new token
+      // run-start flags: each sorted element vs its left neighbor (the
+      // shifted self enters zip_with as an ARGUMENT; element 1 pairs
+      // with the padded NULL and is always a start)
+      .withColumn("__bd", expr(
+        "zip_with(__sw, concat(array(CAST(NULL AS STRING)), " +
+          "slice(__sw, 1, greatest(size(__sw) - 1, 0))), " +
+          "(a, b) -> a IS DISTINCT FROM b)"))
+      // 1-based run-start positions
       .withColumn("__st", expr(
-        "filter(IF(n_tokens = 0, array(), sequence(1, int(n_tokens))), " +
-          "i -> i = 1 OR element_at(__sw, i) != element_at(__sw, i - 1))"))
-      // run lengths: next start (or n+1) minus this start; j is 0-based
+        "filter(transform(__bd, (f, i) -> IF(f, i + 1, -1)), p -> p > 0)"))
+      // run lengths: next start (or n+1) minus this start
       .withColumn("__cnts", expr(
-        "transform(__st, (s, j) -> IF(j = size(__st) - 1, " +
-          "int(n_tokens) + 1 - s, element_at(__st, j + 2) - s))"))
+        "zip_with(__st, concat(slice(__st, 2, greatest(size(__st) - 1, 0)), " +
+          "array(CAST(size(__bd) + 1 AS INT))), (s, nx) -> nx - s)"))
+      // per-run 1e6-quantized ln(n/c) terms; n rides in as an argument
+      // array so the lambda never references a derived scalar
+      .withColumn("__terms", expr(
+        "zip_with(__cnts, array_repeat(n_tokens, size(__cnts)), (c, n) -> " +
+          "c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))"))
       .select(col(idCol), col("n_tokens"),
         size(col("__st")).cast("long").as("n_distinct"),
         expr("CASE WHEN n_tokens = 0 THEN 0L ELSE " +
-          "aggregate(__cnts, 0L, (acc, c) -> acc + c * " +
-          "CAST(round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)" +
-          ") div n_tokens END").as("entropy_e6"))
+          "aggregate(__terms, 0L, (acc, t) -> acc + t) div n_tokens END")
+          .as("entropy_e6"))
 
   /** Cross-document repeated token spans — the exact-substring-dedup
     * signal (Lee et al. 2022 trigger condition: a length-n token

@@ -141,9 +141,13 @@ class StreamingCuration(spark: SparkSession, baseDir: String,
         // stateless per-row projection, ids-only semi-join
         val entGated = minEntropyE6 match {
           case Some(minEnt) =>
+            // materialize entropy before the threshold (the batch
+            // facade's rationale: a pushed filter re-derives the
+            // run-length chain per row)
+            val ent = TextAnalysis.tokenEntropy(screened, idCol, textCol)
+              .select(col(idCol), col("entropy_e6")).localCheckpoint()
             screened.join(
-              TextAnalysis.tokenEntropy(screened, idCol, textCol)
-                .where(col("entropy_e6") >= minEnt).select(idCol),
+              ent.where(col("entropy_e6") >= minEnt).select(idCol),
               Seq(idCol), "left_semi")
               .localCheckpoint()
           case None => screened

@@ -524,6 +524,14 @@ class SelectionOpsSpec extends SparkSpec {
     val byPos = got.toSeq.sortBy(_._2).map { case (id, _) =>
       rows.find(_._1 == id).get._2 }
     assert(byPos == byPos.sorted, "difficulty must be non-decreasing along pos")
+    // a NULL difficulty fails loudly instead of silently vanishing at
+    // the offset join
+    val withNull = Seq((1L, Some(2L)), (2L, None)).toDF("doc_id", "d")
+    val e = intercept[Exception] {
+      Sampling.curriculumOrder(withNull, "d").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("NULL d"),
+      s"expected the loud NULL-difficulty error, got: $e")
   }
 
   test("prepareCurriculum equals the hand-built curate -> order -> stripe chain") {

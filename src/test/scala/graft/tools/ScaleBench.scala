@@ -37,7 +37,11 @@ object ScaleBench {
     "d_doremi_weights",
     // §G15b: the full DoReMi training prep (curate → fit → upsample →
     // shuffle → stripe) — bounded by the funnel + fit + shuffle stages
-    "d_training_doremi")
+    "d_training_doremi",
+    // round-11 session 2 (§G17b): the entropy-gated funnel — the row
+    // that caught the filter-inlining quadratic (842 s at sf0.1 before
+    // the args-only-lambda rewrite + gate-side materialization)
+    "d_curation_entropy")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
