@@ -255,6 +255,14 @@ object ScaleBench {
         docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
         nShards = 4, seed = 1L))
     }
+    // entropy-gated funnel, naked defaults (§G17b): the gate ahead of
+    // the Auto pair source — at the 500k decade Auto routes MinHash,
+    // and the gate's drops shrink what the banded stage pays
+    val entropyDefault = warmDocsRow("d_curation_entropy_default") { docs =>
+      Bench.force(graft.ops.Curation.funnel(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        graft.ops.Curation.Params(minEntropyE6 = Some(2500000L))))
+    }
     // the curriculum rank ISOLATED from curation (§G17): orders the
     // whole corpus by text length — the three-level prefix sum's own
     // decade exponent, expected ≈ d_epoch_shuffle's (same shape plus
@@ -556,7 +564,7 @@ object ScaleBench {
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ doremiMh ++
       runDefault ++ semDefault ++ doremiDefault ++
-      curriculumDefault ++ curriculumOrderRow ++ mh ++
+      curriculumDefault ++ entropyDefault ++ curriculumOrderRow ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
       pqBuildFlat ++ pqBuildHier ++ pqBuildSampled ++ pqBuildDefault ++
