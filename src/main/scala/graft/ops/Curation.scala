@@ -257,7 +257,13 @@ object Curation {
       case None => entGated.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
-        val scored = entGated.sharedCheckpoint()
+        // the classifier arm's guard: when a 1-series gate already
+        // checkpointed entGated, a second checkpoint would write and
+        // re-read the corpus-sized frame twice
+        val scored =
+          if (p.lexicon.isDefined || p.minNovelty.isDefined ||
+            p.minEntropyE6.isDefined) entGated
+          else entGated.sharedCheckpoint()
         val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish

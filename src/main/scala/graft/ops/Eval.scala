@@ -132,10 +132,21 @@ object Eval {
     * output division is decimal too. Scores should be quantized (not
     * raw doubles) above ~1e9 rows or the distinct-score frame itself
     * becomes corpus-sized. */
+  /** Binary label validated at the row: NULL or out-of-{0,1} labels
+    * would silently count as negatives in the rank evals (n_neg =
+    * count − Σy), skewing the metric with no error — refuse loudly
+    * instead (the package's poisonous-NULL convention). */
+  private def binaryLabel(labelCol: String) = {
+    val y = col(labelCol).cast("long")
+    when(y === 0L || y === 1L, y).otherwise(raise_error(concat(
+      lit(s"binary eval needs $labelCol in {0, 1}, got "),
+      coalesce(col(labelCol).cast("string"), lit("NULL")))))
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String = "score",
              labelCol: String = "y"): DataFrame = {
     val g = scored
-      .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .select(col(scoreCol).as("__s"), binaryLabel(labelCol).as("__y"))
       .groupBy("__s")
       .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
     // rows strictly below this score group: the only serial window,
@@ -178,7 +189,7 @@ object Eval {
               labelCol: String = "y"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = scored
-      .select(col(scoreCol).as("score"), col(labelCol).cast("long").as("__y"))
+      .select(col(scoreCol).as("score"), binaryLabel(labelCol).as("__y"))
       .groupBy("score")
       .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
     val desc = Window.orderBy(col("score").desc)
@@ -216,9 +227,12 @@ object Eval {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0L)),
       lit(nBins - 1L))
+    // the mean clamps like the bin does: an out-of-[0,1] score must
+    // not put a reliability-diagram point outside probability space
+    val clamped = least(greatest(col(scoreCol), lit(0.0)), lit(1.0))
     scored
-      .select(bin.as("bin"), col(labelCol).cast("long").as("__y"),
-        floor(col(scoreCol) * 1e6).cast("long").as("__s6"))
+      .select(bin.as("bin"), binaryLabel(labelCol).as("__y"),
+        floor(clamped * 1e6).cast("long").as("__s6"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"), sum("__s6").as("__ss"))
       .select(col("bin"), col("n"), col("n_pos"),

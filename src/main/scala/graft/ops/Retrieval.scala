@@ -108,7 +108,8 @@ object Retrieval {
         .select(col("q_id"), col("n_id"), lit(rank.toLong).as("rank"))
     var sel = pick(base.withColumn("__score", col("rel_e6")), 1)
     var i = 2
-    while (i <= k) {
+    var exhausted = false
+    while (i <= k && !exhausted) {
       val remaining = base.join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"),
         "left_anti")
       val maxSim = ps.join(sel.select(col("q_id"), col("n_id").as("other")),
@@ -120,8 +121,11 @@ object Retrieval {
           lit(lambdaE6) * col("rel_e6") - lit(1000000L - lambdaE6) * col("__ms"))
       // each round's picks are tiny (one row per query): checkpoint so
       // round i+1's plan does not re-derive rounds 1..i
-      sel = sel.unionByName(pick(scored, i)).sharedCheckpoint()
-      i += 1
+      val picked = pick(scored, i).sharedCheckpoint()
+      // every query out of candidates -> later rounds are dead work
+      // (the isEmpty probe reads the just-materialized tiny frame)
+      if (picked.isEmpty) exhausted = true
+      else { sel = sel.unionByName(picked).sharedCheckpoint(); i += 1 }
     }
     sel.select(col("q_id"), col("rank"), col("n_id"))
       .orderBy("q_id", "rank")

@@ -1045,48 +1045,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The (doc_id, score, y) frame shared by the three quality-vs-
+    * Gopher evals — the Scala twin of the oracle-side
+    * [[QualityLabelCtes]], so a threshold or tokenizer tweak lands in
+    * exactly one place on each side. */
+  private def qualityVsGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
+    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    scored.join(labels, "doc_id")
+  }
+
   /** ROC-AUC of the heuristic quality score against the Gopher-rule
     * keep label — "does the cheap score rank rule-passing docs above
     * failing ones", the calibration diagnostic run before trusting a
     * quality threshold. Tie-averaged ranks in exact integers. */
-  def qualityAucQ(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = docs
-      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
-    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
-      .select(col("doc_id"), col("keep").cast("long").as("y"))
-    Eval.rocAuc(scored.join(labels, "doc_id"), "score", "y")
-  }
+  def qualityAucQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.rocAuc(qualityVsGopher(spark, dir), "score", "y")
 
   /** Precision–recall curve of the quality score against the
     * Gopher-rule keep label — one operating point per distinct score,
     * the frame a minQuality threshold decision is read off. */
-  def qualityPrQ(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = docs
-      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
-    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
-      .select(col("doc_id"), col("keep").cast("long").as("y"))
-    Eval.prCurve(scored.join(labels, "doc_id"), "score", "y")
-  }
+  def qualityPrQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.prCurve(qualityVsGopher(spark, dir), "score", "y")
 
   /** Calibration bins of the quality score against the Gopher keep
     * label — empirical positive rate per score decile, the "is the
     * score a probability" reliability diagram. */
-  def qualityBinsQ(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = docs
-      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        round(TextAnalysis.qualityScoreOf(col("w"), col("text")), 4).as("score"))
-    val labels = TextAnalysis.gopherRules(docs, minWords = 20L, maxWords = 80L)
-      .select(col("doc_id"), col("keep").cast("long").as("y"))
-    Eval.calibrationBins(scored.join(labels, "doc_id"), nBins = 10, "score", "y")
-  }
+  def qualityBinsQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.calibrationBins(qualityVsGopher(spark, dir), nBins = 10, "score", "y")
 
   /** MMR diverse top-k (λ = 0.7) over the exact brute-force shortlist:
     * the greedy pick-by-pick rerank replayed by the oracle in exact
@@ -4297,7 +4288,7 @@ object PipelineQueries {
     "d_quality_bins" -> (QualityLabelCtes +
       s""",
          |pb AS (SELECT LEAST(GREATEST(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
-         |              y, CAST(floor(s * 1000000) AS BIGINT) AS s6
+         |              y, CAST(floor(LEAST(GREATEST(s, 0), 1) * 1000000) AS BIGINT) AS s6
          |       FROM qs JOIN lab USING (doc_id))
          |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
          |  CAST(SUM(s6) // COUNT(*) AS BIGINT) AS mean_score_e6,

@@ -6,7 +6,6 @@ import java.nio.file.{Files, Paths}
 import graft.ops.{Dedup, TrainingRun}
 import graft.sources.TierStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -92,25 +91,25 @@ class StreamingCurriculumPrep(spark: SparkSession, baseDir: String,
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         graft.functions.ensureRegistered(s)
-        // one row per id (the shared twin guard), token count derived
-        // ONCE with the curation stage's exact tokenizer semantics —
-        // text never enters the store
-        val oneRn = Window.partitionBy(idCol).orderBy(col(textCol).asc)
-        val b = batch.select(col(idCol), col(textCol))
-          .withColumn("__rn", row_number().over(oneRn)).where(col("__rn") === 1)
+        // one row per id: MIN token count — the SAME key the cross-
+        // batch fold reduces on, so an id re-crawled with different
+        // texts commits the same count whether the copies share a
+        // batch or not (batching-invariance; a plain min aggregate,
+        // no window). Token counts use the curation stage's exact
+        // tokenizer semantics — text never enters the store.
+        val b = batch
           .select(col(idCol),
             size(Dedup.tokens(col(textCol))).cast("long").as(TokCol))
+          .groupBy(idCol).agg(min(TokCol).as(TokCol))
           .localCheckpoint()
         if (b.isEmpty) ()
         else storeLock.synchronized {
-          // fold: one row per id across ALL batches — a replay must not
-          // move the curriculum (min token count is deterministic under
-          // re-tokenization, so first-seen vs replay cannot differ)
+          // fold: one row per id across ALL batches, min token count
+          // wins — a replay folds the identical count, a re-crawl
+          // lands deterministically regardless of arrival order
           val docsAll = readDocs(s)
             .unionByName(b)
-            .withColumn("__rn", row_number().over(
-              Window.partitionBy(idCol).orderBy(col(TokCol).asc)))
-            .where(col("__rn") === 1).drop("__rn")
+            .groupBy(idCol).agg(min(TokCol).as(TokCol))
             .localCheckpoint() // manifest + commit share one evaluation
           val manifest = TrainingRun
             .curriculumTail(docsAll, nShards, seed, idCol, TokCol)

@@ -583,6 +583,19 @@ class SelectionOpsSpec extends SparkSpec {
     // single-class inputs are undefined, not zero
     assert(auc(Seq((0.1, 1L), (0.2, 1L))) == None)
     assert(auc(Seq((0.1, 0L), (0.2, 0L))) == None)
+    // NULL / out-of-{0,1} labels fail loudly instead of silently
+    // counting as negatives — across all three rank evals
+    val nullLab = Seq((0.5, Some(1L)), (0.7, None)).toDF("score", "y")
+    val badLab = Seq((0.5, 1L), (0.7, 2L)).toDF("score", "y")
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      graft.ops.Eval.rocAuc(_, "score", "y"),
+      graft.ops.Eval.prCurve(_, "score", "y"),
+      graft.ops.Eval.calibrationBins(_, 10, "score", "y")).foreach { ev =>
+      val e1 = intercept[Exception](ev(nullLab).collect())
+      assert(e1.getMessage.contains("in {0, 1}"), s"null label: $e1")
+      val e2 = intercept[Exception](ev(badLab).collect())
+      assert(e2.getMessage.contains("in {0, 1}"), s"bad label: $e2")
+    }
   }
 
   test("prCurve: one operating point per distinct score, exact cumulative confusion") {

@@ -549,6 +549,31 @@ class StreamingSpec extends SparkSpec {
       nShards = 2, seed = 1L)
     assert(manRows(st3.currentManifest().get) == wantFor(b1 ++ b2),
       "mid-swap crash state lost the committed manifest")
+
+    // BATCHING INVARIANCE: an id re-crawled with DIFFERENT texts must
+    // commit the same (min) token count whether the copies share a
+    // batch or arrive in separate ones — both keys reduce by min
+    val copies = Seq(7L -> "one two three four", 7L -> "one",
+      8L -> "anchor words here")
+    def runWith(batches: Seq[Seq[(Long, String)]]): Seq[(Long, Long, Long)] = {
+      val bse = Files.createTempDirectory("graft_scprep_bi").toString
+      val inb = s"$bse/in"
+      Files.createDirectories(Paths.get(inb))
+      val stp = new graft.streaming.StreamingCurriculumPrep(spark, bse,
+        nShards = 2, seed = 1L)
+      val qq = stp.start(stp.readJsonDocs(inb), trig)
+      try {
+        batches.zipWithIndex.foreach { case (bb, bi) =>
+          dropFile(inb, s"bi$bi.json", bb.map { case (i, t) => doc(i, t) })
+          qq.processAllAvailable()
+        }
+      } finally qq.stop()
+      manRows(stp.currentManifest().get)
+    }
+    val together = runWith(Seq(copies))
+    val apart = runWith(Seq(copies.take(1) :+ copies(2), Seq(copies(1))))
+    assert(together == apart,
+      s"batch boundaries moved the curriculum: $together vs $apart")
   }
 
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
