@@ -119,19 +119,20 @@ object Eval {
     * (AUC is undefined, and a silent 0 would read as "worst score").
     *
     * `scored` carries (scoreCol numeric, labelCol ∈ {0,1}); grouping
-    * is by exact score VALUE, so quantized scores (the package's 4-dp
-    * / e6 convention) group identically on any engine.
+    * is by the [[scoreKey]] — floor(score·1e6) by default — so scores
+    * already coarser than 1e-6 (the package's 4-dp / e6 convention)
+    * group injectively and the result is bit-identical to exact mode.
     *
-    * Scale: one groupBy on the score value (map-side combine; the
-    * frame is |distinct score| rows — resolution-bounded for the
-    * quantized scores this package emits), one serial window over that
-    * frame (the [[Sampling.epochShuffle]] bucket-count pattern), one
-    * single-row aggregate. The doubled rank sum is accumulated in
-    * decimal(38,0) (the [[Packing]] fill-rate precedent), so the
-    * n·(2n+1) intermediate cannot wrap int64 at corpus scale; the
-    * output division is decimal too. Scores should be quantized (not
-    * raw doubles) above ~1e9 rows or the distinct-score frame itself
-    * becomes corpus-sized. */
+    * Scale: one groupBy on the score KEY (map-side combine), one
+    * serial window over the distinct-key frame (the
+    * [[Sampling.epochShuffle]] bucket-count pattern), one single-row
+    * aggregate. The key is e6-QUANTIZED BY DEFAULT (see [[scoreKey]]),
+    * so the serial frame is bounded at (score range)·1e6 + 1 rows no
+    * matter how large the corpus — raw continuous doubles would make
+    * it corpus-sized, the one-task scale-killer shape. The doubled
+    * rank sum is accumulated in decimal(38,0) (the [[Packing]]
+    * fill-rate precedent), so the n·(2n+1) intermediate cannot wrap
+    * int64 at corpus scale; the output division is decimal too. */
   /** Binary label validated at the row: NULL or out-of-{0,1} labels
     * would silently count as negatives in the rank evals (n_neg =
     * count − Σy), skewing the metric with no error — refuse loudly
@@ -143,10 +144,48 @@ object Eval {
       coalesce(col(labelCol).cast("string"), lit("NULL")))))
   }
 
+  /** Score validated at the row, same convention as [[binaryLabel]]:
+    * a NULL score would silently sort NULLS-FIRST in the rank evals
+    * (counting as the LOWEST score) and emit a phantom NULL bin in
+    * [[calibrationBins]] — refuse loudly instead. NULL scores are
+    * reachable in practice (a quality scorer over NULL text), so the
+    * poisonous-NULL check belongs here, not on the caller. */
+  private def validScore(scoreCol: String) =
+    when(col(scoreCol).isNotNull, col(scoreCol)).otherwise(raise_error(
+      lit(s"eval needs a non-NULL $scoreCol (a NULL score would " +
+        "silently rank lowest / bin apart)")))
+
+  /** The threshold-eval group key: floor(score · 10^e) when quantized
+    * (the default), the raw score in exact mode. Quantization is what
+    * BOUNDS the serial window in [[rocAuc]]/[[prCurve]]: the distinct-
+    * key frame is at most (score range)·10^e + 1 rows regardless of
+    * corpus size — ≤ 1e6 + 1 for the package's [0, 1] quality scores
+    * at the default e = 6 — where raw continuous doubles would make it
+    * corpus-sized and serialize one task. floor(·10^e) is monotone, so
+    * the threshold sweep order is preserved; scores already coarser
+    * than 10^-e (the package's 4-dp / e6 convention) map injectively,
+    * making quantized mode bit-identical to exact mode on them
+    * (spec-pinned). */
+  private def scoreKey(scoreCol: String, quantE: Option[Int]) = quantE match {
+    case Some(e) =>
+      require(e >= 0 && e <= 15, s"scoreQuantumE must be in [0, 15], got $e")
+      floor(validScore(scoreCol) * lit(math.pow(10, e))).cast("long")
+    case None => validScore(scoreCol)
+  }
+
+  /** @param scoreQuantumE scores group by floor(score · 10^e) — the
+    *   serial distinct-score window is bounded at (range)·10^e + 1 rows
+    *   (see [[scoreKey]]); `None` opts out to exact raw-score grouping
+    *   (tie structure exact, frame UNBOUNDED on continuous scores —
+    *   only for inputs known coarse). Quantization can only merge
+    *   near-ties (< 10^-e apart) into ties; on scores already coarser
+    *   than 10^-e the result is bit-identical to exact mode. */
   def rocAuc(scored: DataFrame, scoreCol: String = "score",
-             labelCol: String = "y"): DataFrame = {
+             labelCol: String = "y",
+             scoreQuantumE: Option[Int] = Some(6)): DataFrame = {
     val g = scored
-      .select(col(scoreCol).as("__s"), binaryLabel(labelCol).as("__y"))
+      .select(scoreKey(scoreCol, scoreQuantumE).as("__s"),
+        binaryLabel(labelCol).as("__y"))
       .groupBy("__s")
       .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
     // rows strictly below this score group: the only serial window,
@@ -179,20 +218,33 @@ object Eval {
     * curve order, the direction a threshold sweep reads.
     *
     * Scale: the same shape as [[rocAuc]] — one groupBy on the score
-    * value, then cumulative sums over the |distinct score| frame in
-    * ONE serial window pass (descending score order; the class totals
-    * ride the same pass as unbounded-frame sums). Quantized ratios are
+    * KEY (e6-quantized by default, bounding the serial frame at
+    * (range)·1e6 + 1 rows; see [[scoreKey]]), then cumulative sums
+    * over that frame in ONE serial window pass (descending key order;
+    * the class totals ride the same pass as unbounded-frame sums).
+    * The emitted `score` is the MIN raw score in each key group — an
+    * EXACT operating point even under quantization: every row in the
+    * group scores ≥ that min and every row in lower groups scores
+    * strictly below it, so "keep ≥ score" selects precisely the
+    * cumulative set the row's counts describe. Quantized ratios are
     * plain int64 (`x·1e6 div n`, safe to ~9.2e12 rows — the package's
-    * eval convention); scores should be quantized above ~1e9 rows or
-    * the distinct-score frame itself becomes corpus-sized. */
+    * eval convention).
+    *
+    * @param scoreQuantumE see [[rocAuc]]; `None` = exact raw-score
+    *   grouping (one point per distinct raw score, frame unbounded on
+    *   continuous scores). Bit-identical to exact mode on scores
+    *   already coarser than 10^-e. */
   def prCurve(scored: DataFrame, scoreCol: String = "score",
-              labelCol: String = "y"): DataFrame = {
+              labelCol: String = "y",
+              scoreQuantumE: Option[Int] = Some(6)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = scored
-      .select(col(scoreCol).as("score"), binaryLabel(labelCol).as("__y"))
-      .groupBy("score")
-      .agg(count(lit(1)).as("__c"), sum("__y").as("__cp"))
-    val desc = Window.orderBy(col("score").desc)
+      .select(scoreKey(scoreCol, scoreQuantumE).as("__sk"),
+        col(scoreCol).as("__raw"), binaryLabel(labelCol).as("__y"))
+      .groupBy("__sk")
+      .agg(min("__raw").as("score"),
+        count(lit(1)).as("__c"), sum("__y").as("__cp"))
+    val desc = Window.orderBy(col("__sk").desc)
     val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     g.withColumn("tp", sum("__cp").over(cum))
@@ -225,7 +277,7 @@ object Eval {
                       scoreCol: String = "score",
                       labelCol: String = "y"): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0L)),
+    val bin = least(greatest(floor(validScore(scoreCol) * nBins), lit(0L)),
       lit(nBins - 1L))
     // the mean clamps like the bin does: an out-of-[0,1] score must
     // not put a reliability-diagram point outside probability space

@@ -76,9 +76,14 @@ class PlanAuditSpec extends SparkSpec {
                        // q_id folds, leaving one rank window over the
                        // <= depth-row BM25 cut (multi-query callers
                        // partition by a real q_id attribute)
-    "d_quality_auc",   // rank cumsum over the |distinct score| frame:
-                       // <= 10001 rows for the 4-dp quality score
-    "d_quality_pr",    // the same distinct-score frame, descending sweep
+    "d_quality_auc",   // rank cumsum over the distinct-score-KEY frame —
+                       // OP-ENFORCED bound: Eval.scoreKey quantizes to
+                       // floor(score*1e6) by default, so the frame is
+                       // <= range*1e6+1 rows (<= 1e6+1 for [0,1] scores)
+                       // regardless of corpus size; exact mode is an
+                       // explicit opt-out (scoreQuantumE = None)
+    "d_quality_pr",    // the same op-enforced bounded key frame,
+                       // descending sweep
     "d_training_curriculum" // curriculumOrder's per-difficulty prefix
                             // sum: |distinct token count| rows; the
                             // corpus-sized rank is partitioned by

@@ -596,6 +596,57 @@ class SelectionOpsSpec extends SparkSpec {
       val e2 = intercept[Exception](ev(badLab).collect())
       assert(e2.getMessage.contains("in {0, 1}"), s"bad label: $e2")
     }
+    // NULL scores are poisonous too: they would silently rank lowest
+    // (NULLS FIRST) in the rank evals and bin apart in calibration
+    val nullScore = Seq((Some(0.5), 1L), (None, 0L)).toDF("score", "y")
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      graft.ops.Eval.rocAuc(_, "score", "y"),
+      graft.ops.Eval.prCurve(_, "score", "y"),
+      graft.ops.Eval.calibrationBins(_, 10, "score", "y")).foreach { ev =>
+      val e = intercept[Exception](ev(nullScore).collect())
+      assert(e.getMessage.contains("non-NULL score"), s"null score: $e")
+    }
+  }
+
+  test("rocAuc/prCurve: default e6 quantization bounds the serial frame and is " +
+    "lossless on coarse scores") {
+    import spark.implicits._
+    // 4-dp-style scores (the package's quality-score convention, and
+    // what the driver oracle rows feed): distinct coarse scores map
+    // injectively to e6 keys, so the quantized default is BIT-IDENTICAL
+    // to exact mode — the pin that keeps the oracle rows green
+    val rnd = new scala.util.Random(7)
+    val coarse = (0 until 400).map { _ =>
+      (rnd.nextInt(10001) / 10000.0 /* 4-dp in [0,1] */,
+        rnd.nextInt(2).toLong)
+    }.toDF("score", "y")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.ops.Eval.rocAuc(coarse)) ==
+      rows(graft.ops.Eval.rocAuc(coarse, "score", "y", scoreQuantumE = None)))
+    assert(rows(graft.ops.Eval.prCurve(coarse).orderBy(col("score").desc)) ==
+      rows(graft.ops.Eval.prCurve(coarse, "score", "y", scoreQuantumE = None)
+        .orderBy(col("score").desc)))
+    // the bound actually bites: continuous scores all inside one 1e-6
+    // cell collapse to ONE operating point under the default (where
+    // exact mode would emit one per raw double), and the emitted
+    // threshold is the group's min raw score — still an exact
+    // operating point for the cumulative counts it carries
+    val cont = (0 until 50).map(i => (0.5 + i * 1e-9, (i % 2).toLong))
+      .toDF("score", "y")
+    val pr = graft.ops.Eval.prCurve(cont).collect()
+    assert(pr.length == 1, s"e6 default must merge sub-1e-6 near-ties: $pr")
+    assert(pr(0).getDouble(0) == 0.5 && pr(0).getLong(1) == 25L &&
+      pr(0).getLong(2) == 25L)
+    assert(graft.ops.Eval.prCurve(cont, "score", "y", scoreQuantumE = None)
+      .count() == 50L)
+    // quantization only merges near-ties: AUC degrades to 0.5 (all
+    // tied) instead of whatever the 1e-9 jitter implied — documented
+    val auc = graft.ops.Eval.rocAuc(cont).collect()(0)
+    assert(auc.getLong(2) == 500000L)
+    // sanity on the knob's range guard
+    intercept[IllegalArgumentException](
+      graft.ops.Eval.rocAuc(cont, "score", "y", scoreQuantumE = Some(16)))
   }
 
   test("prCurve: one operating point per distinct score, exact cumulative confusion") {
