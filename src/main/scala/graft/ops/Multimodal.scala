@@ -86,12 +86,34 @@ object Multimodal {
     // byte-addressed: substr on BINARY slices the sampled byte directly
     // (O(1) per frame), so per-row work is O(n_frames) — the previous
     // split-to-char-array form materialized n_bytes one-char strings
-    // per row, stride× more work and allocation than the output needs
+    // per row, stride× more work and allocation than the output needs.
+    // Callers who explode the result should use [[frameSampleRows]]
+    // instead: exploding THIS array lets InferFiltersFromGenerate clone
+    // the transform(...) into a size(...) > 0 Filter guard, evaluating
+    // the whole chain twice per row (the §G17b HOF-in-Filter class).
     media.select(col("media_id"),
       transform(
         sequence(lit(0), greatest(floor(col("meta.n_bytes") / stride).cast("int") - 1, lit(0))),
         i => ascii(decode(col("media").substr(i * stride + 1, lit(1)), "ISO-8859-1")))
         .as("frame_bytes"))
+
+  /** [[frameSample]] in exploded row shape — one (media_id, frame_idx,
+    * frame_byte) row per sampled frame, with NO intermediate array:
+    * the Generate explodes a plain int index sequence (cheap even when
+    * the optimizer's inferred size-guard builds it twice) and the byte
+    * extraction runs ONCE, above the Generate. This is the scale
+    * shape: per-media frame lists never allocate (a 1 GiB video at
+    * stride 1 would otherwise build a 10^9-element array in one row),
+    * and no higher-order function can be cloned into a Filter.
+    * Bit-identical to frameSample + posexplode (spec-pinned). */
+  def frameSampleRows(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"), col("media"),
+        explode(sequence(lit(0),
+          greatest(floor(col("meta.n_bytes") / stride).cast("int") - 1, lit(0))))
+          .as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        ascii(decode(col("media").substr(col("frame_idx") * stride + 1, lit(1)),
+          "ISO-8859-1")).as("frame_byte"))
 
   // ---- real codec path -------------------------------------------------
   // PNG/BMP ride javax.imageio (in the JDK — no external codec needed);

@@ -1182,8 +1182,14 @@ object TextAnalysis {
     require(stride >= 1 && stride <= size,
       s"stride must be in [1, size], got $stride (size $size)")
     docs
+      // empty-doc drop WITHOUT referencing the token array: tokens() is
+      // empty iff the trimmed/collapsed text is empty (normText trims
+      // and collapses runs, so any non-empty normText has >= 1 token) —
+      // a `size(tokens) > 0` predicate would alias-inline the tokens()
+      // HOF chain into the pushed Filter and evaluate it twice per row
+      // (the §G17b class, policed by PlanAuditSpec)
+      .where(length(graft.ops.Dedup.normText(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("w"))
-      .where(size_(col("w")) > 0)
       .select(col(idCol), col("w"),
         explode(sequence(lit(1), size_(col("w")), lit(stride))).as("s"))
       .select(col(idCol),

@@ -848,10 +848,8 @@ object PipelineQueries {
     * hashes primitive cells, and an array-typed column is opaque to it
     * (the r7 driver artifact could not adjudicate the array shape). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(
+    Multimodal.frameSampleRows(
       Multimodal.syntheticMedia(Tables.documents(spark, dir)), stride = 4)
-      .select(col("media_id"),
-        posexplode(col("frame_bytes")).as(Seq("frame_idx", "frame_byte")))
       .orderBy("media_id", "frame_idx")
 
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =

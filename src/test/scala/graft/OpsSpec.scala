@@ -1189,6 +1189,16 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.frameSample(media, stride = 16)
       .select(size(col("frame_bytes"))).collect().map(_.getInt(0))
     assert(frames.forall(_ >= 1))
+    // the exploded scale shape is bit-identical to frameSample +
+    // posexplode (same index grid, same byte extraction) — minus the
+    // per-media array and the optimizer's HOF-cloning inferred filter
+    val viaArray = Multimodal.frameSample(media, stride = 16)
+      .select(col("media_id"),
+        posexplode(col("frame_bytes")).as(Seq("frame_idx", "frame_byte")))
+      .orderBy("media_id", "frame_idx").collect().map(_.toSeq).toSeq
+    val viaRows = Multimodal.frameSampleRows(media, stride = 16)
+      .orderBy("media_id", "frame_idx").collect().map(_.toSeq).toSeq
+    assert(viaRows == viaArray)
   }
 
   test("unigram log-prob: hand-computed MLE means, empty docs drop") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
 
 /** Global plan audit: no query in the driver surface may plan a
   * cartesian product or fall back to a nested-loop join — the two
@@ -115,6 +116,65 @@ class PlanAuditSpec extends SparkSpec {
             if w.partitionSpec.isEmpty => w
       }
       assert(globals.nonEmpty, s"$name no longer plans a global window — drop it from the whitelist")
+    }
+  }
+
+  // The §G17b quadratic class (BASELINE.md): a higher-order-function
+  // chain computed in a Project gets alias-substituted into a pushed
+  // Filter condition, where Catalyst's lambda inlining can re-evaluate
+  // the chain per lambda step (the entropy gate's array_sort re-ran
+  // per element: O(n² log n)/doc, 842 s at sf0.1). The fix pattern —
+  // "materialize HOF-derived columns before `.where`" (sharedCheckpoint
+  // or an exchange boundary) — is codified here: NO query on the
+  // surface may plan a HigherOrderFunction inside a Filter condition.
+  // Queries where a HOF-filter is genuinely bounded go in this
+  // whitelist with the bound documented:
+  private val boundedHofFilter = Set.empty[String]
+
+  test("no higher-order function evaluates inside a Filter condition") {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    def hofFilters(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect { case h: HigherOrderFunction => h.prettyName }
+      }.flatten.distinct
+    // negative control: the detector must flag a deliberately inlined
+    // gate — a HOF-derived column thresholded straight through
+    // CollapseProject + filter pushdown, the exact §G17b shape
+    val inlined = spark.range(64)
+      .select(col("id"), split(lit("a bb ccc"), " ").as("__w"))
+      .select(col("id"), aggregate(
+        transform(col("__w"), x => length(x)),
+        lit(0), (a, b) => a + b).as("__e"))
+      .where(col("__e") > 3)
+    assert(hofFilters(inlined).nonEmpty,
+      "detector failed to flag a deliberately inlined HOF gate — the audit is blind")
+    // and the documented fix pattern must pass it: materialize the
+    // derived column, then threshold the materialized frame
+    import graft.ops.Checkpoints.SharedOps
+    val materialized = spark.range(64)
+      .select(col("id"), split(lit("a bb ccc"), " ").as("__w"))
+      .select(col("id"), aggregate(
+        transform(col("__w"), x => length(x)),
+        lit(0), (a, b) => a + b).as("__e"))
+      .sharedCheckpoint()
+      .where(col("__e") > 3)
+    assert(hofFilters(materialized).isEmpty,
+      "the materialize-before-where fix pattern must satisfy the audit")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedHofFilter(name)) None
+      else {
+        val hofs = hofFilters(fn(spark, sf))
+        if (hofs.nonEmpty) Some(s"$name (${hofs.mkString(",")})") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"HOF chains inside Filter conditions (the §G17b quadratic class — " +
+        s"materialize the derived column before .where):\n${offenders.mkString("\n")}")
+    // whitelist honesty: each exempted query really does plan one
+    boundedHofFilter.foreach { name =>
+      assert(hofFilters(SparkEntry.queries(name)(spark, sf)).nonEmpty,
+        s"$name no longer plans a HOF filter — drop it from the whitelist")
     }
   }
 
