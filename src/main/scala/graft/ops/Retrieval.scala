@@ -82,7 +82,13 @@ object Retrieval {
     * the k−1 greedy rounds is one join + one keyed max + one per-query
     * argmax window over |queries|·depth-bounded frames, all
     * partitioned by q_id — rounds are sequential BY DEFINITION (greedy
-    * data dependence), the work inside each is fully distributed. */
+    * data dependence), the work inside each is fully distributed. Each
+    * round is a fixed number of Spark jobs, so at bounded depth the
+    * cost is job-count overhead, not data: for shortlists that fit in
+    * one task (any real depth — see [[mmrRerankLocal]]) the in-task
+    * variant computes the SAME picks in one shuffle and is the default
+    * arm of [[mmrTopKIvf]]; this global plan remains for candidate
+    * frames too wide for one task. */
   def mmrRerank(cands: DataFrame, k: Int, lambdaE6: Long = 700000L,
                 vecCol: String = "n_vec"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -131,18 +137,116 @@ object Retrieval {
       .orderBy("q_id", "rank")
   }
 
-  /** [[mmrRerank]] over the exact brute-force shortlist: top-`depth`
-    * cosine candidates per query with 1e6-quantized relevance, then
-    * the k-step greedy diversity rerank. The oracle-exact
-    * configuration; at scale swap the shortlist arm for an ANN one and
-    * call [[mmrRerank]] directly. */
-  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, depth: Int,
-              lambdaE6: Long = 700000L, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    require(depth >= k, s"depth ($depth) must be >= k ($k)")
-    val short = Similarity.bruteForceTopK(corpus, queries, depth, idCol, vecCol)
+  /** Per-query LOCAL MMR rerank — [[mmrRerank]]'s semantics (same
+    * greedy argmax, same exact-integer scores, same tie-breaks;
+    * spec-pinned bit-identical) with a one-shuffle plan: one query's
+    * shortlist fits comfortably in one task (depth × dim floats —
+    * depth 1000 × 1024-d is 4 MB), so the k-round greedy loop runs
+    * IN-TASK over the grouped candidates instead of as k global
+    * join+window+checkpoint jobs. The §G18 adjudication: at 1000
+    * queries × depth 100 this is ~30× faster than the global k-round
+    * plan, and the gap is pure fixed job-count overhead — use THIS for
+    * any bounded-depth shortlist (every real serving shape); the
+    * global [[mmrRerank]] remains for shortlists too wide or wide-dim
+    * to sit in one task.
+    *
+    * Work is O(k·depth·dims) per query (incremental max-sim update
+    * against the last pick) vs the global plan's O(depth²·dims) pair
+    * materialization — strictly less arithmetic for k < depth, on top
+    * of the job-count win. Ids/rel are cast to long, vectors widen to
+    * double (exact) so the in-task cosine replays [[Similarity.dot]]'s
+    * left-to-right double accumulation bit-for-bit. */
+  def mmrRerankLocal(cands: DataFrame, k: Int, lambdaE6: Long = 700000L,
+                     vecCol: String = "n_vec"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L,
+      s"lambdaE6 must be in [0, 1e6], got $lambdaE6")
+    val ss = cands.sparkSession
+    import ss.implicits._
+    val lam = lambdaE6
+    val kk = k
+    cands.select(
+        col("q_id").cast("long"), col("n_id").cast("long"),
+        col("rel_e6").cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Long, Array[Double])]) =>
+        // deterministic candidate order = round-1 pick order: rel desc,
+        // n_id asc (mmrRerank's Window.orderBy)
+        val srt = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = srt.length
+        val m = math.min(kk, n)
+        val picked = new Array[Boolean](n)
+        val maxSim = Array.fill(n)(Long.MinValue)
+        val out = new Array[(Long, Long, Long)](m)
+        if (m > 0) { picked(0) = true; out(0) = (q, 1L, srt(0)._2) }
+        var last = 0
+        var r = 2
+        while (r <= m) {
+          // fold the last pick into each survivor's max-sim (equivalent
+          // to mmrRerank's max over ALL picked, computed incrementally)
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val s = simE6(srt(i)._4, srt(last)._4)
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
+          var best = -1
+          var bestScore = Long.MinValue
+          var bestId = Long.MaxValue
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val sc = lam * srt(i)._3 - (1000000L - lam) * maxSim(i)
+              if (best < 0 || sc > bestScore ||
+                  (sc == bestScore && srt(i)._2 < bestId)) {
+                best = i; bestScore = sc; bestId = srt(i)._2
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          last = best
+          out(r - 1) = (q, r.toLong, srt(best)._2)
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** In-task replica of the column-side floored cosine —
+    * floor(vec_dot(a,b) / (√vec_dot(a,a)·√vec_dot(b,b)) · 1e6) —
+    * bit-identical because [[graft.functions.VecDot]] is plain
+    * left-to-right double accumulation and float→double widening is
+    * exact (pinned by the mmrRerankLocal ≡ mmrRerank spec). */
+  private def simE6(a: Array[Double], b: Array[Double]): Long = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a(i) * b(i); i += 1 }
+    math.floor(d / (nrm(a) * nrm(b)) * 1e6).toLong
+  }
+
+  private def nrm(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Re-attach vectors and 1e6-floored relevance to a ranked shortlist
+    * (q_id, rank, n_id) → the (q_id, n_id, rel_e6, n_vec) candidate
+    * shape both rerank arms take: one n_id equi-join against the
+    * corpus plus a broadcast of the query vectors. */
+  private def attachCandidates(corpus: DataFrame, queries: DataFrame,
+                               ranking: DataFrame, idCol: String,
+                               vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
-    val cands = short
+    ranking
       .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
       .join(q, "q_id")
       .select(col("q_id"), col("n_id"),
@@ -150,7 +254,40 @@ object Retrieval {
           (Similarity.norm(col("__qv")) * Similarity.norm(col("n_vec")))
           * 1e6).cast("long").as("rel_e6"),
         col("n_vec"))
-    mmrRerank(cands, k, lambdaE6)
+  }
+
+  /** [[mmrRerank]] over the exact brute-force shortlist: top-`depth`
+    * cosine candidates per query with 1e6-quantized relevance, then
+    * the k-step greedy diversity rerank. The oracle-exact
+    * configuration; at scale use [[mmrTopKIvf]] (ANN shortlist +
+    * in-task rerank) or call [[mmrRerankLocal]] with your own arm. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, depth: Int,
+              lambdaE6: Long = 700000L, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(depth >= k, s"depth ($depth) must be >= k ($k)")
+    val short = Similarity.bruteForceTopK(corpus, queries, depth, idCol, vecCol)
+    mmrRerank(attachCandidates(corpus, queries, short, idCol, vecCol), k, lambdaE6)
+  }
+
+  /** The production diverse-retrieval shape: [[Similarity.ivfTopK]]
+    * shortlist (partition-pruned ANN — never a corpus cross join) →
+    * [[mmrRerankLocal]] (one-shuffle in-task greedy rerank). Recall
+    * against the brute-MMR reference is bounded by the shortlist arm's
+    * recall (MMR reranks whatever candidates it is given); with
+    * `nprobe = nlist` the shortlist is exact and the picks match
+    * [[mmrTopK]] bit-for-bit (spec-pinned). Pass pinned `centroids`
+    * (e.g. from a persisted [[PqIndexStore]] index) to serve with zero
+    * training jobs. */
+  def mmrTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int, depth: Int,
+                 lambdaE6: Long = 700000L, nlist: Int = 16, nprobe: Int = 4,
+                 iters: Int = 1, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(depth >= k, s"depth ($depth) must be >= k ($k)")
+    val short = Similarity.ivfTopK(corpus, queries, depth, nlist, nprobe,
+      iters, idCol, vecCol, centroids = centroids)
+    mmrRerankLocal(attachCandidates(corpus, queries, short, idCol, vecCol),
+      k, lambdaE6)
   }
 
   /** Hybrid lexical + dense top-k for ONE query (`qId` labels it in the

@@ -1,0 +1,260 @@
+package graft.ops
+
+import java.io.File
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One loud end for the persisted-store lifecycle: a single invariant
+  * sweep over a store tree that every staged-publish protocol in the
+  * repo must pass — runnable as a spec (StoreDoctorSpec drives it over
+  * a real PqIndexStore and all six snapshot twins) and as a tool
+  * (`runMain graft.ops.StoreDoctor <baseDir>`, exit 1 on findings) for
+  * a deployment's maintenance window.
+  *
+  * What it checks, by construction of the protocols it audits:
+  *
+  *  - **No orphaned staging dirs.** Every staged publish in the repo
+  *    ([[graft.sources.TierStore.swapInto]], PqIndexStore's quantizer
+  *    swap, the snapshot twins' `state__tmp`/`state__old` pairs,
+  *    compaction's `__compact_new`/`__compact_old`) writes a TMP name,
+  *    renames the primary aside to an OLD name, publishes, then drops
+  *    OLD. A crash can strand either name: a stranded TMP is always
+  *    disposable (data never lives only there), a stranded OLD beside
+  *    a live primary is the post-publish cleanup that never ran, and
+  *    an OLD with NO primary is the recoverable mid-swap crash that
+  *    the owner's next read heals via `recoverSwap`. The doctor
+  *    reports each with its disposition rather than guessing-and-
+  *    deleting — it is a diagnosis tool, not a mutation.
+  *  - **Quantizer generations are complete.** A `quantizer/` dir
+  *    (the [[PqIndexStore]] layout) must hold exactly one version,
+  *    both artifact families (kind = 'cent' and 'cb'), and the
+  *    assignment-geometry row (kind = 'mode') — a pre-mode generation
+  *    serves with handle-config fallback and is flagged to retrain.
+  *    Its `codes/` sibling must exist and hold rows for the committed
+  *    version (a generation with no codes serves empty, silently).
+  *  - **Audit seqs are dense.** An `audits/` history must have no
+  *    duplicate seq (two drivers raced an append without the file
+  *    lock) and no gap (a deleted row would silently shift
+  *    [[PqIndexStore.driftTrend]]'s last-two comparison).
+  *  - **Centroid stores are single-version.** A `centroids/` dir with
+  *    a `version` column ([[graft.streaming.StreamingVecNearDup]])
+  *    must not hold mixed generations.
+  *
+  * No reference analog (khronus delegates storage health to
+  * Cassandra); the invariants are this repo's own publish protocols.
+  */
+object StoreDoctor {
+
+  /** One diagnosed violation; `check` is the machine-readable class,
+    * `detail` the human disposition. */
+  case class Finding(path: String, check: String, detail: String) {
+    override def toString: String = s"[$check] $path — $detail"
+  }
+
+  // Staging-name inventory of every publish protocol in the repo,
+  // longest-match-first so `__compact_old` is not misread as `__old`.
+  // TMP names hold a fresh copy that was never the only one; OLD names
+  // hold the moved-aside previous primary.
+  private val TmpSuffixes = Seq("__compact_new", "__migrating",
+    ".__retrain", ".__compact", ".__stage", "__tmp", ".tmp")
+  private val OldSuffixes = Seq("__compact_old", ".__oldc", ".__old", "__old")
+
+  /** Sweep `base` recursively; empty result = healthy tree. */
+  def diagnose(spark: SparkSession, base: String): Seq[Finding] = {
+    val root = new File(base)
+    if (!root.exists()) return Seq(Finding(base, "missing-root",
+      "store root does not exist"))
+    walk(root).flatMap { f =>
+      stagingFindings(f) ++
+        (if (f.isDirectory && f.getName == "quantizer" &&
+             !isStaging(f.getName)) pqFindings(spark, f) else Nil) ++
+        (if (f.isDirectory && f.getName == "centroids" &&
+             !isStaging(f.getName)) centroidFindings(spark, f) else Nil)
+    }
+  }
+
+  /** Depth-first listing; does not descend into staging dirs (their
+    * contents are covered by the verdict on the dir itself). */
+  private def walk(f: File): Seq[File] = {
+    val children =
+      if (f.isDirectory && !isStaging(f.getName))
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+      else Nil
+    children ++ children.flatMap(walk)
+  }
+
+  private def isStaging(name: String): Boolean =
+    (TmpSuffixes ++ OldSuffixes).exists(name.endsWith)
+
+  private def stagingFindings(f: File): Seq[Finding] = {
+    // every publish protocol stages DIRECTORIES (parquet outputs);
+    // plain files are never swap state (Spark's own checkpoint logs
+    // use transient dot-tmp FILES that are not ours to judge)
+    if (!f.isDirectory) return Nil
+    val name = f.getName
+    TmpSuffixes.find(name.endsWith) match {
+      case Some(_) =>
+        return Seq(Finding(f.getPath, "orphaned-staging",
+          "stranded staging copy from a crashed publish; the data never " +
+            "lived only here — safe to delete"))
+      case None => ()
+    }
+    OldSuffixes.find(name.endsWith) match {
+      case Some(suf) =>
+        val primary = new File(f.getParentFile, name.dropRight(suf.length))
+        if (primary.exists())
+          Seq(Finding(f.getPath, "leftover-old",
+            "previous primary left beside the published one (crash between " +
+              "publish rename and cleanup) — safe to delete"))
+        else
+          Seq(Finding(f.getPath, "recoverable-swap",
+            s"primary ${primary.getName} missing with its moved-aside copy " +
+              "present — the owner's next read heals this via recoverSwap; " +
+              "do not delete"))
+      case None => Nil
+    }
+  }
+
+  /** [[PqIndexStore]] layout checks for a committed `quantizer/` dir
+    * (the store's own `.__old` fallback is covered by the staging
+    * sweep — a quantizer.__old with no primary reports as
+    * recoverable-swap). */
+  private def pqFindings(spark: SparkSession, quantDir: File): Seq[Finding] = {
+    val baseDir = quantDir.getParentFile
+    Try {
+      spark.catalog.refreshByPath(quantDir.getPath)
+      spark.read.parquet(quantDir.getPath)
+        .select(col("version").cast("long"), col("kind"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    } match {
+      case Failure(e) =>
+        Seq(Finding(quantDir.getPath, "unreadable-quantizer",
+          s"cannot read quantizer parquet: ${e.getMessage}"))
+      case Success(rows) if rows.isEmpty =>
+        Seq(Finding(quantDir.getPath, "empty-quantizer",
+          "quantizer dir holds no rows — rebuild the index"))
+      case Success(rows) =>
+        val versions = rows.map(_._1).distinct.sorted
+        val kinds = rows.map(_._2).toSet
+        val vFind =
+          if (versions.size > 1)
+            Seq(Finding(quantDir.getPath, "mixed-versions",
+              s"quantizer holds generations ${versions.mkString(", ")} — " +
+                "the atomic-swap contract is one; rebuild the index"))
+          else Nil
+        val kindFind = Seq("cent" -> "centroids", "cb" -> "codebooks")
+          .filterNot { case (k, _) => kinds(k) }
+          .map { case (k, what) =>
+            Finding(quantDir.getPath, "incomplete-quantizer",
+              s"no kind='$k' rows — the committed generation has no $what")
+          }
+        val modeFind =
+          if (!kinds("mode"))
+            Seq(Finding(quantDir.getPath, "missing-mode-row",
+              "no kind='mode' row: assignment geometry unrecorded " +
+                "(pre-mode generation) — serves with handle-config " +
+                "fallback; rebuild or retrain to record it"))
+          else Nil
+        vFind ++ kindFind ++ modeFind ++
+          codesFindings(spark, baseDir, versions.lastOption) ++
+          auditFindings(spark, baseDir)
+    }
+  }
+
+  private def codesFindings(spark: SparkSession, baseDir: File,
+                            committed: Option[Long]): Seq[Finding] = {
+    val codes = new File(baseDir, "codes")
+    if (!codes.exists())
+      return Seq(Finding(codes.getPath, "no-codes-dir",
+        "quantizer committed but no codes/ sibling — the index serves empty"))
+    committed.toSeq.flatMap { v =>
+      Try {
+        spark.catalog.refreshByPath(codes.getPath)
+        spark.read.parquet(codes.getPath)
+          .where(col("version") === v).limit(1).count()
+      } match {
+        case Failure(e) =>
+          Seq(Finding(codes.getPath, "unreadable-codes",
+            s"cannot read codes parquet: ${e.getMessage}"))
+        case Success(0L) =>
+          Seq(Finding(codes.getPath, "empty-generation",
+            s"no code rows for committed version $v — the index serves " +
+              "empty; append or rebuild"))
+        case Success(_) => Nil
+      }
+    }
+  }
+
+  private def auditFindings(spark: SparkSession, baseDir: File): Seq[Finding] = {
+    val audits = new File(baseDir, "audits")
+    if (!audits.exists()) return Nil // audits are optional history
+    Try {
+      spark.catalog.refreshByPath(audits.getPath)
+      spark.read.option("mergeSchema", "true").parquet(audits.getPath)
+        .select(col("seq").cast("long")).collect().map(_.getLong(0)).toSeq
+    } match {
+      case Failure(e) =>
+        Seq(Finding(audits.getPath, "unreadable-audits",
+          s"cannot read audit parquet: ${e.getMessage}"))
+      case Success(seqs) =>
+        val dups = seqs.groupBy(identity).collect {
+          case (s, g) if g.size > 1 => s
+        }.toSeq.sorted
+        val dupFind =
+          if (dups.nonEmpty)
+            Seq(Finding(audits.getPath, "duplicate-audit-seq",
+              s"seqs ${dups.mkString(", ")} appear more than once — two " +
+                "writers raced recordAudit without the file lock; " +
+                "driftTrend refuses this store until the extras are removed"))
+          else Nil
+        val distinct = seqs.distinct.sorted
+        val gapFind =
+          if (distinct.nonEmpty &&
+              distinct != (distinct.head to distinct.last).toSeq)
+            Seq(Finding(audits.getPath, "sparse-audit-seq",
+              s"seqs have gaps (${distinct.mkString(", ")}) — history rows " +
+                "were lost; trend comparisons may span missing generations"))
+          else Nil
+        dupFind ++ gapFind
+    }
+  }
+
+  /** [[graft.streaming.StreamingVecNearDup]]'s centroid store: one
+    * committed generation only (its loader hard-fails on mixed rows —
+    * the doctor surfaces it without crashing the sweep). */
+  private def centroidFindings(spark: SparkSession, dir: File): Seq[Finding] =
+    Try {
+      spark.catalog.refreshByPath(dir.getPath)
+      val df = spark.read.parquet(dir.getPath)
+      if (!df.columns.contains("version")) Nil
+      else df.select(col("version").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    } match {
+      case Failure(e) =>
+        Seq(Finding(dir.getPath, "unreadable-centroids",
+          s"cannot read centroid parquet: ${e.getMessage}"))
+      case Success(versions) if versions.size > 1 =>
+        Seq(Finding(dir.getPath, "mixed-versions",
+          s"centroid store holds generations ${versions.mkString(", ")} — " +
+            "rebuild the index"))
+      case Success(_) => Nil
+    }
+
+  /** Maintenance-window entry point: sweep each arg dir, print every
+    * finding, exit 1 if any store is unhealthy. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StoreDoctor <storeDir> [more dirs...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.GraftSession.builder(cpus.toInt, cpus.toInt)
+      .appName("graft-store-doctor").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val findings = args.toSeq.flatMap(diagnose(spark, _))
+    findings.foreach(f => println(f.toString))
+    println(s"${findings.size} finding(s) across ${args.length} root(s)")
+    spark.stop()
+    if (findings.nonEmpty) sys.exit(1)
+  }
+}

@@ -1087,6 +1087,20 @@ object PipelineQueries {
       k = 5, depth = 12, lambdaE6 = 700000L)
   }
 
+  /** The production MMR composition on the oracle surface:
+    * [[Retrieval.mmrTopKIvf]] = IVF shortlist → in-task local rerank.
+    * At nprobe = nlist the shortlist degenerates to an exact full scan
+    * (the e_ivf_topk pattern), so the oracle is the SAME unrolled
+    * k-round greedy replay as e_mmr_topk — a mismatch here isolates
+    * the local-rerank arm or the shortlist routing from the greedy
+    * math (§G18 additionally verifies local ≡ global at 200k
+    * vectors). */
+  def mmrIvfQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Retrieval.mmrTopKIvf(emb, emb.where(col("vec_id") < 20),
+      k = 5, depth = 12, lambdaE6 = 700000L, nlist = 16, nprobe = 16)
+  }
+
   /** Ordered view → click → purchase conversion funnel. Cascade
     * comparisons run on epoch-ms (`ts_ms`), the engine's native time
     * unit, so the oracle's epoch_ms(ts) sees identical values. */
@@ -1712,6 +1726,7 @@ object PipelineQueries {
     "d_quality_bins"      -> (qualityBinsQ _),
     "d_token_entropy"     -> (tokenEntropyQ _),
     "e_mmr_topk"          -> (mmrTopKQ _),
+    "e_mmr_ivf"           -> (mmrIvfQ _),
     "d_curation_entropy"  -> (curationEntropyQ _),
     "d_dup_clusters"      -> (dupClusters _),
     "d_dedup_cap"         -> (dedupCap _),
@@ -4344,6 +4359,9 @@ object PipelineQueries {
     // MMR diverse rerank, every greedy round unrolled (k=5, depth=12,
     // lambda 0.7) — the d_bpe_merges convention for iterative operators
     "e_mmr_topk" -> mmrOracle(k = 5, depth = 12, lambdaE6 = 700000L),
+    // exact-config IVF shortlist == brute shortlist, so the oracle is
+    // the identical greedy replay (see mmrIvfQ's scaladoc)
+    "e_mmr_ivf" -> mmrOracle(k = 5, depth = 12, lambdaE6 = 700000L),
     "e_ann_recall" ->
       """WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |              FROM embeddings WHERE vec_id < 8),

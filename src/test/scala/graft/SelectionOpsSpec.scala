@@ -710,6 +710,57 @@ class SelectionOpsSpec extends SparkSpec {
     assert(short.count() == 1L, "1-candidate query must emit exactly rank 1")
   }
 
+  test("mmrRerankLocal ≡ mmrRerank bit-for-bit; IVF composition exact at nprobe = nlist") {
+    import spark.implicits._
+    import graft.ops.{Retrieval, Similarity}
+    // seeded corpus: 40 vectors + 6 queries, 8-d gaussians — enough
+    // structure for non-trivial greedy displacement at several lambdas
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 46L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qs = vecs.where(col("vec_id") < 6)
+    // the same candidate shape both arms take: brute shortlist with
+    // floored-cosine relevance and vectors re-attached
+    val short = Similarity.bruteForceTopK(vecs, qs, k = 12)
+    val qv = broadcast(qs.select(col("vec_id").as("q_id"), col("embedding").as("__qv")))
+    val cands = short
+      .join(vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")), "n_id")
+      .join(qv, "q_id")
+      .select(col("q_id"), col("n_id"),
+        floor(Similarity.dot(col("__qv"), col("n_vec")) /
+          (Similarity.norm(col("__qv")) * Similarity.norm(col("n_vec")))
+          * 1e6).cast("long").as("rel_e6"),
+        col("n_vec"))
+    def picks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // pick-for-pick equality across the lambda range, incl. both
+    // degenerate ends (pure relevance / pure diversity-after-first)
+    Seq(0L, 300000L, 500000L, 700000L, 1000000L).foreach { lam =>
+      assert(picks(Retrieval.mmrRerankLocal(cands, k = 5, lambdaE6 = lam)) ==
+        picks(Retrieval.mmrRerank(cands, k = 5, lambdaE6 = lam)),
+        s"local and global MMR diverged at lambda $lam")
+    }
+    // k > per-query candidate count: both stop early, no phantom rows
+    val tiny = cands.where(col("n_id") < 8)
+    assert(picks(Retrieval.mmrRerankLocal(tiny, k = 5)) ==
+      picks(Retrieval.mmrRerank(tiny, k = 5)))
+    // the IVF composition with an exact shortlist (nprobe = nlist)
+    // replays the brute composition pick-for-pick
+    assert(picks(Retrieval.mmrTopKIvf(vecs, qs, k = 5, depth = 12,
+        nlist = 4, nprobe = 4)) ==
+      picks(Retrieval.mmrTopK(vecs, qs, k = 5, depth = 12)))
+    // pruned probes (the real ANN regime): recall vs the brute-MMR
+    // reference is bounded by the shortlist arm — on this seeded
+    // fixture the 2-of-4-cell shortlist keeps most picks
+    val ref = picks(Retrieval.mmrTopK(vecs, qs, k = 5, depth = 12))
+      .map(t => (t._1, t._3)).toSet
+    val ann = picks(Retrieval.mmrTopKIvf(vecs, qs, k = 5, depth = 12,
+        nlist = 4, nprobe = 2))
+      .map(t => (t._1, t._3)).toSet
+    val recall = ann.count(ref).toDouble / ref.size
+    assert(recall >= 0.5, s"IVF-MMR recall collapsed: $recall")
+  }
+
   test("calibrationBins: equal-width bins, top clamp, exact empirical rates") {
     import spark.implicits._
     val rows = Seq((0.05, 0L), (0.12, 1L), (0.55, 0L), (0.55, 1L),
