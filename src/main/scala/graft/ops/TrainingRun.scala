@@ -107,24 +107,31 @@ object TrainingRun {
   private[graft] def upsampledTail(curated: DataFrame, epochs: Map[String, Double],
                                    nShards: Int, seed: Long, groupCol: String,
                                    idCol: String): DataFrame = {
-    // rep_id = id·1024 + copy is only injective while the product fits
-    // int64 — a 64-bit hash/snowflake id would wrap (silently colliding
-    // replica keys with ANSI off, aborting mid-job with it on). Refuse
-    // out-of-range ids loudly AT the row, with the fix named; the
-    // comparison is one codegen'd branch per row.
+    val up = replicas(curated, epochs, groupCol, idCol)
+    val asg = Sampling.epochShuffle(up, seed, idCol = "rep_id")
+    up.join(asg, "rep_id")
+      .select(col(idCol), col("copy"), col("pos"),
+        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
+  }
+
+  /** The shared upsample → guarded replica key step of every
+    * multi-epoch tail: (idCol, copy, rep_id = id·1024 + copy).
+    * rep_id is only injective while the product fits int64 — a 64-bit
+    * hash/snowflake id would wrap (silently colliding replica keys
+    * with ANSI off, aborting mid-job with it on). Refuse out-of-range
+    * ids loudly AT the row, with the fix named; the comparison is one
+    * codegen'd branch per row. */
+  private def replicas(curated: DataFrame, epochs: Map[String, Double],
+                       groupCol: String, idCol: String): DataFrame = {
     val maxSafeId = (Long.MaxValue - 1023L) / 1024L
     val guardedId = when(col(idCol) >= 0L && col(idCol) <= maxSafeId, col(idCol))
       .otherwise(raise_error(concat(lit(
         s"training-prep replica key needs 0 <= $idCol <= $maxSafeId " +
           "(id*1024+copy must stay in int64); re-key hash/snowflake ids " +
           "first, got "), col(idCol).cast("string"))))
-    val up = Sampling.upsampleByEpochs(curated, epochs, 1.0, groupCol, idCol)
+    Sampling.upsampleByEpochs(curated, epochs, 1.0, groupCol, idCol)
       .select(col(idCol), col("copy"),
         (guardedId * 1024L + col("copy")).as("rep_id"))
-    val asg = Sampling.epochShuffle(up, seed, idCol = "rep_id")
-    up.join(asg, "rep_id")
-      .select(col(idCol), col("copy"), col("pos"),
-        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
   }
 
   /** DoReMi-driven training order — the deployment loop closed: curate
@@ -158,6 +165,75 @@ object TrainingRun {
       .select(col(groupCol), col("epochs_e6")).collect()
       .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
     upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
+  }
+
+  /** DoReMi × curriculum — the two learned orderings composed the way
+    * a real run consumes them: the DoReMi mixture decides HOW OFTEN
+    * each domain repeats (weighted epochs), the curriculum decides the
+    * ORDER WITHIN each epoch (easy → hard by the carried token count).
+    * Curate ONCE, fit [[Sampling.doremiWeights]] → per-source epoch
+    * counts → deterministic upsample ([[prepareDoremi]]'s head), then
+    * rank the replica stream EPOCH-MAJOR: all of epoch 0 in curriculum
+    * order, then epoch 1, … (the composed difficulty key is
+    * copy·2³² + token count — injective because token counts are
+    * guarded below 2³²), with the seeded within-difficulty shuffle on
+    * the replica key so two copies of one doc land at unrelated
+    * positions inside their epochs. Output (idCol, copy, pos, shard),
+    * deterministic for a (corpus, benchmark, params, rounds, seed)
+    * tuple.
+    *
+    * Scale: [[prepareDoremi]]'s fit cost plus [[Sampling
+    * .curriculumOrder]]'s three-level prefix sum — the only serial
+    * window is the |copies|·|distinct token count| frame (copies are
+    * single digits by the epoch cap; the product stays
+    * resolution-bounded, never corpus-sized). */
+  def prepareDoremiCurriculum(corpus: DataFrame, benchmark: DataFrame,
+                              nShards: Int, rounds: Int = 2,
+                              maxEpochsE6: Long = 8000000L, seed: Long = 0L,
+                              p: Curation.Params = Curation.Params(),
+                              groupCol: String = "source",
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val curated = Curation
+      .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
+      .sharedCheckpoint()
+    val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
+      textCol = textCol)
+    val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
+      .select(col(groupCol), col("epochs_e6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    doremiCurriculumTail(curated, epochs, nShards, seed, groupCol, idCol,
+      Curation.TokCol)
+  }
+
+  /** The shared upsample → epoch-major curriculum rank → stripe tail.
+    * `private[graft]`: [[graft.streaming.StreamingTrainingPrep]]'s
+    * curriculum mode publishes through this EXACT code path so the
+    * N-batch ≡ batch equality pin holds by construction. Needs
+    * (`idCol`, `groupCol`, `tokCol`) columns. */
+  private[graft] def doremiCurriculumTail(curated: DataFrame,
+                                          epochs: Map[String, Double],
+                                          nShards: Int, seed: Long,
+                                          groupCol: String, idCol: String,
+                                          tokCol: String): DataFrame = {
+    // the epoch-major key composes by bit-shift: token counts above
+    // 2^32 would bleed into the epoch index — absurd for one document,
+    // but refuse loudly rather than reorder silently
+    val maxTok = 4294967295L
+    val guardedTok = when(col(tokCol) >= 0L && col(tokCol) <= maxTok,
+        col(tokCol).cast("long"))
+      .otherwise(raise_error(concat(lit(
+        s"curriculum difficulty needs 0 <= $tokCol <= $maxTok, got "),
+        col(tokCol).cast("string"))))
+    val rep = replicas(curated, epochs, groupCol, idCol)
+      .join(curated.select(col(idCol), guardedTok.as("__nt")), idCol)
+      .withColumn("__cd", col("copy") * lit(4294967296L) + col("__nt"))
+    val ord = Sampling.curriculumOrder(
+      rep.select(col("rep_id"), col("__cd")), "__cd", seed, idCol = "rep_id")
+    rep.join(ord, "rep_id")
+      .select(col(idCol), col("copy"), col("pos"),
+        pmod(col("pos"), lit(nShards.toLong)).as("shard"))
   }
 
   /** Curriculum training order (Bengio et al. 2009): curate ONCE, then

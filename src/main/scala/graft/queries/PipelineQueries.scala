@@ -220,6 +220,20 @@ object PipelineQueries {
       .orderBy("doc_id", "copy")
   }
 
+  /** DoReMi × curriculum — weighted epochs, curriculum order within
+    * each epoch. The oracle reuses d_training_doremi's replay through
+    * the replica frame, then ranks epoch-major by the composed
+    * difficulty key instead of the hash permutation; a mismatch
+    * isolates the composition tail from the (separately pinned) fit
+    * and curriculum stages. */
+  def trainingDoremiCurrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingRun.prepareDoremiCurriculum(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      nShards = 4, rounds = 2, seed = 1L, p = OracleCurationParams)
+      .orderBy("doc_id", "copy")
+  }
+
   /** The training-prep manifest with the mixture stage engaged — the
     * SEVEN-operator composition (quality → exact → near-dup →
     * decontam → temperature mix → epoch shuffle → stripe), every step
@@ -1778,6 +1792,7 @@ object PipelineQueries {
     "e_emb_coverage"    -> (embCoverageQ _),
     "d_training_upsample" -> (trainingUpsampleQ _),
     "d_training_doremi"   -> (trainingDoremiQ _),
+    "d_training_doremi_curr" -> (trainingDoremiCurrQ _),
     "d_source_card"     -> (sourceCardQ _),
     "d_release_manifest" -> (releaseManifestQ _),
     "d_overlap_f1"      -> (overlapF1Q _),
@@ -2115,6 +2130,109 @@ object PipelineQueries {
     * comparisons run on 1e6-FLOORED cosines (probed bit-identical
     * between the engines: sequential double accumulation both sides),
     * so every argmax is integer-exact with the n_id tie-break. */
+  /** d_training_doremi's replay from the funnel output (`clean`)
+    * through the replica frame: the K = 2 DoReMi fit, learned weights
+    * -> capped per-source epoch rates, the deterministic upsample
+    * gate, and the replica key -- shared VERBATIM by the
+    * d_training_doremi permutation tail and d_training_doremi_curr's
+    * epoch-major curriculum tail, so the fit/upsample replay lives in
+    * exactly one place. dmcd/dmsg/dmsu are MATERIALIZED: DuckDB
+    * inlines CTEs per reference, and four inlined copies of the
+    * recursive funnel exhaust the fd limit. */
+  private val DoremiReplicaCtes: String =
+    s""",
+         |dmcd AS MATERIALIZED (SELECT c.doc_id, d.source, c.w FROM clean c
+         |         JOIN documents d USING (doc_id)),
+         |dmix AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM dmcd WHERE len(w) >= 2),
+         |dmsg AS MATERIALIZED (SELECT source, w[i] AS prev, w[i+1] AS cur, CAST(COUNT(*) AS BIGINT) AS tf
+         |         FROM dmix GROUP BY 1, 2, 3),
+         |dmsu AS MATERIALIZED (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS uf
+         |         FROM (SELECT source, unnest(w) AS token FROM dmcd) GROUP BY 1, 2),
+         |dmnd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |         FROM dmcd WHERE len(w) >= 2 GROUP BY 1),
+         |dmbf1 AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM dmsg GROUP BY 1, 2),
+         |dmcf1 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf1 GROUP BY 1),
+         |dmu1 AS (SELECT token, CAST(SUM(uf) AS BIGINT) AS ufreq FROM dmsu GROUP BY 1),
+         |dmt1 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu1),
+         |dmlp1 AS (SELECT prev, cur,
+         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |          FROM dmbf1 JOIN dmcf1 USING (prev) JOIN dmu1 ON dmu1.token = dmbf1.cur CROSS JOIN dmt1),
+         |dmsc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |          FROM dmsg JOIN dmlp1 USING (prev, cur) GROUP BY 1),
+         |dmsrc1 AS (SELECT dmsc1.source, n_docs, nb, ss
+         |           FROM dmsc1 JOIN dmnd ON dmsc1.source IS NOT DISTINCT FROM dmnd.source),
+         |dmm1 AS (SELECT source, n_docs,
+         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |         FROM dmsrc1),
+         |dmg1 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |         FROM dmsrc1),
+         |dmex1 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |          FROM dmm1 CROSS JOIN dmg1),
+         |dmmx1 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex1),
+         |dmfac1 AS (SELECT source,
+         |             CAST(CASE WHEN ma = 0 THEN 1000000
+         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
+         |           FROM dmex1 CROSS JOIN dmmx1),
+         |dmbf2 AS (SELECT prev, cur,
+         |            CAST(SUM(tf * CASE WHEN cum IS NULL THEN 1000
+         |                         ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS bfreq
+         |          FROM dmsg LEFT JOIN dmfac1
+         |            ON dmsg.source IS NOT DISTINCT FROM dmfac1.source
+         |          GROUP BY 1, 2),
+         |dmcf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf2 GROUP BY 1),
+         |dmu2 AS (SELECT token,
+         |           CAST(SUM(uf * CASE WHEN cum IS NULL THEN 1000
+         |                        ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS ufreq
+         |         FROM dmsu LEFT JOIN dmfac1
+         |           ON dmsu.source IS NOT DISTINCT FROM dmfac1.source
+         |         GROUP BY 1),
+         |dmt2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu2),
+         |dmlp2 AS (SELECT prev, cur,
+         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
+         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
+         |          FROM dmbf2 JOIN dmcf2 USING (prev) JOIN dmu2 ON dmu2.token = dmbf2.cur CROSS JOIN dmt2),
+         |dmsc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
+         |          FROM dmsg JOIN dmlp2 USING (prev, cur) GROUP BY 1),
+         |dmsrc2 AS (SELECT dmsc2.source, n_docs, nb, ss
+         |           FROM dmsc2 JOIN dmnd ON dmsc2.source IS NOT DISTINCT FROM dmnd.source),
+         |dmm2 AS (SELECT source, n_docs,
+         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
+         |         FROM dmsrc2),
+         |dmg2 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
+         |         FROM dmsrc2),
+         |dmex2 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
+         |          FROM dmm2 CROSS JOIN dmg2),
+         |dmmx2 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex2),
+         |dmfac2 AS (SELECT source, n_docs, excess_e4,
+         |             CAST(CASE WHEN ma = 0 THEN 1000000
+         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
+         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS factor_e6
+         |           FROM dmex2 CROSS JOIN dmmx2),
+         |dmcum AS (SELECT dmfac2.source, n_docs,
+         |            CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
+         |          FROM dmfac2 JOIN dmfac1
+         |            ON dmfac1.source IS NOT DISTINCT FROM dmfac2.source),
+         |dmden AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM dmcum),
+         |dmw AS (SELECT source, n_docs,
+         |          CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
+         |            / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
+         |        FROM dmcum CROSS JOIN dmden),
+         |dmnn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM dmw),
+         |dmep AS (SELECT source,
+         |           LEAST(CAST(8000000 AS BIGINT), (weight_e6 * nn) // n_docs) AS rate
+         |         FROM dmw CROSS JOIN dmnn),
+         |dupr AS (SELECT dmcd.doc_id, COALESCE(dmep.rate, 1000000) AS rate
+         |         FROM dmcd LEFT JOIN dmep
+         |           ON dmcd.source IS NOT DISTINCT FROM dmep.source),
+         |dupn AS (SELECT doc_id, rate // 1000000 +
+         |           CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
+         |                  < rate % 1000000 THEN 1 ELSE 0 END AS n FROM dupr),
+         |dupc AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS copy
+         |         FROM dupn WHERE n > 0),
+         |drep AS (SELECT doc_id, copy, doc_id * 1024 + copy AS rep_id FROM dupc)""".stripMargin
+
   private def mmrOracle(k: Int, depth: Int, lambdaE6: Long): String = {
     def cos(a: String, b: String) =
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
@@ -4023,108 +4141,38 @@ object PipelineQueries {
     // d_training_upsample. dmcd/dmsg/dmsu are MATERIALIZED: DuckDB
     // inlines CTEs per reference, and four inlined copies of the
     // recursive funnel exhaust the fd limit.
-    "d_training_doremi" -> (CurationFunnelPrefix +
-      s""",
-         |dmcd AS MATERIALIZED (SELECT c.doc_id, d.source, c.w FROM clean c
-         |         JOIN documents d USING (doc_id)),
-         |dmix AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM dmcd WHERE len(w) >= 2),
-         |dmsg AS MATERIALIZED (SELECT source, w[i] AS prev, w[i+1] AS cur, CAST(COUNT(*) AS BIGINT) AS tf
-         |         FROM dmix GROUP BY 1, 2, 3),
-         |dmsu AS MATERIALIZED (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS uf
-         |         FROM (SELECT source, unnest(w) AS token FROM dmcd) GROUP BY 1, 2),
-         |dmnd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-         |         FROM dmcd WHERE len(w) >= 2 GROUP BY 1),
-         |dmbf1 AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bfreq FROM dmsg GROUP BY 1, 2),
-         |dmcf1 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf1 GROUP BY 1),
-         |dmu1 AS (SELECT token, CAST(SUM(uf) AS BIGINT) AS ufreq FROM dmsu GROUP BY 1),
-         |dmt1 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu1),
-         |dmlp1 AS (SELECT prev, cur,
-         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
-         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
-         |          FROM dmbf1 JOIN dmcf1 USING (prev) JOIN dmu1 ON dmu1.token = dmbf1.cur CROSS JOIN dmt1),
-         |dmsc1 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
-         |          FROM dmsg JOIN dmlp1 USING (prev, cur) GROUP BY 1),
-         |dmsrc1 AS (SELECT dmsc1.source, n_docs, nb, ss
-         |           FROM dmsc1 JOIN dmnd ON dmsc1.source IS NOT DISTINCT FROM dmnd.source),
-         |dmm1 AS (SELECT source, n_docs,
-         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
-         |         FROM dmsrc1),
-         |dmg1 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
-         |         FROM dmsrc1),
-         |dmex1 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
-         |          FROM dmm1 CROSS JOIN dmg1),
-         |dmmx1 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex1),
-         |dmfac1 AS (SELECT source,
-         |             CAST(CASE WHEN ma = 0 THEN 1000000
-         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
-         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS cum
-         |           FROM dmex1 CROSS JOIN dmmx1),
-         |dmbf2 AS (SELECT prev, cur,
-         |            CAST(SUM(tf * CASE WHEN cum IS NULL THEN 1000
-         |                         ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS bfreq
-         |          FROM dmsg LEFT JOIN dmfac1
-         |            ON dmsg.source IS NOT DISTINCT FROM dmfac1.source
-         |          GROUP BY 1, 2),
-         |dmcf2 AS (SELECT prev, CAST(SUM(bfreq) AS BIGINT) AS cfreq FROM dmbf2 GROUP BY 1),
-         |dmu2 AS (SELECT token,
-         |           CAST(SUM(uf * CASE WHEN cum IS NULL THEN 1000
-         |                        ELSE GREATEST(cum // 1000, 1) END) AS BIGINT) AS ufreq
-         |         FROM dmsu LEFT JOIN dmfac1
-         |           ON dmsu.source IS NOT DISTINCT FROM dmfac1.source
-         |         GROUP BY 1),
-         |dmt2 AS (SELECT CAST(SUM(ufreq) AS DOUBLE) AS total FROM dmu2),
-         |dmlp2 AS (SELECT prev, cur,
-         |            CAST(round(ln((0.7 * CAST(bfreq AS DOUBLE)) / CAST(cfreq AS DOUBLE)
-         |              + (${1.0 - 0.7} * CAST(ufreq AS DOUBLE)) / total) * 1000000.0) AS BIGINT) AS lp_e6
-         |          FROM dmbf2 JOIN dmcf2 USING (prev) JOIN dmu2 ON dmu2.token = dmbf2.cur CROSS JOIN dmt2),
-         |dmsc2 AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nb, CAST(SUM(tf * lp_e6) AS BIGINT) AS ss
-         |          FROM dmsg JOIN dmlp2 USING (prev, cur) GROUP BY 1),
-         |dmsrc2 AS (SELECT dmsc2.source, n_docs, nb, ss
-         |           FROM dmsc2 JOIN dmnd ON dmsc2.source IS NOT DISTINCT FROM dmnd.source),
-         |dmm2 AS (SELECT source, n_docs,
-         |           CAST(round(CAST(ss AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)) AS BIGINT) AS mean_lp_e4
-         |         FROM dmsrc2),
-         |dmg2 AS (SELECT CAST(round(CAST(SUM(ss) AS DOUBLE) / 100.0 / CAST(SUM(nb) AS DOUBLE)) AS BIGINT) AS o_e4
-         |         FROM dmsrc2),
-         |dmex2 AS (SELECT source, n_docs, mean_lp_e4, o_e4 - mean_lp_e4 AS excess_e4
-         |          FROM dmm2 CROSS JOIN dmg2),
-         |dmmx2 AS (SELECT CAST(MAX(ABS(excess_e4)) AS BIGINT) AS ma FROM dmex2),
-         |dmfac2 AS (SELECT source, n_docs, excess_e4,
-         |             CAST(CASE WHEN ma = 0 THEN 1000000
-         |                  WHEN excess_e4 >= 0 THEN 1000000 + (500000 * excess_e4) // ma
-         |                  ELSE 1000000 - (500000 * (-excess_e4)) // ma END AS BIGINT) AS factor_e6
-         |           FROM dmex2 CROSS JOIN dmmx2),
-         |dmcum AS (SELECT dmfac2.source, n_docs,
-         |            CAST((cum * factor_e6) // 1000000 AS BIGINT) AS cum_factor_e6
-         |          FROM dmfac2 JOIN dmfac1
-         |            ON dmfac1.source IS NOT DISTINCT FROM dmfac2.source),
-         |dmden AS (SELECT CAST(SUM(n_docs * cum_factor_e6) AS BIGINT) AS dsum FROM dmcum),
-         |dmw AS (SELECT source, n_docs,
-         |          CAST(round(CAST(n_docs AS DOUBLE) * CAST(cum_factor_e6 AS DOUBLE) * 1000000.0
-         |            / CAST(dsum AS DOUBLE)) AS BIGINT) AS weight_e6
-         |        FROM dmcum CROSS JOIN dmden),
-         |dmnn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM dmw),
-         |dmep AS (SELECT source,
-         |           LEAST(CAST(8000000 AS BIGINT), (weight_e6 * nn) // n_docs) AS rate
-         |         FROM dmw CROSS JOIN dmnn),
-         |dupr AS (SELECT dmcd.doc_id, COALESCE(dmep.rate, 1000000) AS rate
-         |         FROM dmcd LEFT JOIN dmep
-         |           ON dmcd.source IS NOT DISTINCT FROM dmep.source),
-         |dupn AS (SELECT doc_id, rate // 1000000 +
-         |           CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000
-         |                  < rate % 1000000 THEN 1 ELSE 0 END AS n FROM dupr),
-         |dupc AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS copy
-         |         FROM dupn WHERE n > 0),
-         |drep AS (SELECT doc_id, copy, doc_id * 1024 + copy AS rep_id FROM dupc),
-         |dshx AS (SELECT rep_id, doc_id, copy,
-         |  (rep_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
-         |  (rep_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
-         |FROM drep),
-         |dord AS (SELECT doc_id, copy,
-         |           ROW_NUMBER() OVER (ORDER BY b, k, rep_id) - 1 AS pos FROM dshx)
-         |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
-         |       CAST(pos % 4 AS BIGINT) AS shard
-         |FROM dord ORDER BY doc_id, copy""".stripMargin),
+    "d_training_doremi" -> (CurationFunnelPrefix + DoremiReplicaCtes +
+      """,
+        |dshx AS (SELECT rep_id, doc_id, copy,
+        |  (rep_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 8192 AS b,
+        |  (rep_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM drep),
+        |dord AS (SELECT doc_id, copy,
+        |           ROW_NUMBER() OVER (ORDER BY b, k, rep_id) - 1 AS pos FROM dshx)
+        |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
+        |       CAST(pos % 4 AS BIGINT) AS shard
+        |FROM dord ORDER BY doc_id, copy""".stripMargin),
+    // the DoReMi x curriculum composition: the SAME funnel + fit +
+    // upsample replay, then the EPOCH-MAJOR curriculum rank -- copy
+    // majors via the 2^32 shift, the curation token count orders
+    // within the epoch, and the seed-1 bucket/key hash on the replica
+    // key breaks within-length ties. curriculumOrder's three-level
+    // prefix sum collapses to ONE dense rank over (d, b, k, rep_id),
+    // the d_training_curriculum convention.
+    "d_training_doremi_curr" -> (CurationFunnelPrefix + DoremiReplicaCtes +
+      """,
+        |dnt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM clean),
+        |dcd AS (SELECT drep.doc_id, copy, rep_id, copy * 4294967296 + nt AS d
+        |        FROM drep JOIN dnt USING (doc_id)),
+        |dshc AS (SELECT rep_id, doc_id, copy, d,
+        |  (rep_id % 1000000007 + 1) % 1000000007 * 2654435761 % 1000000007 % 1024 AS b,
+        |  (rep_id % 1000000007 + 2) % 1000000007 * 2654435761 % 1000000007 AS k
+        |FROM dcd),
+        |dordc AS (SELECT doc_id, copy,
+        |            ROW_NUMBER() OVER (ORDER BY d, b, k, rep_id) - 1 AS pos FROM dshc)
+        |SELECT doc_id, copy, CAST(pos AS BIGINT) AS pos,
+        |       CAST(pos % 4 AS BIGINT) AS shard
+        |FROM dordc ORDER BY doc_id, copy""".stripMargin),
     // the seven-operator composition: funnel prefix (→ clean) +
     // temperature gate over the survivors + the seed-1 permutation +
     // striping, all in one replay

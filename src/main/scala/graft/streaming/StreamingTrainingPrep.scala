@@ -57,8 +57,17 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
                             seed: Long = 0L, maxEpochsE6: Long = 8000000L,
                             etaE6: Long = 500000L, lam: Double = 0.7,
                             srcCol: String = "source",
-                            idCol: String = "doc_id", textCol: String = "text") {
+                            idCol: String = "doc_id", textCol: String = "text",
+                            curriculum: Boolean = false) {
   require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+
+  // curriculum mode = the [[TrainingRun.prepareDoremiCurriculum]] twin:
+  // the doc store carries the curation-tokenizer count beside the
+  // source (24 B/doc instead of 16), and the manifest republishes
+  // through doremiCurriculumTail (epoch-major easy→hard) instead of
+  // the hash permutation. Everything else — controller, store
+  // protocol, commit — is shared.
+  private val tokCol = "n_tokens"
 
   private val reweight = new StreamingDomainReweight(spark,
     s"$baseDir/reweight", etaE6, lam, srcCol, idCol, textCol, rounds)
@@ -83,7 +92,8 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
 
   private def emptyDocs(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq.empty[(Long, String)].toDF(idCol, srcCol)
+    if (curriculum) Seq.empty[(Long, String, Long)].toDF(idCol, srcCol, tokCol)
+    else Seq.empty[(Long, String)].toDF(idCol, srcCol)
   }
 
   private def readDocs(s: SparkSession): DataFrame = storeLock.synchronized {
@@ -135,12 +145,24 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
           // materialized above, so the controller folds it directly
           reweight.processGuardedBatch(b)
           storeLock.synchronized {
-            // 2. fold (id, source): one row per id across ALL batches —
-            // a replayed or re-crawled id must not gain manifest copies
+            // 2. fold (id, source[, n_tokens]): one row per id across
+            // ALL batches — a replayed or re-crawled id must not gain
+            // manifest copies. The reduce is a row-LEXICOGRAPHIC min
+            // (source, then count), associative across any batching, so
+            // a re-crawled id commits the same row whether its copies
+            // share a batch or not.
+            val batchDocs =
+              if (curriculum)
+                b.select(col(idCol), col(srcCol),
+                  size(graft.ops.Dedup.tokens(col(textCol))).cast("long").as(tokCol))
+              else b.select(col(idCol), col(srcCol))
+            val foldOrder =
+              if (curriculum) Seq(col(srcCol).asc_nulls_first, col(tokCol).asc)
+              else Seq(col(srcCol).asc_nulls_first)
             val docsAll = readDocs(s)
-              .unionByName(b.select(col(idCol), col(srcCol)))
+              .unionByName(batchDocs)
               .withColumn("__rn", row_number().over(
-                Window.partitionBy(idCol).orderBy(col(srcCol).asc_nulls_first)))
+                Window.partitionBy(idCol).orderBy(foldOrder: _*)))
               .where(col("__rn") === 1).drop("__rn")
               .localCheckpoint() // manifest + commit share one evaluation
             // 3. learned weights → epochs → the batch operator's tail
@@ -149,8 +171,11 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
             val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, srcCol)
               .select(col(srcCol), col("epochs_e6")).collect()
               .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
-            val manifest = TrainingRun
-              .upsampledTail(docsAll, epochs, nShards, seed, srcCol, idCol)
+            val manifest = (
+              if (curriculum) TrainingRun.doremiCurriculumTail(
+                docsAll, epochs, nShards, seed, srcCol, idCol, tokCol)
+              else TrainingRun
+                .upsampledTail(docsAll, epochs, nShards, seed, srcCol, idCol))
               .localCheckpoint() // evaluate before the store swaps under it
             publishAll(Seq("docs" -> docsAll, "manifest" -> manifest))
           }

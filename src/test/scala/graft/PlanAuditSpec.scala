@@ -85,10 +85,14 @@ class PlanAuditSpec extends SparkSpec {
                        // explicit opt-out (scoreQuantumE = None)
     "d_quality_pr",    // the same op-enforced bounded key frame,
                        // descending sweep
-    "d_training_curriculum" // curriculumOrder's per-difficulty prefix
+    "d_training_curriculum", // curriculumOrder's per-difficulty prefix
                             // sum: |distinct token count| rows; the
                             // corpus-sized rank is partitioned by
                             // (difficulty, bucket)
+    "d_training_doremi_curr" // the same per-difficulty prefix sum over
+                             // the composed epoch-major key:
+                             // |copies|*|distinct token count| rows
+                             // (copies single-digit by the epoch cap)
   )
 
   test("unpartitioned windows appear only on bounded frames") {

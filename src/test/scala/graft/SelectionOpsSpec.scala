@@ -559,6 +559,66 @@ class SelectionOpsSpec extends SparkSpec {
       <= ordered.takeRight(q).sum.toDouble / q)
   }
 
+  test("prepareDoremiCurriculum: epoch-major, easy-to-hard within epoch, " +
+    "mixture-driven copies") {
+    import spark.implicits._
+    // the prepareDoremi fixture: a hard (garbled) domain that earns
+    // > 1 epoch from the fit, with VARIED lengths inside each domain
+    // so the within-epoch curriculum has real work to do
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluent = (0 until 20).map { i =>
+      val reps = 1 + (i % 3)
+      (i.toLong * 10 + 1, "fluent",
+        (("the cat sat on the mat and the dog ran " * reps).trim + s" tail$i"))
+    }
+    val hard = (0 until 20).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong * 10 + 2, "garbled",
+        r.shuffle(vocab ++ vocab ++ vocab.take(i % 8)).mkString(" "))
+    }
+    val corpus = (fluent ++ hard).toDF("doc_id", "source", "text")
+    val bench = (0 until 4).map(i => (i.toLong * 10, "fluent", "held out eval text"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.TrainingRun.prepareDoremiCurriculum(
+        corpus, bench, nShards = 4, rounds = 2, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // pos is a dense permutation of the replica stream; stripes hold
+    val n = got.size
+    assert(got.map(_._3).sorted == (0L until n.toLong), "pos not a dense permutation")
+    assert(got.forall { case (_, _, pos, shard) => shard == pos % 4 })
+    // EPOCH-MAJOR: every copy-c position precedes every copy-(c+1) one
+    val byCopy = got.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    val copies = byCopy.keys.toSeq.sorted
+    copies.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byCopy(a).max < byCopy(b).min,
+          s"epoch $a positions overlap epoch $b — not epoch-major")
+      case _ => ()
+    }
+    // within each epoch, token counts are non-decreasing along pos
+    val nt = graft.ops.Curation.curate(corpus, bench)
+      .withColumn("__nt", size(Dedup.tokens(col("text"))).cast("long"))
+      .select("doc_id", "__nt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    copies.foreach { c =>
+      val inEpoch = got.filter(_._2 == c).sortBy(_._3).map(t => nt(t._1))
+      assert(inEpoch == inEpoch.sorted,
+        s"epoch $c is not in curriculum (easy-to-hard) order")
+    }
+    // the mixture is engaged: copies exist beyond epoch 0 OR every rate
+    // collapsed to 1.0 — on this corpus the doremi fit upsamples at
+    // least one source past one epoch (the prepareDoremi spec pins the
+    // fit itself; here we pin that its copies reach the composition)
+    assert(copies.size > 1, s"no source upsampled past one epoch: $copies")
+    // determinism: an identical call replays bit-for-bit
+    val again = graft.ops.TrainingRun.prepareDoremiCurriculum(
+        corpus, bench, nShards = 4, rounds = 2, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.toSet == again.toSet)
+  }
+
   test("rocAuc: exact tie-averaged ranks; separation, reversal, ties, empty class") {
     import spark.implicits._
     def auc(rows: Seq[(Double, Long)]): Option[Long] = {

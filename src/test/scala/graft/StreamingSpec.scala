@@ -576,6 +576,74 @@ class StreamingSpec extends SparkSpec {
       s"batch boundaries moved the curriculum: $together vs $apart")
   }
 
+  test("streaming doremi-curriculum prep: N-batch manifest equals the composed batch tail") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stdcprep").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"$src"}"""
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "and", "dog", "ran")
+    val fluentTxt = "the cat sat on the mat and the dog ran"
+    def garbledTxt(i: Int) = new scala.util.Random(i).shuffle(vocab ++ vocab).mkString(" ")
+    // sources differ in difficulty AND lengths interleave across
+    // batches, so the republished epoch-major rank must move batch-1
+    // docs within their epochs
+    val b1 = (0 until 6).map(i => (i.toLong, "fluent", fluentTxt)) ++
+      (6 until 12).map(i => (i.toLong, "garbled", garbledTxt(i)))
+    val b2 = (12 until 24).map(i => (i.toLong, "fluent", fluentTxt + " again"))
+    val st = new graft.streaming.StreamingTrainingPrep(spark, base,
+      nShards = 4, rounds = 2, seed = 1L, curriculum = true)
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
+    def manRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "copy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the composed batch chain: fit on the union, bridge to epochs,
+    // then THE SAME epoch-major curriculum tail the batch op runs
+    def wantFor(docs: Seq[(Long, String, String)]) = {
+      val d = docs.toDF("doc_id", "source", "text")
+      val w = graft.ops.Sampling.doremiWeights(d, rounds = 2)
+      val epochs = graft.ops.Sampling.epochsFromWeights(w)
+        .select("source", "epochs_e6").collect()
+        .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      manRows(graft.ops.TrainingRun.doremiCurriculumTail(
+        d.select(col("doc_id"), col("source"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+        epochs, nShards = 4, seed = 1L, groupCol = "source",
+        idCol = "doc_id", tokCol = "n_tokens"))
+    }
+    val q = st.start(st.readJsonDocs(in), trig)
+    try {
+      dropFile(in, "b1.json", b1.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      assert(manRows(st.currentManifest().get) == wantFor(b1),
+        "one-batch manifest diverged from the composed batch chain")
+      dropFile(in, "b2.json", b2.map { case (i, s, t) => doc(i, s, t) })
+      q.processAllAvailable()
+      val got2 = manRows(st.currentManifest().get)
+      assert(got2 == wantFor(b1 ++ b2),
+        "two-batch manifest diverged from the composed chain over the union")
+      // structure over the union: epoch-major, easy-to-hard inside each
+      val lenOf = (b1 ++ b2).map { case (i, _, t) =>
+        i -> t.split(" ").length.toLong }.toMap
+      val byCopy = got2.groupBy(_._2)
+      byCopy.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byCopy(a).map(_._3).max < byCopy(b).map(_._3).min,
+            s"epoch $a overlaps epoch $b")
+        case _ => ()
+      }
+      byCopy.foreach { case (c, rows) =>
+        val inEpoch = rows.sortBy(_._3).map(t => lenOf(t._1))
+        assert(inEpoch == inEpoch.sorted, s"epoch $c not easy-to-hard")
+      }
+    } finally q.stop()
+    // a restarted handle serves the committed composed manifest
+    val st2 = new graft.streaming.StreamingTrainingPrep(spark, base,
+      nShards = 4, rounds = 2, seed = 1L, curriculum = true)
+    assert(manRows(st2.currentManifest().get) == wantFor(b1 ++ b2))
+  }
+
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sbm25").toString
