@@ -41,7 +41,12 @@ object ScaleBench {
     // round-11 session 2 (§G17b): the entropy-gated funnel — the row
     // that caught the filter-inlining quadratic (842 s at sf0.1 before
     // the args-only-lambda rewrite + gate-side materialization)
-    "d_curation_entropy")
+    "d_curation_entropy",
+    // round-12 (§G17 addendum): the DoReMi × curriculum composition —
+    // prepareDoremi's fit plus the epoch-major curriculum rank; the
+    // decade exponent should track d_training_doremi's (the rank adds
+    // a |copies|·|lengths|-bounded serial frame only)
+    "d_training_doremi_curr")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
