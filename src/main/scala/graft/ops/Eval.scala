@@ -147,13 +147,17 @@ object Eval {
   /** Score validated at the row, same convention as [[binaryLabel]]:
     * a NULL score would silently sort NULLS-FIRST in the rank evals
     * (counting as the LOWEST score) and emit a phantom NULL bin in
-    * [[calibrationBins]] — refuse loudly instead. NULL scores are
-    * reachable in practice (a quality scorer over NULL text), so the
-    * poisonous-NULL check belongs here, not on the caller. */
+    * [[calibrationBins]]; a NaN score sorts ABOVE every real double in
+    * Spark's ordering (silently becoming the top operating point) and
+    * floor-casts to key 0 under quantization — refuse both loudly.
+    * Both are reachable in practice (a quality scorer over NULL text,
+    * a 0/0 ratio feature), so the poisonous-value check belongs here,
+    * not on the caller. */
   private def validScore(scoreCol: String) =
-    when(col(scoreCol).isNotNull, col(scoreCol)).otherwise(raise_error(
-      lit(s"eval needs a non-NULL $scoreCol (a NULL score would " +
-        "silently rank lowest / bin apart)")))
+    when(col(scoreCol).isNotNull && !isnan(col(scoreCol)), col(scoreCol))
+      .otherwise(raise_error(
+        lit(s"eval needs a non-NULL, non-NaN $scoreCol (NULL would " +
+          "silently rank lowest, NaN highest)")))
 
   /** The threshold-eval group key: floor(score · 10^e) when quantized
     * (the default), the raw score in exact mode. Quantization is what

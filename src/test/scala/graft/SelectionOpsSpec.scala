@@ -656,15 +656,19 @@ class SelectionOpsSpec extends SparkSpec {
       val e2 = intercept[Exception](ev(badLab).collect())
       assert(e2.getMessage.contains("in {0, 1}"), s"bad label: $e2")
     }
-    // NULL scores are poisonous too: they would silently rank lowest
-    // (NULLS FIRST) in the rank evals and bin apart in calibration
+    // NULL and NaN scores are poisonous too: NULL would silently rank
+    // lowest (NULLS FIRST), NaN highest (Spark orders NaN above every
+    // real double), and calibration would bin them apart
     val nullScore = Seq((Some(0.5), 1L), (None, 0L)).toDF("score", "y")
+    val nanScore = Seq((0.5, 1L), (Double.NaN, 0L)).toDF("score", "y")
     Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       graft.ops.Eval.rocAuc(_, "score", "y"),
       graft.ops.Eval.prCurve(_, "score", "y"),
       graft.ops.Eval.calibrationBins(_, 10, "score", "y")).foreach { ev =>
       val e = intercept[Exception](ev(nullScore).collect())
-      assert(e.getMessage.contains("non-NULL score"), s"null score: $e")
+      assert(e.getMessage.contains("non-NULL"), s"null score: $e")
+      val e2 = intercept[Exception](ev(nanScore).collect())
+      assert(e2.getMessage.contains("non-NaN"), s"NaN score: $e2")
     }
   }
 
