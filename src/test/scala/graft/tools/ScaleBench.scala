@@ -250,6 +250,15 @@ object ScaleBench {
         docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
         nShards = 4, rounds = 2, seed = 1L))
     }
+    // the DoReMi × curriculum composition, naked defaults (§G17
+    // addendum): same fit + upsample as d_training_doremi_default,
+    // epoch-major curriculum rank instead of the hash permutation —
+    // the delta between the two rows is the composition's whole cost
+    val doremiCurrDefault = warmDocsRow("d_training_doremi_curr_default") { docs =>
+      Bench.force(graft.ops.TrainingRun.prepareDoremiCurriculum(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        nShards = 4, rounds = 2, seed = 1L))
+    }
     // curriculum prep, naked defaults (§G17): curate (Auto pair source)
     // → three-level curriculum rank → stripe. The driver's
     // d_training_curriculum row pins the oracle's Exact pair stage,
@@ -568,7 +577,7 @@ object ScaleBench {
     }
     val all = timed ++ nd ++ ivfNd ++ ivfNdNoGuard ++ ivfNdHier ++ sdcNd ++
       ivfNdPinned ++ sdcNdPinned ++ semE2e ++ semOracle ++ doremiMh ++
-      runDefault ++ semDefault ++ doremiDefault ++
+      runDefault ++ semDefault ++ doremiDefault ++ doremiCurrDefault ++
       curriculumDefault ++ entropyDefault ++ curriculumOrderRow ++ mh ++
       annFlat ++ annPq ++ annPqRes ++ knn ++ spanInc ++ spansFunnel ++
       sh64 ++ dedupEval64 ++ hardNeg ++ hardNegHier ++ hardNegPinned ++
