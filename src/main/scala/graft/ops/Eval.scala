@@ -119,7 +119,7 @@ object Eval {
     * (AUC is undefined, and a silent 0 would read as "worst score").
     *
     * `scored` carries (scoreCol numeric, labelCol ∈ {0,1}); grouping
-    * is by the [[scoreKey]] — floor(score·1e6) by default — so scores
+    * is by the [[scoreKey]] — round(score·1e6) by default — so scores
     * already coarser than 1e-6 (the package's 4-dp / e6 convention)
     * group injectively and the result is bit-identical to exact mode.
     *
@@ -159,25 +159,30 @@ object Eval {
         lit(s"eval needs a non-NULL, non-NaN $scoreCol (NULL would " +
           "silently rank lowest, NaN highest)")))
 
-  /** The threshold-eval group key: floor(score · 10^e) when quantized
+  /** The threshold-eval group key: round(score · 10^e) when quantized
     * (the default), the raw score in exact mode. Quantization is what
     * BOUNDS the serial window in [[rocAuc]]/[[prCurve]]: the distinct-
     * key frame is at most (score range)·10^e + 1 rows regardless of
     * corpus size — ≤ 1e6 + 1 for the package's [0, 1] quality scores
     * at the default e = 6 — where raw continuous doubles would make it
-    * corpus-sized and serialize one task. floor(·10^e) is monotone, so
-    * the threshold sweep order is preserved; scores already coarser
-    * than 10^-e (the package's 4-dp / e6 convention) map injectively,
-    * making quantized mode bit-identical to exact mode on them
-    * (spec-pinned). */
+    * corpus-sized and serialize one task. round(·10^e) is monotone
+    * (non-decreasing), so the threshold sweep order is preserved, and
+    * — unlike floor, whose boundary sits ON the grid — it is EXACT on
+    * scores that are 10^-e-grid multiples stored as doubles (the
+    * nearest double to k·10^-e is within half an ulp, far inside the
+    * half-integer rounding window; floor would collapse ~25% of
+    * adjacent e6-grid pairs whose double representation lands just
+    * below the boundary). So scores on the 10^-e grid or coarser (the
+    * package's 4-dp / e6 convention) map injectively and quantized
+    * mode is bit-identical to exact mode on them (spec-pinned). */
   private def scoreKey(scoreCol: String, quantE: Option[Int]) = quantE match {
     case Some(e) =>
       require(e >= 0 && e <= 15, s"scoreQuantumE must be in [0, 15], got $e")
-      floor(validScore(scoreCol) * lit(math.pow(10, e))).cast("long")
+      round(validScore(scoreCol) * lit(math.pow(10, e))).cast("long")
     case None => validScore(scoreCol)
   }
 
-  /** @param scoreQuantumE scores group by floor(score · 10^e) — the
+  /** @param scoreQuantumE scores group by round(score · 10^e) — the
     *   serial distinct-score window is bounded at (range)·10^e + 1 rows
     *   (see [[scoreKey]]); `None` opts out to exact raw-score grouping
     *   (tie structure exact, frame UNBOUNDED on continuous scores —

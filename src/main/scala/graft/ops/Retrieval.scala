@@ -161,6 +161,20 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaE6 >= 0L && lambdaE6 <= 1000000L,
       s"lambdaE6 must be in [0, 1e6], got $lambdaE6")
+    // the in-task path keys its groupByKey on long ids: a fractional
+    // double id would TRUNCATE (silently merging two queries' short-
+    // lists into one rerank) and a string id would cast to NULL (an
+    // opaque encoder crash later) — refuse non-integral id types up
+    // front; mmrRerank (the global arm) handles exotic id types
+    Seq("q_id", "n_id").foreach { c =>
+      val dt = cands.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"mmrRerankLocal needs an integral $c (got $dt) — " +
+          "re-key, or use mmrRerank for exotic id types")
+    }
     val ss = cands.sparkSession
     import ss.implicits._
     val lam = lambdaE6
@@ -241,10 +255,12 @@ object Retrieval {
   /** Re-attach vectors and 1e6-floored relevance to a ranked shortlist
     * (q_id, rank, n_id) → the (q_id, n_id, rel_e6, n_vec) candidate
     * shape both rerank arms take: one n_id equi-join against the
-    * corpus plus a broadcast of the query vectors. */
-  private def attachCandidates(corpus: DataFrame, queries: DataFrame,
-                               ranking: DataFrame, idCol: String,
-                               vecCol: String): DataFrame = {
+    * corpus plus a broadcast of the query vectors. `private[graft]` so
+    * [[graft.tools]] measurement harnesses exercise THE production
+    * candidate frame rather than a drift-prone copy. */
+  private[graft] def attachCandidates(corpus: DataFrame, queries: DataFrame,
+                                      ranking: DataFrame, idCol: String,
+                                      vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
     ranking
       .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")

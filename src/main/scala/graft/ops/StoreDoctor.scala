@@ -60,7 +60,8 @@ object StoreDoctor {
   // hold the moved-aside previous primary.
   private val TmpSuffixes = Seq("__compact_new", "__migrating",
     ".__retrain", ".__compact", ".__stage", "__tmp", ".tmp")
-  private val OldSuffixes = Seq("__compact_old", ".__oldc", ".__old", "__old")
+  private val OldSuffixes =
+    Seq("__compact_old", ".__oldc", ".__old", "__old", ".old")
 
   /** Sweep `base` recursively; empty result = healthy tree. */
   def diagnose(spark: SparkSession, base: String): Seq[Finding] = {
@@ -211,11 +212,16 @@ object StoreDoctor {
                 "driftTrend refuses this store until the extras are removed"))
           else Nil
         val distinct = seqs.distinct.sorted
+        // arithmetic density check, NOT a materialized range: one
+        // corrupt outlier seq (say 9e18) must yield a finding, not an
+        // Int.MaxValue-range crash of the whole sweep; cap the printed
+        // history too
         val gapFind =
           if (distinct.nonEmpty &&
-              distinct != (distinct.head to distinct.last).toSeq)
+              distinct.size.toLong != distinct.last - distinct.head + 1L)
             Seq(Finding(audits.getPath, "sparse-audit-seq",
-              s"seqs have gaps (${distinct.mkString(", ")}) — history rows " +
+              s"seqs have gaps (${distinct.take(20).mkString(", ")}" +
+                s"${if (distinct.size > 20) ", …" else ""}) — history rows " +
                 "were lost; trend comparisons may span missing generations"))
           else Nil
         dupFind ++ gapFind

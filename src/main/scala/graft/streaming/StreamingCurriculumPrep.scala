@@ -99,7 +99,13 @@ class StreamingCurriculumPrep(spark: SparkSession, baseDir: String,
         // tokenizer semantics — text never enters the store.
         val b = batch
           .select(col(idCol),
-            size(Dedup.tokens(col(textCol))).cast("long").as(TokCol))
+            // NULL text counts as 0 tokens (ranks first), not NULL:
+            // under ANSI size(NULL) is NULL, which would flow into the
+            // min-fold and make curriculumOrder's NULL-difficulty guard
+            // wedge the stream forever on one malformed line
+            when(col(textCol).isNull, lit(0L))
+              .otherwise(size(Dedup.tokens(col(textCol))).cast("long"))
+              .as(TokCol))
           .groupBy(idCol).agg(min(TokCol).as(TokCol))
           .localCheckpoint()
         if (b.isEmpty) ()

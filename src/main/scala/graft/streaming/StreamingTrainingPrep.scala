@@ -153,8 +153,16 @@ class StreamingTrainingPrep(spark: SparkSession, baseDir: String,
             // share a batch or not.
             val batchDocs =
               if (curriculum)
+                // NULL text counts as 0 tokens (ranks first), it does
+                // NOT raise: the input contract is a curated stream,
+                // but a single malformed line must not become a
+                // forever-retrying poison pill inside foreachBatch —
+                // and non-curriculum mode keeps the same doc, so
+                // dropping it here would diverge the two modes
                 b.select(col(idCol), col(srcCol),
-                  size(graft.ops.Dedup.tokens(col(textCol))).cast("long").as(tokCol))
+                  when(col(textCol).isNull, lit(0L))
+                    .otherwise(size(graft.ops.Dedup.tokens(col(textCol)))
+                      .cast("long")).as(tokCol))
               else b.select(col(idCol), col(srcCol))
             val foldOrder =
               if (curriculum) Seq(col(srcCol).asc_nulls_first, col(tokCol).asc)

@@ -708,6 +708,17 @@ class SelectionOpsSpec extends SparkSpec {
     // tied) instead of whatever the 1e-9 jitter implied — documented
     val auc = graft.ops.Eval.rocAuc(cont).collect()(0)
     assert(auc.getLong(2) == 500000L)
+    // e6-GRID scores map injectively: adjacent 1e-6 multiples stored
+    // as doubles must stay distinct keys (floor collapsed ~25% of
+    // adjacent grid pairs — e.g. 1.4e-5 and 1.5e-5 — because the
+    // nearest double can sit just below the boundary; round is exact
+    // there). Quantized default ≡ exact mode on a dense grid slice.
+    val grid = (0 until 2000).map(i => (i * 1e-6, (i % 2).toLong))
+      .toDF("score", "y")
+    assert(graft.ops.Eval.prCurve(grid).count() == 2000L,
+      "adjacent e6-grid scores collapsed under the default key")
+    assert(rows(graft.ops.Eval.rocAuc(grid)) ==
+      rows(graft.ops.Eval.rocAuc(grid, "score", "y", scoreQuantumE = None)))
     // sanity on the knob's range guard
     intercept[IllegalArgumentException](
       graft.ops.Eval.rocAuc(cont, "score", "y", scoreQuantumE = Some(16)))
@@ -808,6 +819,13 @@ class SelectionOpsSpec extends SparkSpec {
     val tiny = cands.where(col("n_id") < 8)
     assert(picks(Retrieval.mmrRerankLocal(tiny, k = 5)) ==
       picks(Retrieval.mmrRerank(tiny, k = 5)))
+    // non-integral ids refuse loudly: the long-keyed in-task path
+    // would silently truncate a double id (merging two queries) or
+    // NULL-cast a string one — both out of contract
+    val badIds = cands.withColumn("q_id", col("q_id").cast("double"))
+    val e = intercept[IllegalArgumentException](
+      Retrieval.mmrRerankLocal(badIds, k = 3))
+    assert(e.getMessage.contains("integral"), s"id-type guard: $e")
     // the IVF composition with an exact shortlist (nprobe = nlist)
     // replays the brute composition pick-for-pick
     assert(picks(Retrieval.mmrTopKIvf(vecs, qs, k = 5, depth = 12,

@@ -66,7 +66,18 @@ class StoreDoctorSpec extends SparkSpec {
     Seq((0L, 1L), (2L, 1L)).toDF("seq", "version")
       .write.parquet(s"$base/audits")
     assert(checksAt(base).contains("sparse-audit-seq"))
+    // a CORRUPT outlier seq must yield the same finding, not crash the
+    // sweep (a materialized head-to-last range would overflow Int)
     graft.sources.TierStore.deleteTree(new java.io.File(s"$base/audits"))
+    Seq((0L, 1L), (9000000000000000000L, 1L)).toDF("seq", "version")
+      .write.parquet(s"$base/audits")
+    assert(checksAt(base).contains("sparse-audit-seq"))
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/audits"))
+    // CurationMetrics' `.old` staging name is covered too (crash
+    // between its publish rename and cleanup, primary present)
+    Files.createDirectories(Paths.get(s"$base/codes.old"))
+    assert(checksAt(base).contains("leftover-old"))
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/codes.old"))
 
     // empty generation: codes exist but none for the committed version
     val codes = spark.read.parquet(s"$base/codes").localCheckpoint()

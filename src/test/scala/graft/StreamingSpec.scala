@@ -637,11 +637,21 @@ class StreamingSpec extends SparkSpec {
         val inEpoch = rows.sortBy(_._3).map(t => lenOf(t._1))
         assert(inEpoch == inEpoch.sorted, s"epoch $c not easy-to-hard")
       }
+      // a malformed line (missing text ⇒ NULL textCol) must NOT wedge
+      // the stream: it counts 0 tokens (ranks first in its epoch),
+      // matching the batch chain over the same doc with empty text
+      dropFile(in, "b3.json", Seq("""{"doc_id":99,"source":"fluent"}"""))
+      q.processAllAvailable()
+      val got3 = manRows(st.currentManifest().get)
+      assert(got3.exists(_._1 == 99L), "NULL-text doc lost from the manifest")
+      assert(got3 == wantFor(b1 ++ b2 :+ ((99L, "fluent", ""))),
+        "NULL-text manifest diverged from the empty-text batch chain")
     } finally q.stop()
     // a restarted handle serves the committed composed manifest
     val st2 = new graft.streaming.StreamingTrainingPrep(spark, base,
       nShards = 4, rounds = 2, seed = 1L, curriculum = true)
-    assert(manRows(st2.currentManifest().get) == wantFor(b1 ++ b2))
+    assert(manRows(st2.currentManifest().get) ==
+      wantFor(b1 ++ b2 :+ ((99L, "fluent", ""))))
   }
 
   test("streaming BM25 index: serve equals the batch operator; re-ingest never double-counts") {

@@ -56,19 +56,10 @@ object MmrStudy {
     def shortlist(): DataFrame =
       Similarity.ivfTopK(emb, qs, depth, nlist, nprobe, iters = 1,
         centroids = Some(cents))
-    def attach(ranking: DataFrame): DataFrame = {
-      val qv = broadcast(qs.select(col("vec_id").as("q_id"),
-        col("embedding").as("__qv")))
-      ranking
-        .join(emb.select(col("vec_id").as("n_id"),
-          col("embedding").as("n_vec")), "n_id")
-        .join(qv, "q_id")
-        .select(col("q_id"), col("n_id"),
-          floor(Similarity.dot(col("__qv"), col("n_vec")) /
-            (Similarity.norm(col("__qv")) * Similarity.norm(col("n_vec")))
-            * 1e6).cast("long").as("rel_e6"),
-          col("n_vec"))
-    }
+    // THE production candidate frame (not a copy — a drifted twin here
+    // would make the study validate a different frame than serving)
+    def attach(ranking: DataFrame): DataFrame =
+      Retrieval.attachCandidates(emb, qs, ranking, "vec_id", "embedding")
 
     // warm codegen/JIT on a 64-query slice so the timed rows measure
     // the plan, not first-run compilation (the Bench convention)
