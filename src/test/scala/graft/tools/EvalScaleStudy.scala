@@ -53,7 +53,7 @@ object EvalScaleStudy {
     Seq(500000L, 5000000L, 50000000L).filter(_ <= maxN).foreach { n =>
       val df = scored(n).localCheckpoint(eager = true)
       val distinctRaw = df.select("score").distinct().count()
-      val frameQuant = df.select(floor(col("score") * 1e6).as("k"))
+      val frameQuant = df.select(round(col("score") * 1e6).as("k"))
         .distinct().count()
       val (aucQ, tAucQ) = timed(Eval.rocAuc(df).collect()(0).getLong(2))
       val (_, tPrQ) = timed(Eval.prCurve(df).count())
