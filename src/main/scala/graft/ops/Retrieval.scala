@@ -293,9 +293,12 @@ object Retrieval {
     * `nprobe = nlist` the shortlist is exact and the picks match
     * [[mmrTopK]] bit-for-bit (spec-pinned). Pass pinned `centroids`
     * (e.g. from a persisted [[PqIndexStore]] index) to serve with zero
-    * training jobs. */
+    * training jobs. `nlist` defaults to 0 = AUTO (the package's
+    * nlist ∝ n rule via [[Similarity.suggestNlist]] inside ivfTopK),
+    * so a naked caller's cells stay bounded as the corpus grows
+    * instead of inheriting a toy-sized fixed 16. */
   def mmrTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int, depth: Int,
-                 lambdaE6: Long = 700000L, nlist: Int = 16, nprobe: Int = 4,
+                 lambdaE6: Long = 700000L, nlist: Int = 0, nprobe: Int = 4,
                  iters: Int = 1, idCol: String = "vec_id",
                  vecCol: String = "embedding",
                  centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
