@@ -1761,6 +1761,55 @@ object Similarity {
       .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[Dedup.contamination]]'s n-gram check: flag every corpus vector
+    * whose cosine to ANY benchmark vector reaches `threshold`.
+    * Paraphrased or lightly-rewritten eval items share no 8-token
+    * shingle with their source, so they sail through lexical
+    * decontamination; in embedding space they sit at cosine ≈ 1 to the
+    * benchmark item — this is the release gate that catches them.
+    * Returns one row per corpus id with a `kept` flag ([[semanticDedup]]'s
+    * contract: filter with `where(kept)` or audit the drop set); ids
+    * equal across the two sets are treated as the same item and never
+    * pair (the shared-id-space convention of the incremental ops).
+    *
+    * Composition, not new machinery: cross (corpus × benchmark) pairs
+    * come from [[ivfNearDupIncremental]] with the BENCHMARK as the
+    * indexed side — eval suites are tiny next to a 100 TB corpus, so
+    * the index trains on the small frame and the corpus streams
+    * through one probe pass (|corpus| × nlist centroid dots + cell-
+    * bounded verifies); only (long, long) id pairs ever shuffle, and
+    * the final flag join touches contaminated ids only (bounded by the
+    * hit count, not the corpus). For attribution — WHICH benchmark
+    * item a doc leaks — call [[ivfNearDupIncremental]] directly: its
+    * (id_a, id_b) pairs are this op's evidence frame. `nlist ≤ 0`
+    * derives from the benchmark count via [[suggestNlist]].
+    *
+    * Exactness envelope (the oracle configuration): at `nprobe` =
+    * nlist every corpus vector probes every cell, so all qualifying
+    * pairs materialize regardless of geometry and the flags equal the
+    * brute-force cross scan bit-for-bit. In pruned configurations
+    * recall follows the IVF boundary-straddle discussion on
+    * [[ivfNearDupIncremental]] (`assignNprobe` is the index-side
+    * recall lever, spec-measured there). */
+  def semanticDecontam(corpusEmb: DataFrame, benchEmb: DataFrame,
+                       threshold: Double,
+                       nlist: Int = 0, nprobe: Int = 2, iters: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       centroids: Option[Seq[Seq[Double]]] = None,
+                       assignNprobe: Int = 1,
+                       superProbe: Option[Int] = None): DataFrame = {
+    val n = if (nlist > 0) nlist
+            else resolveNlist(benchEmb, nlist, "semanticDecontam")
+    val hits = ivfNearDupIncremental(corpusEmb, benchEmb, threshold, n, nprobe,
+        iters, idCol, vecCol, centroids, assignNprobe, superProbe)
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("kept", lit(false))
+    corpusEmb.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
   /** Random-sign (Achlioptas 2001) projection to `outDims` dimensions —
     * the Johnson–Lindenstrauss dimensionality reducer that makes every
     * downstream pair/scan operator cheaper: distances are preserved to
@@ -1833,5 +1882,124 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("grp").as(groupCol), col("rk").cast("long").as("rk"),
         col(idCol), col("dist2"))
+  }
+
+  /** Strategy for [[filteredTopK]] — the classic filtered-vector-search
+    * fork every production ANN stack exposes (pre- vs post-filtering;
+    * see e.g. the public Milvus/Vespa/pgvector design discussions). */
+  sealed trait FilteredMode
+  object FilteredMode {
+    /** Filter the corpus BEFORE indexing: the index is built (or the
+      * pinned centroids re-probed) over survivors only, so ranking
+      * quality is unaffected by selectivity — the win when the
+      * predicate is sharp and the shortlist would otherwise drown in
+      * filtered-out candidates. Prices one per-predicate index pass. */
+    case object Pre extends FilteredMode
+    /** Probe the FULL-corpus index for an `oversample`·k shortlist,
+      * then keep the top-k survivors — the shared-index serve shape
+      * (one index answers every predicate). Wins when the predicate is
+      * mild; starves when it is sharp (expected survivors per query ≈
+      * oversample·k·selectivity). */
+    case object Post extends FilteredMode
+    /** Measure selectivity with one counting scan and route: Post iff
+      * survivors/corpus ≥ 2/oversample (expected shortlist survivors
+      * ≥ 2k — a 2× safety margin on "enough to rank"), else Pre. */
+    case object Auto extends FilteredMode
+  }
+
+  /** [[FilteredMode.Auto]]'s routing rule, exposed for tests and for
+    * callers who already know their counts. */
+  private[graft] def filteredRoute(n: Long, nKeep: Long, oversample: Int): FilteredMode =
+    if (n > 0 && nKeep.toDouble / n.toDouble >= 2.0 / oversample) FilteredMode.Post
+    else FilteredMode.Pre
+
+  /** Metadata-filtered ANN top-k: the k nearest corpus vectors AMONG
+    * THOSE SATISFYING `predicate` — "nearest in-stock products",
+    * "nearest docs with lang = en and quality ≥ cut", the shape almost
+    * every retrieval call at 100 TB actually has. Output contract is
+    * [[ivfTopK]]'s (q_id, rank, n_id); a query whose reachable
+    * survivor set holds fewer than k vectors returns that many rows.
+    *
+    * Two arms (see [[FilteredMode]]): Pre filters then indexes —
+    * exact-over-survivors at `nprobe` = nlist; Post probes the full
+    * index for an `oversample`·k shortlist, semi-joins the survivor id
+    * set (ids only — vectors never reshuffle), and re-ranks by the
+    * shortlist's own sim order (rank order is preserved under
+    * filtering, so no dot product recomputes). Auto routes on one
+    * counting scan of the predicate columns; callers who know their
+    * selectivity pass the mode explicitly and skip it.
+    *
+    * Post-arm starvation guard (`topUp`, on by default): queries whose
+    * shortlist yields fewer than k survivors are detected with one
+    * |queries|-sized count and re-answered by the Pre arm — their Post
+    * rows are discarded wholesale, never mixed. The escalation prices
+    * one filtered index pass over ONLY the starved queries, and the
+    * detection count is free relative to the probe it follows. With
+    * `topUp = false` a starved query just returns short (documented,
+    * for latency-bounded serves).
+    *
+    * Exactness envelope (the oracle configuration): at `nprobe` =
+    * nlist and oversample·k ≥ |corpus| the Post shortlist is the full
+    * brute ranking, so top-k-of-survivors equals brute force over the
+    * filtered corpus bit-for-bit; the Pre arm matches at `nprobe` =
+    * nlist by [[ivfTopK]]'s own envelope. In pruned configurations
+    * recall follows the IVF curve, degraded by starvation only below
+    * the routing margin. `nlist ≤ 0` derives via [[suggestNlist]]
+    * (over survivors in the Pre arm, the corpus in Post). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   predicate: Column,
+                   nlist: Int = 0, nprobe: Int = 4, oversample: Int = 8,
+                   mode: FilteredMode = FilteredMode.Auto,
+                   topUp: Boolean = true, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   hotCellFactor: Double = DefaultHotCellFactor,
+                   superProbe: Option[Int] = None,
+                   centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    def preArm(qs: DataFrame): DataFrame =
+      ivfTopK(corpus.where(predicate), qs, k, nlist, nprobe, iters, idCol,
+        vecCol, hotCellFactor, superProbe, centroids)
+    val routed = mode match {
+      case FilteredMode.Auto =>
+        // one scan, pruned to the predicate's columns: two longs out
+        val row = corpus.agg(count(lit(1)).as("n"),
+          sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
+        filteredRoute(row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1), oversample)
+      case m => m
+    }
+    routed match {
+      case FilteredMode.Pre | FilteredMode.Auto => preArm(queries)
+      case FilteredMode.Post =>
+        val shortK = math.multiplyExact(oversample, k)
+        val shortlist = ivfTopKImpl(corpus, queries, shortK, nlist, nprobe,
+          iters, idCol, vecCol, hotCellFactor, excludeLabel = None,
+          superProbe = superProbe, centroids = centroids)
+        val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
+        // survivors keep the shortlist's sim-desc order; renumber only
+        val kept = shortlist.join(keepIds, Seq("n_id"), "left_semi")
+          .sharedCheckpoint()
+        val ranked = kept
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rank").asc)))
+          .where(col("__r") <= k)
+          .select(col("q_id"), col("__r").cast("long").as("rank"), col("n_id"))
+        if (!topUp) ranked
+        else {
+          val perQ = kept.groupBy("q_id").agg(count(lit(1)).as("__nk"))
+          val starved = queries.select(col(idCol).as("q_id"))
+            .join(perQ, Seq("q_id"), "left")
+            .where(coalesce(col("__nk"), lit(0L)) < k)
+            .select("q_id").sharedCheckpoint()
+          if (starved.isEmpty) ranked
+          else {
+            val starvedQs = queries.join(
+              starved.withColumnRenamed("q_id", idCol), Seq(idCol), "left_semi")
+            ranked.join(starved, Seq("q_id"), "left_anti")
+              .unionByName(preArm(starvedQs))
+          }
+        }
+    }
   }
 }

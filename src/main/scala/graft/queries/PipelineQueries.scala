@@ -651,6 +651,37 @@ object PipelineQueries {
     Similarity.semanticDedup(Tables.embeddings(spark, dir), threshold = 0.45)
       .orderBy("vec_id")
 
+  /** Semantic decontamination: vec_id % 5 = 0 plays the benchmark,
+    * the rest the corpus; every corpus id flagged kept unless some
+    * benchmark vector reaches cosine 0.45. Exactness configuration
+    * (nprobe = nlist: every corpus vector probes every cell of the
+    * benchmark index), so the flags equal the brute cross scan the
+    * oracle runs. */
+  def semanticDecontamQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semanticDecontam(
+      emb.where(col("vec_id") % 5 =!= 0), emb.where(col("vec_id") % 5 === 0),
+      threshold = 0.45, nlist = 16, nprobe = 16)
+      .orderBy("vec_id")
+  }
+
+  /** Metadata-filtered ANN: top-5 among label % 3 = 0 vectors (~40% of
+    * the corpus), Post arm pinned at the exactness configuration —
+    * nprobe = nlist AND oversample·k ≥ |sf0.01 corpus| = 500, so the
+    * full-index shortlist is the complete brute ranking and the
+    * survivor re-rank equals brute force over the filtered corpus.
+    * The Pre arm and Auto routing are spec-pinned equal instead (one
+    * oracle row isolates the shared shortlist/semi-join/re-rank
+    * machinery). */
+  def filteredTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.filteredTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      predicate = col("label") % 3 === 0,
+      nlist = 16, nprobe = 16, oversample = 100,
+      mode = Similarity.FilteredMode.Post)
+      .orderBy("q_id", "rank")
+  }
+
   /** Misra–Gries heavy hitters at capacity 64 — emitted in the
     * deterministic, oracle-checkable shape: only tokens whose EXACT
     * frequency clears the guarantee line n/(capacity+1) (all provably
@@ -1810,6 +1841,8 @@ object PipelineQueries {
     "e_pq_near_dup"     -> (embNearDupsPq _),
     "e_ivf_incremental" -> (embNearDupsIncremental _),
     "e_semantic_dedup"  -> (semanticDedupQ _),
+    "e_semantic_decontam" -> (semanticDecontamQ _),
+    "e_filtered_topk"   -> (filteredTopKQ _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
     "d_approx_quantiles" -> (approxQuantilesQ _),
@@ -4524,6 +4557,32 @@ object PipelineQueries {
         |SELECT emb.vec_id, (cl.u IS NULL OR cl.c = emb.vec_id) AS kept
         |FROM emb LEFT JOIN cl ON cl.u = emb.vec_id
         |ORDER BY vec_id""".stripMargin,
+    // brute cross scan: corpus id kept unless ANY benchmark vector
+    // (vec_id % 5 = 0) reaches cosine 0.45
+    "e_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |b AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        |hits AS (SELECT c.vec_id FROM c, b
+        |         WHERE list_cosine_similarity(c.e, b.e) >= 0.45
+        |         GROUP BY c.vec_id)
+        |SELECT c.vec_id, h.vec_id IS NULL AS kept
+        |FROM c LEFT JOIN hits h ON h.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
+    // brute top-5 over the filtered corpus (label % 3 = 0): the Post
+    // arm at the exactness configuration must reproduce it bit-for-bit
+    "e_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE label % 3 = 0),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "d_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,

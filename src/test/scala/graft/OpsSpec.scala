@@ -1162,6 +1162,83 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("filteredTopK: all arms equal brute force over survivors at the exact config") {
+    import Similarity.FilteredMode
+    val pred = col("label") % 3 === 0
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb.where(pred), queries, k = 5))
+    assert(brute.nonEmpty)
+    // exactness envelope: nprobe = nlist, oversample·k ≥ |corpus| = 50
+    def arm(m: Similarity.FilteredMode) = rows(Similarity.filteredTopK(
+      emb, queries, k = 5, predicate = pred,
+      nlist = 16, nprobe = 16, oversample = 20, mode = m))
+    assert(arm(FilteredMode.Pre) == brute, "Pre arm diverged from brute")
+    assert(arm(FilteredMode.Post) == brute, "Post arm diverged from brute")
+    assert(arm(FilteredMode.Auto) == brute, "Auto arm diverged from brute")
+    // the routing rule itself: Post iff selectivity >= 2/oversample
+    assert(Similarity.filteredRoute(100, 50, 8) == FilteredMode.Post)
+    assert(Similarity.filteredRoute(100, 25, 8) == FilteredMode.Post) // boundary
+    assert(Similarity.filteredRoute(100, 10, 8) == FilteredMode.Pre)
+    assert(Similarity.filteredRoute(0, 0, 8) == FilteredMode.Pre)
+  }
+
+  test("filteredTopK: starved queries top-up to the Pre arm; topUp=false returns short") {
+    import Similarity.FilteredMode
+    // two survivors in the whole corpus — every query starves at k = 3
+    val pred = col("vec_id") % 25 === 0
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb.where(pred), queries, k = 3))
+    // oversample = 1: the unfiltered top-3 shortlist cannot hold enough
+    // survivors, so the top-up arm must re-answer every starved query
+    val topped = rows(Similarity.filteredTopK(emb, queries, k = 3,
+      predicate = pred, nlist = 16, nprobe = 16, oversample = 1,
+      mode = FilteredMode.Post))
+    assert(topped == brute, "top-up did not restore the brute result")
+    // documented short-return: survivors that DID make the shortlist
+    // keep their relative ranks; every emitted pair is a true survivor
+    val short = Similarity.filteredTopK(emb, queries, k = 3,
+        predicate = pred, nlist = 16, nprobe = 16, oversample = 1,
+        mode = FilteredMode.Post, topUp = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(short.length <= brute.size)
+    val brutePairs = brute.map(t => (t._1, t._3))
+    assert(short.map(t => (t._1, t._3)).toSet.subsetOf(brutePairs))
+    // ranks are contiguous from 1 within each query
+    short.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"non-contiguous ranks for query $q")
+    }
+  }
+
+  test("semanticDecontam: flags equal the brute cross scan; empty benchmark keeps all") {
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val bench = emb.where(col("vec_id") % 5 === 0)
+    def flags(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val got = flags(Similarity.semanticDecontam(corpus, bench, threshold = 0.45,
+      nlist = 16, nprobe = 16))
+    // brute cross scan (test-side oracle; the op itself never crossJoins)
+    val hit = corpus.select(col("vec_id"), col("embedding").as("ce")).as("c")
+      .crossJoin(bench.select(col("embedding").as("be")).as("b"))
+      .where(Similarity.cosine(col("ce"), col("be")) >= 0.45)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val want = corpus.select("vec_id").collect()
+      .map(r => r.getLong(0) -> !hit(r.getLong(0))).toMap
+    assert(got == want)
+    assert(got.values.exists(!_), "expected at least one contaminated doc at 0.45")
+    // empty benchmark: no index, everything kept, never a crash
+    val none = flags(Similarity.semanticDecontam(corpus, bench.limit(0), 0.45))
+    assert(none.values.forall(identity) && none.size == want.size)
+    // auto-derived nlist (<= 0) trains on the benchmark side
+    val auto = flags(Similarity.semanticDecontam(corpus, bench, threshold = 0.45,
+      nlist = 0, nprobe = Int.MaxValue))
+    assert(auto == want, "auto-nlist exhaustive probe diverged")
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema == Multimodal.mediaSchema ||
