@@ -293,6 +293,103 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       superProbe = persistedProbePin(art), probePrefix = probePrefix)
   }
 
+  /** Metadata-filtered serve from the persisted index: the k nearest
+    * AMONG corpus rows satisfying `predicate` — the Post-filter shape
+    * where a SHARED index genuinely earns its keep. §G20 (BASELINE.md)
+    * measured [[Similarity.filteredTopK]]'s recompute arms and Pre
+    * (filter-then-assign) dominates there at every selectivity, because
+    * Post re-assigns the full corpus per call; HERE the assignments and
+    * codes are already on disk, so Post's serve cost is the probe +
+    * ADC scan + an ids-only semi-join — no per-predicate index pass at
+    * all, one store answering every filter.
+    *
+    * Shape: probe [[topK]] for a selectivity-sized shortlist (exact-
+    * reranked to its full depth, so survivor order is true sim order),
+    * semi-join the survivor id set, renumber. The first shortlist is
+    * sized UP FRONT from measured selectivity s — shortK =
+    * max(oversample·k, ⌈2k/s⌉), i.e. expected survivors ≥ 2k — so a
+    * sharp predicate is answered in ONE round instead of starving and
+    * ladder-climbing (§G20 measured the naive oversample·k start at
+    * 49.7 s for a 2% predicate at 20k vectors — every query starved
+    * through the ladder — vs one right-sized round; this is the same
+    * default-footgun class as the r10 curation Exact default). The
+    * measurement is one counting scan of the predicate columns;
+    * callers at corpus scale pass `selectivityHint` (or `autoSize =
+    * false` for the raw oversample·k start) and skip the scan.
+    *
+    * Residual starvation (cell-probe misses, local survivor deserts)
+    * still ESCALATES: shortK ×4 and nprobe ×2 (capped at nlist) per
+    * round, `escalations` rounds max, starved queries re-answered
+    * wholesale — never mixed with their discarded partial rows. After
+    * the last round, still-starved queries either return short
+    * (default — the latency-bounded contract, rows are true survivors
+    * in true order) or, with `bruteFinal = true`, fall back to exact
+    * brute force over the filtered corpus (opt-IN: at mild selectivity
+    * that is a corpus-sized scan — the caller must choose it knowingly;
+    * at the sharp selectivities that actually starve, survivors are few
+    * and brute is cheap). The starvation detector is one |queries|-row
+    * count per round; escalation rounds touch ONLY the starved queries.
+    *
+    * Exactness envelope: at `nprobe` = nlist, `rerank` ≥ |corpus| and
+    * shortK ≥ |corpus| the shortlist is the full exact ranking —
+    * output ≡ brute force over the filtered corpus bit-for-bit.
+    * `rerank` ≤ 0 (default) auto-sizes to the round's shortK so the
+    * shortlist is always exact-reranked end-to-end. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   predicate: org.apache.spark.sql.Column,
+                   nprobe: Int = 4, oversample: Int = 8, rerank: Int = 0,
+                   escalations: Int = 2, bruteFinal: Boolean = false,
+                   autoSize: Boolean = true,
+                   selectivityHint: Option[Double] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    require(escalations >= 0, s"escalations must be >= 0, got $escalations")
+    require(selectivityHint.forall(s => s > 0.0 && s <= 1.0),
+      s"selectivityHint must be in (0, 1], got $selectivityHint")
+    val nCells = load().getOrElse(
+      throw new IllegalStateException(
+        s"PqIndexStore at $baseDir has no built index"))._2.centroids.length
+    val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
+    // ×4 headroom before Int overflow so the escalation ladder can
+    // always take its next step
+    val ShortKCap = Int.MaxValue / 8
+    val baseShortK = math.multiplyExact(oversample, k)
+    val shortK0 =
+      if (!autoSize) baseShortK
+      else {
+        val s = selectivityHint.getOrElse {
+          val row = corpus.agg(count(lit(1)).as("n"),
+            sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
+          val n = row.getLong(0)
+          val nk = if (row.isNullAt(1)) 0L else row.getLong(1)
+          if (n == 0L || nk == 0L) 1.0 else nk.toDouble / n.toDouble
+        }
+        math.max(baseShortK,
+          math.min(math.ceil(2.0 * k / s), ShortKCap.toDouble).toInt)
+      }
+    def round(qs: DataFrame, shortK: Int, np: Int, left: Int): DataFrame = {
+      val shortlist = topK(corpus, qs, shortK,
+        nprobe = math.min(np, nCells),
+        rerank = if (rerank > 0) math.max(rerank, shortK) else shortK)
+      if (left > 0)
+        Similarity.postFilterTopK(shortlist, keepIds, qs, k, topUp = true,
+          idCol) { starved =>
+          round(starved, math.min(shortK.toLong * 4, ShortKCap.toLong).toInt,
+            math.min(math.multiplyExact(np, 2), nCells), left - 1)
+        }
+      else if (bruteFinal)
+        Similarity.postFilterTopK(shortlist, keepIds, qs, k, topUp = true,
+          idCol) { starved =>
+          Similarity.bruteForceTopK(corpus.where(predicate), starved, k,
+            idCol, vecCol)
+        }
+      else
+        Similarity.postFilterTopK(shortlist, keepIds, qs, k, topUp = false,
+          idCol)(identity)
+    }
+    round(queries, shortK0, nprobe, escalations)
+  }
+
   /** The probe/assignment pin for a LOADED generation: the geometry
     * persisted at build time, never the handle's (possibly newer)
     * default resolution — stored cell assignments are only meaningful

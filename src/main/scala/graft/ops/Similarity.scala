@@ -1926,8 +1926,18 @@ object Similarity {
     * set (ids only — vectors never reshuffle), and re-ranks by the
     * shortlist's own sim order (rank order is preserved under
     * filtering, so no dot product recomputes). Auto routes on one
-    * counting scan of the predicate columns; callers who know their
-    * selectivity pass the mode explicitly and skip it.
+    * counting scan of the predicate columns (Post iff selectivity ≥
+    * 2/oversample — the starvation-safety rule).
+    *
+    * DEFAULT = Pre, by measurement, not taste: this API recomputes
+    * cell assignments per call, so Post's probe pass covers the FULL
+    * corpus while Pre's covers only the survivors — Pre's cost is
+    * ~selectivity × Post's, with equal recall (§G20: 2.6 vs 11.4 s at
+    * 200k vectors / 50% selectivity; 1.7 vs 6.6 s at 2%, where Post
+    * also starves and pays the top-up). Post/Auto stay for the
+    * shared-shortlist semantics; the shape where Post genuinely wins —
+    * assignments and codes already on disk, no per-call index pass —
+    * is [[PqIndexStore.filteredTopK]], the persisted-serve twin.
     *
     * Post-arm starvation guard (`topUp`, on by default): queries whose
     * shortlist yields fewer than k survivors are detected with one
@@ -1949,7 +1959,7 @@ object Similarity {
   def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    predicate: Column,
                    nlist: Int = 0, nprobe: Int = 4, oversample: Int = 8,
-                   mode: FilteredMode = FilteredMode.Auto,
+                   mode: FilteredMode = FilteredMode.Pre,
                    topUp: Boolean = true, iters: Int = 1,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    hotCellFactor: Double = DefaultHotCellFactor,
@@ -1977,29 +1987,44 @@ object Similarity {
           iters, idCol, vecCol, hotCellFactor, excludeLabel = None,
           superProbe = superProbe, centroids = centroids)
         val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
-        // survivors keep the shortlist's sim-desc order; renumber only
-        val kept = shortlist.join(keepIds, Seq("n_id"), "left_semi")
-          .sharedCheckpoint()
-        val ranked = kept
-          .withColumn("__r", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("rank").asc)))
-          .where(col("__r") <= k)
-          .select(col("q_id"), col("__r").cast("long").as("rank"), col("n_id"))
-        if (!topUp) ranked
-        else {
-          val perQ = kept.groupBy("q_id").agg(count(lit(1)).as("__nk"))
-          val starved = queries.select(col(idCol).as("q_id"))
-            .join(perQ, Seq("q_id"), "left")
-            .where(coalesce(col("__nk"), lit(0L)) < k)
-            .select("q_id").sharedCheckpoint()
-          if (starved.isEmpty) ranked
-          else {
-            val starvedQs = queries.join(
-              starved.withColumnRenamed("q_id", idCol), Seq(idCol), "left_semi")
-            ranked.join(starved, Seq("q_id"), "left_anti")
-              .unionByName(preArm(starvedQs))
-          }
-        }
+        postFilterTopK(shortlist, keepIds, queries, k, topUp, idCol)(preArm)
+    }
+  }
+
+  /** The shared Post-filter tail — [[filteredTopK]]'s Post arm and
+    * [[PqIndexStore.filteredTopK]]'s persisted-index serve both end
+    * here: semi-join the shortlist against the survivor id set (ids
+    * only — vectors never reshuffle), renumber in the shortlist's own
+    * rank order (order is preserved under filtering, so no sim
+    * recomputes), then detect starved queries with one |queries|-row
+    * count and re-answer them WHOLESALE via `starvedAnswer` (their
+    * partial Post rows are discarded, never mixed). */
+  private[ops] def postFilterTopK(shortlist: DataFrame, keepIds: DataFrame,
+                                  queries: DataFrame, k: Int, topUp: Boolean,
+                                  idCol: String)
+                                 (starvedAnswer: DataFrame => DataFrame): DataFrame = {
+    // survivors keep the shortlist's sim-desc order; renumber only
+    val kept = shortlist.join(keepIds, Seq("n_id"), "left_semi")
+      .sharedCheckpoint()
+    val ranked = kept
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank").asc)))
+      .where(col("__r") <= k)
+      .select(col("q_id"), col("__r").cast("long").as("rank"), col("n_id"))
+    if (!topUp) ranked
+    else {
+      val perQ = kept.groupBy("q_id").agg(count(lit(1)).as("__nk"))
+      val starved = queries.select(col(idCol).as("q_id"))
+        .join(perQ, Seq("q_id"), "left")
+        .where(coalesce(col("__nk"), lit(0L)) < k)
+        .select("q_id").sharedCheckpoint()
+      if (starved.isEmpty) ranked
+      else {
+        val starvedQs = queries.join(
+          starved.withColumnRenamed("q_id", idCol), Seq(idCol), "left_semi")
+        ranked.join(starved, Seq("q_id"), "left_anti")
+          .unionByName(starvedAnswer(starvedQs))
+      }
     }
   }
 }

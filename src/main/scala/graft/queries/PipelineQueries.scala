@@ -682,6 +682,26 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Metadata-filtered serve from the PERSISTED PQ index (the shape
+    * where Post-filtering earns its keep — §G20) at the exactness
+    * configuration: nprobe = nlist = 16, oversample·k = 500 ≥ |sf0.01
+    * corpus| and rerank auto-sized to the shortlist, so the shortlist
+    * is the full exact ranking and top-5-of-survivors equals brute
+    * force over the filtered corpus. Predicate label % 3 = 1 — a
+    * DIFFERENT survivor set than e_filtered_topk, so the two rows
+    * cannot mask each other's filters. Store levers pinned to the
+    * replayable legacy config (the e_pq_index_serve convention). */
+  def pqFilteredServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_fserve").toString
+    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8,
+      ksub = 16, sampleInit = false, trainCap = 0)
+    store.build(emb)
+    store.filteredTopK(emb, emb.where(col("vec_id") < 20), k = 5,
+      predicate = col("label") % 3 === 1, nprobe = 16, oversample = 100)
+      .orderBy("q_id", "rank")
+  }
+
   /** Misra–Gries heavy hitters at capacity 64 — emitted in the
     * deterministic, oracle-checkable shape: only tokens whose EXACT
     * frequency clears the guarantee line n/(capacity+1) (all provably
@@ -1843,6 +1863,7 @@ object PipelineQueries {
     "e_semantic_dedup"  -> (semanticDedupQ _),
     "e_semantic_decontam" -> (semanticDecontamQ _),
     "e_filtered_topk"   -> (filteredTopKQ _),
+    "e_pq_filtered_serve" -> (pqFilteredServe _),
     "d_heavy_hitters"   -> (heavyHittersQ _),
     "d_postings"        -> (postingsQ _),
     "d_approx_quantiles" -> (approxQuantilesQ _),
@@ -4576,6 +4597,20 @@ object PipelineQueries {
         |           FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
         |      FROM embeddings WHERE label % 3 = 0),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // brute top-5 over the label % 3 = 1 survivors: the persisted-index
+    // Post serve at the exactness configuration must reproduce it
+    "e_pq_filtered_serve" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE label % 3 = 1),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim
         |      FROM q, c WHERE q_id <> n_id),
         |r AS (SELECT q_id, n_id,

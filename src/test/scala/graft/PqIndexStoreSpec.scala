@@ -70,6 +70,67 @@ class PqIndexStoreSpec extends SparkSpec {
       s"fresh call ran $freshJobs jobs vs serve $serveJobs — job-count probe is broken")
   }
 
+  test("filtered serve: exact config ≡ brute over survivors; escalation; short-return; no-index refusal") {
+    val dir = tmpDir("fserve")
+    val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)
+    store.build(emb)
+    val queries = emb.where(col("vec_id") < 10)
+    // mild predicate at the exactness envelope: nprobe = nlist,
+    // oversample·k = 400 ≥ |corpus|, rerank auto = shortK
+    val mild = col("vec_id") % 2 === 0
+    val bruteMild = rows(Similarity.bruteForceTopK(emb.where(mild), queries, 5))
+    assert(rows(store.filteredTopK(emb, queries, k = 5, predicate = mild,
+      nprobe = 16, oversample = 80)) == bruteMild)
+    // sharp predicate (4 survivors in 400): the DEFAULT autoSize start
+    // right-sizes the first shortlist from measured selectivity
+    // (shortK = max(3, ⌈2·3/0.01⌉) = 600 ≥ |corpus|) and answers in
+    // one round — the §G20 fix for the starved-ladder regime
+    val sharp = col("vec_id") % 100 === 0
+    val bruteSharp = rows(Similarity.bruteForceTopK(emb.where(sharp), queries, 3))
+    // rerank pinned exhaustive so EVERY round's shortlist is the exact
+    // global ranking prefix (rerank auto = shortK would exact-rerank
+    // only the ADC head — a query that stops starving in an early round
+    // would then return ADC-distorted picks, not the true survivors)
+    assert(rows(store.filteredTopK(emb, queries, k = 3, predicate = sharp,
+      nprobe = 16, oversample = 1, rerank = 1000000))
+      == bruteSharp, "autoSized first round did not recover brute")
+    // selectivityHint replaces the counting scan, same sizing
+    assert(rows(store.filteredTopK(emb, queries, k = 3, predicate = sharp,
+      nprobe = 16, oversample = 1, rerank = 1000000,
+      selectivityHint = Some(0.01))) == bruteSharp,
+      "hinted sizing diverged from the measured one")
+    // the escalation ladder alone (autoSize off): every query starves
+    // at shortK = 3; four escalations reach shortK = 768 ≥ |corpus|
+    // at exhaustive nprobe, so the result must recover brute
+    assert(rows(store.filteredTopK(emb, queries, k = 3, predicate = sharp,
+      nprobe = 16, oversample = 1, rerank = 1000000, escalations = 4,
+      autoSize = false)) == bruteSharp,
+      "escalation ladder did not recover the brute result")
+    // bruteFinal recovers it with NO escalation rounds
+    assert(rows(store.filteredTopK(emb, queries, k = 3, predicate = sharp,
+      nprobe = 16, oversample = 1, rerank = 1000000, escalations = 0,
+      bruteFinal = true, autoSize = false)) == bruteSharp,
+      "bruteFinal arm diverged from brute")
+    // short-return contract: emitted pairs are true survivors in true
+    // order, ranks contiguous from 1 within each query
+    val short = store.filteredTopK(emb, queries, k = 3, predicate = sharp,
+        nprobe = 16, oversample = 1, rerank = 1000000, escalations = 0,
+        autoSize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(short.length < bruteSharp.size, "sharp fixture did not starve")
+    assert(short.map(t => (t._1, t._3)).toSet
+      .subsetOf(bruteSharp.map(t => (t._1, t._3))))
+    short.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"non-contiguous ranks for query $q")
+    }
+    // a store with no built index refuses loudly
+    val empty = new PqIndexStore(spark, tmpDir("fserve_empty"))
+    intercept[IllegalStateException] {
+      empty.filteredTopK(emb, queries, k = 3, predicate = mild)
+    }
+  }
+
   test("append encodes only the batch; restart re-opens the same generation") {
     val dir = tmpDir("append")
     val store = new PqIndexStore(spark, dir, nlist = 16, m = 8, ksub = 16)

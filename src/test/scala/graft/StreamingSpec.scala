@@ -1104,6 +1104,78 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("streaming decontam: fixed benchmark index drops hits across batches; N-batch ≡ batch; restart; refusals") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdecon").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def vec(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    def df(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    // benchmark: two eval items on different axes
+    val bench = df(Seq(100L -> Seq(1.0, 0.0, 0.0, 0.0),
+                       101L -> Seq(0.0, 1.0, 0.0, 0.0)))
+    val b1 = Seq(1L -> Seq(0.999, 0.04, 0.0, 0.0),  // ≈ bench 100 → dropped
+                 2L -> Seq(0.0, 0.0, 1.0, 0.0))     // clean → kept
+    val b2 = Seq(3L -> Seq(0.03, 0.998, 0.0, 0.0),  // ≈ bench 101 → dropped
+                 4L -> Seq(0.0, 0.0, 0.0, 1.0))     // clean → kept
+    def mk() = new graft.streaming.StreamingDecontam(spark, base,
+      threshold = 0.7, nlist = 2, nprobe = 99) // nprobe clamps to |cells|
+    // start() before indexBenchmark must refuse loudly — a decontam
+    // stream that silently keeps everything is the failure mode
+    intercept[IllegalArgumentException] {
+      val s0 = mk(); s0.start(s0.readJsonVecs(in),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    }
+    val s1 = mk()
+    assert(s1.indexBenchmark(bench) == 2L)
+    val q1 = s1.start(s1.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b1.json", b1.map { case (i, v) => vec(i, v) })
+      q1.processAllAvailable()
+      spark.catalog.refreshByPath(s1.keptPath)
+      assert(spark.read.parquet(s1.keptPath).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(2L))
+    } finally q1.stop()
+    // RESTART: the index is immutable on disk — a new instance over the
+    // same dir serves it with no rebuild
+    val s2 = mk()
+    val q2 = s2.start(s2.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b2.json", b2.map { case (i, v) => vec(i, v) })
+      q2.processAllAvailable()
+      spark.catalog.refreshByPath(s2.keptPath)
+      val kept = spark.read.parquet(s2.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(2L, 4L), s"restart lost the index: ${kept.toSeq}")
+      // N-batch ≡ batch: the streamed kept set equals the batch op's
+      // kept flags over the union corpus (both at exhaustive probing)
+      val batchKept = graft.ops.Similarity.semanticDecontam(
+          df(b1 ++ b2), bench, threshold = 0.7, nlist = 2, nprobe = 2)
+        .where(col("kept")).collect().map(_.getLong(0)).sorted
+      assert(batchKept.toSeq == kept.toSeq,
+        s"stream ${kept.toSeq} diverged from batch ${batchKept.toSeq}")
+    } finally q2.stop()
+    // empty benchmark: bench_n = 0 persists, everything passes — the
+    // batch op's empty-benchmark identity made explicit
+    val base2 = Files.createTempDirectory("graft_sdecon_empty").toString
+    Files.createDirectories(Paths.get(s"$base2/in"))
+    val s3 = new graft.streaming.StreamingDecontam(spark, base2, threshold = 0.7)
+    assert(s3.indexBenchmark(bench.limit(0)) == 0L)
+    val q3 = s3.start(s3.readJsonVecs(s"$base2/in"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(s"$base2/in", "b1.json", b1.map { case (i, v) => vec(i, v) })
+      q3.processAllAvailable()
+      spark.catalog.refreshByPath(s3.keptPath)
+      assert(spark.read.parquet(s3.keptPath).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L))
+    } finally q3.stop()
+  }
+
   test("vec near-dup geometry pin: cells persist FLAT assignments in the auto-superProbe regime; a default reopen serves them") {
     // the r11 sweep completing the r9/r10 geometry-pin work: at
     // nlist ≥ AutoSuperProbeNlist the AUTO probe default is two-level,
