@@ -73,7 +73,9 @@ object StoreDoctor {
         (if (f.isDirectory && f.getName == "quantizer" &&
              !isStaging(f.getName)) pqFindings(spark, f) else Nil) ++
         (if (f.isDirectory && f.getName == "centroids" &&
-             !isStaging(f.getName)) centroidFindings(spark, f) else Nil)
+             !isStaging(f.getName)) centroidFindings(spark, f) else Nil) ++
+        (if (f.isDirectory && f.getName == "meta" &&
+             !isStaging(f.getName)) decontamFindings(spark, f) else Nil)
     }
   }
 
@@ -248,6 +250,77 @@ object StoreDoctor {
             "rebuild the index"))
       case Success(_) => Nil
     }
+
+  /** [[graft.streaming.StreamingDecontam]]'s benchmark index: the
+    * `meta/` row is the completeness certificate (written LAST by
+    * indexBenchmark), so a meta that promises a benchmark must have
+    * its centroids and cells siblings, all agreeing on the version.
+    * Other stores also own dirs NAMED `meta` (the tier store's
+    * resolution row) — the decontam layout is recognized by its
+    * (version, bench_n) schema and every other shape is skipped, not
+    * judged. A centroids dir with NO meta is not flagged: that is the
+    * half-build indexBenchmark's write order makes structurally
+    * invisible (start() refuses it; the next build overwrites it). */
+  private def decontamFindings(spark: SparkSession, metaDir: File): Seq[Finding] =
+    Try {
+      spark.catalog.refreshByPath(metaDir.getPath)
+      val df = spark.read.parquet(metaDir.getPath)
+      if (!df.columns.contains("bench_n") || !df.columns.contains("version"))
+        None // some other store's meta — not ours to judge
+      else Some(df.select(col("version").cast("long"),
+          col("bench_n").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    } match {
+      case Failure(e) =>
+        Seq(Finding(metaDir.getPath, "unreadable-meta",
+          s"cannot read meta parquet: ${e.getMessage}"))
+      case Success(None) => Nil
+      case Success(Some(rows)) if rows.size != 1 =>
+        Seq(Finding(metaDir.getPath, "bad-meta",
+          s"decontam meta holds ${rows.size} rows — the completeness " +
+            "certificate is exactly one; rebuild via indexBenchmark"))
+      case Success(Some(Seq((_, 0L)))) => Nil // empty benchmark: complete
+      case Success(Some(Seq((version, _)))) =>
+        val base = metaDir.getParentFile
+        val cents = new File(base, "centroids")
+        val cells = new File(base, "cells")
+        val centFind =
+          if (!cents.exists())
+            Seq(Finding(cents.getPath, "incomplete-index",
+              "meta promises a benchmark but centroids/ is missing — " +
+                "the certificate lies; rebuild via indexBenchmark"))
+          else versionsOf(spark, cents, "version") match {
+            case Some(vs) if vs != Seq(version) =>
+              Seq(Finding(cents.getPath, "version-mismatch",
+                s"centroid generations ${vs.mkString(", ")} disagree with " +
+                  s"meta version $version — rebuild via indexBenchmark"))
+            case _ => Nil
+          }
+        val cellFind =
+          if (!cells.exists())
+            Seq(Finding(cells.getPath, "incomplete-index",
+              "meta promises a benchmark but cells/ is missing — probes " +
+                "would match nothing and keep everything; rebuild"))
+          else versionsOf(spark, cells, "version") match {
+            case Some(vs) if !vs.contains(version) =>
+              Seq(Finding(cells.getPath, "empty-generation",
+                s"no assignment rows for meta version $version — probes " +
+                  "match nothing and keep everything; rebuild"))
+            case _ => Nil
+          }
+        centFind ++ cellFind
+    }
+
+  /** Distinct sorted versions of a parquet dir, or None if unreadable
+    * (the caller decides whether unreadable is a finding). */
+  private def versionsOf(spark: SparkSession, dir: File,
+                         colName: String): Option[Seq[Long]] =
+    Try {
+      spark.catalog.refreshByPath(dir.getPath)
+      spark.read.parquet(dir.getPath)
+        .select(col(colName).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }.toOption
 
   /** Maintenance-window entry point: sweep each arg dir, print every
     * finding, exit 1 if any store is unhealthy. */

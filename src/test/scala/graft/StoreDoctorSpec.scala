@@ -119,6 +119,43 @@ class StoreDoctorSpec extends SparkSpec {
     assert(StoreDoctor.diagnose(spark, base).isEmpty)
   }
 
+  test("decontam benchmark index: clean when complete; each planted break fires") {
+    import spark.implicits._
+    val base = tmpDir("decon")
+    val sd = new graft.streaming.StreamingDecontam(spark, base, threshold = 0.7,
+      nlist = 2)
+    assert(sd.indexBenchmark(emb.where(col("vec_id") < 8)) == 8L)
+    assert(StoreDoctor.diagnose(spark, base).isEmpty,
+      s"healthy decontam index flagged: ${StoreDoctor.diagnose(spark, base)}")
+    // empty benchmark is a COMPLETE state (bench_n = 0 certificate)
+    val base0 = tmpDir("decon0")
+    new graft.streaming.StreamingDecontam(spark, base0, threshold = 0.7)
+      .indexBenchmark(emb.limit(0))
+    assert(StoreDoctor.diagnose(spark, base0).isEmpty)
+    // meta promises a benchmark but centroids/ is gone
+    val centSaved = Files.createTempDirectory("doctor_cent_save")
+    Files.move(Paths.get(s"$base/centroids"), centSaved.resolve("centroids"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(checksAt(base).contains("incomplete-index"))
+    Files.move(centSaved.resolve("centroids"), Paths.get(s"$base/centroids"))
+    // cells emptied to a stale version: probes would keep everything
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/cells"))
+    Seq((99L, 0L, Seq(0.1f), 1.0, 0))
+      .toDF("version", "id", "v", "nrm", "cell")
+      .write.parquet(s"$base/cells")
+    assert(checksAt(base).contains("empty-generation"))
+    // meta with two rows: the one-row certificate is broken
+    spark.read.parquet(s"$base/meta").union(spark.read.parquet(s"$base/meta"))
+      .write.mode("overwrite").parquet(s"$base/meta__tmp2")
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/meta"))
+    Files.move(Paths.get(s"$base/meta__tmp2"), Paths.get(s"$base/meta"))
+    assert(checksAt(base).contains("bad-meta"))
+    // a tier store's unrelated `meta` dir (no bench_n column) is skipped
+    val tier = tmpDir("tiermeta")
+    Seq(("g", 300L)).toDF("name", "resolution").write.parquet(s"$tier/meta")
+    assert(StoreDoctor.diagnose(spark, tier).isEmpty)
+  }
+
   test("all six snapshot twins diagnose clean after a real publish") {
     val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds")
     def dropFile(dir: String, name: String, lines: Seq[String]): Unit = {
