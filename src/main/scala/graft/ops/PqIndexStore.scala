@@ -271,9 +271,21 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     * serving would silently degrade well below [[Similarity.dimPrefixRecall]]. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nprobe: Int = 4, rerank: Int = 50,
-           probePrefix: Option[Int] = None): DataFrame = {
-    val (_, art) = load().getOrElse(
-      throw new IllegalStateException(s"PqIndexStore at $baseDir has no built index"))
+           probePrefix: Option[Int] = None): DataFrame =
+    topKWith(loadedArt(), corpus, queries, k, nprobe, rerank, probePrefix)
+
+  private def loadedArt(): Similarity.PqIndexArtifacts =
+    load().getOrElse(
+      throw new IllegalStateException(
+        s"PqIndexStore at $baseDir has no built index"))._2
+
+  /** [[topK]] against artifacts already in hand — so a multi-round
+    * caller ([[filteredTopK]]'s escalation ladder) pays the quantizer
+    * load once, not once per round. */
+  private def topKWith(art: Similarity.PqIndexArtifacts,
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       nprobe: Int, rerank: Int,
+                       probePrefix: Option[Int]): DataFrame = {
     require(probePrefix.isEmpty || art.rotation.isEmpty,
       s"PqIndexStore at $baseDir is OPQ-rotated: probePrefix ranks cells on " +
         "the first p ROTATED dims, which carry no front-loaded (Matryoshka) " +
@@ -346,31 +358,42 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     require(escalations >= 0, s"escalations must be >= 0, got $escalations")
     require(selectivityHint.forall(s => s > 0.0 && s <= 1.0),
       s"selectivityHint must be in (0, 1], got $selectivityHint")
-    val nCells = load().getOrElse(
-      throw new IllegalStateException(
-        s"PqIndexStore at $baseDir has no built index"))._2.centroids.length
+    val art = loadedArt()
+    val nCells = art.centroids.length
     val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
     // ×4 headroom before Int overflow so the escalation ladder can
     // always take its next step
     val ShortKCap = Int.MaxValue / 8
     val baseShortK = math.multiplyExact(oversample, k)
+    val measured: Option[(Long, Long)] =
+      if (autoSize && selectivityHint.isEmpty)
+        Some(Similarity.predicateCounts(corpus, predicate))
+      else None
+    // fewer survivors than k: NO shortlist depth can ever fill a query,
+    // so the whole ladder would run to exhaustion for a provably-short
+    // answer — brute over the < k-row survivor set IS the exact answer,
+    // for less than one probe round
+    measured match {
+      case Some((_, nk)) if nk < k =>
+        return Similarity.bruteForceTopK(corpus.where(predicate), queries,
+          k, idCol, vecCol)
+      case _ => ()
+    }
     val shortK0 =
       if (!autoSize) baseShortK
       else {
         val s = selectivityHint.getOrElse {
-          val row = corpus.agg(count(lit(1)).as("n"),
-            sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
-          val n = row.getLong(0)
-          val nk = if (row.isNullAt(1)) 0L else row.getLong(1)
-          if (n == 0L || nk == 0L) 1.0 else nk.toDouble / n.toDouble
+          val (n, nk) = measured.get
+          if (n == 0L) 1.0 else nk.toDouble / n.toDouble
         }
         math.max(baseShortK,
           math.min(math.ceil(2.0 * k / s), ShortKCap.toDouble).toInt)
       }
     def round(qs: DataFrame, shortK: Int, np: Int, left: Int): DataFrame = {
-      val shortlist = topK(corpus, qs, shortK,
+      val shortlist = topKWith(art, corpus, qs, shortK,
         nprobe = math.min(np, nCells),
-        rerank = if (rerank > 0) math.max(rerank, shortK) else shortK)
+        rerank = if (rerank > 0) math.max(rerank, shortK) else shortK,
+        probePrefix = None)
       if (left > 0)
         Similarity.postFilterTopK(shortlist, keepIds, qs, k, topUp = true,
           idCol) { starved =>

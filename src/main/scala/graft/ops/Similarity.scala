@@ -1799,8 +1799,7 @@ object Similarity {
                        centroids: Option[Seq[Seq[Double]]] = None,
                        assignNprobe: Int = 1,
                        superProbe: Option[Int] = None): DataFrame = {
-    val n = if (nlist > 0) nlist
-            else resolveNlist(benchEmb, nlist, "semanticDecontam")
+    val n = resolveNlist(benchEmb, nlist, "semanticDecontam")
     val hits = ivfNearDupIncremental(corpusEmb, benchEmb, threshold, n, nprobe,
         iters, idCol, vecCol, centroids, assignNprobe, superProbe)
       .select(col("id_a").as(idCol)).distinct()
@@ -1972,11 +1971,8 @@ object Similarity {
         vecCol, hotCellFactor, superProbe, centroids)
     val routed = mode match {
       case FilteredMode.Auto =>
-        // one scan, pruned to the predicate's columns: two longs out
-        val row = corpus.agg(count(lit(1)).as("n"),
-          sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
-        filteredRoute(row.getLong(0),
-          if (row.isNullAt(1)) 0L else row.getLong(1), oversample)
+        val (n, nk) = predicateCounts(corpus, predicate)
+        filteredRoute(n, nk, oversample)
       case m => m
     }
     routed match {
@@ -1989,6 +1985,16 @@ object Similarity {
         val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
         postFilterTopK(shortlist, keepIds, queries, k, topUp, idCol)(preArm)
     }
+  }
+
+  /** ONE counting scan, pruned to the predicate's columns: (total,
+    * survivors). Shared by [[filteredTopK]]'s Auto route and
+    * [[PqIndexStore.filteredTopK]]'s shortlist sizing. */
+  private[ops] def predicateCounts(corpus: DataFrame,
+                                   predicate: Column): (Long, Long) = {
+    val row = corpus.agg(count(lit(1)).as("n"),
+      sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** The shared Post-filter tail — [[filteredTopK]]'s Post arm and

@@ -306,6 +306,10 @@ object StoreDoctor {
               Seq(Finding(cells.getPath, "empty-generation",
                 s"no assignment rows for meta version $version — probes " +
                   "match nothing and keep everything; rebuild"))
+            case None =>
+              Seq(Finding(cells.getPath, "unreadable-cells",
+                "cannot read assignment parquet — the certified index " +
+                  "cannot serve; rebuild via indexBenchmark"))
             case _ => Nil
           }
         centFind ++ cellFind

@@ -63,16 +63,27 @@ class StreamingDecontam(spark: SparkSession, baseDir: String,
     spark.readStream.schema(s"$idCol LONG, $vecCol ARRAY<FLOAT>").json(dir)
 
   /** Build the benchmark index — call once before [[start]]; a
-    * rebuild over the same dir overwrites (idempotent, meta written
-    * last so a half-build is invisible). Returns the benchmark count.
+    * rebuild over the same dir overwrites (idempotent). Crash safety by
+    * ordering: the OLD meta is DELETED first — the certificate is gone
+    * before any artifact is touched — and the new one is written LAST,
+    * so every crash point leaves either a complete certified index or
+    * no certificate at all ([[start]] refuses the latter; without the
+    * upfront delete, a crash mid-rebuild would leave the old meta
+    * certifying a mixed new-centroids/old-cells index that silently
+    * keeps contaminated vectors). The version is a fresh timestamp per
+    * build, so generations are distinguishable and a stale mix can
+    * never satisfy the version agreement the loader and
+    * [[graft.ops.StoreDoctor]] check. Returns the benchmark count.
     * `nlist ≤ 0` derives from that count ([[Similarity.suggestNlist]]).
     */
   def indexBenchmark(bench: DataFrame): Long = {
     graft.functions.ensureRegistered(spark)
     import spark.implicits._
+    if (Files.exists(Paths.get(metaDir)))
+      graft.sources.TierStore.deleteTree(new java.io.File(metaDir))
     val b = bench.select(col(idCol), col(vecCol)).localCheckpoint()
     val n = b.count()
-    val version = 1L
+    val version = System.currentTimeMillis()
     if (n > 0) {
       val want = if (nlist > 0) nlist else Similarity.suggestNlist(n)
       val cents = Similarity.ivfCentroids(b, math.min(want.toLong, n).toInt,
@@ -119,21 +130,26 @@ class StreamingDecontam(spark: SparkSession, baseDir: String,
   }
 
   def start(vecs: DataFrame, trigger: Trigger): StreamingQuery = {
-    loadIndex(spark) // fail at start, not at first batch
+    // load ONCE — the index is immutable for the life of the store, so
+    // the (tiny) centroid collect and meta read happen here, not per
+    // micro-batch; failing here (no certificate) beats failing at the
+    // first batch. Only the distributed cells read stays per-batch.
+    val idx = loadIndex(spark)
     vecs.writeStream
       .trigger(trigger)
       .outputMode("append")
       .option("checkpointLocation", s"$baseDir/chk")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch)
+        processBatch(batch, idx)
       }
       .start()
   }
 
-  private def processBatch(batch: DataFrame): Unit = {
+  private def processBatch(batch: DataFrame,
+                           idx: (Long, Long, Seq[Seq[Double]])): Unit = {
     val s = batch.sparkSession
     graft.functions.ensureRegistered(s)
-    val (version, benchN, cents) = loadIndex(s)
+    val (version, benchN, cents) = idx
     val b = batch.select(col(idCol), col(vecCol))
     if (benchN == 0L) { // empty-benchmark identity: everything kept
       b.write.mode("append").parquet(keptDir)

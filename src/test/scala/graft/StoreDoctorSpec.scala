@@ -144,6 +144,11 @@ class StoreDoctorSpec extends SparkSpec {
       .toDF("version", "id", "v", "nrm", "cell")
       .write.parquet(s"$base/cells")
     assert(checksAt(base).contains("empty-generation"))
+    // unreadable cells: a certified index that cannot serve must flag,
+    // not pass clean (the None-verdict blind spot)
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/cells"))
+    Files.createDirectories(Paths.get(s"$base/cells"))
+    assert(checksAt(base).contains("unreadable-cells"))
     // meta with two rows: the one-row certificate is broken
     spark.read.parquet(s"$base/meta").union(spark.read.parquet(s"$base/meta"))
       .write.mode("overwrite").parquet(s"$base/meta__tmp2")

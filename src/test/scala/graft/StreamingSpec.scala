@@ -1159,6 +1159,30 @@ class StreamingSpec extends SparkSpec {
       assert(batchKept.toSeq == kept.toSeq,
         s"stream ${kept.toSeq} diverged from batch ${batchKept.toSeq}")
     } finally q2.stop()
+    // REBUILD retargets the index: after re-indexing on a benchmark
+    // that matches doc 2's axis instead, a replayed doc-2 twin is now
+    // the one dropped (fresh baseDir-independent check via kept delta)
+    val s2b = mk()
+    assert(s2b.indexBenchmark(df(Seq(200L -> Seq(0.0, 0.0, 1.0, 0.0)))) == 1L)
+    val q2b = s2b.start(s2b.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      dropFile(in, "b3.json", Seq(vec(5, Seq(0.0, 0.04, 0.998, 0.0)), // ≈ 200
+                                  vec(6, Seq(0.999, 0.04, 0.0, 0.0)))) // old bench axis, now clean
+      q2b.processAllAvailable()
+      spark.catalog.refreshByPath(s2b.keptPath)
+      val kept3 = spark.read.parquet(s2b.keptPath).collect().map(_.getLong(0)).sorted
+      assert(kept3.toSeq == Seq(2L, 4L, 6L),
+        s"rebuild did not retarget the index: ${kept3.toSeq}")
+    } finally q2b.stop()
+    // crash-window state: indexBenchmark deletes the meta certificate
+    // FIRST, so a rebuild that dies mid-way leaves no certificate and
+    // start() refuses — never a stale meta over mixed generations
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$base/meta"))
+    intercept[IllegalArgumentException] {
+      val sx = mk(); sx.start(sx.readJsonVecs(in),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    }
     // empty benchmark: bench_n = 0 persists, everything passes — the
     // batch op's empty-benchmark identity made explicit
     val base2 = Files.createTempDirectory("graft_sdecon_empty").toString
