@@ -1990,7 +1990,7 @@ object Similarity {
   /** ONE counting scan, pruned to the predicate's columns: (total,
     * survivors). Shared by [[filteredTopK]]'s Auto route and
     * [[PqIndexStore.filteredTopK]]'s shortlist sizing. */
-  private[ops] def predicateCounts(corpus: DataFrame,
+  private[graft] def predicateCounts(corpus: DataFrame,
                                    predicate: Column): (Long, Long) = {
     val row = corpus.agg(count(lit(1)).as("n"),
       sum(when(predicate, 1L).otherwise(0L)).as("nk")).head()
@@ -2005,7 +2005,7 @@ object Similarity {
     * recomputes), then detect starved queries with one |queries|-row
     * count and re-answer them WHOLESALE via `starvedAnswer` (their
     * partial Post rows are discarded, never mixed). */
-  private[ops] def postFilterTopK(shortlist: DataFrame, keepIds: DataFrame,
+  private[graft] def postFilterTopK(shortlist: DataFrame, keepIds: DataFrame,
                                   queries: DataFrame, k: Int, topUp: Boolean,
                                   idCol: String)
                                  (starvedAnswer: DataFrame => DataFrame): DataFrame = {

@@ -507,4 +507,37 @@ class PipelineOpsPropertySpec extends SparkSpec {
         s"all-distinct doc must score ~ln n: $e6 vs n=$n")
     }
   }
+
+  test("post-filter tail: rank-order-preserving renumber equals the per-query replay for any shortlist and keep set") {
+    import spark.implicits._
+    // the shared machinery BOTH filtered serves end in
+    // (Similarity.filteredTopK's Post arm and PqIndexStore.filteredTopK):
+    // semi-join survivors, renumber in shortlist rank order, cut at k.
+    // Replayed per query in plain Scala over random shortlists/keep sets.
+    val gen = for {
+      nq <- Gen.choose(1, 5)
+      depth <- Gen.choose(1, 12)
+      k <- Gen.choose(1, 6)
+      keep <- Gen.listOf(Gen.choose(0L, 30L)).map(_.toSet)
+    } yield (nq, depth, k, keep)
+    forAllSeeded(gen, trials = 12) { case (nq, depth, k, keep) =>
+      val rnd = new scala.util.Random(nq * 1000 + depth * 10 + k)
+      // a shortlist is a ranked list of DISTINCT neighbor ids per query
+      val rows = (0 until nq).flatMap { q =>
+        rnd.shuffle((0L to 30L).toList).take(depth).zipWithIndex
+          .map { case (nid, i) => (q.toLong, (i + 1).toLong, nid) }
+      }
+      val shortlist = rows.toDF("q_id", "rank", "n_id")
+      val keepIds = keep.toSeq.toDF("n_id")
+      val queries = (0 until nq).map(_.toLong).toDF("vec_id")
+      val got = graft.ops.Similarity.postFilterTopK(shortlist, keepIds,
+          queries, k, topUp = false, "vec_id")(identity)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy(_._2).map(_._3).filter(keep).take(k)
+          .zipWithIndex.map { case (nid, i) => (q, (i + 1).toLong, nid) }
+      }.toSet
+      assert(got == want, s"nq=$nq depth=$depth k=$k keep=$keep")
+    }
+  }
 }
