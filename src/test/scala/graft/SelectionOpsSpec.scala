@@ -843,6 +843,31 @@ class SelectionOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-MMR recall collapsed: $recall")
   }
 
+  test("filter → ANN → MMR composes: filtered shortlist + local rerank equals brute MMR over the filtered corpus") {
+    import spark.implicits._
+    import graft.ops.{Retrieval, Similarity}
+    // the full production retrieval stack — "diverse top-k among docs
+    // satisfying a predicate" — assembled from the round's pieces: the
+    // filteredTopK Pre arm (exact over survivors at nprobe = nlist)
+    // feeds attachCandidates feeds the in-task greedy rerank, and at
+    // the exact configuration the picks must equal mmrTopK run over
+    // the pre-filtered corpus bit-for-bit
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 46L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qs = vecs.where(col("vec_id") < 6)
+    val pred = col("vec_id") % 3 === 0
+    val ref = Retrieval.mmrTopK(vecs.where(pred), qs, k = 4, depth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val shortlist = Similarity.filteredTopK(vecs, qs, k = 10, predicate = pred,
+      nlist = 4, nprobe = 4) // default Pre arm, exact envelope
+    val got = Retrieval.mmrRerankLocal(
+        Retrieval.attachCandidates(vecs.where(pred), qs, shortlist,
+          "vec_id", "embedding"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref, "filtered ANN→MMR composition diverged from brute")
+  }
+
   test("calibrationBins: equal-width bins, top clamp, exact empirical rates") {
     import spark.implicits._
     val rows = Seq((0.05, 0L), (0.12, 1L), (0.55, 0L), (0.55, 1L),
