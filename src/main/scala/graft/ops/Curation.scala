@@ -396,8 +396,23 @@ object Curation {
     * `p.semanticIvfNlist`: the IVF-bucketed path when set — the scale
     * configuration and the default, with `Some(0)` growing nlist with
     * the survivor count — recall-sized hyperplane LSH on `None`. */
+  /** `benchEmb`: optional EMBEDDING-space decontamination tail (stage
+    * 7) — after the semantic-dedup stage, survivors whose aligned
+    * embedding reaches cosine `semanticThreshold` to ANY vector in
+    * this frame are dropped ([[Similarity.semanticDecontam]]: the
+    * benchmark trains the index, survivors stream through one probe
+    * pass). This is the gate for PARAPHRASED eval items that the
+    * lexical stage-5 decontamination (shared shingles) cannot see.
+    * Positioned last, where the corpus is smallest — the same argument
+    * that puts semantic dedup after the text stages. Ids shared
+    * between the corpus embedding space and `benchEmb` are treated as
+    * the same item and never pair (the batch op's convention);
+    * survivors WITHOUT an embedding pass unjudged. The index sizing
+    * follows the semantic tail's knobs (`semanticIvfNlist` — auto ∝
+    * the BENCHMARK count when 0 — and `semanticIvfNprobe`). */
   def runWithSemantic(corpus: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
                       p: Params = Params(),
+                      benchEmb: Option[DataFrame] = None,
                       idCol: String = "doc_id", textCol: String = "text",
                       embIdCol: String = "vec_id", vecCol: String = "embedding",
                       vecDims: Int = 64): (DataFrame, DataFrame) = {
@@ -412,8 +427,23 @@ object Curation {
         dims = vecDims, ivfNlist = p.semanticIvfNlist, ivfNprobe = p.semanticIvfNprobe)
       .where(!col("kept")).select(idCol)
     val semantic = clean.join(losers, Seq(idCol), "left_anti")
-    val st = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)
-    (semantic.drop(TokCol), funnelOf(st))
+    val stSem = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)
+    benchEmb match {
+      case None => (semantic.drop(TokCol), funnelOf(stSem))
+      case Some(be) =>
+        val sem = semantic.sharedCheckpoint() // decontam gate + funnel share it
+        val semEmb = embeddings
+          .select(col(embIdCol).as(idCol), col(vecCol))
+          .join(sem.select(idCol), Seq(idCol))
+        val decLosers = Similarity.semanticDecontam(semEmb,
+            be.select(col(embIdCol).as(idCol), col(vecCol)),
+            p.semanticThreshold, nlist = p.semanticIvfNlist.getOrElse(0),
+            nprobe = p.semanticIvfNprobe, idCol = idCol, vecCol = vecCol)
+          .where(!col("kept")).select(idCol)
+        val dec = sem.join(decLosers, Seq(idCol), "left_anti")
+        val st = stSem.init :+ ("6_semantic" -> sem) :+ ("7_semdecontam" -> dec)
+        (dec.drop(TokCol), funnelOf(st))
+    }
   }
 
   private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =

@@ -834,6 +834,23 @@ object PipelineQueries {
       OracleCurationParams.copy(semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
   }
 
+  /** The 7-stage hybrid funnel with the embedding-space decontamination
+    * tail: vec_id % 7 = 0 plays the benchmark EMBEDDING set (the
+    * paraphrased-eval gate — a different split than the % 10 = 0 text
+    * benchmark, so the two decontamination stages cannot mask each
+    * other). nprobe = nlist = 8: both the semantic-dedup and decontam
+    * indexes probe every cell, so the funnel equals the brute cosine
+    * replay the oracle runs. */
+  def curationSemDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.Curation.runWithSemantic(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      emb,
+      OracleCurationParams.copy(semanticIvfNlist = Some(8), semanticIvfNprobe = 8),
+      benchEmb = Some(emb.where(col("vec_id") % 7 === 0)))._2
+  }
+
   /** Cross-document repeated 8-token spans (exact-substring-dedup
     * signal): per-doc span counts and shared ratio. */
   def repeatedSpansQ(spark: SparkSession, dir: String): DataFrame =
@@ -1878,6 +1895,7 @@ object PipelineQueries {
     "d_decontam_spans"  -> (decontamSpansQ _),
     "d_containment_report" -> (containmentReportQ _),
     "d_curation_semantic" -> (curationSemantic _),
+    "d_curation_semdecontam" -> (curationSemDecontam _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -4277,6 +4295,41 @@ object PipelineQueries {
       s"""
          |UNION ALL SELECT '6_semantic', COUNT(*),
          |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM sem
+         |ORDER BY stage""".stripMargin),
+    // the 7-stage hybrid funnel: d_curation_semantic's CTE chain plus
+    // the embedding-space decontamination tail — a stage-6 survivor is
+    // dropped iff its aligned embedding reaches cosine 0.45 to ANY
+    // benchmark embedding (vec_id % 7 = 0) other than itself; survivors
+    // without an embedding pass unjudged
+    "d_curation_semdecontam" -> (CurationFunnelPrefix +
+      s""",
+         |emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |spr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |        FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+         |        JOIN clean ca ON ca.doc_id = a.vec_id
+         |        JOIN clean cb ON cb.doc_id = b.vec_id
+         |        WHERE list_cosine_similarity(a.e, b.e) >= 0.45),
+         |ssym AS (SELECT ia AS u, ib AS v FROM spr UNION SELECT ib, ia FROM spr),
+         |sreach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ssym)
+         |                 UNION
+         |                 SELECT r.u, s2.v FROM sreach r JOIN ssym s2 ON r.v = s2.u),
+         |slosers AS (SELECT u FROM (SELECT u, MIN(v) AS m FROM sreach GROUP BY u)
+         |            WHERE u <> m),
+         |sem AS (SELECT doc_id, w FROM clean
+         |        WHERE doc_id NOT IN (SELECT u FROM slosers)),
+         |dhits AS (SELECT c.vec_id FROM emb2 c
+         |          JOIN sem s ON s.doc_id = c.vec_id
+         |          JOIN emb2 b ON b.vec_id % 7 = 0 AND b.vec_id <> c.vec_id
+         |          WHERE list_cosine_similarity(c.e, b.e) >= 0.45
+         |          GROUP BY c.vec_id),
+         |dec AS (SELECT doc_id, w FROM sem
+         |        WHERE doc_id NOT IN (SELECT vec_id FROM dhits))""".stripMargin +
+      CurationFunnelStages +
+      s"""
+         |UNION ALL SELECT '6_semantic', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM sem
+         |UNION ALL SELECT '7_semdecontam', COUNT(*),
+         |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM dec
          |ORDER BY stage""".stripMargin),
     "d_dup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS w FROM documents),

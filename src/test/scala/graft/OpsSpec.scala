@@ -363,6 +363,42 @@ class OpsSpec extends SparkSpec {
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
   }
 
+  test("curation semantic-decontam tail: stage 7 equals the manual gate over stage-6 survivors") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val benchEmb = emb.where(col("vec_id") % 7 === 0)
+    // threshold 0.25: the sf0.001 fixture (50 embeddings) has no 0.45
+    // cross pairs — the oracle row pins 0.45 at sf0.01 where they exist
+    val p = Curation.Params(semanticThreshold = 0.25,
+      semanticIvfNlist = Some(8), semanticIvfNprobe = 8)
+    val (curated, funnelDf) = Curation.runWithSemantic(corpus, bench, emb, p,
+      benchEmb = Some(benchEmb))
+    val funnel = funnelDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(funnel.map(_._1).toSeq == Seq("1_total", "2_quality", "3_exact_dedup",
+      "4_near_dup", "5_decontaminated", "6_semantic", "7_semdecontam"))
+    val counts = funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    assert(curated.count() == counts.last)
+    // stages 1-6 must be identical to the decontam-less hybrid run:
+    // the tail narrows, never perturbs
+    val sixStage = Curation.runWithSemantic(corpus, bench, emb, p)
+    assert(funnel.init.toSeq == sixStage._2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // stage 7 = stage-6 survivors minus the semanticDecontam drop set
+    // over their aligned embeddings (the exact-config batch op)
+    val sem6 = sixStage._1.select("doc_id")
+    val semEmb = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(sem6, "doc_id")
+    val dropped = Similarity.semanticDecontam(semEmb,
+        benchEmb.select(col("vec_id").as("doc_id"), col("embedding")),
+        threshold = 0.25, nlist = 8, nprobe = 8, idCol = "doc_id")
+      .where(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture must decontaminate something at 0.25")
+    val expect = sem6.collect().map(_.getLong(0)).toSet -- dropped
+    assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
+  }
+
   test("IVF operators degrade gracefully on empty and tiny corpora") {
     import spark.implicits._
     val none = emb.limit(0)
