@@ -384,6 +384,28 @@ object Curation {
     (last.drop(TokCol), funnelOf(st))
   }
 
+  /** Per-document drop ATTRIBUTION — "which stage dropped my doc", the
+    * audit trail the funnel's aggregate counts cannot answer. One row
+    * per input document: (id, dropped_at), where dropped_at is the
+    * name of the FIRST stage the document is absent from, or 'kept'.
+    * Built from the same stage frames one pipeline run produces (no
+    * re-execution per stage): each consecutive frame pair contributes
+    * its losers via an ids-only anti-join, so nothing corpus-wide
+    * shuffles beyond the ids. Works under any Params — optional stages
+    * (novelty, entropy, lexicon, mixture) attribute under their own
+    * stage names. */
+  def audit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
+    val st = st0.init :+ (st0.last._1 -> st0.last._2.sharedCheckpoint())
+    val dropped = st.zip(st.tail).map { case ((_, prev), (name, cur)) =>
+      prev.select(col(idCol)).join(cur.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("dropped_at", lit(name))
+    }
+    val kept = st.last._2.select(col(idCol)).withColumn("dropped_at", lit("kept"))
+    (dropped :+ kept).reduce(_ unionByName _)
+  }
+
   /** [[run]] plus a SEMANTIC dedup tail (stage 6): after text-level
     * curation, documents whose EMBEDDINGS cluster at cosine ≥
     * `p.semanticThreshold` keep only the min-id member — the hybrid

@@ -834,6 +834,18 @@ object PipelineQueries {
       OracleCurationParams.copy(semanticIvfNlist = Some(8), semanticIvfNprobe = 4))._2
   }
 
+  /** Per-document drop attribution through the 5-stage funnel: one row
+    * per corpus doc with the FIRST stage that dropped it (or 'kept') —
+    * the audit trail behind d_curation_funnel's aggregate counts. Same
+    * oracle configuration (Exact pair source). */
+  def curationAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Curation.audit(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      OracleCurationParams)
+      .orderBy("doc_id")
+  }
+
   /** The 7-stage hybrid funnel with the embedding-space decontamination
     * tail: vec_id % 7 = 0 plays the benchmark EMBEDDING set (the
     * paraphrased-eval gate — a different split than the % 10 = 0 text
@@ -1896,6 +1908,7 @@ object PipelineQueries {
     "d_containment_report" -> (containmentReportQ _),
     "d_curation_semantic" -> (curationSemantic _),
     "d_curation_semdecontam" -> (curationSemDecontam _),
+    "d_curation_audit"  -> (curationAuditQ _),
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
@@ -4296,6 +4309,17 @@ object PipelineQueries {
          |UNION ALL SELECT '6_semantic', COUNT(*),
          |       CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM sem
          |ORDER BY stage""".stripMargin),
+    // per-doc drop attribution: first absent stage wins, over the same
+    // CTE chain as d_curation_funnel
+    "d_curation_audit" -> (CurationFunnelPrefix +
+      s"""
+         |SELECT doc_id,
+         |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM qd) THEN '2_quality'
+         |       WHEN doc_id NOT IN (SELECT doc_id FROM ed) THEN '3_exact_dedup'
+         |       WHEN doc_id NOT IN (SELECT doc_id FROM nd) THEN '4_near_dup'
+         |       WHEN doc_id NOT IN (SELECT doc_id FROM clean) THEN '5_decontaminated'
+         |       ELSE 'kept' END AS dropped_at
+         |FROM base ORDER BY doc_id""".stripMargin),
     // the 7-stage hybrid funnel: d_curation_semantic's CTE chain plus
     // the embedding-space decontamination tail — a stage-6 survivor is
     // dropped iff its aligned embedding reaches cosine 0.45 to ANY

@@ -363,6 +363,36 @@ class OpsSpec extends SparkSpec {
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
   }
 
+  test("curation audit: one attribution per doc, reconciles with the funnel deltas") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val audit = Curation.audit(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // a partition of the corpus: every input doc exactly once
+    assert(audit.length == corpus.count())
+    assert(audit.map(_._1).distinct.length == audit.length)
+    // per-stage drop counts equal the funnel's consecutive deltas
+    val funnel = Curation.funnel(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byStage = audit.groupBy(_._2).map { case (s, g) => s -> g.length.toLong }
+    funnel.zip(funnel.tail).foreach { case ((_, prev), (name, cur)) =>
+      assert(byStage.getOrElse(name, 0L) == prev - cur,
+        s"audit count for $name disagrees with the funnel delta")
+    }
+    assert(byStage.getOrElse("kept", 0L) == funnel.last._2)
+    // the kept set IS the curated corpus
+    val kept = audit.filter(_._2 == "kept").map(_._1).toSet
+    assert(kept == Curation.curate(corpus, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet)
+    // optional stages attribute under their own names: with an entropy
+    // gate strict enough to drop SOMETHING, its stage label appears
+    val withGate = Curation.audit(corpus, bench,
+      Curation.Params(minEntropyE6 = Some(3000000L))).collect()
+      .map(r => r.getString(1))
+    assert(withGate.contains("1d_entropy"),
+      s"gated audit never attributed to the entropy stage: ${withGate.distinct.toSeq}")
+  }
+
   test("curation semantic-decontam tail: stage 7 equals the manual gate over stage-6 survivors") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val bench = docs.where(col("doc_id") % 10 === 0)
