@@ -368,36 +368,23 @@ object Curation {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol))
 
-  /** Both outputs of one pipeline build: (curated corpus, funnel).
-    * Callers wanting both — the normal operational shape — should use
-    * this rather than [[curate]] + [[funnel]], which would each build
-    * their own stage frames and execute the full pipeline twice. */
-  def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
-          idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
+  /** [[stageFrames]] with the terminal frame checkpointed — the ONE
+    * place holding the invariant "stageFrames leaves the terminal
+    * frame un-checkpointed because it is normally terminal;
+    * multi-consumer callers share one materialization". Every
+    * multi-output entry point ([[run]], [[runWithAudit]],
+    * [[runWithSemantic]], [[audit]]) goes through here. */
+  private def stageFramesShared(corpus: DataFrame, benchmark: DataFrame,
+                                p: Params, idCol: String,
+                                textCol: String): Seq[(String, DataFrame)] = {
     val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
-    // the terminal frame has two consumers here (the returned corpus
-    // and its funnel row) — share one materialization, exactly as
-    // [[runWithSemantic]] does; stageFrames leaves it un-checkpointed
-    // because it is normally terminal
-    val last = st0.last._2.sharedCheckpoint()
-    val st = st0.init :+ (st0.last._1 -> last)
-    (last.drop(TokCol), funnelOf(st))
+    st0.init :+ (st0.last._1 -> st0.last._2.sharedCheckpoint())
   }
 
-  /** Per-document drop ATTRIBUTION — "which stage dropped my doc", the
-    * audit trail the funnel's aggregate counts cannot answer. One row
-    * per input document: (id, dropped_at), where dropped_at is the
-    * name of the FIRST stage the document is absent from, or 'kept'.
-    * Built from the same stage frames one pipeline run produces (no
-    * re-execution per stage): each consecutive frame pair contributes
-    * its losers via an ids-only anti-join, so nothing corpus-wide
-    * shuffles beyond the ids. Works under any Params — optional stages
-    * (novelty, entropy, lexicon, mixture) attribute under their own
-    * stage names. */
-  def audit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
-    val st = st0.init :+ (st0.last._1 -> st0.last._2.sharedCheckpoint())
+  /** The attribution frame over already-built stage frames: each
+    * consecutive pair contributes its losers via an ids-only
+    * anti-join, the terminal frame its keepers. */
+  private def auditOf(st: Seq[(String, DataFrame)], idCol: String): DataFrame = {
     val dropped = st.zip(st.tail).map { case ((_, prev), (name, cur)) =>
       prev.select(col(idCol)).join(cur.select(col(idCol)), Seq(idCol), "left_anti")
         .withColumn("dropped_at", lit(name))
@@ -405,6 +392,41 @@ object Curation {
     val kept = st.last._2.select(col(idCol)).withColumn("dropped_at", lit("kept"))
     (dropped :+ kept).reduce(_ unionByName _)
   }
+
+  /** Both outputs of one pipeline build: (curated corpus, funnel).
+    * Callers wanting both — the normal operational shape — should use
+    * this rather than [[curate]] + [[funnel]], which would each build
+    * their own stage frames and execute the full pipeline twice. */
+  def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+          idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
+    val st = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    (st.last._2.drop(TokCol), funnelOf(st))
+  }
+
+  /** [[run]] plus the per-doc attribution frame, all from ONE pipeline
+    * build: (curated corpus, funnel, audit). The operational shape for
+    * "curate and explain the drops" — calling [[run]] then [[audit]]
+    * separately would execute the full multi-stage pipeline twice. */
+  def runWithAudit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+                   idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val st = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    (st.last._2.drop(TokCol), funnelOf(st), auditOf(st, idCol))
+  }
+
+  /** Per-document drop ATTRIBUTION — "which stage dropped my doc", the
+    * audit trail the funnel's aggregate counts cannot answer. One row
+    * per input document: (id, dropped_at), where dropped_at is the
+    * name of the FIRST stage the document is absent from, or 'kept'.
+    * Each consecutive frame pair contributes its losers via an
+    * ids-only anti-join, so nothing corpus-wide shuffles beyond the
+    * ids. Works under any Params — optional stages (novelty, entropy,
+    * lexicon, mixture) attribute under their own stage names. Callers
+    * who ALSO want the corpus or funnel should use [[runWithAudit]],
+    * which shares one pipeline build across all three outputs. */
+  def audit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    auditOf(stageFramesShared(corpus, benchmark, p, idCol, textCol), idCol)
 
   /** [[run]] plus a SEMANTIC dedup tail (stage 6): after text-level
     * curation, documents whose EMBEDDINGS cluster at cosine ≥
@@ -438,10 +460,9 @@ object Curation {
                       idCol: String = "doc_id", textCol: String = "text",
                       embIdCol: String = "vec_id", vecCol: String = "embedding",
                       vecDims: Int = 64): (DataFrame, DataFrame) = {
-    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
-    // stage 5 is the one frame stageFrames leaves un-checkpointed (it
-    // is normally terminal); here three consumers reuse it
-    val clean = st0.last._2.sharedCheckpoint()
+    val st0 = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    // three consumers reuse the (checkpointed) terminal text stage
+    val clean = st0.last._2
     val survivorEmb = embeddings
       .select(col(embIdCol).as(idCol), col(vecCol))
       .join(clean.select(idCol), Seq(idCol))
@@ -449,7 +470,7 @@ object Curation {
         dims = vecDims, ivfNlist = p.semanticIvfNlist, ivfNprobe = p.semanticIvfNprobe)
       .where(!col("kept")).select(idCol)
     val semantic = clean.join(losers, Seq(idCol), "left_anti")
-    val stSem = st0.init :+ (st0.last._1 -> clean) :+ ("6_semantic" -> semantic)
+    val stSem = st0 :+ ("6_semantic" -> semantic)
     benchEmb match {
       case None => (semantic.drop(TokCol), funnelOf(stSem))
       case Some(be) =>

@@ -384,6 +384,13 @@ class OpsSpec extends SparkSpec {
     val kept = audit.filter(_._2 == "kept").map(_._1).toSet
     assert(kept == Curation.curate(corpus, bench)
       .collect().map(_.getAs[Long]("doc_id")).toSet)
+    // the one-build combined form returns the same three outputs
+    val (cc, ff, aa) = Curation.runWithAudit(corpus, bench)
+    assert(aa.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == audit.toSet)
+    assert(ff.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == funnel.toSeq)
+    assert(cc.collect().map(_.getAs[Long]("doc_id")).toSet == kept)
     // optional stages attribute under their own names: with an entropy
     // gate strict enough to drop SOMETHING, its stage label appears
     val withGate = Curation.audit(corpus, bench,
