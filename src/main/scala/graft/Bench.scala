@@ -114,6 +114,13 @@ object Bench {
       // showed a 14x first-iteration spread on q9 from exactly this)
       try graft.ops.Bucketing.ensureOrderTables(spark, sfDir)
       catch { case _: Throwable => () }
+      // the persisted PQ index the e_pq_*_serve rows answer from is
+      // built at ingest time on a deployment — build it here once so
+      // every timed repeat measures the serve path, not index training
+      // (the r12 artifact's largest variance source was exactly this:
+      // a full retrain per invocation)
+      try { graft.queries.PqServeStores.ensure(spark, sfDir); () }
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // Repeat mode (SPARK_GRAFT_REPEAT=N, default 3): every query timed

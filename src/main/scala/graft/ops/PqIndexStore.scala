@@ -346,7 +346,17 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     * shortK ≥ |corpus| the shortlist is the full exact ranking —
     * output ≡ brute force over the filtered corpus bit-for-bit.
     * `rerank` ≤ 0 (default) auto-sizes to the round's shortK so the
-    * shortlist is always exact-reranked end-to-end. */
+    * shortlist is always exact-reranked end-to-end. `rerank` > 0 is a
+    * FLOOR, not a cap: each round raises it to max(rerank, shortK) so
+    * survivor order stays exact — a partially-reranked shortlist would
+    * interleave ADC-approximate and exact scores and the post-filter
+    * top-k would no longer be the true top-k of the shortlist. NOTE
+    * the consequence for latency-pinned callers: with `autoSize` the
+    * first shortK is ⌈2k/s⌉ (selectivity-sized, capped at
+    * Int.MaxValue/8), so a small pinned rerank can be raised to a
+    * near-corpus-sized exact rerank at sharp selectivities; to bound
+    * rerank work, bound shortK itself (`autoSize = false` +
+    * `oversample`), not the rerank floor. */
   def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    predicate: org.apache.spark.sql.Column,
                    nprobe: Int = 4, oversample: Int = 8, rerank: Int = 0,
@@ -360,7 +370,13 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
       s"selectivityHint must be in (0, 1], got $selectivityHint")
     val art = loadedArt()
     val nCells = art.centroids.length
-    val keepIds = corpus.where(predicate).select(col(idCol).as("n_id"))
+    // shared once: every escalation rung's postFilterTopK re-uses this
+    // frame (survivor semi-join + starvation count) — without the
+    // checkpoint each rung would re-run the full predicate scan, the
+    // same per-round waste class as the quantizer reloads removed in
+    // r12. Lazy: materializes on the first rung's action.
+    val keepIds = graft.ops.Checkpoints.shared(
+      corpus.where(predicate).select(col(idCol).as("n_id")))
     // ×4 headroom before Int overflow so the escalation ladder can
     // always take its next step
     val ShortKCap = Int.MaxValue / 8

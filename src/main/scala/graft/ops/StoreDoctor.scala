@@ -279,8 +279,10 @@ object StoreDoctor {
         Seq(Finding(metaDir.getPath, "bad-meta",
           s"decontam meta holds ${rows.size} rows — the completeness " +
             "certificate is exactly one; rebuild via indexBenchmark"))
-      case Success(Some(Seq((_, 0L)))) => Nil // empty benchmark: complete
-      case Success(Some(Seq((version, _)))) =>
+      case Success(Some(rows)) if rows.head._2 == 0L =>
+        Nil // empty benchmark: complete
+      case Success(Some(rows)) =>
+        val version = rows.head._1
         val base = metaDir.getParentFile
         val cents = new File(base, "centroids")
         val cells = new File(base, "cells")
@@ -294,6 +296,13 @@ object StoreDoctor {
               Seq(Finding(cents.getPath, "version-mismatch",
                 s"centroid generations ${vs.mkString(", ")} disagree with " +
                   s"meta version $version — rebuild via indexBenchmark"))
+            case None =>
+              // mirror of the cells handling: an unreadable quantizer
+              // under a meta that promises a benchmark is a
+              // certified-but-unservable store, not a clean sweep
+              Seq(Finding(cents.getPath, "unreadable-centroids",
+                "cannot read centroid parquet — the certified index " +
+                  "cannot serve; rebuild via indexBenchmark"))
             case _ => Nil
           }
         val cellFind =

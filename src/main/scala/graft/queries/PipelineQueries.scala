@@ -570,20 +570,14 @@ object PipelineQueries {
     * shape a 100 TB deployment runs, with ZERO training jobs on the
     * serve path (job-count spec-pinned, PqIndexStoreSpec). Exact
     * configuration ⇒ equals brute-force cosine, so the oracle is the
-    * same SQL as [[pqTopK]]'s. A fresh store dir per call keeps the
-    * query self-contained and deterministic (training is
-    * bit-deterministic, and the version stamp never enters the
-    * result). */
+    * same SQL as [[pqTopK]]'s. The index builds ONCE per
+    * (session, sfDir) and serves thereafter ([[PqServeStores]] — the
+    * tier-cache convention; results are build-count-invariant because
+    * training is bit-deterministic and the version stamp never enters
+    * the result, spec-pinned). */
   def pqIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft_pq_serve").toString
-    // legacy levers pinned explicit (round-9 flipped the store DEFAULTS
-    // to sampleInit/auto-trainCap — the oracle stays the replayable
-    // first-k/full-train config; exactness holds either way at this
-    // exhaustive nprobe/rerank, the pin keeps timings comparable)
-    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8,
-      ksub = 16, sampleInit = false, trainCap = 0)
-    store.build(emb)
+    val store = PqServeStores.ensure(spark, dir)
     store.topK(emb, emb.where(col("vec_id") < 20), k = 5, nprobe = 16,
       rerank = 1000000)
       .orderBy("q_id", "rank")
@@ -689,14 +683,14 @@ object PipelineQueries {
     * is the full exact ranking and top-5-of-survivors equals brute
     * force over the filtered corpus. Predicate label % 3 = 1 — a
     * DIFFERENT survivor set than e_filtered_topk, so the two rows
-    * cannot mask each other's filters. Store levers pinned to the
-    * replayable legacy config (the e_pq_index_serve convention). */
+    * cannot mask each other's filters. Serves from the SAME
+    * once-per-process store as [[pqIndexServe]] ([[PqServeStores]]):
+    * both rows read the index immutably, so sharing is safe, and the
+    * serve paths they exercise (plain topK vs the filtered escalation
+    * ladder) stay distinct. */
   def pqFilteredServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft_pq_fserve").toString
-    val store = new graft.ops.PqIndexStore(spark, base, nlist = 16, m = 8,
-      ksub = 16, sampleInit = false, trainCap = 0)
-    store.build(emb)
+    val store = PqServeStores.ensure(spark, dir)
     store.filteredTopK(emb, emb.where(col("vec_id") < 20), k = 5,
       predicate = col("label") % 3 === 1, nprobe = 16, oversample = 100)
       .orderBy("q_id", "rank")

@@ -155,6 +155,24 @@ class StreamingDecontam(spark: SparkSession, baseDir: String,
       b.write.mode("append").parquet(keptDir)
       return
     }
+    // Generation guard: the stream filters cells to the version
+    // captured ONCE at start(). indexBenchmark over the same baseDir
+    // is documented-idempotent and nothing refuses to run it while a
+    // stream is live — after which the captured version matches no
+    // cell row, benchCells is empty, and every batch vector would be
+    // SILENTLY kept: the exact failure mode this op exists to prevent.
+    // The meta is one row, so the per-batch re-read is a trivial
+    // driver-side parquet footer away; fail the batch loudly instead
+    // of emitting an all-kept append.
+    s.catalog.refreshByPath(metaDir)
+    val liveMeta = s.read.parquet(metaDir).collect()
+    require(liveMeta.length == 1 &&
+        liveMeta(0).getAs[Long]("version") == version,
+      s"StreamingDecontam at $baseDir: benchmark index was rebuilt " +
+        s"under a live stream (started against version $version, store " +
+        s"now holds ${liveMeta.map(_.getAs[Long]("version")).mkString(", ")}) " +
+        "— restart the stream against the new index; continuing would " +
+        "probe an empty generation and silently keep everything")
     val probeWidth = math.min(math.max(nprobe, 1), cents.length)
     val probed = b.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("nrm"),

@@ -657,4 +657,34 @@ class PqIndexStoreSpec extends SparkSpec {
       l.release()
     } finally probe2.close()
   }
+
+  test("PqServeStores: cached serve store equals a fresh build, one build per dir") {
+    // the bench/verify serve rows answer from a once-per-(session, dir)
+    // store (r13: the tier-cache convention replacing a full retrain
+    // per timed invocation) — pin the two claims that make the caching
+    // sound: (1) results are build-count-invariant (training is
+    // bit-deterministic), (2) ensure() really is build-once
+    val sfDir = "/root/testdata/sf0.001"
+    graft.queries.PqServeStores.invalidate(spark)
+    val s1 = graft.queries.PqServeStores.ensure(spark, sfDir)
+    val s2 = graft.queries.PqServeStores.ensure(spark, sfDir)
+    assert(s1 eq s2, "ensure() must reuse the already-built store")
+
+    val embT = graft.Tables.embeddings(spark, sfDir)
+    val queries = embT.where(col("vec_id") < 20)
+    val fresh = new PqIndexStore(spark, tmpDir("fresh_parity"), nlist = 16,
+      m = 8, ksub = 16, sampleInit = false, trainCap = 0)
+    fresh.build(embT)
+    // plain serve (the e_pq_index_serve shape)
+    assert(rows(s1.topK(embT, queries, k = 5, nprobe = 16, rerank = 1000000)) ==
+      rows(fresh.topK(embT, queries, k = 5, nprobe = 16, rerank = 1000000)),
+      "cached store's topK differs from a fresh build")
+    // filtered serve (the e_pq_filtered_serve shape) — same shared store
+    def filtered(st: PqIndexStore) =
+      st.filteredTopK(embT, queries, k = 5,
+        predicate = col("label") % 3 === 1, nprobe = 16, oversample = 100)
+    assert(rows(filtered(s1)) == rows(filtered(fresh)),
+      "cached store's filteredTopK differs from a fresh build")
+    graft.queries.PqServeStores.invalidate(spark)
+  }
 }

@@ -149,6 +149,16 @@ class StoreDoctorSpec extends SparkSpec {
     graft.sources.TierStore.deleteTree(new java.io.File(s"$base/cells"))
     Files.createDirectories(Paths.get(s"$base/cells"))
     assert(checksAt(base).contains("unreadable-cells"))
+    // unreadable centroids: the mirror blind spot (r13) — an empty
+    // quantizer dir under a promising meta previously fell through the
+    // centroid branch's catch-all and the store passed the sweep clean
+    val centSaved2 = Files.createTempDirectory("doctor_cent_save2")
+    Files.move(Paths.get(s"$base/centroids"), centSaved2.resolve("centroids"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.createDirectories(Paths.get(s"$base/centroids"))
+    assert(checksAt(base).contains("unreadable-centroids"))
+    Files.delete(Paths.get(s"$base/centroids"))
+    Files.move(centSaved2.resolve("centroids"), Paths.get(s"$base/centroids"))
     // meta with two rows: the one-row certificate is broken
     spark.read.parquet(s"$base/meta").union(spark.read.parquet(s"$base/meta"))
       .write.mode("overwrite").parquet(s"$base/meta__tmp2")

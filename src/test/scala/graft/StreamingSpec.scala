@@ -1200,6 +1200,46 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("streaming decontam: index rebuild under a live stream fails the batch loudly") {
+    // ADVICE r12: processBatch filtered cells to the version captured at
+    // start(); a re-run of indexBenchmark on the same baseDir (documented
+    // idempotent, nothing refuses it while a stream is live) emptied
+    // benchCells and every batch vector was SILENTLY kept. The guard
+    // re-reads the one-row meta per batch and fails on generation
+    // mismatch instead of emitting an all-kept append.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdecon_guard").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def df(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val bench = df(Seq(100L -> Seq(1.0, 0.0, 0.0, 0.0)))
+    val sd = new graft.streaming.StreamingDecontam(spark, base,
+      threshold = 0.7, nlist = 1, nprobe = 1)
+    assert(sd.indexBenchmark(bench) == 1L)
+    val q = sd.start(sd.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // rebuild UNDER the live stream: new generation on disk, the
+      // stream still holds the old version
+      assert(sd.indexBenchmark(df(Seq(200L -> Seq(0.0, 1.0, 0.0, 0.0)))) == 1L)
+      dropFile(in, "b1.json",
+        Seq("""{"vec_id":1,"embedding":[0.999,0.04,0.0,0.0]}"""))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("rebuilt under a live stream")),
+        s"wrong failure: ${msgs(e)}")
+      // and nothing was silently kept
+      val keptFiles = new java.io.File(sd.keptPath).listFiles()
+      assert(keptFiles == null || !keptFiles.exists(_.getName.endsWith(".parquet")),
+        "guard fired but an all-kept append still landed")
+    } finally q.stop()
+  }
+
   test("vec near-dup geometry pin: cells persist FLAT assignments in the auto-superProbe regime; a default reopen serves them") {
     // the r11 sweep completing the r9/r10 geometry-pin work: at
     // nlist ≥ AutoSuperProbeNlist the AUTO probe default is two-level,
