@@ -33,4 +33,38 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** [[builder]] pointed at a REAL multi-process cluster master (e.g.
+    * `local-cluster[2,2,2048]`, which forks one executor JVM per
+    * worker) instead of in-process local[n] threads. Same engine
+    * settings; adds what separate executor JVMs need that local mode
+    * gets for free: the application classpath (class DIRECTORIES reach
+    * same-host executors via extraClassPath — standalone `spark.jars`
+    * shipping wants jars) and the JDK-17 module opens (the launcher
+    * injects them for spark-submit; forked executors of an
+    * sbt-launched driver must carry them explicitly). Requires
+    * SPARK_HOME *and* SPARK_SCALA_VERSION (e.g. 2.13) in the
+    * environment — the in-JVM worker invokes the distribution's
+    * launcher as a LIBRARY, skipping bin/load-spark-env.sh which
+    * normally derives the scala version; without it executor launch
+    * dies with "Cannot find any build directories". */
+  def clusterBuilder(master: String, shufflePartitions: Int = 8,
+                     executorMemory: String = "1500m"): SparkSession.Builder = {
+    val appCp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(p => new java.io.File(p).getAbsolutePath).mkString(":")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    builder(cores = 4, shufflePartitions = shufflePartitions)
+      .master(master)
+      .config("spark.executor.memory", executorMemory)
+      .config("spark.executor.extraClassPath", appCp)
+      .config("spark.executor.extraJavaOptions", addOpens)
+  }
 }
