@@ -940,6 +940,28 @@ object PipelineQueries {
       Multimodal.syntheticMedia(Tables.documents(spark, dir)), stride = 4)
       .orderBy("media_id", "frame_idx")
 
+  /** LOSSY codec round trip (the r12 "where most real bytes live"
+    * seam, closed): every doc encoded as a REAL JPEG (ImageIO, gray,
+    * quality 1.0) and fully decoded back. Lossy sums aren't
+    * SQL-predictable, so the deterministic claims are exact dimensions
+    * plus a per-pixel |err| ≤ 2 tolerance flag — measured headroom 2×
+    * over the observed ≤ 1 envelope, and an all-gray fake decode fails
+    * it outright. */
+  def multimodalJpeg(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegFeatures(
+      Multimodal.jpegMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  /** ANIMATED container round trip: every doc encoded as a real
+    * multi-frame GIF ((len % 4) + 2 full-size gray frames through the
+    * sequence writer), every frame decoded back — one row per frame
+    * with its EXACT pixel sum (gray-palette GIF is lossless), so the
+    * oracle replays frame count, dims, and per-frame content in SQL. */
+  def multimodalGif(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFrameFeatures(
+      Multimodal.gifMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id", "frame_idx")
+
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("b"))
@@ -1906,6 +1928,8 @@ object PipelineQueries {
     "e_quantize_int8"   -> (quantizeEmb _),
     "d_multimodal_meta" -> (multimodalMeta _),
     "d_multimodal_decode" -> (multimodalDecode _),
+    "d_multimodal_jpeg"   -> (multimodalJpeg _),
+    "d_multimodal_gif"    -> (multimodalGif _),
     "d_multimodal_frames" -> (multimodalFrames _),
     "d_multimodal_resize" -> (multimodalResize _),
     "d_hll_users"       -> (hllUsers _),
@@ -4778,6 +4802,24 @@ object PipelineQueries {
         |  ascii(text[i * 4 + 1 : i * 4 + 1]) AS frame_byte
         |FROM documents,
         |  UNNEST(range(0, GREATEST(CAST(floor(strlen(text) / 4) AS INT) - 1, 0) + 1)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "d_multimodal_jpeg" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST((len(text) % 16) + 1 AS BIGINT) AS width,
+        |  CAST((len(text) % 12) + 1 AS BIGINT) AS height,
+        |  CAST(1 AS INT) AS within_tol
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "d_multimodal_gif" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(len(text) AS INT) AS l, CAST(len(text) % 256 AS INT) AS seed
+        |  FROM documents)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((l % 16) + 1 AS BIGINT) AS width,
+        |  CAST((l % 12) + 1 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, (l % 16) + 1),
+        |         x -> list_transform(range(0, (l % 12) + 1),
+        |                y -> (seed + f + 31*x + 17*y) % 256)))) AS BIGINT) AS frame_sum
+        |FROM p, UNNEST(range(0, (l % 4) + 2)) AS t(f)
         |ORDER BY media_id, frame_idx""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

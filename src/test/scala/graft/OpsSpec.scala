@@ -1322,6 +1322,54 @@ class OpsSpec extends SparkSpec {
     assert(f1.forall(_.getInt(3) >= 0))
   }
 
+  test("jpeg round trip: exact dims, bounded lossy error; fake decode fails the tolerance") {
+    import graft.ops.Multimodal
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.jpegMedia(docsS)
+    val feats = Multimodal.jpegFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 40)
+    feats.foreach { r =>
+      assert(r.getInt(3) == 1, s"jpeg decode out of tolerance for ${r.getLong(0)}")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 16 && r.getLong(2) >= 1 && r.getLong(2) <= 12)
+    }
+    // the tolerance is an ASSERTION, not a tautology: judging the same
+    // bytes against a shifted pattern (what a broken decoder that
+    // returns wrong pixels looks like to the checker) must fail —
+    // pixel errs would be pattern-sized, not codec-sized
+    val shifted = media.withColumn("len", col("len") + lit(7))
+    val bad = Multimodal.jpegFeatures(shifted).collect()
+    assert(bad.exists(_.getInt(3) == 0), "tolerance check cannot fail — it asserts nothing")
+  }
+
+  test("animated gif: frame count from container, per-frame sums EXACT, interlace pinned off") {
+    import graft.ops.Multimodal
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val frames = Multimodal.gifFrameFeatures(Multimodal.gifMedia(docsS))
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = frames.groupBy(_.getLong(0))
+    val lens = docsS.selectExpr("cast(doc_id as long)", "length(text)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byId.foreach { case (id, fr) =>
+      val len = lens(id); val seed = len % 256
+      val (w, h) = ((len % 16) + 1, (len % 12) + 1)
+      assert(fr.length == (len % 4) + 2, s"frame count for $id")
+      fr.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getLong(2) == w && r.getLong(3) == h)
+        // EXACT sum — the lossless contract; this is precisely the
+        // assertion the JDK writer's default interlace path broke for
+        // heights 2-4 (measured err up to 240) before gifMedia pinned
+        // MODE_DISABLED, so any h in 2..4 here is a regression guard
+        var want = 0L
+        for (y <- 0 until h; x <- 0 until w) want += (seed + f + 31 * x + 17 * y) % 256
+        assert(r.getLong(4) == want, s"frame sum for $id frame $f")
+      }
+    }
+    // the guard is live only if the fixture actually covers the buggy heights
+    assert(byId.keys.exists(id => Seq(2, 3, 4).contains((lens(id) % 12) + 1)),
+      "fixture misses heights 2-4 — the interlace regression guard is inert")
+  }
+
   test("resize features: fixed target dims; sums bounded by target grid") {
     import graft.ops.Multimodal
     val media = Multimodal.realMedia(Tables.documents(spark, sf).limit(30))
