@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue(),
         exprs(4).eval().asInstanceOf[Number].intValue())))
+    // SQL TABLE functions over the pipeline entry points (curate,
+    // dedup, quality, ANN serve) — the non-Scala access path; see
+    // GraftTableFunctions for the surface and semantics
+    GraftTableFunctions.inject(ext)
     ext.injectFunction((FunctionIdentifier("ivf_probe"), info("ivf_probe"),
       (exprs: Seq[Expression]) => IvfProbe(exprs.head,
         {
