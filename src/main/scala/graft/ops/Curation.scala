@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stage-frame checkpoint policy. EAGER by default (see the long
+    * note in stageFrames: lazy stage checkpoints are raced by
+    * concurrent broadcast-exchange threads and the per-block
+    * getOrCompute lock serializes them pathologically — 353 s vs 14 s
+    * at the 50k decade). `spark.graft.curation.eagerStages=false`
+    * restores lazy materialization (measurement/debug lever). */
+  val EagerStagesKey = "spark.graft.curation.eagerStages"
+
+  private implicit class StageCk(private val df: DataFrame) {
+    def stageCheckpoint(): DataFrame = Checkpoints.shared(df,
+      eager = df.sparkSession.conf.getOption(EagerStagesKey).forall(_.toBoolean))
+  }
+
+
   /** How the near-dup stage finds its candidate pairs. */
   sealed trait PairSource
   object PairSource {
@@ -51,9 +65,14 @@ object Curation {
       * inherits the plan that §G15b measured DYING at the 500k decade.
       * The survivor count is read off the stage-3 checkpoint the
       * funnel materializes anyway, so resolution costs one count of an
-      * already-shared frame and nothing else. Below the threshold the
-      * plan, and therefore every result, is bit-identical to
-      * [[Exact]]. */
+      * already-shared frame and nothing else. Below the survivor line
+      * the pair build goes through [[Dedup.nearDupPairsAuto]]'s
+      * measured candidate-volume guard (r13): Σ C(df, 2) ≤ 20M keeps
+      * the plan — and therefore every result — bit-identical to
+      * [[Exact]]; a hot-shingle corpus above it (where both exact
+      * paths explode regardless of doc count) rides the banded path
+      * instead. Callers who need unconditional exactness pin
+      * [[Exact]], as every oracle config does. */
     final case class Auto(maxExactSurvivors: Long = AutoMinHashSurvivors,
                           numHashes: Int = 96, bands: Int = 32) extends PairSource
   }
@@ -179,6 +198,21 @@ object Curation {
     // projected as an attribute first so the count and the quality
     // score share a single tokenizer evaluation (HOF subtrees are not
     // CSE'd, and CollapseProject keeps non-cheap expressions bound).
+    //
+    // EVERY stage checkpoint in this facade is EAGER (r13). With lazy
+    // checkpoints, the first downstream action materializes a stage
+    // frame from MULTIPLE plan sites at once — e.g. exact-dedup's plan
+    // reads the quality frame on both the probe side and the broadcast
+    // subquery, and funnel aggregates add more — and concurrent
+    // broadcast-exchange threads then RACE to compute the same lazy
+    // checkpoint blocks. The per-block getOrCompute lock serializes
+    // them into a pathological schedule (profiled at the 50k decade: a
+    // 1-task stage pinned 172 s behind its 32-task sibling; the
+    // default funnel measured 214-300 s lazy vs 30 s eager — and the
+    // same mechanism explains §G16's 89-251 s "combined run" outliers).
+    // Eager is free here: every stage frame IS consumed (next stage +
+    // funnel), so the materialization is mandatory work, just moved to
+    // a single-threaded, race-free point.
     val withTok = corpus
       .withColumn("__toks", Dedup.tokens(col(textCol)))
       .withColumn(TokCol, size(col("__toks")).cast("long"))
@@ -195,7 +229,7 @@ object Curation {
           TextAnalysis.gramNovelty(withTok, grams, p.noveltyN, idCol, textCol)
             .where(col("novelty_e6") >= minNov).select(idCol),
           Seq(idCol), "left_semi")
-          .sharedCheckpoint()
+          .stageCheckpoint()
       case (None, None) => withTok
       case _ => throw new IllegalArgumentException(
         "minNovelty and noveltyGrams must be set together (the gate needs both " +
@@ -209,7 +243,7 @@ object Curation {
           TextAnalysis.lexiconFlags(gated, lex, p.lexiconMaxHitRate, idCol, textCol)
             .where(!col("flagged")).select(idCol),
           Seq(idCol), "left_semi")
-          .sharedCheckpoint()
+          .stageCheckpoint()
       case None => gated
     }
     // Entropy gate (stage 1d, optional): a pure per-row predicate over
@@ -224,11 +258,11 @@ object Curation {
         // times per row (measured 4× at sf0.1) — the checkpointed
         // (id, entropy) frame is 16 B/doc and pays the projection once
         val ent = TextAnalysis.tokenEntropy(screened, idCol, textCol)
-          .select(col(idCol), col("entropy_e6")).sharedCheckpoint()
+          .select(col(idCol), col("entropy_e6")).stageCheckpoint()
         screened.join(
           ent.where(col("entropy_e6") >= minEnt).select(idCol),
           Seq(idCol), "left_semi")
-          .sharedCheckpoint()
+          .stageCheckpoint()
       case None => screened
     }
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
@@ -248,7 +282,7 @@ object Curation {
         val sc =
           if (p.lexicon.isDefined || p.minNovelty.isDefined ||
             p.minEntropyE6.isDefined) entGated
-          else entGated.sharedCheckpoint()
+          else entGated.stageCheckpoint()
         sc.join(
           TextAnalysis.classifierScore(sc, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
@@ -263,7 +297,7 @@ object Curation {
         val scored =
           if (p.lexicon.isDefined || p.minNovelty.isDefined ||
             p.minEntropyE6.isDefined) entGated
-          else entGated.sharedCheckpoint()
+          else entGated.stageCheckpoint()
         val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish
@@ -271,25 +305,37 @@ object Curation {
           .where(col("__q") >= col("__cut"))
     }}) // restore the original column order / drop the internals
       .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
-      .sharedCheckpoint()
+      .stageCheckpoint()
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
-      .sharedCheckpoint()
+      .stageCheckpoint()
     // Auto resolution counts `exact` — a frame that is already
     // sharedCheckpoint()'d and consumed by stage 4 and the funnel, so
     // the count materializes work every downstream consumer reuses.
     // Explicit Exact/MinHash configs never count (by-name argument).
-    val pairs = resolvePairSource(p.pairSource, exact.count()) match {
+    // When Auto stays under the survivor line it STILL routes through
+    // the measured candidate-volume guard (Dedup.nearDupPairsAuto):
+    // survivor counts say nothing about hot-shingle corpora, where both
+    // exact pair paths explode long before 100k docs (r13, measured at
+    // the 50k decade — 150 s+ exact vs 7 s banded at the defaults).
+    // Explicit PairSource.Exact remains unconditionally exact — that is
+    // what the oracle configs pin.
+    val pairs = p.pairSource match {
       case PairSource.Exact =>
         Dedup.jaccardPairsAdaptive(exact, p.shingleK, p.jaccardThreshold, idCol, textCol)
       case PairSource.MinHash(numHashes, bands) =>
         Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
           p.jaccardThreshold, idCol, textCol)
-      case auto: PairSource.Auto => throw new IllegalStateException(
-        s"resolvePairSource must not return Auto: $auto")
+      case PairSource.Auto(maxExact, numHashes, bands) =>
+        if (exact.count() > maxExact)
+          Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
+            p.jaccardThreshold, idCol, textCol)
+        else
+          Dedup.nearDupPairsAuto(exact, p.shingleK, p.jaccardThreshold,
+            numHashes = numHashes, bands = bands, idCol = idCol, textCol = textCol)
     }
     val nearDup = Dedup.applyClusters(exact, Dedup.dupClusters(pairs), idCol)
-      .sharedCheckpoint()
+      .stageCheckpoint()
     // Optional exact-substring excision between near-dup and decontam
     // (the ExactSubstr position in real pipelines): document COUNT is
     // unchanged — text is rewritten, fully-excised docs become empty —
@@ -307,7 +353,7 @@ object Curation {
             case c if c == TokCol  => col("__newtok").as(TokCol)
             case c                 => col(c)
           }.toSeq: _*)
-          .sharedCheckpoint()
+          .stageCheckpoint()
       }
     val clean = afterSpans.join(
       Dedup.contamination(afterSpans, benchmark, p.shingleK, p.minSharedShingles,
@@ -318,7 +364,7 @@ object Curation {
     // deterministic hash gate — clean is shared so the rate aggregate
     // and the gated output reuse one materialization
     val mixed = p.sourceAlpha.map { a =>
-      val shared = clean.sharedCheckpoint()
+      val shared = clean.stageCheckpoint()
       (shared, Sampling.temperatureSample(shared, a, p.mixTargetFrac,
         p.qualityGroupCol, idCol).drop("rate_e6"))
     }
@@ -378,7 +424,7 @@ object Curation {
                                 p: Params, idCol: String,
                                 textCol: String): Seq[(String, DataFrame)] = {
     val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
-    st0.init :+ (st0.last._1 -> st0.last._2.sharedCheckpoint())
+    st0.init :+ (st0.last._1 -> st0.last._2.stageCheckpoint())
   }
 
   /** The attribution frame over already-built stage frames: each
@@ -474,7 +520,7 @@ object Curation {
     benchEmb match {
       case None => (semantic.drop(TokCol), funnelOf(stSem))
       case Some(be) =>
-        val sem = semantic.sharedCheckpoint() // decontam gate + funnel share it
+        val sem = semantic.stageCheckpoint() // decontam gate + funnel share it
         val semEmb = embeddings
           .select(col(embIdCol).as(idCol), col(vecCol))
           .join(sem.select(idCol), Seq(idCol))

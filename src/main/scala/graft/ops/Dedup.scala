@@ -220,7 +220,16 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-      .sharedCheckpoint()
+      // EAGER (r13): every consumer embeds this frame at several plan
+      // sites at once (candidate probe + verify + size/df aggregates,
+      // some on broadcast-exchange threads), and concurrent threads
+      // racing a LAZY checkpoint serialize on the per-block
+      // getOrCompute lock — the pathology profiled in the curation
+      // facade (Curation.stageFrames note: a 1-task stage pinned 172 s
+      // behind its 32-task sibling). The frame is 16 B/shingle and is
+      // ALWAYS consumed by at least two sites, so eager is mandatory
+      // work at a race-free point.
+      .sharedCheckpoint(eager = true)
   }
 
   /** jaccard-filtered output from per-pair intersection counts. */
@@ -309,14 +318,60 @@ object Dedup {
                            idCol: String = "doc_id", textCol: String = "text",
                            maxCandidatePairs: Long = 100000000L): DataFrame = {
     val sh = shingleFrame(docs, k, idCol, textCol)
-    val candVolume = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    if (candVolumeOf(sh) <= maxCandidatePairs) jaccardPairsFrom(sh, threshold)
+    else jaccardPairsPrefixFrom(sh, threshold)
+  }
+
+  /** Σ_s C(df_s, 2) over a shingle frame — the candidate volume every
+    * EXACT pair path must materialize (the plain inverted-index join
+    * shuffles exactly this many rows; the PPJoin prefix join prunes a
+    * fraction that VANISHES as the threshold drops or shingles run
+    * hot). One aggregate over 8-byte hashes. */
+  private def candVolumeOf(sh: DataFrame): Long =
+    sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * (col("df") - 1) / 2)).head().getAs[Any](0) match {
         case null          => 0L
         case d: java.math.BigDecimal => d.longValue()
         case n: Number     => n.longValue()
       }
-    if (candVolume <= maxCandidatePairs) jaccardPairsFrom(sh, threshold)
-    else jaccardPairsPrefixFrom(sh, threshold)
+
+  /** Near-dup pairs with a MEASURED-volume route between exact and
+    * banded: candidate volume ≤ `maxCandidatePairs` → plain exact
+    * inverted-index join (recall 1); above it → MinHash+LSH with exact
+    * verify (banded recall). The r13 closing of the Auto footgun the
+    * survivor-count route alone left open: a corpus whose SHINGLES run
+    * hot (fixed-vocab / boilerplate-heavy text at a low threshold)
+    * explodes BOTH exact paths long before the 100k-survivor line —
+    * measured at the 50k decade, shingleK 3 / t 0.5: plain and prefix
+    * exact both > 150 s (prefix never finished a 10-min budget; the
+    * prefix at t = 0.5 keeps ~half of every doc's shingles, so
+    * hot-shingle pruning does nothing), MinHash 7 s. Doc counts say
+    * nothing about this — only the measured Σ C(df, 2) does, and it
+    * costs one aggregate over the shingle frame both winners reuse.
+    *
+    * Default cap 20M: the plain join's verify shuffle at 100M
+    * candidates measured 44-175 s on 32 cores (r13 profile); 20M keeps
+    * the exact arm's worst case around thirty seconds while preserving
+    * recall 1 for every corpus whose near-dup structure is sane. */
+  def nearDupPairsAuto(docs: DataFrame, k: Int, threshold: Double,
+                       maxCandidatePairs: Long = 20000000L,
+                       numHashes: Int = 96, bands: Int = 32,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingleFrame(docs, k, idCol, textCol)
+    if (candVolumeOf(sh) <= maxCandidatePairs) jaccardPairsFrom(sh, threshold)
+    else {
+      val buckets = bandBuckets(minhashSignaturesFrom(sh, numHashes),
+        bands, numHashes / bands)
+      val candidates = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      verifyExact(candidates, sh, threshold)
+    }
   }
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin-style): sort each
