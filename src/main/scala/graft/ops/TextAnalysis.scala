@@ -517,12 +517,33 @@ object TextAnalysis {
     */
   def trainQualityClassifier(pos: DataFrame, neg: DataFrame, dim: Int = 4096,
                              steps: Int = 2, lr: Double = 1.0,
-                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                             idCol: String = "doc_id", textCol: String = "text",
+                             trainCap: Int = 100000): DataFrame = {
     require(dim > 0 && steps >= 1, s"dim/steps must be positive, got $dim/$steps")
     graft.functions.ensureRegistered(pos.sparkSession)
     val session = pos.sparkSession
     import session.implicits._
-    def featsOf(df: DataFrame, y: Int): DataFrame = df
+    // trainCap: per-class deterministic sample cap, default 100k. A
+    // FastText-style quality classifier saturates long before corpus
+    // scale, but the feature build is corpus×grams rows and each GD
+    // step shuffles all of them — measured ×30 per decade at the 500k
+    // level (§G21). The r9 store-lever convention: the scale-critical
+    // cap is ON by default; 0 disables (full-corpus training, the
+    // exactness-replay config). Sampling is a HASH-threshold Bernoulli
+    // gate sized from one count (expected ≈ cap) — seed-free,
+    // order-invariant, shuffle-free; a rank-exact cap would need the
+    // global unpartitioned window the plan audit forbids. Classes
+    // already at or under the cap pass through bit-identically — the
+    // sf0.01 oracle row trains 500-vs-4500 docs and keeps its hash.
+    def capped(df: DataFrame): DataFrame =
+      if (trainCap <= 0) df
+      else {
+        val n = df.count()
+        if (n <= trainCap) df
+        else df.where(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit(math.round(trainCap.toDouble / n.toDouble * 1000000L)))
+      }
+    def featsOf(df: DataFrame, y: Int): DataFrame = capped(df)
       .select(col(idCol).as("id"), lit(y).as("y"),
         explode(graft.functions.gram_buckets(tokens(col(textCol)), dim)).as("b0"))
       .select(col("id"), col("y"), col("b0").cast("long").as("bucket"))

@@ -1131,6 +1131,35 @@ class OpsSpec extends SparkSpec {
     // empty training sides survive
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.trainQualityClassifier(empty, empty).collect().isEmpty)
+    // trainCap (r13, §G21): classes at/under the cap pass through
+    // BIT-identically (one count, no gate), so the default cap cannot
+    // perturb the oracle row; an over-cap class samples via the
+    // deterministic hash gate — reruns identical, learned sign intact
+    val wDefault = TextAnalysis.trainQualityClassifier(pos, neg, steps = 2,
+      trainCap = 100000).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wDefault == a, "under-cap training must be bit-identical to uncapped")
+    val posBig = (1L to 300L).map(i => (i, s"good clean prose number $i"))
+      .toDF("doc_id", "text")
+    val negBig = (1001L to 1300L).map(i => (i, s"spam junk garbage item $i"))
+      .toDF("doc_id", "text")
+    val c1 = TextAnalysis.trainQualityClassifier(posBig, negBig, steps = 2,
+      trainCap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val c2 = TextAnalysis.trainQualityClassifier(posBig, negBig, steps = 2,
+      trainCap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(c1 == c2, "capped training must be deterministic")
+    assert(c1 != TextAnalysis.trainQualityClassifier(posBig, negBig, steps = 2,
+      trainCap = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "cap 50 over 300-doc classes should actually sample (gate inert?)")
+    val scoredCap = TextAnalysis.classifierScore(posBig.union(negBig),
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        c1.map(x => org.apache.spark.sql.Row(x._1, x._2))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w_e6", org.apache.spark.sql.types.LongType)))))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(scoredCap.filter(_._1 <= 300L).forall(_._2) &&
+      scoredCap.filter(_._1 >= 1001L).forall(!_._2),
+      "a 50-doc/class sample must still learn the separable signal")
   }
 
   test("BPE merges: hand-computed Sennrich corpus, deterministic ranks, early stop") {
