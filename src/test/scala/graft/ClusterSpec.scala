@@ -191,6 +191,23 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("MinHash near-dup pairs survive executor loss under reliable checkpoints") {
+    assume(enabled, "set GRAFT_CLUSTER_TESTS=1 and SPARK_HOME to run")
+    // the shingle frame is an (eager) shared checkpoint — exactly the
+    // frame the Checkpoints cliff documentation says localCheckpoint
+    // loses with an executor; reliable mode must carry it through a
+    // kill -9. Pairs computed as (id_a, id_b, jaccard) rows.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def pairsOnce() = graft.ops.Dedup.minhashLshPairs(docs, 3, 96, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairsOnce()
+    awaitTwoExecutors()
+    val (got, killed) = killOneExecutorDuring(pairsOnce())
+    assert(killed.isDefined, "no executor was killed mid-run")
+    assert(got == expected, "near-dup pairs diverged after executor loss")
+    awaitTwoExecutors()
+  }
+
   test("PqIndexStore: built by real executors, serve equals brute force") {
     assume(enabled, "set GRAFT_CLUSTER_TESTS=1 and SPARK_HOME to run")
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
