@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.ops.Checkpoints.SharedOps
+import scala.util.chaining._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,17 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Stage-frame checkpoint policy. EAGER by default (see the long
+  /** Stage-frame checkpoint policy. FORCED by default (see the long
     * note in stageFrames: lazy stage checkpoints are raced by
     * concurrent broadcast-exchange threads and the per-block
     * getOrCompute lock serializes them pathologically — 353 s vs 14 s
-    * at the 50k decade). `spark.graft.curation.eagerStages=false`
-    * restores lazy materialization (measurement/debug lever). */
+    * at the 50k decade). Stage frames are materialized by ONE fused
+    * (count, Σtokens) aggregate whose result doubles as the stage's
+    * funnel row, so the funnel costs nothing extra and the Auto pair
+    * router reuses the count. `spark.graft.curation.eagerStages=false`
+    * restores fully lazy materialization (measurement/debug lever —
+    * the raced schedule). */
   val EagerStagesKey = "spark.graft.curation.eagerStages"
 
+  private def forcingOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(EagerStagesKey).forall(_.toBoolean)
+
+  /** Materialize a (lazily checkpointed) stage frame with one fused
+    * pass — scan → persist blocks → aggregate in a single job, no
+    * isolated checkpoint job, no racing consumers — and return its
+    * funnel row (n_docs, n_tokens). */
+  private def forceCount(ck: DataFrame): (Long, Long) = {
+    val r = ck.agg(count(lit(1)), sum(col(TokCol))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** For the facade's INTERNAL (non-stage) shared frames — eager in
+    * forcing mode, lazy otherwise. */
   private implicit class StageCk(private val df: DataFrame) {
-    def stageCheckpoint(): DataFrame = Checkpoints.shared(df,
-      eager = df.sparkSession.conf.getOption(EagerStagesKey).forall(_.toBoolean))
+    def stageCheckpoint(): DataFrame =
+      Checkpoints.shared(df, eager = forcingOn(df))
   }
 
 
@@ -179,7 +198,17 @@ object Curation {
                     minEntropyE6: Option[Long] = None)
 
   private def stageFrames(corpus: DataFrame, benchmark: DataFrame, p: Params,
-                          idCol: String, textCol: String): Seq[(String, DataFrame)] = {
+                          idCol: String, textCol: String)
+      : (Seq[(String, DataFrame)], scala.collection.Map[String, (Long, Long)]) = {
+    val force = forcingOn(corpus)
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // checkpoint a STAGE frame; in forcing mode materialize it NOW via
+    // the fused funnel aggregate and record the row
+    def ckStage(name: String, df: DataFrame): DataFrame = {
+      val ck = Checkpoints.shared(df)
+      if (force) counts(name) = forceCount(ck)
+      ck
+    }
     // Each stage frame is lazily shared-checkpointed: downstream stages
     // and the funnel's per-stage counts then share one materialization
     // per stage instead of re-executing every prefix plan (stage 5
@@ -199,20 +228,22 @@ object Curation {
     // score share a single tokenizer evaluation (HOF subtrees are not
     // CSE'd, and CollapseProject keeps non-cheap expressions bound).
     //
-    // EVERY stage checkpoint in this facade is EAGER (r13). With lazy
-    // checkpoints, the first downstream action materializes a stage
-    // frame from MULTIPLE plan sites at once — e.g. exact-dedup's plan
-    // reads the quality frame on both the probe side and the broadcast
-    // subquery, and funnel aggregates add more — and concurrent
-    // broadcast-exchange threads then RACE to compute the same lazy
-    // checkpoint blocks. The per-block getOrCompute lock serializes
-    // them into a pathological schedule (profiled at the 50k decade: a
-    // 1-task stage pinned 172 s behind its 32-task sibling; the
-    // default funnel measured 214-300 s lazy vs 30 s eager — and the
-    // same mechanism explains §G16's 89-251 s "combined run" outliers).
-    // Eager is free here: every stage frame IS consumed (next stage +
-    // funnel), so the materialization is mandatory work, just moved to
-    // a single-threaded, race-free point.
+    // EVERY stage checkpoint in this facade is FORCED at creation
+    // (r13). With lazy checkpoints, the first downstream action
+    // materializes a stage frame from MULTIPLE plan sites at once —
+    // e.g. exact-dedup's plan reads the quality frame on both the
+    // probe side and the broadcast subquery, and funnel aggregates add
+    // more — and concurrent broadcast-exchange threads then RACE to
+    // compute the same lazy checkpoint blocks. The per-block
+    // getOrCompute lock serializes them into a pathological schedule
+    // (profiled at the 50k decade: a 1-task stage pinned 172 s behind
+    // its 32-task sibling; the default funnel measured 214-353 s lazy
+    // vs 10-30 s forced — and the same mechanism explains §G16's
+    // 89-251 s "combined run" outliers). Forcing is BETTER than free
+    // here: the materializing job's aggregate IS the stage's funnel
+    // row (ckStage records it), so the funnel never re-touches a
+    // forced stage and the Auto router reuses the exact-dedup count —
+    // at corpus scale the funnel is a driver-side literal.
     val withTok = corpus
       .withColumn("__toks", Dedup.tokens(col(textCol)))
       .withColumn(TokCol, size(col("__toks")).cast("long"))
@@ -229,7 +260,7 @@ object Curation {
           TextAnalysis.gramNovelty(withTok, grams, p.noveltyN, idCol, textCol)
             .where(col("novelty_e6") >= minNov).select(idCol),
           Seq(idCol), "left_semi")
-          .stageCheckpoint()
+          .pipe(ckStage("1b_novelty", _))
       case (None, None) => withTok
       case _ => throw new IllegalArgumentException(
         "minNovelty and noveltyGrams must be set together (the gate needs both " +
@@ -243,7 +274,7 @@ object Curation {
           TextAnalysis.lexiconFlags(gated, lex, p.lexiconMaxHitRate, idCol, textCol)
             .where(!col("flagged")).select(idCol),
           Seq(idCol), "left_semi")
-          .stageCheckpoint()
+          .pipe(ckStage("1c_lexicon", _))
       case None => gated
     }
     // Entropy gate (stage 1d, optional): a pure per-row predicate over
@@ -262,7 +293,7 @@ object Curation {
         screened.join(
           ent.where(col("entropy_e6") >= minEnt).select(idCol),
           Seq(idCol), "left_semi")
-          .stageCheckpoint()
+          .pipe(ckStage("1d_entropy", _))
       case None => screened
     }
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
@@ -305,10 +336,10 @@ object Curation {
           .where(col("__q") >= col("__cut"))
     }}) // restore the original column order / drop the internals
       .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
-      .stageCheckpoint()
+      .pipe(ckStage("2_quality", _))
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
-      .stageCheckpoint()
+      .pipe(ckStage("3_exact_dedup", _))
     // Auto resolution counts `exact` — a frame that is already
     // sharedCheckpoint()'d and consumed by stage 4 and the funnel, so
     // the count materializes work every downstream consumer reuses.
@@ -327,7 +358,7 @@ object Curation {
         Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
           p.jaccardThreshold, idCol, textCol)
       case PairSource.Auto(maxExact, numHashes, bands) =>
-        if (exact.count() > maxExact)
+        if (counts.get("3_exact_dedup").map(_._1).getOrElse(exact.count()) > maxExact)
           Dedup.minhashLshPairs(exact, p.shingleK, numHashes, bands,
             p.jaccardThreshold, idCol, textCol)
         else
@@ -335,7 +366,7 @@ object Curation {
             numHashes = numHashes, bands = bands, idCol = idCol, textCol = textCol)
     }
     val nearDup = Dedup.applyClusters(exact, Dedup.dupClusters(pairs), idCol)
-      .stageCheckpoint()
+      .pipe(ckStage("4_near_dup", _))
     // Optional exact-substring excision between near-dup and decontam
     // (the ExactSubstr position in real pipelines): document COUNT is
     // unchanged — text is rewritten, fully-excised docs become empty —
@@ -353,7 +384,7 @@ object Curation {
             case c if c == TokCol  => col("__newtok").as(TokCol)
             case c                 => col(c)
           }.toSeq: _*)
-          .stageCheckpoint()
+          .pipe(ckStage("4b_span_excise", _))
       }
     val clean = afterSpans.join(
       Dedup.contamination(afterSpans, benchmark, p.shingleK, p.minSharedShingles,
@@ -364,11 +395,11 @@ object Curation {
     // deterministic hash gate — clean is shared so the rate aggregate
     // and the gated output reuse one materialization
     val mixed = p.sourceAlpha.map { a =>
-      val shared = clean.stageCheckpoint()
+      val shared = ckStage("5_decontaminated", clean)
       (shared, Sampling.temperatureSample(shared, a, p.mixTargetFrac,
         p.qualityGroupCol, idCol).drop("rate_e6"))
     }
-    Seq("1_total" -> withTok.drop("__q")) ++
+    (Seq("1_total" -> withTok.drop("__q")) ++
       (if (p.minNovelty.isDefined) Seq("1b_novelty" -> gated.drop("__q")) else Nil) ++
       (if (p.lexicon.isDefined) Seq("1c_lexicon" -> screened.drop("__q")) else Nil) ++
       (if (p.minEntropyE6.isDefined) Seq("1d_entropy" -> entGated.drop("__q")) else Nil) ++
@@ -381,7 +412,7 @@ object Curation {
         case None => Seq("5_decontaminated" -> clean)
         case Some((shared, m)) =>
           Seq("5_decontaminated" -> shared, "6_mixture" -> m)
-      })
+      })) -> counts
   }
 
   /** Internal carried-token-count column (see [[stageFrames]]) —
@@ -392,7 +423,7 @@ object Curation {
   /** The curated corpus: every stage applied, original columns kept. */
   def curate(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    stageFrames(corpus, benchmark, p, idCol, textCol).last._2.drop(TokCol)
+    stageFrames(corpus, benchmark, p, idCol, textCol)._1.last._2.drop(TokCol)
 
   /** [[curate]] KEEPING the carried [[TokCol]] token count — for
     * package consumers whose next step is a token aggregate
@@ -403,7 +434,7 @@ object Curation {
                                          p: Params = Params(),
                                          idCol: String = "doc_id",
                                          textCol: String = "text"): DataFrame =
-    stageFrames(corpus, benchmark, p, idCol, textCol).last._2
+    stageFrames(corpus, benchmark, p, idCol, textCol)._1.last._2
 
   /** Per-stage survivor counts as (stage, n_docs, n_tokens) rows —
     * the curation funnel. Token counts matter as much as doc counts to
@@ -411,8 +442,10 @@ object Curation {
     * different decision). Each stage is one aggregate over its composed
     * plan, unioned (not cross-joined) into a single tiny result. */
   def funnel(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    funnelOf(stageFrames(corpus, benchmark, p, idCol, textCol))
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (st, counts) = stageFrames(corpus, benchmark, p, idCol, textCol)
+    funnelOf(st, counts)
+  }
 
   /** [[stageFrames]] with the terminal frame checkpointed — the ONE
     * place holding the invariant "stageFrames leaves the terminal
@@ -421,10 +454,17 @@ object Curation {
     * multi-output entry point ([[run]], [[runWithAudit]],
     * [[runWithSemantic]], [[audit]]) goes through here. */
   private def stageFramesShared(corpus: DataFrame, benchmark: DataFrame,
-                                p: Params, idCol: String,
-                                textCol: String): Seq[(String, DataFrame)] = {
-    val st0 = stageFrames(corpus, benchmark, p, idCol, textCol)
-    st0.init :+ (st0.last._1 -> st0.last._2.stageCheckpoint())
+                                p: Params, idCol: String, textCol: String)
+      : (Seq[(String, DataFrame)], scala.collection.Map[String, (Long, Long)]) = {
+    val (st0, counts0) = stageFrames(corpus, benchmark, p, idCol, textCol)
+    val name = st0.last._1
+    if (counts0.contains(name)) (st0, counts0) // mixed tail: already forced
+    else {
+      val ck = Checkpoints.shared(st0.last._2)
+      val counts =
+        if (forcingOn(ck)) counts0.toMap + (name -> forceCount(ck)) else counts0
+      (st0.init :+ (name -> ck), counts)
+    }
   }
 
   /** The attribution frame over already-built stage frames: each
@@ -445,8 +485,8 @@ object Curation {
     * their own stage frames and execute the full pipeline twice. */
   def run(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
-    val st = stageFramesShared(corpus, benchmark, p, idCol, textCol)
-    (st.last._2.drop(TokCol), funnelOf(st))
+    val (st, counts) = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    (st.last._2.drop(TokCol), funnelOf(st, counts))
   }
 
   /** [[run]] plus the per-doc attribution frame, all from ONE pipeline
@@ -456,8 +496,8 @@ object Curation {
   def runWithAudit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
                    idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame, DataFrame) = {
-    val st = stageFramesShared(corpus, benchmark, p, idCol, textCol)
-    (st.last._2.drop(TokCol), funnelOf(st), auditOf(st, idCol))
+    val (st, counts) = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    (st.last._2.drop(TokCol), funnelOf(st, counts), auditOf(st, idCol))
   }
 
   /** Per-document drop ATTRIBUTION — "which stage dropped my doc", the
@@ -472,7 +512,7 @@ object Curation {
     * which shares one pipeline build across all three outputs. */
   def audit(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    auditOf(stageFramesShared(corpus, benchmark, p, idCol, textCol), idCol)
+    auditOf(stageFramesShared(corpus, benchmark, p, idCol, textCol)._1, idCol)
 
   /** [[run]] plus a SEMANTIC dedup tail (stage 6): after text-level
     * curation, documents whose EMBEDDINGS cluster at cosine ≥
@@ -506,7 +546,7 @@ object Curation {
                       idCol: String = "doc_id", textCol: String = "text",
                       embIdCol: String = "vec_id", vecCol: String = "embedding",
                       vecDims: Int = 64): (DataFrame, DataFrame) = {
-    val st0 = stageFramesShared(corpus, benchmark, p, idCol, textCol)
+    val (st0, counts) = stageFramesShared(corpus, benchmark, p, idCol, textCol)
     // three consumers reuse the (checkpointed) terminal text stage
     val clean = st0.last._2
     val survivorEmb = embeddings
@@ -518,9 +558,14 @@ object Curation {
     val semantic = clean.join(losers, Seq(idCol), "left_anti")
     val stSem = st0 :+ ("6_semantic" -> semantic)
     benchEmb match {
-      case None => (semantic.drop(TokCol), funnelOf(stSem))
+      case None => (semantic.drop(TokCol), funnelOf(stSem, counts))
       case Some(be) =>
-        val sem = semantic.stageCheckpoint() // decontam gate + funnel share it
+        // decontam gate + funnel share the semantic frame: forced like
+        // every stage checkpoint, with its funnel row recorded
+        val sem = Checkpoints.shared(semantic)
+        val counts2 =
+          if (forcingOn(sem)) counts.toMap + ("6_semantic" -> forceCount(sem))
+          else counts
         val semEmb = embeddings
           .select(col(embIdCol).as(idCol), col(vecCol))
           .join(sem.select(idCol), Seq(idCol))
@@ -531,17 +576,32 @@ object Curation {
           .where(!col("kept")).select(idCol)
         val dec = sem.join(decLosers, Seq(idCol), "left_anti")
         val st = stSem.init :+ ("6_semantic" -> sem) :+ ("7_semdecontam" -> dec)
-        (dec.drop(TokCol), funnelOf(st))
+        (dec.drop(TokCol), funnelOf(st, counts2))
     }
   }
 
-  private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =
-    st.map { case (name, df) =>
-        df.agg(
-            count(lit(1)).as("n_docs"),
-            coalesce(sum(col(TokCol)), lit(0L)).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      }
-      .reduce(_ union _)
-      .orderBy("stage")
+  /** The funnel from the stage list: stages whose (n_docs, n_tokens)
+    * were already captured by their forcing aggregate become
+    * driver-side LITERAL rows (no job at all — at 100 TB the funnel of
+    * a forced pipeline costs nothing); the rest (the un-checkpointed
+    * 1_total head and lazy terminals) aggregate as before, each fused
+    * with its frame's first materialization. */
+  private def funnelOf(st: Seq[(String, DataFrame)],
+                       counts: scala.collection.Map[String, (Long, Long)]
+                         = Map.empty): DataFrame = {
+    val session = st.head._2.sparkSession
+    import session.implicits._
+    val litRows = st.collect { case (name, _) if counts.contains(name) =>
+      val (d, t) = counts(name); (name, d, t) } match {
+      case rows if rows.isEmpty => Nil
+      case rows => Seq(rows.toDF("stage", "n_docs", "n_tokens"))
+    }
+    val aggRows = st.collect { case (name, df) if !counts.contains(name) =>
+      df.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col(TokCol)), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }
+    (litRows ++ aggRows).reduce(_ unionByName _).orderBy("stage")
+  }
 }
