@@ -1,8 +1,7 @@
 package graft.ops
 
-import graft.ops.Checkpoints.SharedOps
 import scala.util.chaining._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the standard pre-training pipeline
@@ -46,13 +45,6 @@ object Curation {
   private def forceCount(ck: DataFrame): (Long, Long) = {
     val r = ck.agg(count(lit(1)), sum(col(TokCol))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
-
-  /** For the facade's INTERNAL (non-stage) shared frames — eager in
-    * forcing mode, lazy otherwise. */
-  private implicit class StageCk(private val df: DataFrame) {
-    def stageCheckpoint(): DataFrame =
-      Checkpoints.shared(df, eager = forcingOn(df))
   }
 
 
@@ -209,16 +201,17 @@ object Curation {
       if (force) counts(name) = forceCount(ck)
       ck
     }
-    // Each stage frame is lazily shared-checkpointed: downstream stages
-    // and the funnel's per-stage counts then share one materialization
-    // per stage instead of re-executing every prefix plan (stage 5
-    // would otherwise re-run quality+dedup+pairs+closure from the
-    // scan). Real pipelines at corpus scale do exactly this — stage
-    // outputs are materialized datasets — and the blocks are freed by
-    // the ContextCleaner when the frames go out of scope. By default
-    // the sharing is executor-local (lost on executor failure); long
-    // multi-stage runs on real clusters opt into reliable checkpoints
-    // with spark.graft.checkpoint.reliable=true — see [[Checkpoints]].
+    // Stage frames downstream of the verdict base are shared-
+    // checkpointed: downstream stages and the funnel's per-stage counts
+    // then share one materialization per stage instead of re-executing
+    // every prefix plan (stage 5 would otherwise re-run
+    // quality+dedup+pairs+closure from the scan). Real pipelines at
+    // corpus scale do exactly this — stage outputs are materialized
+    // datasets — and the blocks are freed by the ContextCleaner when
+    // the frames go out of scope. By default the sharing is
+    // executor-local (lost on executor failure); long multi-stage runs
+    // on real clusters opt into reliable checkpoints with
+    // spark.graft.checkpoint.reliable=true — see [[Checkpoints]].
     //
     // The per-doc token count is computed ONCE here (8 bytes carried
     // through every checkpoint) — the funnel's per-stage token sums
@@ -244,99 +237,125 @@ object Curation {
     // row (ckStage records it), so the funnel never re-touches a
     // forced stage and the Auto router reuses the exact-dedup count —
     // at corpus scale the funnel is a driver-side literal.
+    //
+    // r14 (the eager tax shrink — VERDICT r13 #1): the pipeline HEAD
+    // is ONE fused "verdict base" checkpoint instead of a chain of
+    // per-gate full-corpus checkpoints. Every 1-series gate (novelty /
+    // lexicon / entropy) is a PER-DOC-independent predicate, so its
+    // verdict computed over the full corpus equals its verdict
+    // computed over the previous gate's survivors — the sequential
+    // funnel rows are then prefix-conjunction counts over one frame.
+    // The base carries (original cols, token count, quality score, one
+    // boolean per gate) and is materialized by a single aggregate that
+    // doubles as the 1_total + per-gate + (simple-arm) 2_quality
+    // funnel rows; gate stages and the simple quality stage become
+    // filters over the materialized blocks — race-free (the §G16
+    // getOrCompute race needs LAZY blocks) and zero extra jobs. r13
+    // paid one isolated job + one full-corpus checkpoint per enabled
+    // gate plus a separate full-tokenize 1_total aggregate.
     val withTok = corpus
       .withColumn("__toks", Dedup.tokens(col(textCol)))
       .withColumn(TokCol, size(col("__toks")).cast("long"))
       .withColumn("__q", round(
         TextAnalysis.qualityScoreOf(col("__toks"), col(textCol)), 4))
       .drop("__toks")
-    // Novelty gate (stage 1b, optional): membership probe against the
-    // seen-gram store — the docs it drops never reach the tokenizer-
-    // derived scoring below a second time, and more importantly never
-    // reach the pair generators. The probe shuffles 8-byte hashes only.
-    val gated = (p.minNovelty, p.noveltyGrams) match {
-      case (Some(minNov), Some(grams)) =>
-        withTok.join(
+    // Per-gate verdict frames, one boolean per doc keyed by id. LEFT
+    // joins below: a doc ABSENT from a verdict frame (a zero-gram doc
+    // never emitted by gramNovelty's explode) fails its gate —
+    // matching the r13 semi-join semantics exactly.
+    val gates: Seq[(String, DataFrame)] = {
+      val nov = (p.minNovelty, p.noveltyGrams) match {
+        case (Some(minNov), Some(grams)) => Seq("1b_novelty" ->
+          // novelty (1b): membership probe against the seen-gram store
+          // — the re-crawl filter; the probe shuffles 8-byte hashes only
           TextAnalysis.gramNovelty(withTok, grams, p.noveltyN, idCol, textCol)
-            .where(col("novelty_e6") >= minNov).select(idCol),
-          Seq(idCol), "left_semi")
-          .pipe(ckStage("1b_novelty", _))
-      case (None, None) => withTok
-      case _ => throw new IllegalArgumentException(
-        "minNovelty and noveltyGrams must be set together (the gate needs both " +
-          "a threshold and a seen-gram store)")
+            .select(col(idCol), (col("novelty_e6") >= minNov).as("__pass")))
+        case (None, None) => Nil
+        case _ => throw new IllegalArgumentException(
+          "minNovelty and noveltyGrams must be set together (the gate needs both " +
+            "a threshold and a seen-gram store)")
+      }
+      // lexicon (1c): token-exact blockword hit rate, one codegen'd scan
+      val lex = p.lexicon.toSeq.map(l => "1c_lexicon" ->
+        TextAnalysis.lexiconFlags(withTok, l, p.lexiconMaxHitRate, idCol, textCol)
+          .select(col(idCol), (!col("flagged")).as("__pass")))
+      // entropy (1d): per-doc unigram entropy — computed once into the
+      // base (a pushed filter would re-derive the run-length chain a
+      // constant number of times per row; measured 4× at sf0.1)
+      val ent = p.minEntropyE6.toSeq.map(minEnt => "1d_entropy" ->
+        TextAnalysis.tokenEntropy(withTok, idCol, textCol)
+          .select(col(idCol), (col("entropy_e6") >= minEnt).as("__pass")))
+      nov ++ lex ++ ent
     }
-    // Lexicon policy gate (stage 1c, optional): one codegen'd scan,
-    // token-exact blockword hits — semi-join keys are ids only
-    val screened = p.lexicon match {
-      case Some(lex) =>
-        gated.join(
-          TextAnalysis.lexiconFlags(gated, lex, p.lexiconMaxHitRate, idCol, textCol)
-            .where(!col("flagged")).select(idCol),
-          Seq(idCol), "left_semi")
-          .pipe(ckStage("1c_lexicon", _))
-      case None => gated
+    val basePlan = gates.zipWithIndex.foldLeft(withTok) {
+      case (acc, ((_, gf), i)) =>
+        acc.join(gf.withColumnRenamed("__pass", s"__p$i"), Seq(idCol), "left")
+          .withColumn(s"__p$i", coalesce(col(s"__p$i"), lit(false)))
     }
-    // Entropy gate (stage 1d, optional): a pure per-row predicate over
-    // the doc's own token distribution — the cheapest gate in the
-    // chain (the entropy projection never shuffles; the semi-join
-    // carries ids only)
-    val entGated = p.minEntropyE6 match {
-      case Some(minEnt) =>
-        // the entropy frame materializes BEFORE the threshold: even
-        // with tokenEntropy's inlining-safe shape, a pushed filter
-        // still re-derives the run-length chain a constant number of
-        // times per row (measured 4× at sf0.1) — the checkpointed
-        // (id, entropy) frame is 16 B/doc and pays the projection once
-        val ent = TextAnalysis.tokenEntropy(screened, idCol, textCol)
-          .select(col(idCol), col("entropy_e6")).stageCheckpoint()
-        screened.join(
-          ent.where(col("entropy_e6") >= minEnt).select(idCol),
-          Seq(idCol), "left_semi")
-          .pipe(ckStage("1d_entropy", _))
-      case None => screened
+    val base = Checkpoints.shared(basePlan)
+    // gate i's survivors = docs passing gates 0..i (prefix conjunction)
+    def passUpTo(i: Int): Column = (0 to i).map(j => col(s"__p$j")).reduce(_ && _)
+    val allPass: Option[Column] =
+      if (gates.isEmpty) None else Some(passUpTo(gates.size - 1))
+    // the simple quality arm is a pure per-row predicate over the
+    // stored score — it needs no checkpoint of its own, so its funnel
+    // row fuses into the base aggregate too
+    val simpleQuality = p.classifierWeights.isEmpty && p.qualityKeepFrac.isEmpty
+    if (force) {
+      val qPass = (allPass.getOrElse(lit(true))) && col("__q") >= p.minQuality
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)), sum(col(TokCol))) ++
+          gates.indices.flatMap(i => Seq(
+            count(when(passUpTo(i), 1)), sum(when(passUpTo(i), col(TokCol))))) ++
+          (if (simpleQuality) Seq(
+            count(when(qPass, 1)), sum(when(qPass, col(TokCol)))) else Nil)
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
+      def cell(k: Int): (Long, Long) =
+        (r.getLong(k), if (r.isNullAt(k + 1)) 0L else r.getLong(k + 1))
+      counts("1_total") = cell(0)
+      gates.zipWithIndex.foreach { case ((name, _), i) =>
+        counts(name) = cell(2 + 2 * i)
+      }
+      if (simpleQuality) counts("2_quality") = cell(2 + 2 * gates.size)
     }
+    val entGated = allPass.map(base.where).getOrElse(base)
     // Quality gate: absolute threshold by default; `qualityKeepFrac`
     // switches to [[TextAnalysis.qualityCalibration]] semantics — the
     // top fraction of EVERY `qualityGroupCol` group survives, so a
     // low-scoring domain is thinned, not wiped (the cutoff frame is
-    // |groups| rows and broadcasts; the score pass is shared with it)
-    val quality = (p.classifierWeights match {
+    // |groups| rows and broadcasts; the score pass is shared with it).
+    // All arms read the MATERIALIZED base blocks, so multi-site
+    // consumption (classifier feature build + join left; cuts
+    // aggregate + join left; exact-dedup probe + broadcast) re-reads
+    // blocks instead of racing a lazy checkpoint or re-tokenizing.
+    val quality0 = p.classifierWeights match {
       case Some(w) =>
         // trained gate: keep docs the classifier scores σ > ½ — the
         // weight frame is dim-bounded and broadcasts inside
-        // classifierScore; the semi-join key is the id only. The frame
-        // feeds BOTH the feature build and the join's left side, so it
-        // must be checkpointed — without a gate upstream it would be
-        // the raw scoring projection and the corpus would scan twice
-        // (the keepFrac arm checkpoints `scored` for the same reason)
-        val sc =
-          if (p.lexicon.isDefined || p.minNovelty.isDefined ||
-            p.minEntropyE6.isDefined) entGated
-          else entGated.stageCheckpoint()
-        sc.join(
-          TextAnalysis.classifierScore(sc, w, p.classifierDim, idCol, textCol)
+        // classifierScore; the semi-join key is the id only
+        entGated.join(
+          TextAnalysis.classifierScore(entGated, w, p.classifierDim, idCol, textCol)
             .where(col("keep")).select(idCol),
           Seq(idCol), "left_semi")
       case None => p.qualityKeepFrac match {
       case None => entGated.where(col("__q") >= p.minQuality)
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"qualityKeepFrac must be in (0, 1], got $f")
-        // the classifier arm's guard: when a 1-series gate already
-        // checkpointed entGated, a second checkpoint would write and
-        // re-read the corpus-sized frame twice
-        val scored =
-          if (p.lexicon.isDefined || p.minNovelty.isDefined ||
-            p.minEntropyE6.isDefined) entGated
-          else entGated.stageCheckpoint()
-        val cuts = scored.groupBy(col(p.qualityGroupCol).as("__grp"))
+        val cuts = entGated.groupBy(col(p.qualityGroupCol).as("__grp"))
           .agg(expr(s"percentile(__q, ${1.0 - f})").as("__cut"))
         // null-safe: NULL-group docs must face their cutoff, not vanish
-        scored.join(cuts, col(p.qualityGroupCol) <=> col("__grp"))
+        entGated.join(cuts, col(p.qualityGroupCol) <=> col("__grp"))
           .where(col("__q") >= col("__cut"))
-    }}) // restore the original column order / drop the internals
-      .select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
-      .pipe(ckStage("2_quality", _))
+    }} // restore the original column order / drop the internals
+    val qualityCols =
+      quality0.select(withTok.columns.filterNot(_ == "__q").map(col).toSeq: _*)
+    // simple arm: a filter over materialized blocks needs no second
+    // full-corpus checkpoint (its funnel row was fused above); the
+    // classifier/keepFrac arms keep theirs — their survivors are a
+    // JOIN whose re-execution per downstream site would re-score
+    val quality =
+      if (simpleQuality) qualityCols
+      else qualityCols.pipe(ckStage("2_quality", _))
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
       .pipe(ckStage("3_exact_dedup", _))
@@ -399,10 +418,14 @@ object Curation {
       (shared, Sampling.temperatureSample(shared, a, p.mixTargetFrac,
         p.qualityGroupCol, idCol).drop("rate_e6"))
     }
-    (Seq("1_total" -> withTok.drop("__q")) ++
-      (if (p.minNovelty.isDefined) Seq("1b_novelty" -> gated.drop("__q")) else Nil) ++
-      (if (p.lexicon.isDefined) Seq("1c_lexicon" -> screened.drop("__q")) else Nil) ++
-      (if (p.minEntropyE6.isDefined) Seq("1d_entropy" -> entGated.drop("__q")) else Nil) ++
+    // gate/total stage frames are filters over the materialized base —
+    // funnelOf reads their rows from `counts` (literals in forcing
+    // mode); auditOf anti-joins their id columns off the blocks
+    val dropInternal = "__q" +: gates.indices.map(i => s"__p$i")
+    (Seq("1_total" -> base.drop(dropInternal: _*)) ++
+      gates.zipWithIndex.map { case ((name, _), i) =>
+        name -> base.where(passUpTo(i)).drop(dropInternal: _*)
+      } ++
       Seq(
       "2_quality" -> quality,
       "3_exact_dedup" -> exact,
