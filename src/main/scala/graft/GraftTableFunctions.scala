@@ -31,9 +31,19 @@ import graft.ops.{Curation, Dedup, PqIndexStore, Similarity, TextAnalysis}
   * DataFrame plan over the named tables and embeds the analyzed plan
   * as the function's output — so Catalyst sees the same plan the Scala
   * API produces, with every pushdown/codegen property intact and zero
-  * translation layer. Ops whose construction materializes shared
-  * frames (curation's checkpointed stages) do that work on first
-  * execution exactly as the Scala path does.
+  * translation layer.
+  *
+  * Analysis-time COST caveat (ADVICE r13): ops whose construction
+  * materializes shared frames — graft_curate / graft_curation_funnel
+  * under the default `spark.graft.curation.eagerStages=true` — execute
+  * those Spark jobs DURING analysis of the calling query, not at first
+  * execution. EXPLAIN, view re-resolution, or referencing the TVF
+  * twice in one query therefore re-runs the pipeline once per
+  * analyzed occurrence. For repeated querying of one curation result,
+  * materialize it once (CREATE TABLE ... AS SELECT, or cache a view of
+  * one TVF call) instead of re-invoking the TVF; the stateless
+  * functions (dedup/quality/ANN) build pure plans and have no such
+  * cost.
   */
 object GraftTableFunctions {
 
@@ -89,15 +99,19 @@ object GraftTableFunctions {
         new ExpressionInfo("graft", name, s"$name$usage"), b))
     }
 
+  // weak identity set of sessions (ADVICE r13) — a hashCode-keyed
+  // string set risked a collision after session churn silently
+  // skipping registration for the new session, and grew unboundedly;
+  // see graft.functions.ensureRegistered (same fix)
   private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Per-session registration (idempotent) for sessions not built with
     * `spark.sql.extensions` — the [[graft.functions.ensureRegistered]]
     * convention applied to the table-function registry. */
   def ensure(spark: SparkSession): Unit = {
-    val key = spark.sessionState.hashCode().toString
-    if (registered.add(key)) {
+    if (registered.add(spark)) {
       val reg = spark.sessionState.tableFunctionRegistry
       builders.foreach { case (name, _, b) =>
         reg.createOrReplaceTempFunction(name, b, "scala_udf")

@@ -12,13 +12,18 @@ import graft.sketch.{HdrSketchAgg, HdrSummaryExpr}
   */
 package object functions {
 
+  // weak IDENTITY set of sessions (ADVICE r13): keying by
+  // sessionState.hashCode() risked an identity-hash collision after
+  // session churn silently SKIPPING registration for a new session
+  // (its SQL calls would then fail unresolved), and the string set
+  // grew unboundedly. Weak keys also let churned sessions unpin.
   private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register graft functions into this session. */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val key = spark.sessionState.hashCode().toString
-    if (registered.add(key)) {
+    if (registered.add(spark)) {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction(
         "hdr_sketch", exprs => HdrSketchAgg(exprs.head, fromSketches = false)

@@ -37,9 +37,29 @@ object Checkpoints {
     ss.conf.getOption(ReliableKey).exists(_.toBoolean)
 
   /** Share `df` across multiple downstream consumers; see class doc.
-    * `eager` mirrors the Dataset API (iterative loops checkpoint
-    * eagerly so the convergence probe rides materialized blocks). */
-  def shared(df: DataFrame, eager: Boolean = false): DataFrame = {
+    *
+    * `eager` is REQUIRED (r14): every sharing point must declare its
+    * race class, because a LAZY shared checkpoint whose first
+    * materialization is pulled from MULTIPLE plan sites inside one
+    * action (a probe side plus a broadcast subquery, or two
+    * independent exchange subtrees AQE submits concurrently) is raced
+    * by the per-block getOrCompute lock into a pathological schedule —
+    * bit-correct but up to 18× slower, schedule-dependent (BASELINE.md
+    * §G16 addendum 2: 19.7 s vs 353 s on identical code).
+    *
+    * Decision rule, pinned by CheckpointAuditSpec:
+    *   - `eager = true` when the frame's FIRST consuming action reads
+    *     it from more than one plan subtree (self-joins, probe +
+    *     aggregate, per-round reuse). The materializing job is work
+    *     the first consumer was going to do anyway, at a race-free
+    *     point.
+    *   - `eager = false` ONLY when the first consumption is
+    *     single-site — typically an immediate driver action (count /
+    *     collect / head / isEmpty) at the call site, which fuses the
+    *     materialization with work that must happen anyway. Every
+    *     lazy site carries a `lazy-safe:` comment saying which action
+    *     materializes it. */
+  def shared(df: DataFrame, eager: Boolean): DataFrame = {
     val ss = df.sparkSession
     val reliable = ss.conf.getOption(ReliableKey).exists(_.toBoolean)
     if (reliable) {
@@ -64,10 +84,13 @@ object Checkpoints {
     df.localCheckpoint(eager)
 
   /** Postfix syntax so call sites read like the Dataset API:
-    * `frame.sharedCheckpoint()` ≙ lazy, `.sharedCheckpoint(eager = true)`
-    * ≙ eager; `.iterativeCheckpoint()` for loop-round frames. */
+    * `.sharedCheckpoint(eager = true)` for multi-site first
+    * consumption, `.sharedCheckpoint(eager = false)` + a `lazy-safe:`
+    * comment when a single-site action at the call site materializes
+    * it (see [[shared]]'s decision rule — the parameter has no default
+    * on purpose); `.iterativeCheckpoint()` for loop-round frames. */
   implicit class SharedOps(private val df: DataFrame) extends AnyVal {
-    def sharedCheckpoint(eager: Boolean = false): DataFrame =
+    def sharedCheckpoint(eager: Boolean): DataFrame =
       Checkpoints.shared(df, eager)
     def iterativeCheckpoint(eager: Boolean = true): DataFrame =
       Checkpoints.iterative(df, eager)

@@ -79,7 +79,8 @@ object Dedup {
     graft.functions.ensureRegistered(newDocs.sparkSession)
     val seen = seenDocs.select(sha2(normText(col(textCol)), 256).as("digest"))
       .distinct()
-      .sharedCheckpoint() // reused: count, bloom build, hits probe
+      // lazy-safe: materialized by the nSeen count below
+      .sharedCheckpoint(eager = false) // reused: count, bloom build, hits probe
     val newDig = newDocs.select(sha2(normText(col(textCol)), 256).as("digest"), col(idCol))
     val nSeen = seen.count()
     if (nSeen == 0L || nSeen > maxSeenItems)
@@ -94,7 +95,7 @@ object Dedup {
       graft.functions.bloom_might_contain(lit(bloom), xxhash64(col("digest"))))
     val fresh = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val maybe = probed.where(col("maybe_seen")).drop("maybe_seen")
-      .sharedCheckpoint() // reused: hits probe + residual anti-join
+      .sharedCheckpoint(eager = true) // reused: hits probe + residual anti-join
     // digests that are REALLY seen, among the candidates: the seen
     // store streams through a broadcast semi-join (candidate set is
     // dup-rate + fpp sized), producing a hit set no bigger than it
@@ -155,7 +156,7 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     graft.functions.ensureRegistered(corpus.sparkSession)
     val bench = shingleHashFrame(benchmark, k, textCol).select("s").distinct()
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val corp = shingleHashFrame(corpus, k, textCol).select("s").distinct()
     // |corpus ∩ bench| as rows tagged 1, |bench| as rows tagged 0;
     // one union + one aggregate — no join of 1-row aggregates (which
@@ -543,7 +544,8 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                   maxRounds: Int = 30, driverEdgeCap: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .sharedCheckpoint() // shared: count probe + whichever path wins
+      // lazy-safe: materialized by the adaptive-split count below
+      .sharedCheckpoint(eager = false) // shared: count probe + whichever path wins
     // Adaptive split, same measured-stats pattern as jaccardPairsAdaptive:
     // an edge list that fits in one task (cap ≈ 1.6 MB of longs) is a
     // single-node problem — union-find on the driver beats a round of
@@ -561,7 +563,8 @@ object Dedup {
     if (integralIds && edges.count() <= driverEdgeCap)
       return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .sharedCheckpoint() // reused every round: both joins below
+      // lazy-safe: round 0's EAGER iterativeCheckpoint right below materializes sym from its one groupBy site
+      .sharedCheckpoint(eager = false) // reused every round: both joins below
     // round 0: each node's label = min(self, direct neighbours).
     // Per-round checkpoints are iterativeCheckpoint (localCheckpoint
     // even in reliable mode): each round supersedes the last, and a
@@ -598,7 +601,7 @@ object Dedup {
     // ride the last round's executor-local blocks (Checkpoints.iterative
     // doc) — re-anchor it through the reliable-aware share. Non-reliable
     // sessions keep the already-materialized local blocks as-is.
-    if (Checkpoints.reliableOn(pairs.sparkSession)) out.sharedCheckpoint() else out
+    if (Checkpoints.reliableOn(pairs.sparkSession)) out.sharedCheckpoint(eager = true) else out
   }
 
   /** Bounded driver-side path of [[dupClusters]]: union-find with path
@@ -677,7 +680,7 @@ object Dedup {
   def jaccardSpectrum(docs: DataFrame, k: Int = 3, bins: Int = 10,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bins >= 1, s"bins must be positive, got $bins")
-    val sh = shingleFrame(docs, k, idCol, textCol).sharedCheckpoint()
+    val sh = shingleFrame(docs, k, idCol, textCol).sharedCheckpoint(eager = true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -824,7 +827,7 @@ object Dedup {
         s"${1L << (bits / nBlocks)} buckets per block — candidate volume " +
         "goes quadratic on large corpora in this configuration; use " +
         "bits = 64 (2^16 buckets at maxHamming = 3) at scale.")
-    val sig = simhash(docs, idCol, textCol, tokenHash, bits).sharedCheckpoint()
+    val sig = simhash(docs, idCol, textCol, tokenHash, bits).sharedCheckpoint(eager = true)
     val banded = simhashBands(sig, nBlocks, bits)
     banded.as("a")
       .join(banded.as("b"),
@@ -911,7 +914,7 @@ object Dedup {
     val exactLosers = docs
       .select(col(idCol), xxhash64(normText(col(textCol))).as("__h"))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") > 1)
-      .select(col(idCol)).sharedCheckpoint() // reused: near-loser anti-join + report join
+      .select(col(idCol)).sharedCheckpoint(eager = true) // reused: near-loser anti-join + report join
     val nearLosers = dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
@@ -950,7 +953,8 @@ object Dedup {
     import session.implicits._
     val dig = docs
       .select(col(srcCol).as("src"), xxhash64(normText(col(textCol))).as("h"))
-      .distinct().sharedCheckpoint()
+      // lazy-safe: materialized single-site by the matrix-skeleton collect below
+      .distinct().sharedCheckpoint(eager = false)
     val shared = dig.as("a")
       .join(dig.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))

@@ -164,7 +164,7 @@ object EventAnalytics {
       .where(col(userCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()
-      .sharedCheckpoint() // feeds dau AND the window explode
+      .sharedCheckpoint(eager = true) // feeds dau AND the window explode
     val dau = userDays.groupBy("__d").agg(count(lit(1)).as("dau"))
     val windowed = userDays
       .select(col("__u"),

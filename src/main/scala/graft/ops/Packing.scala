@@ -60,7 +60,7 @@ object Packing {
       col(idCol).cast("long").as(idCol),
       size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
       expr(s"CAST($idCol AS BIGINT) DIV $bucketSize").as("__bucket"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val bucketTotals = base.groupBy("__bucket").agg(sum("n_tokens").as("__bt"))
     // the one serial window: n/bucketSize rows, driver-trivial
     val wBuckets = Window.orderBy("__bucket")

@@ -374,9 +374,13 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
     // frame (survivor semi-join + starvation count) — without the
     // checkpoint each rung would re-run the full predicate scan, the
     // same per-round waste class as the quantizer reloads removed in
-    // r12. Lazy: materializes on the first rung's action.
+    // r12. EAGER (r14, the §G16 race sweep + ADVICE r13): the first
+    // rung's action consumes it from TWO plan sites (the survivor
+    // semi-join and the starvation count, potentially on
+    // broadcast-exchange threads) — exactly the lazy-checkpoint
+    // getOrCompute race class.
     val keepIds = graft.ops.Checkpoints.shared(
-      corpus.where(predicate).select(col(idCol).as("n_id")))
+      corpus.where(predicate).select(col(idCol).as("n_id")), eager = true)
     // ×4 headroom before Int overflow so the escalation ladder can
     // always take its next step
     val ShortKCap = Int.MaxValue / 8

@@ -40,7 +40,7 @@ object Reports {
         size(col("__w")).cast("long").as("__nt"),
         round(TextAnalysis.qualityScoreOf(col("__w"), col(textCol)), 4).as("__q"),
         xxhash64(Dedup.normText(col(textCol))).as("__h"))
-      .sharedCheckpoint() // dup window + the two aggregates share one scan
+      .sharedCheckpoint(eager = true) // dup window + the two aggregates share one scan
     val dupW = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
     val flagged = base.withColumn("__dup",
       (row_number().over(dupW) > 1).cast("long"))

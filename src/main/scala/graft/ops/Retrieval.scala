@@ -98,7 +98,7 @@ object Retrieval {
     graft.functions.ensureRegistered(cands.sparkSession)
     val base = cands.select(col("q_id"), col("n_id"), col("rel_e6"),
         col(vecCol).as("__v"))
-      .sharedCheckpoint() // pair sims + every greedy round read it
+      .sharedCheckpoint(eager = true) // pair sims + every greedy round read it
     // both orientations, so a round's lookup is (q_id, cand, picked)
     val ps = base.as("a").join(base.as("b"),
         col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
@@ -107,7 +107,8 @@ object Retrieval {
         floor(Similarity.dot(col("a.__v"), col("b.__v")) /
           (Similarity.norm(col("a.__v")) * Similarity.norm(col("b.__v")))
           * 1e6).cast("long").as("sim_e6"))
-      .sharedCheckpoint()
+      // lazy-safe: consumed at ONE site per round action (maxSim); blocks exist before later rounds
+      .sharedCheckpoint(eager = false)
     val w = Window.partitionBy("q_id").orderBy(col("__score").desc, col("n_id").asc)
     def pick(scored: DataFrame, rank: Int): DataFrame =
       scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
@@ -127,11 +128,12 @@ object Retrieval {
           lit(lambdaE6) * col("rel_e6") - lit(1000000L - lambdaE6) * col("__ms"))
       // each round's picks are tiny (one row per query): checkpoint so
       // round i+1's plan does not re-derive rounds 1..i
-      val picked = pick(scored, i).sharedCheckpoint()
+      // lazy-safe: materialized by the isEmpty probe below
+      val picked = pick(scored, i).sharedCheckpoint(eager = false)
       // every query out of candidates -> later rounds are dead work
       // (the isEmpty probe reads the just-materialized tiny frame)
       if (picked.isEmpty) exhausted = true
-      else { sel = sel.unionByName(picked).sharedCheckpoint(); i += 1 }
+      else { sel = sel.unionByName(picked).sharedCheckpoint(eager = true); i += 1 }
     }
     sel.select(col("q_id"), col("rank"), col("n_id"))
       .orderBy("q_id", "rank")

@@ -136,7 +136,7 @@ object Sampling {
     val base = docs.select(col(idCol),
         detHashMod(idm + lit(seed), buckets).as("__b"),
         detHashMod(idm + lit(seed + 1L), 1000000007L).as("__k"))
-      .sharedCheckpoint() // bucket counts + the final rank pass
+      .sharedCheckpoint(eager = true) // bucket counts + the final rank pass
     val counts = base.groupBy("__b").agg(count(lit(1)).as("__n"))
     val wB = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts
@@ -187,9 +187,9 @@ object Sampling {
     val base = docs.select(col(idCol), diff.as("__d"),
         detHashMod(idm + lit(seed), buckets).as("__b"),
         detHashMod(idm + lit(seed + 1L), 1000000007L).as("__k"))
-      .sharedCheckpoint() // the count pass + the final rank pass
+      .sharedCheckpoint(eager = true) // the count pass + the final rank pass
     val cntDb = base.groupBy("__d", "__b").agg(count(lit(1)).as("__n"))
-      .sharedCheckpoint() // within-difficulty offsets + per-level totals
+      .sharedCheckpoint(eager = true) // within-difficulty offsets + per-level totals
     // offset of bucket b within its difficulty level: PARTITIONED
     // window — distributed, never a global sort
     val wInD = Window.partitionBy("__d").orderBy("__b")
@@ -570,21 +570,21 @@ object Sampling {
                     lam: Double = 0.7,
                     srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
-    val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint()
+    val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint(eager = true)
     // the three count frames are read every round — checkpoint them
     // HERE (the from-stores entry leaves that to its caller: the
     // streaming controller passes already-localCheckpointed stores,
     // and re-checkpointing the corpus-scale gram frame per batch would
     // double its materialization)
     val sg = TextAnalysis.bigramPairCounts(d, Seq(srcCol), textCol)
-      .sharedCheckpoint()
-    val su = srcUnigramCounts(d, srcCol, textCol).sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
+    val su = srcUnigramCounts(d, srcCol, textCol).sharedCheckpoint(eager = true)
     // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
     // inner join of docs against their bigram scores has exactly this
     // count, and the K = 1 ≡ one-shot pin needs it to match
     val nd = d.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
   }
 
@@ -757,7 +757,7 @@ object Sampling {
       .groupBy(srcCol)
       .agg((if (perDoc) count(lit(1)) else sum("n_docs")).as("n_docs"),
         sum("n_bigrams").as("__nb"), sum("s").as("__ss"))
-      .sharedCheckpoint() // feeds the per-source frame AND the totals
+      .sharedCheckpoint(eager = true) // feeds the per-source frame AND the totals
     val srcMean = bySrc.select(col(srcCol), col("n_docs"),
       round(col("__ss").cast("double") / 100.0 / col("__nb").cast("double"))
         .cast("long").as("mean_lp_e4"))

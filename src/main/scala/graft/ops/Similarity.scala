@@ -814,7 +814,7 @@ object Similarity {
     val g = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol,
       DefaultHotCellFactor, superProbe, centroids)
       .select(col("q_id"), col("n_id"))
-      .sharedCheckpoint() // both sides of the mutuality join
+      .sharedCheckpoint(eager = true) // both sides of the mutuality join
     g.as("a").join(g.as("b"),
         col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
           col("a.q_id") < col("a.n_id"))
@@ -861,8 +861,8 @@ object Similarity {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .sharedCheckpoint()
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).sharedCheckpoint(eager = true)
     var rank = deg.select(col("u").as("v"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       rank = sym
@@ -870,7 +870,8 @@ object Similarity {
         .join(deg, "u")
         .select(col("v"), expr("(r * 17L) DIV (20L * deg)").as("c"))
         .groupBy("v").agg((lit(150000L) + sum(col("c"))).as("r"))
-        .sharedCheckpoint()
+        // lazy-safe: each round's rank frame is consumed at ONE site (the next round's join, or the single final join)
+        .sharedCheckpoint(eager = false)
     }
     rank.join(deg.select(col("u").as("v"), col("deg")), "v")
       .select(col("v").as("vec_id"), col("deg").as("degree"), col("r").as("rank_e6"))
@@ -997,7 +998,7 @@ object Similarity {
     require(prefixes.nonEmpty, "dimPrefixRecall needs at least one prefix width")
     import Checkpoints.SharedOps
     val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("q_id"), col("n_id")).sharedCheckpoint()
+      .select(col("q_id"), col("n_id")).sharedCheckpoint(eager = true)
     val per = prefixes.map { p =>
       val c = corpus.select(col(idCol), slice(col(vecCol), 1, p).as(vecCol))
       val q = queries.select(col(idCol), slice(col(vecCol), 1, p).as(vecCol))
@@ -1869,7 +1870,7 @@ object Similarity {
       .select(col(idCol), col(groupCol).as("grp"),
         posexplode(transform(col(vecCol).cast("array<double>"),
           x => round(x * 1000).cast("long"))).as(Seq("dim", "qx")))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val cent = q.groupBy("grp", "dim")
       .agg(floor(sum("qx").cast("double") / count(lit(1)).cast("double"))
         .cast("long").as("c"))
@@ -2011,7 +2012,7 @@ object Similarity {
                                  (starvedAnswer: DataFrame => DataFrame): DataFrame = {
     // survivors keep the shortlist's sim-desc order; renumber only
     val kept = shortlist.join(keepIds, Seq("n_id"), "left_semi")
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val ranked = kept
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("rank").asc)))
@@ -2023,7 +2024,8 @@ object Similarity {
       val starved = queries.select(col(idCol).as("q_id"))
         .join(perQ, Seq("q_id"), "left")
         .where(coalesce(col("__nk"), lit(0L)) < k)
-        .select("q_id").sharedCheckpoint()
+        // lazy-safe: materialized by the isEmpty probe on the next line
+        .select("q_id").sharedCheckpoint(eager = false)
       if (starved.isEmpty) ranked
       else {
         val starvedQs = queries.join(

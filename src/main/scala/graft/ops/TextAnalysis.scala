@@ -234,7 +234,7 @@ object TextAnalysis {
     val spans = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .select(col("id"), explode(ngramsAll(col("w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
-      .sharedCheckpoint() // reused: lexicon + per-doc stats
+      .sharedCheckpoint(eager = true) // reused: lexicon + per-doc stats
     val lex = spans.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
@@ -292,7 +292,7 @@ object TextAnalysis {
     toked
       .select(col("id"), posexplode(ngramsAll(col("w"), n)).as(Seq("s0", "g")))
       .select(col("id"), (col("s0") + 1).as("s"), xxhash64(col("g")).as("h"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
 
   /** Shared excision tail: duplicate windows (id, s) → removed-position
     * sets → survivor text. The final join is doc-count-sized. */
@@ -354,7 +354,7 @@ object TextAnalysis {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0, 1], got $keepFrac")
     val scored = docs.select(col(idCol), col(groupCol),
         round(qualityScoreOf(tokens(col(textCol)), col(textCol)), 4).as("score"))
-      .sharedCheckpoint() // one score pass: cutoff agg + tag join
+      .sharedCheckpoint(eager = true) // one score pass: cutoff agg + tag join
     val cuts = scored.groupBy(col(groupCol).as("__g"))
       .agg(expr(s"percentile(score, ${1.0 - keepFrac})").as("cut"))
     // null-safe equality: a NULL group is a group like any other — a
@@ -554,7 +554,8 @@ object TextAnalysis {
       .select(col("id"), col("y"), col("bucket"), col("c"), col("n"),
         round(col("c").cast("double") / col("n").cast("double") * 1e6)
           .cast("long").as("f_e6"))
-      .sharedCheckpoint()
+      // lazy-safe: materialized by the nDocs count on the next line
+      .sharedCheckpoint(eager = false)
     val nDocs = feats.select("id").distinct().count()
     if (nDocs == 0L)
       return Seq.empty[(Long, Long)].toDF("bucket", "w_e6")
@@ -674,7 +675,7 @@ object TextAnalysis {
   def bpeSegmentCounts(docs: DataFrame, merges: Seq[(String, String)],
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val segmented = merges.foldLeft(concat_ws(" ", split(col("w"), ""))) {
       case (c, (l, r)) => regexp_replace(c, mergePattern(l, r),
         java.util.regex.Matcher.quoteReplacement(l + r))
@@ -796,7 +797,8 @@ object TextAnalysis {
     val docTok = docs
       .select(col(idCol).as("__id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
-      .sharedCheckpoint()
+      // lazy-safe: materialized single-site by the vocabulary collect below
+      .sharedCheckpoint(eager = false)
     val docFreq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
     val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -861,7 +863,8 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .sharedCheckpoint()
+      // lazy-safe: materialized single-site by the corpus-total head() below
+      .sharedCheckpoint(eager = false)
     val freq = terms.groupBy("token").agg(sum("tf").as("freq"))
     // sum over an all-empty corpus is NULL; the result frame is empty
     // then, so the placeholder total never reaches an output row
@@ -944,9 +947,9 @@ object TextAnalysis {
                                   idCol: String, textCol: String): DataFrame = {
     require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
     val ptf = bigramPairCounts(docs, Seq(idCol), textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val bf = ptf.groupBy("prev", "cur").agg(sum("tf").as("bfreq"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val uf = unigramCounts(docs, textCol)
     ptf.join(bigramLexiconOf(bf, uf, lam), Seq("prev", "cur"))
       .groupBy(col(idCol))
@@ -1151,7 +1154,7 @@ object TextAnalysis {
     val base = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
     val tf = base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
@@ -1269,7 +1272,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val withN = nDocs match {
       case Some(n) => docFreq.withColumn("__n", lit(n.toDouble))
@@ -1353,7 +1356,7 @@ object TextAnalysis {
   def cmsTopEstimates(docs: DataFrame, k: Int = 30, depth: Int = 4,
                       width: Long = 1024L, textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val bucketed = cmsBucketed(docs, depth, width, textCol).sharedCheckpoint()
+    val bucketed = cmsBucketed(docs, depth, width, textCol).sharedCheckpoint(eager = true)
     val sketch = bucketed.groupBy("r", "b").agg(sum("freq").as("cnt"))
     val probes = bucketed.where(col("r") === 0)
       .select(col("token"), col("freq"))
@@ -1482,7 +1485,7 @@ object TextAnalysis {
     val st = docs
       .select(col(groupCol).as("source"), explode(tokens(col(textCol))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cs"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val ct = st.groupBy("token").agg(sum("cs").as("ct"))
     val ts = st.groupBy("source").agg(sum("cs").as("ts"))
     val totFrame = ct.agg(sum("ct").cast("double").as("__total"))
@@ -1534,7 +1537,7 @@ object TextAnalysis {
     val refTot = ref.agg(sum("ct").cast("double").as("__rt"))
     val joined = bt.join(ref, Seq("token"), "left")
       .crossJoin(broadcast(refTot))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val inTot = joined.where(col("ct").isNotNull)
       .agg(sum("cs").cast("double").as("__ts"))
     joined.crossJoin(broadcast(inTot))

@@ -34,7 +34,7 @@ object TrainingRun {
     // per-row pass the pipeline has
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     // NOT checkpointed: epochShuffle already checkpoints its hash base,
     // so re-deriving the rank per consumer is one cheap window — and a
     // checkpoint here would truncate the visible plan, hiding the
@@ -95,7 +95,7 @@ object TrainingRun {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
   }
 
@@ -158,7 +158,7 @@ object TrainingRun {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
       textCol = textCol)
     val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
@@ -197,7 +197,7 @@ object TrainingRun {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
       textCol = textCol)
     val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
@@ -256,7 +256,7 @@ object TrainingRun {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
     curriculumTail(curated, nShards, seed, idCol, Curation.TokCol)
   }
 

@@ -714,7 +714,8 @@ object PipelineQueries {
     val exact = docs
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-      .sharedCheckpoint()
+      // lazy-safe: materialized single-site by the n-scalar head() below
+      .sharedCheckpoint(eager = false)
     // measured scalar (same pattern as the adaptive dedup plans): one
     // count job instead of a vocab-wide global window or a 1-row
     // nested-loop cross join
@@ -1754,7 +1755,7 @@ object PipelineQueries {
     val freq = Tables.documents(spark, dir)
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-      .sharedCheckpoint() // top cut + grand total share one count pass
+      .sharedCheckpoint(eager = true) // top cut + grand total share one count pass
     val total = freq.agg(sum("freq").as("total"))
     val top = freq.orderBy(col("freq").desc, col("token").asc).limit(maxCut)
     top

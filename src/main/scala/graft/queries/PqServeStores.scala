@@ -41,6 +41,14 @@ import graft.ops.PqIndexStore
   * convention — identity hashes can collide across session churn),
   * then by sfDir: the bench warms at sf0.001 and times at sf0.1, and
   * the two must never share an index.
+  *
+  * Weak keying alone cannot reclaim entries (the EventMetricStore
+  * rule): a cached PqIndexStore strongly references its SparkSession
+  * key, so the value pins the key. Lifecycle is therefore explicit —
+  * one context-end listener per SparkContext clears the whole map
+  * (ADVICE r13), [[invalidate]] retires a session early, and the
+  * temp store dirs are deleteOnExit so churned JVM runs don't leak
+  * them on disk.
   */
 object PqServeStores {
 
@@ -48,21 +56,36 @@ object PqServeStores {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, PqIndexStore]]())
 
-  private def perSession(spark: SparkSession) = stores.synchronized {
-    var m = stores.get(spark)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[String, PqIndexStore]
-      stores.put(spark, m)
+  // one cleanup listener per SparkContext, NOT per entry (a per-entry
+  // listener would close over its session and pin it on the bus)
+  private val hooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def perSession(spark: SparkSession) = {
+    val sc = spark.sparkContext
+    if (hooked.putIfAbsent(sc, java.lang.Boolean.TRUE) == null)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          stores.synchronized { stores.clear() }
+      })
+    stores.synchronized {
+      var m = stores.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, PqIndexStore]
+        stores.put(spark, m)
+      }
+      m
     }
-    m
   }
 
   /** The built store for (session, sfDir) — builds on first call,
     * serves from the same on-disk index thereafter. */
   def ensure(spark: SparkSession, sfDir: String): PqIndexStore =
     perSession(spark).getOrElseUpdate(sfDir, {
-      val base = java.nio.file.Files.createTempDirectory("graft_pq_serve").toString
-      val store = new PqIndexStore(spark, base, nlist = 16, m = 8,
+      val base = java.nio.file.Files.createTempDirectory("graft_pq_serve")
+      base.toFile.deleteOnExit()
+      val store = new PqIndexStore(spark, base.toString, nlist = 16, m = 8,
         ksub = 16, sampleInit = false, trainCap = 0)
       store.build(Tables.embeddings(spark, sfDir))
       store

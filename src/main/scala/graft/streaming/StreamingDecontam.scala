@@ -151,19 +151,19 @@ class StreamingDecontam(spark: SparkSession, baseDir: String,
     graft.functions.ensureRegistered(s)
     val (version, benchN, cents) = idx
     val b = batch.select(col(idCol), col(vecCol))
-    if (benchN == 0L) { // empty-benchmark identity: everything kept
-      b.write.mode("append").parquet(keptDir)
-      return
-    }
-    // Generation guard: the stream filters cells to the version
-    // captured ONCE at start(). indexBenchmark over the same baseDir
-    // is documented-idempotent and nothing refuses to run it while a
+    // Generation guard — BEFORE the empty-benchmark identity branch
+    // (ADVICE r13): the stream filters cells to the version captured
+    // ONCE at start(). indexBenchmark over the same baseDir is
+    // documented-idempotent and nothing refuses to run it while a
     // stream is live — after which the captured version matches no
     // cell row, benchCells is empty, and every batch vector would be
     // SILENTLY kept: the exact failure mode this op exists to prevent.
-    // The meta is one row, so the per-batch re-read is a trivial
-    // driver-side parquet footer away; fail the batch loudly instead
-    // of emitting an all-kept append.
+    // A stream started against an EMPTY benchmark is the same hazard,
+    // not an exemption — if the index is rebuilt non-empty under it,
+    // its keep-everything identity is now wrong, so the bench_n == 0
+    // branch must also fail loudly on a generation change. The meta is
+    // one row, so the per-batch re-read is a trivial driver-side
+    // parquet footer away.
     s.catalog.refreshByPath(metaDir)
     val liveMeta = s.read.parquet(metaDir).collect()
     require(liveMeta.length == 1 &&
@@ -173,6 +173,10 @@ class StreamingDecontam(spark: SparkSession, baseDir: String,
         s"now holds ${liveMeta.map(_.getAs[Long]("version")).mkString(", ")}) " +
         "— restart the stream against the new index; continuing would " +
         "probe an empty generation and silently keep everything")
+    if (benchN == 0L) { // empty-benchmark identity: everything kept
+      b.write.mode("append").parquet(keptDir)
+      return
+    }
     val probeWidth = math.min(math.max(nprobe, 1), cents.length)
     val probed = b.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("nrm"),

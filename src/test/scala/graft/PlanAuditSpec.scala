@@ -161,7 +161,7 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("id"), aggregate(
         transform(col("__w"), x => length(x)),
         lit(0), (a, b) => a + b).as("__e"))
-      .sharedCheckpoint()
+      .sharedCheckpoint(eager = true)
       .where(col("__e") > 3)
     assert(hofFilters(materialized).isEmpty,
       "the materialize-before-where fix pattern must satisfy the audit")

@@ -1240,6 +1240,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontam: EMPTY-benchmark stream also fails loudly on a rebuild") {
+    // ADVICE r13: the generation guard was bypassed by the bench_n == 0
+    // early return — a stream started against an empty benchmark that
+    // saw the index rebuilt NON-EMPTY under it kept silently appending
+    // everything, the exact all-kept failure the guard exists to close.
+    // The guard now runs before the empty-benchmark identity branch.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdecon_guard0").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    def df(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) as embedding")
+    val sd = new graft.streaming.StreamingDecontam(spark, base,
+      threshold = 0.7, nlist = 1, nprobe = 1)
+    assert(sd.indexBenchmark(df(Nil)) == 0L) // empty benchmark generation
+    val q = sd.start(sd.readJsonVecs(in),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // rebuild NON-EMPTY under the live empty-benchmark stream
+      assert(sd.indexBenchmark(df(Seq(100L -> Seq(1.0, 0.0, 0.0, 0.0)))) == 1L)
+      dropFile(in, "b1.json",
+        Seq("""{"vec_id":1,"embedding":[0.999,0.04,0.0,0.0]}"""))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("rebuilt under a live stream")),
+        s"wrong failure: ${msgs(e)}")
+      val keptFiles = new java.io.File(sd.keptPath).listFiles()
+      assert(keptFiles == null || !keptFiles.exists(_.getName.endsWith(".parquet")),
+        "guard fired but an all-kept append still landed")
+    } finally q.stop()
+  }
+
   test("vec near-dup geometry pin: cells persist FLAT assignments in the auto-superProbe regime; a default reopen serves them") {
     // the r11 sweep completing the r9/r10 geometry-pin work: at
     // nlist ≥ AutoSuperProbeNlist the AUTO probe default is two-level,

@@ -24,7 +24,7 @@ object ProbeEntropy {
       ent.where(col("entropy_e6") >= 2500000L).agg(count(lit(1))).collect())
     time("checkpoint then where")(
       graft.ops.TextAnalysis.tokenEntropy(docs)
-        .select(col("doc_id"), col("entropy_e6")).sharedCheckpoint()
+        .select(col("doc_id"), col("entropy_e6")).sharedCheckpoint(eager = true)
         .where(col("entropy_e6") >= 2500000L).agg(count(lit(1))).collect())
     spark.stop()
   }
