@@ -49,14 +49,32 @@ class StreamingIngest(spark: SparkSession, baseDir: String,
   import StreamingIngest.{CounterKind, HistKind, SchemaSidecar}
   private def cursorPath(kind: String, d: Long) = s"$baseDir/cursor_${kind}_$d"
 
-  /** JSON-lines file stream → parsed measurements stream. */
+  /** JSON-lines file stream → parsed measurements stream.
+    *
+    * Admission is BYTES-based by default (r14, the §H burst fix): a
+    * static `maxFilesPerTrigger` gates a many-small-files burst by
+    * FILE COUNT — §H measured an instantaneous 800-file burst paying
+    * ⌈800/64⌉ = 13 triggers of admission alone (92.4 s freshness
+    * against a 30 s-class envelope) even though the files held only a
+    * few MB. Bytes admission sizes each micro-batch by the work it
+    * actually carries: a burst of small files lands in one trigger, a
+    * flood of big ones is still bounded at `maxBytesPerTrigger` per
+    * batch — which is also the right knob at 100 TB, where file sizes
+    * vary by orders of magnitude across producers. Pass
+    * `maxFilesPerTrigger = Some(n)` to restore count-based admission
+    * (the two knobs are mutually exclusive in the Spark file source,
+    * so setting both refuses loudly). */
   def readJsonStream(inputDir: String,
-                     defaultTs: () => Long = () => System.currentTimeMillis()): DataFrame = {
-    val lines = spark.readStream
-      .format("text")
-      .option("maxFilesPerTrigger", "64")
-      .load(inputDir)
-    MetricBatchIngest.parse(lines, "value", defaultTs)
+                     defaultTs: () => Long = () => System.currentTimeMillis(),
+                     maxBytesPerTrigger: Option[Long] = Some(64L << 20),
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(maxBytesPerTrigger.isEmpty || maxFilesPerTrigger.isEmpty,
+      "maxBytesPerTrigger and maxFilesPerTrigger are mutually exclusive " +
+        "(Spark file-source admission takes one limit)")
+    val reader = spark.readStream.format("text")
+    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b.toString))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    MetricBatchIngest.parse(reader.load(inputDir), "value", defaultTs)
   }
 
   /** Measurements stream → watermarked 5 s sketch aggregation → raw

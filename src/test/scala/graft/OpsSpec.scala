@@ -1399,6 +1399,49 @@ class OpsSpec extends SparkSpec {
       "fixture misses heights 2-4 — the interlace regression guard is inert")
   }
 
+  test("mjpeg-avi video: container mux/demux byte round trip, frame decode within tolerance") {
+    import graft.ops.Multimodal
+    // 1) the muxer/demuxer pair round-trips PAYLOAD BYTES exactly —
+    //    frame boundaries come from the container, so arbitrary binary
+    //    (including odd lengths, which exercise RIFF even-padding)
+    //    must survive verbatim
+    val payloads = Seq(
+      Array[Byte](1, 2, 3),                       // odd length → padded
+      Array.tabulate[Byte](300)(i => (i * 7).toByte),
+      Array[Byte](0x4D, 0x4A))                    // bytes that look like fourcc text
+    val avi = Multimodal.writeAvi(payloads, 16, 12)
+    val (declared, back) = Multimodal.readAviFrames(avi)
+    assert(declared == 3)
+    assert(back.map(_.toSeq) == payloads.map(_.toSeq),
+      "demuxed frame payloads differ from muxed input")
+    // non-AVI bytes refuse loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.readAviFrames("not a riff container at all".getBytes)
+    }
+    // 2) end to end over real docs: frame count from the container,
+    //    exact dims, per-pixel tolerance per frame (the jpeg contract)
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val frames = Multimodal.videoFrameFeatures(Multimodal.aviMedia(docsS))
+      .orderBy("media_id", "frame_idx").collect()
+    val lens = docsS.selectExpr("cast(doc_id as long)", "length(text)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId.keySet == lens.keySet)
+    byId.foreach { case (id, fr) =>
+      val len = lens(id)
+      assert(fr.length == (len % 4) + 2, s"frame count for $id")
+      fr.foreach { r =>
+        assert(r.getLong(2) == (len % 16) + 1 && r.getLong(3) == (len % 12) + 1)
+        assert(r.getInt(4) == 1, s"frame ${r.getInt(1)} of $id out of tolerance")
+      }
+    }
+    // 3) the tolerance asserts something: judging against a shifted
+    //    pattern must fail (same negative control as the jpeg test)
+    val shifted = Multimodal.aviMedia(docsS).withColumn("len", col("len") + lit(7))
+    assert(Multimodal.videoFrameFeatures(shifted).collect().exists(_.getInt(4) == 0),
+      "video tolerance check cannot fail — it asserts nothing")
+  }
+
   test("resize features: fixed target dims; sums bounded by target grid") {
     import graft.ops.Multimodal
     val media = Multimodal.realMedia(Tables.documents(spark, sf).limit(30))

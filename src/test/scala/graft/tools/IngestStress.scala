@@ -43,7 +43,10 @@ object IngestStress {
     val runs = args.lift(1).map(_.toInt).getOrElse(20)
     val nMetrics = args.lift(2).map(_.toInt).getOrElse(50)
     val nVals = args.lift(3).map(_.toInt).getOrElse(100)
-    val sinkMode = args.lift(4).getOrElse("parquet")
+    val sinkMode = args.lift(4).getOrElse("parquet") // parquet | count | none
+    // admission knob for the stream leg (r14): bytes (the new default,
+    // 64 MB/trigger) vs files64 (the r13 static maxFilesPerTrigger=64)
+    val admission = args.lift(5).getOrElse("bytes")
 
     val spark = graft.GraftSession.builder(16, 16)
       .appName("graft-ingest-stress").getOrCreate()
@@ -56,7 +59,12 @@ object IngestStress {
 
     // leg 3: live streaming ingest over the same payloads
     val ingest = new graft.streaming.StreamingIngest(spark, s"$base/tiers")
-    val sq = ingest.startRawTier(ingest.readJsonStream(streamIn),
+    val vecs =
+      if (admission == "files64")
+        ingest.readJsonStream(streamIn, maxBytesPerTrigger = None,
+          maxFilesPerTrigger = Some(64))
+      else ingest.readJsonStream(streamIn)
+    val sq = ingest.startRawTier(vecs,
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
 
     // leg 2: the facade's async sink — parquet append per parsed batch
@@ -68,8 +76,11 @@ object IngestStress {
         graft.planner.MaterializedTiers.provider(spark, "/root/testdata/sf0.001")),
       new graft.planner.DashboardStore(s"$base/dash"),
       df => {
+        // "none" isolates the STREAM leg: the facade sink does zero
+        // Spark work, so freshness measures admission + aggregation
+        // instead of contention with 800 drain jobs
         if (sinkMode == "parquet") df.write.mode("append").parquet(rawStore)
-        else sinkRows.addAndGet(df.count())
+        else if (sinkMode == "count") sinkRows.addAndGet(df.count())
         drained.incrementAndGet()
         allDrained.countDown()
       })
