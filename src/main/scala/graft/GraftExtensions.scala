@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dedup, quality, ANN serve) — the non-Scala access path; see
     // GraftTableFunctions for the surface and semantics
     GraftTableFunctions.inject(ext)
+    // raw→tier aggregate rewrite (SURVEY §4 polish): routes hand-written
+    // hdr_merge re-bucketing aggregates onto materialized cascade tiers;
+    // OFF until spark.graft.tiers.autoRoute names a TierStore base dir
+    ext.injectOptimizerRule(session => new graft.plans.RawToTierRule(session))
     ext.injectFunction((FunctionIdentifier("ivf_probe"), info("ivf_probe"),
       (exprs: Seq[Expression]) => IvfProbe(exprs.head,
         {

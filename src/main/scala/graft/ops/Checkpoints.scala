@@ -53,12 +53,19 @@ object Checkpoints {
     *     aggregate, per-round reuse). The materializing job is work
     *     the first consumer was going to do anyway, at a race-free
     *     point.
-    *   - `eager = false` ONLY when the first consumption is
-    *     single-site — typically an immediate driver action (count /
-    *     collect / head / isEmpty) at the call site, which fuses the
-    *     materialization with work that must happen anyway. Every
-    *     lazy site carries a `lazy-safe:` comment saying which action
-    *     materializes it. */
+    *   - `eager = false` ONLY when one of three arguments holds, each
+    *     written as a `lazy-safe:` comment at the site:
+    *     (a) immediate action — a driver action (count / collect /
+    *         head / isEmpty) at the call site materializes it
+    *         single-site before anything else can race it;
+    *     (b) chain-fused — the first consuming action is a DOWNSTREAM
+    *         eager checkpoint's materializing job that reads this
+    *         frame from exactly one site, so the compute fuses there
+    *         (an eager job here would double-materialize the chain);
+    *     (c) cheap-lineage — every parent is already materialized and
+    *         the racy recompute is bounded block reads (per-round loop
+    *         frames), where an eager job per round costs more than the
+    *         race it prevents. */
   def shared(df: DataFrame, eager: Boolean): DataFrame = {
     val ss = df.sparkSession
     val reliable = ss.conf.getOption(ReliableKey).exists(_.toBoolean)

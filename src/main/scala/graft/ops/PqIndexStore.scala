@@ -58,6 +58,11 @@ class PqIndexStore(spark: SparkSession, baseDir: String,
   // ≥ Similarity.AutoSuperProbeNlist; pass Similarity.FlatAssign to
   // force flat). Oracle queries pin the legacy explicit configs.
 
+  /** The store's on-disk root — what a SQL client passes to
+    * `graft_pq_serve_topk('<dir>', ...)` (the PySpark smoke wires the
+    * ingest-time build to the SQL serve path through this). */
+  def dir: String = baseDir
+
   private val quantDir = s"$baseDir/quantizer"
   private val codesDir = s"$baseDir/codes"
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

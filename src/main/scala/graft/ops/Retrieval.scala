@@ -133,7 +133,11 @@ object Retrieval {
       // every query out of candidates -> later rounds are dead work
       // (the isEmpty probe reads the just-materialized tiny frame)
       if (picked.isEmpty) exhausted = true
-      else { sel = sel.unionByName(picked).sharedCheckpoint(eager = true); i += 1 }
+      // lazy-safe: cheap-lineage — a union of two already-materialized
+      // block sets; the next round reads it from two sites, but the racy
+      // recompute is bounded block reads, never corpus compute (an eager
+      // job per round costs more than the race it prevents)
+      else { sel = sel.unionByName(picked).sharedCheckpoint(eager = false); i += 1 }
     }
     sel.select(col("q_id"), col("rank"), col("n_id"))
       .orderBy("q_id", "rank")

@@ -570,7 +570,10 @@ object Sampling {
                     lam: Double = 0.7,
                     srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
-    val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint(eager = true)
+    // lazy-safe: chain-fused — sg's EAGER materialization below is the
+    // first consuming action and reads d from one site; su/nd then read
+    // the already-materialized blocks
+    val d = docs.select(col(srcCol), col(textCol)).sharedCheckpoint(eager = false)
     // the three count frames are read every round — checkpoint them
     // HERE (the from-stores entry leaves that to its caller: the
     // streaming controller passes already-localCheckpointed stores,

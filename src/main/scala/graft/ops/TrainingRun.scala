@@ -32,9 +32,13 @@ object TrainingRun {
     // summary()'s manifest reads it directly instead of re-scanning and
     // re-tokenizing the full surviving text — the single most expensive
     // per-row pass the pipeline has
+    // lazy-safe: chain-fused — the first consuming action is a
+    // downstream EAGER checkpoint's materializing job that reads this
+    // frame from exactly one site, so its compute fuses there and the
+    // blocks exist before any multi-site reader runs
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     // NOT checkpointed: epochShuffle already checkpoints its hash base,
     // so re-deriving the rank per consumer is one cheap window — and a
     // checkpoint here would truncate the visible plan, hiding the
@@ -94,8 +98,10 @@ object TrainingRun {
                        groupCol: String = "source",
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // lazy-safe: chain-fused into the downstream eager checkpoint's
+    // single-site materializing job (see curateWithTokenCounts sites)
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     upsampledTail(curated, epochs, nShards, seed, groupCol, idCol)
   }
 
@@ -157,8 +163,10 @@ object TrainingRun {
                     groupCol: String = "source",
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // lazy-safe: chain-fused into the downstream eager checkpoint's
+    // single-site materializing job (see curateWithTokenCounts sites)
     val curated = Curation.curate(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
       textCol = textCol)
     val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
@@ -195,9 +203,13 @@ object TrainingRun {
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // lazy-safe: chain-fused — the first consuming action is a
+    // downstream EAGER checkpoint's materializing job that reads this
+    // frame from exactly one site, so its compute fuses there and the
+    // blocks exist before any multi-site reader runs
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     val w = Sampling.doremiWeights(curated, rounds, srcCol = groupCol,
       textCol = textCol)
     val epochs = Sampling.epochsFromWeights(w, maxEpochsE6, groupCol)
@@ -254,9 +266,13 @@ object TrainingRun {
                         seed: Long = 0L, p: Curation.Params = Curation.Params(),
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // lazy-safe: chain-fused — the first consuming action is a
+    // downstream EAGER checkpoint's materializing job that reads this
+    // frame from exactly one site, so its compute fuses there and the
+    // blocks exist before any multi-site reader runs
     val curated = Curation
       .curateWithTokenCounts(corpus, benchmark, p, idCol, textCol)
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     curriculumTail(curated, nShards, seed, idCol, Curation.TokCol)
   }
 
