@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -45,14 +45,20 @@ import graft.sketch.HdrSketchAgg
   * tick (the reference's shape) serves identical results, a caller
   * mid-ingest must not enable the route.
   *
+  * COUNTER tiers route the same way (`counter_tier_raw`/`counter_tier_<f>`
+  * with `sum(count)` — integer addition is associative exactly like
+  * sketch merge, and the counter cascade materializes that aggregate).
+  *
   * Match conditions (all must hold, otherwise the plan is untouched):
   *  - single-path parquet source under the configured base dir:
-  *    `tier_raw` or `tier_<f>` with f dividing the target duration;
+  *    `tier_raw`/`tier_<f>` (histogram) or `counter_tier_raw`/
+  *    `counter_tier_<f>` (counter), f dividing the target duration;
   *  - grouping = (metric, bucketOf(bucket_start, L)) — the
   *    `ts − pmod(ts, L)` shape [[graft.rollup.Rollup.bucketOf]] emits,
   *    cast-tolerant;
-  *  - the one aggregate is `hdr_merge(sketch)` (no DISTINCT/FILTER);
-  *  - the target tier dir `tier_<L>` exists;
+  *  - the one aggregate is `hdr_merge(sketch)` / `sum(count)` for the
+  *    matching kind (no DISTINCT/FILTER);
+  *  - the target tier dir `<kind>_<L>` exists;
   *  - any Filter between aggregate and scan splits into conjuncts the
   *    tier can answer: predicates on `metric` alone, or
   *    `bucket_start >= c` / `bucket_start < c` with c a multiple of L
@@ -94,16 +100,24 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => return None
     }
-    val sourceDur: Long = path match {
-      case p if p == s"$base/tier_raw" => RawMs
+    // histogram tiers merge sketches; counter tiers add counts — the
+    // same associativity argument, so both kinds route (the reference
+    // keeps per-resolution summary stores for both bucket types)
+    val (kind, valueName, sourceDur) = path match {
+      case p if p == s"$base/tier_raw" => ("tier", "sketch", RawMs)
+      case p if p == s"$base/counter_tier_raw" => ("counter_tier", "count", RawMs)
+      case p if p.startsWith(s"$base/counter_tier_") =>
+        ("counter_tier", "count",
+          p.stripPrefix(s"$base/counter_tier_").toLongOption.getOrElse(return None))
       case p if p.startsWith(s"$base/tier_") =>
-        p.stripPrefix(s"$base/tier_").toLongOption.getOrElse(return None)
+        ("tier", "sketch",
+          p.stripPrefix(s"$base/tier_").toLongOption.getOrElse(return None))
       case _ => return None
     }
     def attrOf(name: String): Option[AttributeReference] =
       rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
-    val (metricAttr, bucketAttr, sketchAttr) =
-      (attrOf("metric"), attrOf("bucket_start"), attrOf("sketch")) match {
+    val (metricAttr, bucketAttr, valueAttr) =
+      (attrOf("metric"), attrOf("bucket_start"), attrOf(valueName)) match {
         case (Some(m), Some(b), Some(s)) => (m, b, s)
         case _ => return None
       }
@@ -129,8 +143,10 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
         bucketOut = Some(al)
       case al @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
           ae.filter.isEmpty && (ae.aggregateFunction match {
-            case h: HdrSketchAgg =>
-              h.fromSketches && resolve(h.child).semanticEquals(sketchAttr)
+            case h: HdrSketchAgg if kind == "tier" =>
+              h.fromSketches && resolve(h.child).semanticEquals(valueAttr)
+            case sm: Sum if kind == "counter_tier" =>
+              resolve(sm.child).semanticEquals(valueAttr)
             case _ => false
           }) =>
         sketchOut = Some(al)
@@ -142,7 +158,7 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // --- the target tier must be materialized
-    val tierDir = s"$base/tier_$targetDur"
+    val tierDir = s"$base/${kind}_$targetDur"
     if (!new java.io.File(tierDir).isDirectory) return None
 
     // --- residual filter: every conjunct must be tier-answerable
@@ -159,7 +175,7 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == name => a
       }
     val (tm, tb, ts) =
-      (tierAttr("metric"), tierAttr("bucket_start"), tierAttr("sketch")) match {
+      (tierAttr("metric"), tierAttr("bucket_start"), tierAttr(valueName)) match {
         case (Some(m), Some(b), Some(s)) => (m, b, s)
         case _ => return None
       }

@@ -208,14 +208,18 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // plan construction may launch at most the term frame's lazy
-      // checkpoint stage (AQE materializes a checkpointed plan's
-      // upstream exchange at RDD-build time); the OLD shape added a
-      // second full-scan job — an eager docs.count() plus a driver
-      // sync — before any real work
+      // plan construction launches the term frame's EAGER checkpoint
+      // (the r14 race-class sweep: the frame feeds both the tf join
+      // side and the docFreq aggregate, the raced multi-site shape) —
+      // under AQE that is up to 2 jobs (exchange materialization +
+      // result), and it is mandatory work MOVED earlier, not extra.
+      // The guard's target stays what it was: the OLD shape's eager
+      // docs.count() — a full-scan job + driver sync ON TOP of the
+      // term materialization — which would push the build past the
+      // checkpoint's own job budget
       val planned = TextAnalysis.tfidfTopK(docs, k = 1)
       Thread.sleep(300) // let any async job-start events drain
-      assert(before.get <= 1, s"plan build launched ${before.get} job(s), expected <= 1")
+      assert(before.get <= 2, s"plan build launched ${before.get} job(s), expected <= 2")
       assert(planned.count() == 2)
       // a caller-supplied count skips even the in-plan aggregate and
       // changes idf accordingly

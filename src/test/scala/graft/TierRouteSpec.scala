@@ -108,6 +108,34 @@ class TierRouteSpec extends SparkSpec {
     }
   }
 
+  test("counter tiers route too: sum(count) re-bucketing reads counter_tier_<L>") {
+    import spark.implicits._
+    val meas = (0 until 2).flatMap { m =>
+      (0 until 240).map(i => (s"ctr_$m", i * 30000L, (i % 7 + 1).toLong))
+    }.toDF("metric", "ts_ms", "value")
+    val raw = Rollup.counterTier(meas, 5000L)
+      .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+    raw.write.partitionBy("bucket_date").parquet(s"$base/counter_tier_raw")
+    val hour = spark.read.parquet(s"$base/counter_tier_raw")
+      .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), Hour).as("bucket_start"))
+      .agg(sum(col("count")).as("count"))
+      .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+    hour.write.partitionBy("bucket_date").parquet(s"$base/counter_tier_$Hour")
+    def q(): DataFrame = spark.read.parquet(s"$base/counter_tier_raw")
+      .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), Hour).as("bucket_start"))
+      .agg(sum(col("count")).as("count"))
+    val expected = q().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    withRule {
+      val routed = q()
+      val plan = optimized(routed)
+      assert(!plan.contains("Aggregate"), s"counter aggregate survived:\n$plan")
+      assert(scanPaths(routed).exists(_.endsWith(s"counter_tier_$Hour")),
+        s"counter tier read missing: ${scanPaths(routed)}")
+      val got = routed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == expected, "counter route diverged from the aggregate")
+    }
+  }
+
   test("vetoes: conf unset, missing tier, unaligned or foreign predicates") {
     graft.functions.ensureRegistered(spark)
     // conf unset → untouched even with the rule installed
