@@ -581,13 +581,19 @@ object Sampling {
     // double its materialization)
     val sg = TextAnalysis.bigramPairCounts(d, Seq(srcCol), textCol)
       .sharedCheckpoint(eager = true)
-    val su = srcUnigramCounts(d, srcCol, textCol).sharedCheckpoint(eager = true)
+    // lazy-safe: chain-fused — every round's plan references su at ONE
+    // site (the wuf aggregate); round 1's driver collect materializes
+    // it there, later rounds read the blocks
+    val su = srcUnigramCounts(d, srcCol, textCol).sharedCheckpoint(eager = false)
     // n_docs counts SCORED docs (>= 2 tokens) — the one-shot operator's
     // inner join of docs against their bigram scores has exactly this
     // count, and the K = 1 ≡ one-shot pin needs it to match
+    // lazy-safe: materialized by doremiWeightsFromGramStores' FIRST
+    // statement — the cum-init `nd.select(srcCol).collect()` — before
+    // any multi-site plan touches it
     val nd = d.where(size(Dedup.tokens(col(textCol))) >= 2)
       .groupBy(srcCol).agg(count(lit(1)).as("n_docs"))
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     doremiWeightsFromGramStores(sg, su, nd, rounds, etaE6, lam, srcCol)
   }
 

@@ -859,9 +859,12 @@ object Similarity {
     */
   def edgeCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // lazy-safe: chain-fused — deg's EAGER checkpoint right below is
+    // the first consuming action and reads sym from its one groupBy
+    // site; the per-round joins then read materialized blocks
     val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .sharedCheckpoint(eager = true)
+      .sharedCheckpoint(eager = false)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).sharedCheckpoint(eager = true)
     var rank = deg.select(col("u").as("v"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
