@@ -197,11 +197,11 @@ object Curation {
     // checkpoint a STAGE frame; in forcing mode materialize it NOW via
     // the fused funnel aggregate and record the row
     def ckStage(name: String, df: DataFrame): DataFrame = {
-      // eager = false here is NOT a lazy-race site: in forcing mode
-      // (the default) forceCount materializes the blocks IMMEDIATELY
-      // via the fused funnel aggregate — lazy + fused materializer, the
-      // cheapest race-free shape; eagerStages=false restores the raced
-      // lazy schedule as a measurement toggle (§G16 addendum 2)
+      // lazy-safe: forceCount materializes the blocks IMMEDIATELY via
+      // the fused funnel aggregate in forcing mode (the default) —
+      // lazy + fused materializer, the cheapest race-free shape;
+      // eagerStages=false restores the raced lazy schedule as a
+      // measurement toggle (§G16 addendum 2)
       val ck = Checkpoints.shared(df, eager = false)
       if (force) counts(name) = forceCount(ck)
       ck
@@ -298,8 +298,8 @@ object Curation {
           .withColumn(s"__p$i", coalesce(col(s"__p$i"), lit(false)))
     }
     val base = Checkpoints.shared(basePlan, eager = false)
-    // ^ lazy + the fused aggregate below as the immediate single-site
-    //   materializer (forcing mode); see ckStage's note
+    // ^ lazy-safe: the fused aggregate below is the immediate
+    //   single-site materializer (forcing mode); see ckStage's note
     // gate i's survivors = docs passing gates 0..i (prefix conjunction)
     def passUpTo(i: Int): Column = (0 to i).map(j => col(s"__p$j")).reduce(_ && _)
     val allPass: Option[Column] =
@@ -490,7 +490,7 @@ object Curation {
     val name = st0.last._1
     if (counts0.contains(name)) (st0, counts0) // mixed tail: already forced
     else {
-      val ck = Checkpoints.shared(st0.last._2, eager = false) // forced below
+      val ck = Checkpoints.shared(st0.last._2, eager = false) // lazy-safe: forced below by forceCount
       val counts =
         if (forcingOn(ck)) counts0.toMap + (name -> forceCount(ck)) else counts0
       (st0.init :+ (name -> ck), counts)
@@ -592,7 +592,7 @@ object Curation {
       case Some(be) =>
         // decontam gate + funnel share the semantic frame: forced like
         // every stage checkpoint, with its funnel row recorded
-        val sem = Checkpoints.shared(semantic, eager = false) // forced below
+        val sem = Checkpoints.shared(semantic, eager = false) // lazy-safe: forced below by forceCount
         val counts2 =
           if (forcingOn(sem)) counts.toMap + ("6_semantic" -> forceCount(sem))
           else counts

@@ -544,7 +544,11 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                   maxRounds: Int = 30, driverEdgeCap: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      // lazy-safe: materialized by the adaptive-split count below
+      // lazy-safe: materialized by the UNCONDITIONAL count below —
+      // which must run on every path: short-circuiting it away for
+      // non-integral ids would leave edges' first materialization to
+      // round 0's plan, which reads it from BOTH union legs (the
+      // getOrCompute race class this file's sweep removes)
       .sharedCheckpoint(eager = false) // shared: count probe + whichever path wins
     // Adaptive split, same measured-stats pattern as jaccardPairsAdaptive:
     // an edge list that fits in one task (cap ≈ 1.6 MB of longs) is a
@@ -560,7 +564,11 @@ object Dedup {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (integralIds && edges.count() <= driverEdgeCap)
+    // the count doubles as the edges materializer — ALWAYS run it (its
+    // result routes the integral path; non-integral ids still need the
+    // blocks materialized single-site before sym's multi-leg union)
+    val nEdges = edges.count()
+    if (integralIds && nEdges <= driverEdgeCap)
       return dupClustersDriver(pairs, edges, aCol)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       // lazy-safe: round 0's EAGER iterativeCheckpoint right below materializes sym from its one groupBy site

@@ -675,6 +675,10 @@ object Multimodal {
           frames.zipWithIndex.map { case (payload, f) =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
+            // ImageIO.read returns NULL on undecodable bytes — fail
+            // with the media/frame named, per the torn-container rule
+            require(img != null,
+              s"AVI $id frame $f: ${payload.length}-byte '00dc' payload is not a decodable JPEG")
             val raster = img.getRaster
             var ok = true
             var y = 0

@@ -77,7 +77,10 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case None => plan
       case Some(base) =>
         plan.transformUp {
-          case agg: Aggregate => rewrite(agg, stripTrailingSlash(base)).getOrElse(agg)
+          // base is normalized the same way as the relation's rootPath
+          // (scheme-tolerant), so file:/, bare-local, and remote
+          // (hdfs://, s3a://) bases all match their scans
+          case agg: Aggregate => rewrite(agg, normalize(base)).getOrElse(agg)
         }
     }
 
@@ -157,12 +160,23 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    // --- the target tier must be materialized
+    // --- the target tier must be materialized — probed through the
+    // path's own Hadoop FileSystem, not java.io.File (a remote base
+    // would otherwise leave the rule silently inert on exactly the
+    // deployments the routing targets)
     val tierDir = s"$base/${kind}_$targetDur"
-    if (!new java.io.File(tierDir).isDirectory) return None
+    val exists = scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(tierDir)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).isDirectory
+    }.getOrElse(false)
+    if (!exists) return None
 
-    // --- residual filter: every conjunct must be tier-answerable
-    val conjuncts = residual.toSeq.flatMap(splitConjuncts)
+    // --- residual filters: every conjunct must be tier-answerable.
+    // Conjuncts are RESOLVED through the Project-alias substitution
+    // first (a filter above the pulled-out-grouping Project references
+    // alias attributes, not relation columns).
+    val conjuncts = residual.flatMap(splitConjuncts).map(resolve)
     if (!conjuncts.forall(answerable(_, metricAttr, bucketAttr, targetDur)))
       return None
 
@@ -202,23 +216,24 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Strip Projects (collecting alias definitions into a substitution
-    * map, innermost first); capture at most one Filter. */
+    * map, innermost first) and collect EVERY Filter condition along
+    * the way — stacked .where() calls and filter-above-project shapes
+    * both route; the caller resolves and screens each conjunct. */
   private def unwrap(p: LogicalPlan)
-      : (LogicalPlan, Option[Expression], Map[ExprId, Expression]) = p match {
+      : (LogicalPlan, Seq[Expression], Map[ExprId, Expression]) = p match {
     case Project(pl, child)
         if pl.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
-      val (src, filt, subst) = unwrap(child)
+      val (src, filts, subst) = unwrap(child)
       val withAliases = subst ++ pl.collect { case a: Alias =>
         a.exprId -> a.child.transform {
           case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
         }
       }
-      (src, filt, withAliases)
+      (src, filts, withAliases)
     case Filter(cond, child) =>
-      val (src, inner, subst) = unwrap(child)
-      if (inner.isDefined) (p, None, Map.empty) // two filters: out of scope
-      else (src, Some(cond), subst)
-    case other => (other, None, Map.empty)
+      val (src, filts, subst) = unwrap(child)
+      (src, filts :+ cond, subst)
+    case other => (other, Nil, Map.empty)
   }
 
   private def stripAlias(e: Expression): Expression = e match {

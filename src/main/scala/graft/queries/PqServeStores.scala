@@ -46,9 +46,9 @@ import graft.ops.PqIndexStore
   * rule): a cached PqIndexStore strongly references its SparkSession
   * key, so the value pins the key. Lifecycle is therefore explicit —
   * one context-end listener per SparkContext clears the whole map
-  * (ADVICE r13), [[invalidate]] retires a session early, and the
-  * temp store dirs are deleteOnExit so churned JVM runs don't leak
-  * them on disk.
+  * (ADVICE r13), [[invalidate]] retires a session early, and a JVM
+  * shutdown hook recursively deletes the temp store dirs (File
+  * .deleteOnExit would be a silent no-op on a non-empty directory).
   */
 object PqServeStores {
 
@@ -84,7 +84,10 @@ object PqServeStores {
   def ensure(spark: SparkSession, sfDir: String): PqIndexStore =
     perSession(spark).getOrElseUpdate(sfDir, {
       val base = java.nio.file.Files.createTempDirectory("graft_pq_serve")
-      base.toFile.deleteOnExit()
+      // recursive delete at JVM exit — deleteOnExit only removes EMPTY
+      // dirs, and the store writes quantizer/codes parquet beneath
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.sources.TierStore.deleteTree(base.toFile)))
       val store = new PqIndexStore(spark, base.toString, nlist = 16, m = 8,
         ksub = 16, sampleInit = false, trainCap = 0)
       store.build(Tables.embeddings(spark, sfDir))

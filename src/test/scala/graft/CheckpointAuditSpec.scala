@@ -56,14 +56,15 @@ class CheckpointAuditSpec extends AnyFunSuite {
           (l.contains(".sharedCheckpoint(eager = false)") ||
             (l.contains("Checkpoints.shared(") && l.contains("eager = false")) ||
             // multi-line direct call: `Checkpoints.shared(` with the
-            // eager = false argument on a following line
-            (l.contains("eager = false)") && !l.contains("sharedCheckpoint") &&
-              (i > 0 && lines.slice(math.max(0, i - 2), i + 1)
-                .exists(_.contains("Checkpoints.shared(")))))
+            // eager = false argument up to 6 lines below the open paren
+            (l.contains("eager = false") && !l.contains("sharedCheckpoint") &&
+              lines.slice(math.max(0, i - 6), i + 1)
+                .exists(_.contains("Checkpoints.shared("))))
         if (isLazySite) {
-          val context = lines.slice(math.max(0, i - 6), math.min(lines.size, i + 3))
-          val justified = context.exists(c =>
-            c.contains("lazy-safe") || c.toLowerCase.contains("forc"))
+          val context = lines.slice(math.max(0, i - 8), math.min(lines.size, i + 3))
+          // the justification must be the EXPLICIT marker — a nearby
+          // unrelated 'forces a shuffle' comment must not satisfy it
+          val justified = context.exists(_.contains("lazy-safe"))
           if (!justified) offenders += s"$p:${i + 1}: $l"
         }
       }

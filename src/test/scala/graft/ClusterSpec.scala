@@ -106,10 +106,10 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
-  override def afterAll(): Unit = {
-    if (enabled) spark.stop()
-    writeArtifact()
-  }
+  override def afterAll(): Unit =
+    // the artifact must survive an abnormal teardown — it documents
+    // exactly the runs where stop() might throw (post-kill cleanup)
+    try { if (enabled) spark.stop() } finally writeArtifact()
 
   /** PIDs of the forked executor JVMs (children of the in-JVM workers). */
   private def executorPids(): Seq[Long] = {
