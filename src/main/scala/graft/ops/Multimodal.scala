@@ -697,6 +697,116 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- uncompressed video: Y4M (YUV4MPEG2) ------------------------------
+  // The complement to MJPEG-in-AVI: a raw-frame container whose pixel
+  // content survives EXACTLY, so video decode gets the same full
+  // SQL-value oracle the animated GIF has (per-frame pixel sums, not a
+  // tolerance flag). YUV4MPEG2 is the public interchange format for
+  // raw video (a text header, then `FRAME\n` + plane bytes per frame);
+  // `Cmono` streams carry only the Y plane — our gray frames verbatim.
+
+  /** Minimal Y4M muxer: mono (Y-plane-only) frames at 25 fps. */
+  private[graft] def writeY4m(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.forall(_.length == w * h),
+      s"every mono frame must be exactly $w*$h bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+    out.toByteArray
+  }
+
+  /** Demux a mono Y4M: (width, height, frame Y-planes). Walks the real
+    * stream structure — header params parsed, every frame introduced
+    * by its FRAME marker (optional per-frame params tolerated), plane
+    * size from the header dims; refuses non-Y4M or truncated bytes. */
+  private[graft] def readY4m(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, "Y4M: unterminated header line")
+      i
+    }
+    val hdrEnd = lineEnd(0)
+    val header = new String(bytes, 0, hdrEnd, "US-ASCII")
+    val parts = header.split(' ')
+    require(parts.headOption.contains("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    def param(tag: Char): Option[String] =
+      parts.tail.find(p => p.nonEmpty && p.head == tag).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing W"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing H"))
+    require(param('C').forall(_.startsWith("mono")),
+      s"only Cmono Y4M is supported, got C${param('C').getOrElse("420")}")
+    val planeLen = w * h
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = hdrEnd + 1
+    while (pos < bytes.length) {
+      val fe = lineEnd(pos)
+      val marker = new String(bytes, pos, fe - pos, "US-ASCII")
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"Y4M: expected FRAME marker at byte $pos, got '${marker.take(20)}'")
+      require(fe + 1 + planeLen <= bytes.length,
+        s"Y4M: truncated frame at byte $pos (need $planeLen plane bytes)")
+      frames += java.util.Arrays.copyOfRange(bytes, fe + 1, fe + 1 + planeLen)
+      pos = fe + 1 + planeLen
+    }
+    (w, h, frames.result())
+  }
+
+  /** Encode each doc as a raw Y4M video — same frame geometry and
+    * synthesis pattern as [[aviMedia]] ((len % 4) + 2 frames of
+    * pix(seed + f, x, y)), but LOSSLESS: the container stores the gray
+    * plane verbatim. */
+  def y4mMedia(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val enc = RowEncoder.encoderFor(lossyMediaSchema)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long").as("media_id"),
+        length(col(textCol)).cast("int").as("len"))
+      .repartition(par)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, len) = (r.getLong(0), r.getInt(1))
+          val seed = len % 256
+          val (w, h) = ((len % 16) + 1, (len % 12) + 1)
+          val frames = (0 until (len % 4) + 2).map { f =>
+            val plane = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { plane(y * w + x) = pix(seed + f, x, y).toByte; x += 1 }
+              y += 1
+            }
+            plane
+          }
+          Row(id, len, writeY4m(frames, w, h))
+        }
+      }(enc)
+  }
+
+  /** Demux + decode every Y4M frame: one (media_id, frame_idx, width,
+    * height, frame_sum) row per frame with the EXACT pixel sum — raw
+    * planes are lossless, so the oracle replays frame count, dims, and
+    * per-frame content in full SQL, the gifFrameFeatures contract on a
+    * genuine VIDEO container. */
+  def y4mFrameFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifFrameSchema)
+    media.select("media_id", "media")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val (w, h, frames) = readY4m(r.getAs[Array[Byte]](1))
+          frames.zipWithIndex.map { case (plane, f) =>
+            var sum = 0L
+            var i = 0
+            while (i < plane.length) { sum += (plane(i) & 0xff); i += 1 }
+            Row(id, f, w.toLong, h.toLong, sum)
+          }
+        }
+      }(enc)
+  }
+
   /** Minimal RIFF/WAVE writer: PCM16 mono @ 8 kHz, 44-byte header. */
   private[ops] def writeWav(samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -977,6 +977,16 @@ object PipelineQueries {
       Multimodal.aviMedia(Tables.documents(spark, dir)))
       .orderBy("media_id", "frame_idx")
 
+  /** RAW video container round trip: the same frame geometry through
+    * Y4M (YUV4MPEG2, Cmono) — uncompressed planes survive EXACTLY, so
+    * unlike the MJPEG tolerance contract this gets the full SQL-value
+    * oracle (per-frame pixel sums), the gif contract on a genuine
+    * video container. */
+  def multimodalY4m(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.y4mFrameFeatures(
+      Multimodal.y4mMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id", "frame_idx")
+
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("b"))
@@ -1946,6 +1956,7 @@ object PipelineQueries {
     "d_multimodal_jpeg"   -> (multimodalJpeg _),
     "d_multimodal_gif"    -> (multimodalGif _),
     "d_multimodal_video"  -> (multimodalVideo _),
+    "d_multimodal_y4m"    -> (multimodalY4m _),
     "d_multimodal_frames" -> (multimodalFrames _),
     "d_multimodal_resize" -> (multimodalResize _),
     "d_hll_users"       -> (hllUsers _),
@@ -4844,6 +4855,18 @@ object PipelineQueries {
         |  CAST((len(text) % 12) + 1 AS BIGINT) AS height,
         |  CAST(1 AS INT) AS within_tol
         |FROM documents, UNNEST(range(0, (len(text) % 4) + 2)) AS t(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "d_multimodal_y4m" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(len(text) AS INT) AS l, CAST(len(text) % 256 AS INT) AS seed
+        |  FROM documents)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((l % 16) + 1 AS BIGINT) AS width,
+        |  CAST((l % 12) + 1 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, (l % 16) + 1),
+        |         x -> list_transform(range(0, (l % 12) + 1),
+        |                y -> (seed + f + 31*x + 17*y) % 256)))) AS BIGINT) AS frame_sum
+        |FROM p, UNNEST(range(0, (l % 4) + 2)) AS t(f)
         |ORDER BY media_id, frame_idx""".stripMargin,
     "d_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

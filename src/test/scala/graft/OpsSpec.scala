@@ -1442,6 +1442,42 @@ class OpsSpec extends SparkSpec {
       "video tolerance check cannot fail — it asserts nothing")
   }
 
+  test("y4m raw video: byte-exact container round trip; per-frame sums EXACT") {
+    import graft.ops.Multimodal
+    // container round trip: planes survive verbatim (incl. bytes that
+    // look like the FRAME marker text — plane length comes from the
+    // header dims, never from scanning)
+    val f0 = Array.tabulate[Byte](12)(i => (i * 37).toByte)
+    val f1 = "FRAME\nFRAME\n".getBytes("US-ASCII") // 12 bytes of marker-looking data
+    val y4m = Multimodal.writeY4m(Seq(f0, f1), 4, 3)
+    val (w, h, back) = Multimodal.readY4m(y4m)
+    assert(w == 4 && h == 3)
+    assert(back.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+    intercept[IllegalArgumentException] { Multimodal.readY4m("not y4m".getBytes) }
+    // truncated final frame refuses loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.readY4m(java.util.Arrays.copyOf(y4m, y4m.length - 3))
+    }
+    // end to end: exact per-frame sums (the gif contract on raw video)
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val frames = Multimodal.y4mFrameFeatures(Multimodal.y4mMedia(docsS))
+      .orderBy("media_id", "frame_idx").collect()
+    val lens = docsS.selectExpr("cast(doc_id as long)", "length(text)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    frames.groupBy(_.getLong(0)).foreach { case (id, fr) =>
+      val len = lens(id); val seed = len % 256
+      val (ww, hh) = ((len % 16) + 1, (len % 12) + 1)
+      assert(fr.length == (len % 4) + 2, s"frame count for $id")
+      fr.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getLong(2) == ww && r.getLong(3) == hh)
+        var want = 0L
+        for (y <- 0 until hh; x <- 0 until ww) want += (seed + f + 31 * x + 17 * y) % 256
+        assert(r.getLong(4) == want, s"frame sum for $id frame $f")
+      }
+    }
+  }
+
   test("resize features: fixed target dims; sums bounded by target grid") {
     import graft.ops.Multimodal
     val media = Multimodal.realMedia(Tables.documents(spark, sf).limit(30))
