@@ -388,9 +388,13 @@ object TextAnalysis {
     * an exact short re-crawl scores novelty 0.
     *
     * Scale: grams travel as 8-byte xxhash64 keys; the store side is
-    * per-unique-gram. The membership probe is a left-semi-shaped
-    * aggregate: one shuffle on the hash key, then a doc-keyed count —
-    * text never shuffles. */
+    * per-unique-gram. The membership probe is ONE pass: a left join
+    * flags each gram as seen-or-not and a single doc-keyed aggregate
+    * counts both sides, so the tokenize/explode/distinct gram build is
+    * consumed from exactly one plan subtree (r14's verdict found the
+    * old two-subtree shape — a left-semi branch plus a separate
+    * n_grams aggregate — re-ran the whole gram build twice whenever
+    * exchange reuse didn't fire). Text never shuffles. */
   def gramNovelty(docs: DataFrame, seenGrams: DataFrame, n: Int = 8,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 1, s"span length must be > 1, got $n")
@@ -398,11 +402,14 @@ object TextAnalysis {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .select(col("id"), explode(ngramsAll(col("w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h")).distinct()
-    val seen = grams.join(seenGrams.select(col("h")), Seq("h"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_seen"))
-    grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-      .join(seen, Seq("id"), "left")
-      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+    // distinct() keeps the membership left join duplicate-store-safe
+    // (spanGramStore is already distinct, but callers may union raw
+    // batch hashes); count(col) skips the unmatched nulls, so n_seen
+    // is exactly the count of grams present in the store
+    val store = seenGrams.select(col("h")).distinct().withColumn("__seen", lit(1))
+    grams.join(store, Seq("h"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"), count(col("__seen")).as("n_seen"))
       .select(col("id").as(idCol), col("n_grams"), col("n_seen"),
         expr("(n_grams - n_seen) * 1000000 div n_grams").as("novelty_e6"))
   }

@@ -49,16 +49,38 @@ import graft.sketch.HdrSketchAgg
   * with `sum(count)` — integer addition is associative exactly like
   * sketch merge, and the counter cascade materializes that aggregate).
   *
+  * SUMMARY-SHAPE aggregates route too (r15 — the reference's actual
+  * hot read path is "p99 per hour from the summary store",
+  * InfluxQueryResolver.scala:89-118 → SummaryStore.scala:108-117): a
+  * value column may be ANY deterministic scalar tree over the merge
+  * aggregate — `hdr_summary(hdr_merge(sketch))`, a percentile field
+  * `hdr_summary(hdr_merge(sketch)).p99`, arithmetic over
+  * `sum(count)` — and the rewrite substitutes the materialized tier's
+  * value column for the aggregate inside the tree, so the scalar runs
+  * per tier row (one per metric×bucket) instead of after a raw merge.
+  *
+  * Both tier NAMINGS route: the rule's documented ad-hoc convention
+  * (`tier_raw`/`tier_<f>`, `counter_tier_raw`/`counter_tier_<f>`) and
+  * the engine's own [[graft.sources.TierStore]] layout as written by
+  * [[graft.rollup.RollupJob]] (`hist_<f>` with raw = `hist_5000`,
+  * `counter_<f>`) — so queries over a real cascade output dir route
+  * without renaming anything.
+  *
   * Match conditions (all must hold, otherwise the plan is untouched):
-  *  - single-path parquet source under the configured base dir:
-  *    `tier_raw`/`tier_<f>` (histogram) or `counter_tier_raw`/
-  *    `counter_tier_<f>` (counter), f dividing the target duration;
+  *  - single-path parquet source under the configured base dir, in
+  *    either naming above, f dividing the target duration;
   *  - grouping = (metric, bucketOf(bucket_start, L)) — the
   *    `ts − pmod(ts, L)` shape [[graft.rollup.Rollup.bucketOf]] emits,
   *    cast-tolerant;
-  *  - the one aggregate is `hdr_merge(sketch)` / `sum(count)` for the
-  *    matching kind (no DISTINCT/FILTER);
-  *  - the target tier dir `<kind>_<L>` exists;
+  *  - every value column is a deterministic scalar tree whose ONLY
+  *    aggregates are `hdr_merge(sketch)` / `sum(count)` for the
+  *    matching kind (no DISTINCT/FILTER) and whose only attribute
+  *    references sit inside those aggregates;
+  *  - the target tier dir (same naming family, `_<L>`) exists, and is
+  *    not visibly STALE: when both dirs carry `bucket_date=`
+  *    partitions, a source day newer than the target's newest day
+  *    vetoes the rewrite (a metadata-only listing — within-day lag
+  *    remains the caller's documented trade);
   *  - any Filter between aggregate and scan splits into conjuncts the
   *    tier can answer: predicates on `metric` alone, or
   *    `bucket_start >= c` / `bucket_start < c` with c a multiple of L
@@ -74,14 +96,14 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     spark.conf.getOption(ConfKey) match {
-      case None => plan
-      case Some(base) =>
+      case Some(base) if base.trim.nonEmpty =>
         plan.transformUp {
           // base is normalized the same way as the relation's rootPath
           // (scheme-tolerant), so file:/, bare-local, and remote
           // (hdfs://, s3a://) bases all match their scans
           case agg: Aggregate => rewrite(agg, normalize(base)).getOrElse(agg)
         }
+      case _ => plan
     }
 
   private def rewrite(agg: Aggregate, base: String): Option[LogicalPlan] = {
@@ -105,18 +127,31 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     // histogram tiers merge sketches; counter tiers add counts — the
     // same associativity argument, so both kinds route (the reference
-    // keeps per-resolution summary stores for both bucket types)
-    val (kind, valueName, sourceDur) = path match {
-      case p if p == s"$base/tier_raw" => ("tier", "sketch", RawMs)
-      case p if p == s"$base/counter_tier_raw" => ("counter_tier", "count", RawMs)
+    // keeps per-resolution summary stores for both bucket types).
+    // `family` is the dir-naming family (reused for the target dir);
+    // `isHist` picks the aggregate-function match. A non-numeric
+    // suffix (e.g. hist_summary_<L> — not a mergeable tier) falls out
+    // of toLongOption and vetoes.
+    val (family, isHist, sourceDur) = path match {
+      case p if p == s"$base/tier_raw" => ("tier", true, RawMs)
+      case p if p == s"$base/counter_tier_raw" => ("counter_tier", false, RawMs)
       case p if p.startsWith(s"$base/counter_tier_") =>
-        ("counter_tier", "count",
+        ("counter_tier", false,
           p.stripPrefix(s"$base/counter_tier_").toLongOption.getOrElse(return None))
       case p if p.startsWith(s"$base/tier_") =>
-        ("tier", "sketch",
+        ("tier", true,
           p.stripPrefix(s"$base/tier_").toLongOption.getOrElse(return None))
+      // the engine's own TierStore layout (RollupJob output): raw is
+      // hist_5000 / counter_5000 — the generic numeric parse covers it
+      case p if p.startsWith(s"$base/hist_") =>
+        ("hist", true,
+          p.stripPrefix(s"$base/hist_").toLongOption.getOrElse(return None))
+      case p if p.startsWith(s"$base/counter_") =>
+        ("counter", false,
+          p.stripPrefix(s"$base/counter_").toLongOption.getOrElse(return None))
       case _ => return None
     }
+    val valueName = if (isHist) "sketch" else "count"
     def attrOf(name: String): Option[AttributeReference] =
       rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
     val (metricAttr, bucketAttr, valueAttr) =
@@ -134,29 +169,42 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     if (targetDur <= sourceDur || targetDur % sourceDur != 0) return None
 
-    // --- output: (metric, Alias(bucket), Alias(hdr_merge(sketch))) in
-    // any order, nothing else
+    // --- output: metric, Alias(bucket), and one or more VALUE columns
+    // in any order, nothing else. A value column is any deterministic
+    // scalar tree whose only aggregates are the matching merge
+    // (hdr_merge(sketch) / sum(count)) and whose only attribute refs
+    // sit inside those aggregates — bare `hdr_merge(sketch)`,
+    // `hdr_summary(hdr_merge(sketch))`, a percentile field projection,
+    // arithmetic over `sum(count)`. Each rewrites by substituting the
+    // tier's value column for the aggregate node (the tier row IS the
+    // group's merge result), so the scalar runs per tier row.
+    def matchesValueAgg(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case h: HdrSketchAgg if isHist =>
+          h.fromSketches && resolve(h.child).semanticEquals(valueAttr)
+        case sm: Sum if !isHist =>
+          resolve(sm.child).semanticEquals(valueAttr)
+        case _ => false
+      })
+    def isValueTree(e: Expression): Boolean = {
+      val aggs = e.collect { case ae: AggregateExpression => ae }
+      aggs.nonEmpty && e.deterministic && aggs.forall(matchesValueAgg) &&
+        refsOutsideAggs(e).isEmpty
+    }
     var metricOut: Option[NamedExpression] = None
     var bucketOut: Option[Alias] = None
-    var sketchOut: Option[Alias] = None
+    val valueOuts = scala.collection.mutable.ArrayBuffer.empty[Alias]
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if a.semanticEquals(metricAttr) =>
         metricOut = Some(a)
       case al @ Alias(e, _) if bucketDuration(resolve(e), bucketAttr).contains(targetDur) =>
         bucketOut = Some(al)
-      case al @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
-          ae.filter.isEmpty && (ae.aggregateFunction match {
-            case h: HdrSketchAgg if kind == "tier" =>
-              h.fromSketches && resolve(h.child).semanticEquals(valueAttr)
-            case sm: Sum if kind == "counter_tier" =>
-              resolve(sm.child).semanticEquals(valueAttr)
-            case _ => false
-          }) =>
-        sketchOut = Some(al)
+      case al @ Alias(e, _) if isValueTree(resolve(e)) =>
+        valueOuts += al
       case _ => return None
     }
-    val (mOut, bOut, sOut) = (metricOut, bucketOut, sketchOut) match {
-      case (Some(m), Some(b), Some(s)) => (m, b, s)
+    val (mOut, bOut) = (metricOut, bucketOut) match {
+      case (Some(m), Some(b)) if valueOuts.nonEmpty => (m, b)
       case _ => return None
     }
 
@@ -164,13 +212,23 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // path's own Hadoop FileSystem, not java.io.File (a remote base
     // would otherwise leave the rule silently inert on exactly the
     // deployments the routing targets)
-    val tierDir = s"$base/${kind}_$targetDur"
+    val tierDir = s"$base/${family}_$targetDur"
     val exists = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(tierDir)
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(p).isDirectory
     }.getOrElse(false)
     if (!exists) return None
+    // --- staleness veto (day granularity, metadata-only): when both
+    // dirs are bucket_date-partitioned, a source day NEWER than the
+    // target's newest day means the cascade has visibly lagged —
+    // routing would silently drop the un-rolled-up buckets. ISO dates
+    // compare lexicographically. Within-day lag stays the caller's
+    // documented trade (the reference's cascade tick is 30 s).
+    (maxBucketDate(path), maxBucketDate(tierDir)) match {
+      case (Some(srcDay), Some(tgtDay)) if srcDay > tgtDay => return None
+      case _ => ()
+    }
 
     // --- residual filters: every conjunct must be tier-answerable.
     // Conjuncts are RESOLVED through the Project-alias substitution
@@ -202,13 +260,21 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (carried.isEmpty) tierPlan
       else Filter(carried.reduce(And), tierPlan)
     val out = agg.aggregateExpressions.map { ne =>
-      val (source, name, id) = ne match {
-        case a: AttributeReference if a.semanticEquals(metricAttr) => (tm, mOut.name, a.exprId)
-        case al: Alias if al eq bOut => (tb, al.name, al.exprId)
-        case al: Alias if al eq sOut => (ts, al.name, al.exprId)
+      ne match {
+        case a: AttributeReference if a.semanticEquals(metricAttr) =>
+          Alias(tm, mOut.name)(exprId = a.exprId)
+        case al: Alias if al eq bOut =>
+          Alias(tb, al.name)(exprId = al.exprId)
+        case al: Alias if valueOuts.exists(_ eq al) =>
+          // substitute the tier's merged value for every aggregate node
+          // in the scalar tree; all refs were verified to sit inside
+          // those aggregates, so the rebuilt tree reads only tier attrs
+          val rebuilt = resolve(al.child).transform {
+            case _: AggregateExpression => ts
+          }
+          Alias(rebuilt, al.name)(exprId = al.exprId)
         case _ => return None // unreachable given the matching above
       }
-      Alias(source, name)(exprId = id)
     }
     logInfo(s"graft raw→tier rewrite: $path (${sourceDur} ms buckets) " +
       s"aggregate at $targetDur ms → $tierDir")
@@ -240,6 +306,25 @@ class RawToTierRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Alias(inner, _) => inner
     case other => other
   }
+
+  /** Attribute references sitting ABOVE aggregate nodes in the tree —
+    * a value tree may reference columns only through its aggregates
+    * (those nodes are substituted wholesale by the rewrite). */
+  private def refsOutsideAggs(e: Expression): Seq[AttributeReference] = e match {
+    case _: AggregateExpression => Nil
+    case a: AttributeReference => Seq(a)
+    case other => other.children.flatMap(refsOutsideAggs)
+  }
+
+  /** Newest `bucket_date=` partition name under `dir` via a
+    * metadata-only FileSystem listing; None when the dir isn't
+    * date-partitioned (flat layouts skip the staleness check). */
+  private def maxBucketDate(dir: String): Option[String] = scala.util.Try {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("bucket_date=")).maxOption
+  }.toOption.flatten
 
   /** `ts − pmod(ts, L)` (cast-tolerant) → Some(L). */
   private def bucketDuration(e: Expression, ts: AttributeReference): Option[Long] =
@@ -292,8 +377,17 @@ object RawToTierRule {
   private def stripTrailingSlash(s: String): String =
     if (s.endsWith("/")) s.dropRight(1) else s
 
+  /** Canonical spelling for scan/base comparison, via Hadoop Path's own
+    * URI parsing (NOT string prefix stripping — `file:///x` would
+    * otherwise normalize to `///x` while the relation rootPath
+    * stringifies as `file:/x`, leaving the rule silently inert for
+    * that common spelling): local paths (`/x`, `file:/x`, `file:///x`)
+    * all become `/x`; remote URIs keep scheme + authority, so bases on
+    * different filesystems never collide. */
   private[plans] def normalize(p: String): String = {
-    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
-    stripTrailingSlash(noScheme)
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val path = stripTrailingSlash(u.getPath)
+    if (u.getScheme == null || u.getScheme == "file") path
+    else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}$path"
   }
 }

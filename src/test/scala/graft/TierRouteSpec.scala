@@ -50,16 +50,18 @@ class TierRouteSpec extends SparkSpec {
       .collect().map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}")
       .sorted.toSeq
 
-  private def withRule[T](body: => T): T = {
+  private def withRuleAt[T](baseDir: String)(body: => T): T = {
     val rule = new RawToTierRule(spark)
     val before = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = before :+ rule
-    spark.conf.set(RawToTierRule.ConfKey, base)
+    spark.conf.set(RawToTierRule.ConfKey, baseDir)
     try body finally {
       spark.conf.unset(RawToTierRule.ConfKey)
       spark.experimental.extraOptimizations = before
     }
   }
+
+  private def withRule[T](body: => T): T = withRuleAt(base)(body)
 
   private def optimized(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
@@ -133,6 +135,102 @@ class TierRouteSpec extends SparkSpec {
         s"counter tier read missing: ${scanPaths(routed)}")
       val got = routed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       assert(got == expected, "counter route diverged from the aggregate")
+    }
+  }
+
+  test("summary-shape aggregates route: hdr_summary(hdr_merge) and field projections") {
+    graft.functions.ensureRegistered(spark)
+    // the reference's hot read shape — summary fields per hour — written
+    // ad hoc over the raw tier
+    def q(): DataFrame = spark.read.parquet(s"$base/tier_raw")
+      .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), Hour).as("bucket_start"))
+      .agg(hdr_summary(hdr_merge(col("sketch"))).as("summary"))
+    def qField(): DataFrame = spark.read.parquet(s"$base/tier_raw")
+      .groupBy(col("metric"), Rollup.bucketOf(col("bucket_start"), Hour).as("bucket_start"))
+      .agg(
+        hdr_summary(hdr_merge(col("sketch"))).getField("p99").as("p99"),
+        hdr_summary(hdr_merge(col("sketch"))).getField("count").as("n"))
+    def snapS(df: DataFrame): Seq[String] =
+      df.selectExpr("*").collect().map(_.mkString("|")).sorted.toSeq
+    val expected = snapS(q())
+    val expectedField = snapS(qField())
+    withRule {
+      val routed = q()
+      val plan = optimized(routed)
+      assert(!plan.contains("Aggregate"), s"summary aggregate survived:\n$plan")
+      assert(scanPaths(routed).exists(_.endsWith(s"tier_$Hour")),
+        s"tier read missing: ${scanPaths(routed)}")
+      assert(plan.contains("hdr_summary"), s"scalar summary missing from routed plan:\n$plan")
+      assert(snapS(routed) == expected, "routed summary diverged from the aggregate")
+      assert(routed.columns.toSeq == Seq("metric", "bucket_start", "summary"))
+      val routedField = qField()
+      assert(!optimized(routedField).contains("Aggregate"))
+      assert(snapS(routedField) == expectedField, "routed field projection diverged")
+    }
+  }
+
+  test("the engine's TierStore naming routes: hist_5000 → hist_<L>, file:// base spelling") {
+    graft.functions.ensureRegistered(spark)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tierroute_hist").toString
+    val meas = (0 until 2).flatMap { m =>
+      (0 until 120).map(i => (s"hm_$m", i * 60000L, (i % 31 + 1).toLong))
+    }.toDF("metric", "ts_ms", "value")
+    val raw = Rollup.rawHistogramTier(meas)
+      .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+    raw.write.partitionBy("bucket_date").parquet(s"$dir/hist_5000")
+    val hour = Rollup.histogramTierUp(spark.read.parquet(s"$dir/hist_5000"), Hour)
+      .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+    hour.write.partitionBy("bucket_date").parquet(s"$dir/hist_$Hour")
+    def q(): DataFrame = rebucket(spark.read.parquet(s"$dir/hist_5000"))
+    val expected = snap(q())
+    // base configured with the file:/// spelling — the normalize path
+    // the r14 string-prefix version silently failed on
+    withRuleAt(s"file://$dir") {
+      val routed = q()
+      assert(!optimized(routed).contains("Aggregate"),
+        s"hist-naming aggregate survived:\n${optimized(routed)}")
+      assert(scanPaths(routed).exists(_.endsWith(s"hist_$Hour")),
+        s"hist tier read missing: ${scanPaths(routed)}")
+      assert(snap(routed) == expected)
+    }
+  }
+
+  test("staleness veto: a source day newer than the target's newest day blocks the route") {
+    graft.functions.ensureRegistered(spark)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tierroute_stale").toString
+    val day = 86400000L
+    def measOn(dayOfs: Long) = (0 until 60)
+      .map(i => ("sm_0", dayOfs + i * 60000L, (i % 13 + 1).toLong))
+      .toDF("metric", "ts_ms", "value")
+    def writeRaw(df: DataFrame): Unit =
+      Rollup.rawHistogramTier(df)
+        .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+        .write.mode("append").partitionBy("bucket_date").parquet(s"$dir/tier_raw")
+    def tierUpAll(): DataFrame =
+      Rollup.histogramTierUp(spark.read.parquet(s"$dir/tier_raw"), Hour)
+        .withColumn("bucket_date", graft.sources.TierStore.utcDate(col("bucket_start")))
+    // day 0 rolled up; then day 1 lands in raw with NO cascade run
+    writeRaw(measOn(0L))
+    tierUpAll().write.partitionBy("bucket_date").parquet(s"$dir/tier_$Hour")
+    writeRaw(measOn(day))
+    spark.catalog.refreshByPath(s"$dir/tier_raw")
+    def q(): DataFrame = rebucket(spark.read.parquet(s"$dir/tier_raw"))
+    withRuleAt(dir) {
+      assert(optimized(q()).contains("Aggregate"),
+        "stale target (missing day 1) must veto the rewrite")
+    }
+    // cascade catches up → the route opens and results agree
+    graft.sources.TierStore.deleteTree(new java.io.File(s"$dir/tier_$Hour"))
+    tierUpAll().write.partitionBy("bucket_date").parquet(s"$dir/tier_$Hour")
+    spark.catalog.refreshByPath(s"$dir/tier_$Hour")
+    val expected = snap(q())
+    withRuleAt(dir) {
+      val routed = q()
+      assert(!optimized(routed).contains("Aggregate"),
+        s"current target must route:\n${optimized(routed)}")
+      assert(snap(routed) == expected)
     }
   }
 
