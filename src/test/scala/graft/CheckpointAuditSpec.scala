@@ -62,9 +62,13 @@ class CheckpointAuditSpec extends AnyFunSuite {
                 .exists(_.contains("Checkpoints.shared("))))
         if (isLazySite) {
           val context = lines.slice(math.max(0, i - 8), math.min(lines.size, i + 3))
-          // the justification must be the EXPLICIT marker — a nearby
-          // unrelated 'forces a shuffle' comment must not satisfy it
-          val justified = context.exists(_.contains("lazy-safe"))
+          // the justification must be an EXPLICIT marker — `lazy-safe`
+          // or the word `forced` (word-bounded: a nearby unrelated
+          // 'forces a shuffle' comment must not satisfy it). Keeps the
+          // check aligned with the doc above (ADVICE r14: the doc
+          // promised `forced` but the code only accepted `lazy-safe`).
+          val justified = context.exists(c =>
+            c.contains("lazy-safe") || c.matches(".*\\bforced\\b.*"))
           if (!justified) offenders += s"$p:${i + 1}: $l"
         }
       }
