@@ -55,9 +55,15 @@ object Checkpoints {
     *     point.
     *   - `eager = false` ONLY when one of three arguments holds, each
     *     written as a `lazy-safe:` comment at the site:
-    *     (a) immediate action — a driver action (count / collect /
-    *         head / isEmpty) at the call site materializes it
-    *         single-site before anything else can race it;
+    *     (a) immediate action — a FULL-FRAME driver action (count /
+    *         collect) at the call site materializes every partition
+    *         single-site before anything else can race it. Limit-style
+    *         probes (head / isEmpty) materialize only the partitions
+    *         they touch, so they qualify ONLY for frames of
+    *         per-query-row size (≤ a few rows, e.g. Retrieval.mmr's
+    *         picked/starved probes) where the un-materialized remainder
+    *         is at most one near-empty partition's recompute — never
+    *         for corpus-sized frames;
     *     (b) chain-fused — the first consuming action is a DOWNSTREAM
     *         eager checkpoint's materializing job that reads this
     *         frame from exactly one site, so the compute fuses there

@@ -450,7 +450,17 @@ object Curation {
     * per-doc count instead of re-tokenizing the curated corpus. */
   private[ops] val TokCol = "__n_toks"
 
-  /** The curated corpus: every stage applied, original columns kept. */
+  /** The curated corpus: every stage applied, original columns kept.
+    *
+    * CONTRACT: `idCol` must be UNIQUE per corpus row. The id is the
+    * join key for every per-doc verdict (the fused verdict base LEFT
+    * JOINS per-row gate frames — lexicon/entropy emit one row per
+    * input row, so a repeated id multiplies base rows, inflates
+    * 1_total/funnel counts, and duplicates docs downstream) and the
+    * identity key for dedup. Corpora with repeated ids must be
+    * re-keyed first (`monotonically_increasing_id`, or a
+    * (source, id) composite) — the engine's own tables and every
+    * ingest path emit unique doc_ids. */
   def curate(corpus: DataFrame, benchmark: DataFrame, p: Params = Params(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     stageFrames(corpus, benchmark, p, idCol, textCol)._1.last._2.drop(TokCol)

@@ -44,6 +44,9 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   // leaves no artifact is load-bearing only for whoever watched it.
   private val outcomes = scala.collection.mutable.LinkedHashMap.empty[String, String]
   private val killedPids = scala.collection.mutable.ArrayBuffer.empty[Long]
+  // free-form numeric evidence (decade wall times, corpus sizes) —
+  // keyed strings so the artifact carries measurements, not just verdicts
+  private val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
   override def withFixture(test: NoArgTest): org.scalatest.Outcome = {
     val out = super.withFixture(test)
@@ -68,6 +71,7 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  "enabled": $enabled,
          |  "utc": "${java.time.Instant.now()}",
          |  "killed_executor_pids": [${killedPids.mkString(", ")}],
+         |  "metrics": {${metrics.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
          |  "n_pass": ${outcomes.values.count(_ == "pass")},
          |  "n_fail": ${outcomes.values.count(_ == "fail")},
          |  "n_canceled": ${outcomes.values.count(_ == "canceled")},
@@ -254,6 +258,51 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (got, killed) = killOneExecutorDuring(pairsOnce())
     assert(killed.isDefined, "no executor was killed mid-run")
     assert(got == expected, "near-dup pairs diverged after executor loss")
+    awaitTwoExecutors()
+  }
+
+  test("DECADE 500k: naked-defaults curation facade survives executor loss with identical output") {
+    assume(enabled, "set GRAFT_CLUSTER_TESTS=1 and SPARK_HOME to run")
+    // the r14 residual caveat: all cluster evidence was sf-tiny. This
+    // row runs the §G16 500k-decade facade (GenScaleData corpus, naked
+    // defaults) on the process cluster under reliable checkpoints with
+    // a kill -9 mid-pipeline — converting the survive-executor-loss
+    // claim from toy-scale to decade-scale. Opt-in on top of the
+    // suite's own gate (adds ~10-30 min on 2×2-core executors):
+    // cluster_tests.sh --decade generates the corpus and sets the env.
+    assume(sys.env.contains("GRAFT_CLUSTER_DECADE"),
+      "set GRAFT_CLUSTER_DECADE=1 to run the decade-scale row")
+    val dir = sys.env.getOrElse("GRAFT_CLUSTER_DECADE_DIR", "/tmp/genscale/cluster500k")
+    assume(Files.exists(Paths.get(s"$dir/documents.parquet")),
+      s"generate the corpus first: Test/runMain graft.tools.GenScaleData $dir 500000")
+    assert(graft.ops.Checkpoints.reliableOn(spark))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") % 17 === 0).select("doc_id", "text")
+    // order-independent identity: survivor count + modular id-hash sum
+    // + the full funnel (collecting 400k+ ids twice would only test
+    // the driver's memory)
+    def runOnce(): (Long, Long, Seq[(String, Long, Long)]) = {
+      val (curated, funnel) = graft.ops.Curation.run(docs, bench)
+      val r = curated.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("doc_id")), lit(1000000007L)))).head()
+      (r.getLong(0), r.getLong(1),
+        funnel.collect().map(f => (f.getString(0), f.getLong(1), f.getLong(2)))
+          .sortBy(_._1).toSeq)
+    }
+    metrics("decade_docs") = docs.count().toString
+    awaitTwoExecutors()
+    val t0 = System.nanoTime()
+    val expected = runOnce()
+    metrics("decade_wall_clean_s") = f"${(System.nanoTime() - t0) / 1e9}%.1f"
+    awaitTwoExecutors()
+    val t1 = System.nanoTime()
+    val (got, killed) = killOneExecutorDuring(runOnce())
+    metrics("decade_wall_killed_s") = f"${(System.nanoTime() - t1) / 1e9}%.1f"
+    metrics("decade_survivors") = expected._1.toString
+    assert(killed.isDefined,
+      "no executor was killed mid-run — the 500k facade finished before a job went active")
+    assert(got == expected,
+      "500k curation output diverged after executor loss under reliable checkpoints")
     awaitTwoExecutors()
   }
 

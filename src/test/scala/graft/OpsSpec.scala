@@ -1478,6 +1478,102 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mp4 (iso-bmff) video: sample-table demux round trip, frame decode within tolerance") {
+    import graft.ops.Multimodal
+    // 1) mux/demux round-trips payload BYTES exactly at every chunking
+    //    shape — one-per-chunk, even runs, a short last chunk, and a
+    //    single chunk larger than the sample count — because frames
+    //    come from the stsc/stco/stsz tables, never from scanning
+    //    (payload 3 spells 'ftyp' to pin that)
+    val payloads = Seq(
+      Array[Byte](1, 2, 3),
+      Array.tabulate[Byte](300)(i => (i * 7).toByte),
+      "ftyp".getBytes("US-ASCII"),
+      Array.tabulate[Byte](57)(i => (i * 13).toByte),
+      Array[Byte](9))
+    for (spc <- Seq(1, 2, 3, 7)) {
+      val mp4 = Multimodal.writeMp4(payloads, 16, 12, samplesPerChunk = spc)
+      val (declared, back) = Multimodal.readMp4Frames(mp4)
+      assert(declared == payloads.length, s"spc=$spc: stts total")
+      assert(back.map(_.toSeq) == payloads.map(_.toSeq),
+        s"spc=$spc: demuxed sample payloads differ from muxed input")
+    }
+    // non-BMFF and torn files refuse loudly (moov sits at the tail, so
+    // a truncation loses the sample tables, not just data)
+    intercept[IllegalArgumentException] {
+      Multimodal.readMp4Frames("certainly not an iso-bmff file".getBytes)
+    }
+    val whole = Multimodal.writeMp4(payloads, 16, 12)
+    intercept[IllegalArgumentException] {
+      Multimodal.readMp4Frames(java.util.Arrays.copyOf(whole, whole.length / 2))
+    }
+    // 2) end to end over real docs: frame count from the tables, exact
+    //    dims, per-pixel tolerance per frame (the video contract)
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val frames = Multimodal.mp4FrameFeatures(Multimodal.mp4Media(docsS))
+      .orderBy("media_id", "frame_idx").collect()
+    val lens = docsS.selectExpr("cast(doc_id as long)", "length(text)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId.keySet == lens.keySet)
+    byId.foreach { case (id, fr) =>
+      val len = lens(id)
+      assert(fr.length == (len % 4) + 2, s"frame count for $id")
+      fr.foreach { r =>
+        assert(r.getLong(2) == (len % 16) + 1 && r.getLong(3) == (len % 12) + 1)
+        assert(r.getInt(4) == 1, s"frame ${r.getInt(1)} of $id out of tolerance")
+      }
+    }
+    // 3) negative control: the tolerance flag must be falsifiable
+    val shifted = Multimodal.mp4Media(docsS).withColumn("len", col("len") + lit(7))
+    assert(Multimodal.mp4FrameFeatures(shifted).collect().exists(_.getInt(4) == 0),
+      "mp4 tolerance check cannot fail — it asserts nothing")
+  }
+
+  test("mu-law wav: codec bound EXHAUSTIVE over 16-bit range; container round trip; tolerance falsifiable") {
+    import graft.ops.Multimodal
+    // 1) the documented per-segment bound holds for EVERY 16-bit input
+    //    (65536 cases — the strongest pin a lossy codec can get), and
+    //    the codec is not secretly the identity: quantization must
+    //    actually lose precision somewhere
+    var lossy = false
+    var s = Short.MinValue.toInt
+    while (s <= Short.MaxValue) {
+      val dec = Multimodal.mulawDecode(Multimodal.mulawEncode(s.toShort)).toInt
+      val err = math.abs(dec - s)
+      assert(err <= Multimodal.mulawTol(s), s"mu-law error $err exceeds bound for $s")
+      if (err > 0) lossy = true
+      s += 1
+    }
+    assert(lossy, "mu-law round trip is exact everywhere — codec or bound is wrong")
+    // 2) container: fact-declared count enforced, format gated, chunk
+    //    walk skips foreign chunks; PCM16 WAVs refuse loudly
+    val samples = Array.tabulate[Short](101)(i => ((i * 7919) % 64001 - 32000).toShort)
+    val wav = Multimodal.writeWavMulaw(samples)
+    val (declared, back) = Multimodal.readWavMulaw(wav)
+    assert(declared == 101)
+    back.zip(samples).foreach { case (d, orig) =>
+      assert(math.abs(d - orig) <= Multimodal.mulawTol(orig.toInt))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.readWavMulaw("nothing like a riff".getBytes)
+    }
+    // 3) end to end + negative control (the lossy-triad contract)
+    val docsS = Tables.documents(spark, sf).limit(40)
+    val out = Multimodal.mulawFeatures(Multimodal.mulawMedia(docsS))
+      .orderBy("media_id").collect()
+    val lens = docsS.selectExpr("cast(doc_id as long)", "length(text)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == lens.keySet)
+    out.foreach { r =>
+      assert(r.getLong(1) == (lens(r.getLong(0)) % 96) + 4, s"sample count for ${r.getLong(0)}")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)} out of mu-law tolerance")
+    }
+    val shifted = Multimodal.mulawMedia(docsS).withColumn("len", col("len") + lit(17))
+    assert(Multimodal.mulawFeatures(shifted).collect().exists(_.getInt(2) == 0),
+      "mu-law tolerance check cannot fail — it asserts nothing")
+  }
+
   test("resize features: fixed target dims; sums bounded by target grid") {
     import graft.ops.Multimodal
     val media = Multimodal.realMedia(Tables.documents(spark, sf).limit(30))
