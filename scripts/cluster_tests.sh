@@ -21,8 +21,11 @@ for a in "$@"; do [ "$a" = "--decade" ] && DECADE=1; done
 if [ -n "$DECADE" ] && [ ! -d /tmp/genscale/cluster500k/documents.parquet ]; then
   sbt -batch "Test/runMain graft.tools.GenScaleData /tmp/genscale/cluster500k 500000"
 fi
+# NOTE: a ${DECADE:+VAR=1} word does NOT parse as an assignment (the
+# shell identifies assignments before expansion) — export instead
+[ -n "$DECADE" ] && export GRAFT_CLUSTER_DECADE=1
 GRAFT_CLUSTER_TESTS=1 SPARK_HOME=${SPARK_HOME:-/opt/spark} SPARK_SCALA_VERSION=2.13 \
-  GRAFT_CLUSTER_ARTIFACT="$ARTIFACT" ${DECADE:+GRAFT_CLUSTER_DECADE=1} \
+  GRAFT_CLUSTER_ARTIFACT="$ARTIFACT" \
   sbt -batch "testOnly graft.ClusterSpec"
 echo "cluster evidence written to $ARTIFACT:"
 cat "$ARTIFACT"

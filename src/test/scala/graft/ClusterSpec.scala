@@ -276,15 +276,20 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(Files.exists(Paths.get(s"$dir/documents.parquet")),
       s"generate the corpus first: Test/runMain graft.tools.GenScaleData $dir 500000")
     assert(graft.ops.Checkpoints.reliableOn(spark))
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val bench = docs.where(col("doc_id") % 17 === 0).select("doc_id", "text")
-    // order-independent identity: survivor count + modular id-hash sum
-    // + the full funnel (collecting 400k+ ids twice would only test
-    // the driver's memory)
+    // the §G16 decade split: 90% corpus, 10% benchmark. On this
+    // 31-word-vocab synthetic corpus the decontamination stage is
+    // near-total (every doc shares shingles with a 50k-doc benchmark
+    // drawn from the same tiny vocab), so the survivor set can be
+    // empty — the identity signal is the FUNNEL (five data-dependent
+    // per-stage count/token rows over the full 450k-doc pipeline)
+    // plus the survivor count and a null-safe id-hash sum.
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = all.where(col("doc_id") % 10 =!= 0)
+    val bench = all.where(col("doc_id") % 10 === 0).select("doc_id", "text")
     def runOnce(): (Long, Long, Seq[(String, Long, Long)]) = {
       val (curated, funnel) = graft.ops.Curation.run(docs, bench)
       val r = curated.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("doc_id")), lit(1000000007L)))).head()
+        coalesce(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))), lit(0L))).head()
       (r.getLong(0), r.getLong(1),
         funnel.collect().map(f => (f.getString(0), f.getLong(1), f.getLong(2)))
           .sortBy(_._1).toSeq)
