@@ -24,26 +24,27 @@ object MetricsQueries {
   def counterRollup1m(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir).select(
       col("event_type").as("metric"), col("ts_ms"), lit(1L).as("value"))
-    val t5s  = Rollup.counterTier(counts, Rollup.RawGroupMs)
-    val t30s = Rollup.counterTierUp(t5s, 30000L)
-    val t1m  = Rollup.counterTierUp(t30s, 60000L)
-    t1m.orderBy("metric", "bucket_start")
+    // same 5 s → 30 s → 1 m chain, aligned on one (metric, 1 m-bucket)
+    // exchange (r15 optimization: was one Exchange per step)
+    Rollup.counterCascadeAlignedTop(counts, Seq(30000L, 60000L))
+      .orderBy("metric", "bucket_start")
   }
 
   /** Histogram summary at 5 m via the full cascade (4 merge stages). */
   def hdrSummary5m(spark: SparkSession, dir: String): DataFrame = {
-    val raw  = Rollup.rawHistogramTier(measurements(spark, dir))
-    val t30s = Rollup.histogramTierUp(raw, 30000L)
-    val t1m  = Rollup.histogramTierUp(t30s, 60000L)
-    val t5m  = Rollup.histogramTierUp(t1m, 300000L)
+    // same 5 s → 30 s → 1 m → 5 m merge chain, aligned on one
+    // (metric, 5 m-bucket) exchange (r15: was one Exchange per step)
+    val t5m = Rollup.histogramCascadeAlignedTop(
+      measurements(spark, dir), Seq(30000L, 60000L, 300000L))
     Rollup.histogramSummaries(t5m).orderBy("metric", "bucket_start")
   }
 
   /** Histogram summary at 1 h via the full standard cascade — the
     * coarsest tier, equivalent to computing directly from raw data. */
   def hdrSummary1h(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Rollup.rawHistogramTier(measurements(spark, dir))
-    val top = Rollup.histogramCascade(raw)(3600000L)
+    // full standard cascade, aligned on one (metric, 1 h-bucket)
+    // exchange (r15: was one Exchange per step — 8 total)
+    val top = Rollup.histogramCascadeAlignedTop(measurements(spark, dir))
     Rollup.histogramSummaries(top).orderBy("metric", "bucket_start")
   }
 
@@ -89,8 +90,7 @@ object MetricsQueries {
     val meas = Tables.events(spark, dir).select(
       col("event_type").as("metric"), col("ts_ms"),
       floor(col("value") * 100).cast("long").as("value"))
-    val raw = Rollup.rawHistogramTier(meas)
-    val top = Rollup.histogramCascade(raw)(3600000L)
+    val top = Rollup.histogramCascadeAlignedTop(meas)
     Rollup.histogramSummaries(top)
       .select("metric", "bucket_start", "count", "min", "max", "p50", "p99")
       .orderBy("metric", "bucket_start")

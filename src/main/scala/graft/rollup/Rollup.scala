@@ -66,6 +66,74 @@ object Rollup {
     out.toMap
   }
 
+  /** One-exchange cascade to the TOP tier (optimization guide §2.4:
+    * operations keyed the same way share one exchange). The plain
+    * [[histogramCascade]] pays one Exchange per step because each step
+    * regroups by a different bucket expression; here the coarsest
+    * tier's bucket is computed up front, the input is hash-partitioned
+    * ONCE by (metric, top-bucket), and every step groups by
+    * (metric, top-bucket, step-bucket). The carried top-bucket is
+    * functionally determined by every finer step's bucket (each step
+    * duration divides the top duration — required below), so group
+    * contents — and therefore every merged sketch — are bit-identical
+    * to the plain cascade, while hashpartitioning(metric, top-bucket)
+    * satisfies each step's ClusteredDistribution and no further
+    * Exchange is planned: 1 exchange for the whole chain instead of
+    * 1 + |tiers|.
+    *
+    * Every merge stage still runs (this does not shortcut the
+    * merge-associativity chain, it only aligns the partitioning), and
+    * at corpus scale the partition grain is (metric × top window) —
+    * the cascade's natural parallelism, so a single hot metric still
+    * spreads across its time windows rather than one partition. */
+  def histogramCascadeAlignedTop(measurements: DataFrame,
+                                 tiers: Seq[Long] = StandardTiers): DataFrame = {
+    ensureRegistered(measurements.sparkSession)
+    val top = tiers.last
+    require(tiers.forall(top % _ == 0) && top % RawGroupMs == 0,
+      s"every tier duration must divide the top tier ($top ms) for the " +
+        s"carried top-bucket to be functionally dependent: $tiers")
+    require(tiers == tiers.sorted, s"tiers must ascend: $tiers")
+    var prev = measurements
+      .where(col("value") >= 0) // reference skips negatives on ingest
+      .withColumn("__top", bucketOf(col("ts_ms"), top))
+      .repartition(col("metric"), col("__top"))
+      .groupBy(col("metric"), col("__top"),
+        bucketOf(col("ts_ms"), RawGroupMs).as("bucket_start"))
+      .agg(hdr_sketch(col("value")).as("sketch"))
+    tiers.init.foreach { d =>
+      prev = prev.groupBy(col("metric"), col("__top"),
+          bucketOf(col("bucket_start"), d).as("bucket_start"))
+        .agg(hdr_merge(col("sketch")).as("sketch"))
+    }
+    prev.groupBy(col("metric"), col("__top").as("bucket_start"))
+      .agg(hdr_merge(col("sketch")).as("sketch"))
+  }
+
+  /** Counter twin of [[histogramCascadeAlignedTop]]: one exchange, all
+    * cascade steps grouped under the carried top bucket. No negative
+    * filter — counter increments pass through like [[counterTier]]. */
+  def counterCascadeAlignedTop(measurements: DataFrame,
+                               tiers: Seq[Long]): DataFrame = {
+    val top = tiers.last
+    require(tiers.forall(top % _ == 0) && top % RawGroupMs == 0,
+      s"every tier duration must divide the top tier ($top ms): $tiers")
+    require(tiers == tiers.sorted, s"tiers must ascend: $tiers")
+    var prev = measurements
+      .withColumn("__top", bucketOf(col("ts_ms"), top))
+      .repartition(col("metric"), col("__top"))
+      .groupBy(col("metric"), col("__top"),
+        bucketOf(col("ts_ms"), RawGroupMs).as("bucket_start"))
+      .agg(sum(col("value")).as("count"))
+    tiers.init.foreach { d =>
+      prev = prev.groupBy(col("metric"), col("__top"),
+          bucketOf(col("bucket_start"), d).as("bucket_start"))
+        .agg(sum(col("count")).as("count"))
+    }
+    prev.groupBy(col("metric"), col("__top").as("bucket_start"))
+      .agg(sum(col("count")).as("count"))
+  }
+
   /** Bucket tier → summary table: one wide row per (metric, bucket)
     * (reference: model/HistogramSummary.scala:21).
     *

@@ -35,6 +35,37 @@ class RollupSpec extends SparkSpec {
            direct.orderBy("metric", "bucket_start").collect().toSeq)
   }
 
+  test("aligned one-exchange cascade is bit-identical to the plain cascade (r15)") {
+    // histogram: full standard chain to 1 h
+    val plain = Rollup.histogramSummaries(
+      Rollup.histogramCascade(Rollup.rawHistogramTier(meas))(3600000L))
+      .orderBy("metric", "bucket_start").collect().toSeq
+    val aligned = Rollup.histogramSummaries(
+      Rollup.histogramCascadeAlignedTop(meas))
+      .orderBy("metric", "bucket_start").collect().toSeq
+    assert(aligned == plain)
+    // ONE real exchange in the aligned tier plan (the repartition;
+    // summaries/orderBy excluded by planning just the tier): the plain
+    // chain pays 1 + |tiers|
+    val tierPlan = Rollup.histogramCascadeAlignedTop(meas)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(tierPlan).size == 1, tierPlan)
+    // counter: 5 s → 30 s → 1 m chain
+    val counts = Tables.events(spark, sf).select(
+      col("event_type").as("metric"), col("ts_ms"), lit(1L).as("value"))
+    val cPlain = Rollup.counterTierUp(
+      Rollup.counterTierUp(Rollup.counterTier(counts, 5000L), 30000L), 60000L)
+      .orderBy("metric", "bucket_start").collect().toSeq
+    val cAligned = Rollup.counterCascadeAlignedTop(counts, Seq(30000L, 60000L))
+      .orderBy("metric", "bucket_start").collect().toSeq
+    assert(cAligned == cPlain)
+    // non-dividing tier durations must be rejected (the carried
+    // top-bucket would not be functionally dependent)
+    intercept[IllegalArgumentException] {
+      Rollup.histogramCascadeAlignedTop(meas, Seq(40000L, 60000L))
+    }
+  }
+
   test("bucket alignment floors to duration multiples") {
     val rows = Rollup.rawHistogramTier(meas).select("bucket_start").distinct().collect()
     assert(rows.nonEmpty)
