@@ -82,6 +82,74 @@ object Checkpoints {
     } else df.localCheckpoint(eager)
   }
 
+  /** Scale-adaptive spread for a frame about to be MATERIALIZED and
+    * then consumed by several plan sites (r15, guide §2.5 "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read"): when the frame's plan carries fewer partitions than the
+    * session's default parallelism — a single-row-group parquet scan
+    * plans ONE task, so the materialization and every downstream
+    * probe/aggregate over the blocks run on one core — insert a
+    * round-robin repartition to the session parallelism. The exchange
+    * folds into the materializing job the caller was about to pay, and
+    * the blocks then feed all consumers across the executor pool.
+    * Identity at corpus scale, where the plan already has ≥ cores
+    * partitions — derived from the plan, never a local constant.
+    * Measured (tools.JoinParProbe, sf0.1): the inverted-index pair
+    * join over a 1-block vs 32-block shingle frame = 1.94 → 1.23 s md.
+    *
+    * The scan partition count is ESTIMATED from the file-source
+    * relation's size statistics with Spark's own split formula
+    * (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * bytesPerCore))) rather than read off `df.rdd` — building the RDD
+    * would run physical planning (and, on plans with exchanges, AQE
+    * stage materialization) at frame-construction time.
+    *
+    * `keys` picks HASH partitioning over round-robin: a frame whose
+    * downstream consumers aggregate per key must be spread key-aligned
+    * — round-robin scatters every key's rows across all partitions, so
+    * each per-key partial aggregate emits one partial row per
+    * partition (measured 3× REGRESSION on the 96-column minhash
+    * signature aggregate) — and hashpartitioning(keys) additionally
+    * satisfies downstream groupBy(keys…) clustering, removing those
+    * exchanges outright. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    // measurement lever (same convention as Curation.EagerStagesKey):
+    // spark.graft.spread=false restores the unspread shape for A/B runs
+    if (!df.sparkSession.conf.getOption(SpreadKey).forall(_.toBoolean)) return df
+    // Spread at the READ only: a frame rooted in an already-
+    // materialized checkpoint (LogicalRDD leaf — e.g. a curation stage
+    // frame) keeps the partitioning its pipeline laid out. Re-spreading
+    // those measured a PAIRED −1.0 s on the curation funnel (every
+    // downstream single-row stage job inflates to 32 tasks), while
+    // spreading scan-rooted pair ops measured +0.4–1.0 s wins.
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+      return df
+    val rels = leaves.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }
+    if (rels.isEmpty || rels.size != leaves.size) return df // unknown root
+    val ss = df.sparkSession
+    val par = ss.sparkContext.defaultParallelism
+    val conf = ss.sessionState.conf
+    val totalBytes = rels.map(_.sizeInBytes).sum
+    val nFiles = rels.map {
+      case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        f.location.inputFiles.length.toLong
+      case _ => 1L
+    }.sum
+    val bytesPerCore = (totalBytes + conf.filesOpenCostInBytes * nFiles) / math.max(1, par)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, bytesPerCore))
+    val estParts = math.max(nFiles, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit))
+    if (estParts >= par) df
+    else if (keys.isEmpty) df.repartition(par)
+    else df.repartition(par, keys: _*)
+  }
+
+  val SpreadKey = "spark.graft.spread"
+
   /** Per-round checkpoint for ITERATIVE loops (label propagation):
     * ALWAYS `localCheckpoint`, even in reliable mode. Each round's
     * frame supersedes the last within milliseconds, but a reliable

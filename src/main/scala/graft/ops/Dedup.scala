@@ -218,9 +218,11 @@ object Dedup {
   private def shingleFrame(docs: DataFrame, k: Int,
                            idCol: String, textCol: String): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("s"))
+    Checkpoints.spread(
+      docs.select(col(idCol).as("id"),
+          explode(shingles(col(textCol), k)).as("s0"))
+        .select(col("id"), xxhash64(col("s0")).as("s")),
+      col("id")) // key-aligned: sizes/signature/pack aggregates are per id
       // EAGER (r13): every consumer embeds this frame at several plan
       // sites at once (candidate probe + verify + size/df aggregates,
       // some on broadcast-exchange threads), and concurrent threads
@@ -688,7 +690,10 @@ object Dedup {
   def jaccardSpectrum(docs: DataFrame, k: Int = 3, bins: Int = 10,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bins >= 1, s"bins must be positive, got $bins")
-    val sh = shingleFrame(docs, k, idCol, textCol).sharedCheckpoint(eager = true)
+    // r15: shingleFrame already returns an EAGER shared checkpoint —
+    // the second .sharedCheckpoint here double-materialized the frame
+    // (one extra full pass + duplicate blocks) for no added sharing
+    val sh = shingleFrame(docs, k, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
 
 class MiscOpsSpec extends SparkSpec {
 
+  test("Checkpoints.spread: fans out small scan-rooted frames by key, " +
+      "identity on checkpoint-rooted frames and when disabled (r15)") {
+    import graft.ops.Checkpoints
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, sf)
+    // scan-rooted small frame → repartitioned to session parallelism,
+    // hash-partitioned by the key (downstream per-id aggregates stay
+    // one-partial-per-key)
+    val s = Checkpoints.spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
+    assert(s.rdd.getNumPartitions == par)
+    assert(s.queryExecution.analyzed.exists {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.partitionExpressions.nonEmpty
+      case _ => false
+    }, "keyed spread must hash-partition, not round-robin")
+    // checkpoint-rooted frame → untouched (stage pipelines keep the
+    // partitioning they laid out)
+    val ck = docs.limit(50).localCheckpoint()
+    assert(Checkpoints.spread(ck.select(col("doc_id")), col("doc_id"))
+      .queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => 1
+      }.isEmpty)
+    // measurement lever
+    spark.conf.set(Checkpoints.SpreadKey, "false")
+    try assert(Checkpoints.spread(docs, col("doc_id")) eq docs)
+    finally spark.conf.unset(Checkpoints.SpreadKey)
+    // spread results are value-identical (the d_jaccard_pairs shape)
+    val a = graft.ops.Dedup.jaccardPairs(docs, 3, 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    spark.conf.set(Checkpoints.SpreadKey, "false")
+    val b = try graft.ops.Dedup.jaccardPairs(docs, 3, 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    finally spark.conf.unset(Checkpoints.SpreadKey)
+    assert(a == b)
+  }
+
   test("typed HdrAggregator matches the Catalyst aggregate") {
     import spark.implicits._
     val values = Seq(5L, 9L, 13L, 22603L, 150L, 150L, 7L)

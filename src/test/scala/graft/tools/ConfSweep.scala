@@ -45,19 +45,26 @@ object ConfSweep {
       catch { case _: Throwable => () }
     }
     setA()
-    // INTERLEAVED A/B/A/B per query: box drift and JIT warming hit both
-    // arms equally, so the pairwise medians compare like with like
+    // INTERLEAVED per query with ALTERNATING arm order (AB, BA, AB, …):
+    // box drift and JIT warming hit both arms equally AND neither arm
+    // systematically runs first, so paired differences cancel drift
     val a = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector())
     val b = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector())
-    for (_ <- 0 until repeat; n <- names) {
-      setA(); a(n) = a(n) :+ time(n)
-      setB(); b(n) = b(n) :+ time(n)
+    for (i <- 0 until repeat; n <- names) {
+      if (i % 2 == 0) {
+        setA(); a(n) = a(n) :+ time(n)
+        setB(); b(n) = b(n) :+ time(n)
+      } else {
+        setB(); b(n) = b(n) :+ time(n)
+        setA(); a(n) = a(n) :+ time(n)
+      }
       setA()
     }
     println(f"${"query"}%-28s ${"A(md)"}%8s ${"B(md)"}%8s  ratio  (A=${"defaults"}, B=${overrides.map(kv => kv._1.split('.').last + "=" + kv._2).mkString(" ")})")
     names.foreach { n =>
       val (ma, mb) = (median(a(n)), median(b(n)))
-      println(f"$n%-28s $ma%8.2f $mb%8.2f  ${mb / ma}%5.2f   A=${a(n).map(t => f"$t%.2f").mkString(" ")} B=${b(n).map(t => f"$t%.2f").mkString(" ")}")
+      val diffs = a(n).zip(b(n)).map { case (x, y) => y - x }
+      println(f"$n%-28s $ma%8.2f $mb%8.2f  ${mb / ma}%5.2f  mnA=${a(n).min}%5.2f mnB=${b(n).min}%5.2f pairedMd(B-A)=${median(diffs)}%+6.2f   A=${a(n).map(t => f"$t%.2f").mkString(" ")} B=${b(n).map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()
   }

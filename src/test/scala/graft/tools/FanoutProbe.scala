@@ -17,7 +17,10 @@ object FanoutProbe {
     // warm
     graft.Bench.force(graft.Tables.documents(spark, dir).select(count(lit(1)).as("n")))
     for (flag <- Seq("true", "false", "true", "false")) {
-      spark.conf.set(graft.Tables.FanoutKey, flag)
+      // the read-fanout lever was removed after this probe measured it
+      // a net loss at bench scale; the conf is now inert and the A/B
+      // arms differ only in measurement order
+      spark.conf.set("spark.graft.read.fanout", flag)
       val d = t(s"build documents fanout=$flag") { graft.Tables.documents(spark, dir) }
       t(s"tokenize+count fanout=$flag") {
         graft.Bench.force(

@@ -18,9 +18,15 @@ object ProfileStages {
     val spark = GraftSession.builder(32, 32).appName("profile-stages").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Seq[Int])]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        stageTasks.put(i.stageId, (i.numTasks, i.taskMetrics.executorRunTime))
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val p = Option(j.properties)
         val desc = p.flatMap(x => Option(x.getProperty("spark.job.description")))
@@ -30,11 +36,16 @@ object ProfileStages {
         val site = j.stageInfos.flatMap(s =>
           s.details.linesIterator.find(l => l.contains("graft.") && !l.contains("tools.")))
           .headOption.getOrElse("").trim
-        starts.put(j.jobId, (System.nanoTime(), (desc + " " + site).take(110)))
+        starts.put(j.jobId,
+          (System.nanoTime(), (desc + " " + site).take(110), j.stageInfos.map(_.stageId)))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(j.jobId)).foreach { case (t0, d) =>
-          lines.add(f"    job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.2f s  $d")
+        Option(starts.remove(j.jobId)).foreach { case (t0, d, stageIds) =>
+          val ran = stageIds.flatMap(id => Option(stageTasks.get(id)))
+          val nt = ran.map(_._1).sum
+          val rt = ran.map(_._2).sum / 1e3
+          lines.add(f"    job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+            f"stages=${ran.size}%2d/${stageIds.size}%2d tasks=$nt%3d taskTime=$rt%6.2f s  $d")
         }
       }
     })
