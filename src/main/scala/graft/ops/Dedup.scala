@@ -216,13 +216,18 @@ object Dedup {
     * distributed-FS write per shared frame.
     */
   private def shingleFrame(docs: DataFrame, k: Int,
-                           idCol: String, textCol: String): DataFrame = {
+                           idCol: String, textCol: String,
+                           spread: Boolean = true): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
-    Checkpoints.spread(
-      docs.select(col(idCol).as("id"),
-          explode(shingles(col(textCol), k)).as("s0"))
-        .select(col("id"), xxhash64(col("s0")).as("s")),
-      col("id")) // key-aligned: sizes/signature/pack aggregates are per id
+    val sh0 = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    // key-aligned spread: sizes/signature/pack aggregates are per id.
+    // The two-sided INCREMENTAL paths opt out (spread = false): their
+    // per-batch frames are small by contract and the paired A/B
+    // measured the extra exchange a net loss there (−0.61 s md on
+    // d_minhash_incremental with spread on).
+    (if (spread) Checkpoints.spread(sh0, col("id")) else sh0)
       // EAGER (r13): every consumer embeds this frame at several plan
       // sites at once (candidate probe + verify + size/df aggregates,
       // some on broadcast-exchange threads), and concurrent threads
@@ -499,8 +504,8 @@ object Dedup {
     graft.functions.ensureRegistered(newDocs.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shNew = shingleFrame(newDocs, k, idCol, textCol)
-    val shSeen = shingleFrame(seenDocs, k, idCol, textCol)
+    val shNew = shingleFrame(newDocs, k, idCol, textCol, spread = false)
+    val shSeen = shingleFrame(seenDocs, k, idCol, textCol, spread = false)
     val newBk = bandBuckets(minhashSignaturesFrom(shNew, numHashes), bands, rows)
     val seenBk = bandBuckets(minhashSignaturesFrom(shSeen, numHashes), bands, rows)
     val candidates = newBk.as("a")
