@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the program's stdout line-by-line as
+// JSON. sbt's default LoggedOutput decorates every forked-output line
+// with "[info] ", which made the driver's parse fail (BENCH_r14/r15
+// carry "parsed": null). StdoutOutput passes the forked process's
+// stdout/stderr through verbatim — the program's output contract is
+// unchanged, only sbt's decoration is removed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -220,6 +220,12 @@ object Bench {
       s""""tier_build_sec":${fmt(tierBuild)},"repeat":$repeat,"sf":"$sfDir",""" +
       s""""full":"target/bench_result.json"}"""
     println(summary)
+    // Belt-and-braces for the driver's parser (r14/r15 both carried
+    // "parsed": null because sbt decorated stdout): the COMPLETE
+    // artifact also goes out as one line on stderr, which sbt never
+    // decorates regardless of output strategy. Content is identical to
+    // target/bench_result.json.
+    System.err.println(fileJson)
     spark.stop()
   }
 }

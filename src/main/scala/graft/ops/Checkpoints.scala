@@ -134,6 +134,12 @@ object Checkpoints {
     val par = ss.sparkContext.defaultParallelism
     val conf = ss.sessionState.conf
     val totalBytes = rels.map(_.sizeInBytes).sum
+    // A relation without real statistics reports sizeInBytes =
+    // spark.sql.defaultSizeInBytes (Long.MaxValue), which would wrap the
+    // sums below negative and collapse estParts to nFiles — spreading an
+    // arbitrarily large frame. Treat "no stats" as "big": bail out
+    // (identity), the same outcome real stats ≥ cores·splitSize produce.
+    if (totalBytes < 0 || totalBytes >= conf.defaultSizeInBytes / 2) return df
     val nFiles = rels.map {
       case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
         f.location.inputFiles.length.toLong

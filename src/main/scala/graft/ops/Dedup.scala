@@ -223,10 +223,12 @@ object Dedup {
         explode(shingles(col(textCol), k)).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
     // key-aligned spread: sizes/signature/pack aggregates are per id.
-    // The two-sided INCREMENTAL paths opt out (spread = false): their
-    // per-batch frames are small by contract and the paired A/B
-    // measured the extra exchange a net loss there (−0.61 s md on
-    // d_minhash_incremental with spread on).
+    // The two-sided INCREMENTAL paths opt out (spread = false) on
+    // MEASURED grounds: the paired A/B put the extra exchanges at a net
+    // loss there (−0.61 s md on d_minhash_incremental with spread on).
+    // The new side is also small by contract (per-batch); the seen side
+    // is the accumulated corpus, where the spread is identity at scale
+    // anyway (estParts ≥ cores), so nothing is lost by opting out.
     (if (spread) Checkpoints.spread(sh0, col("id")) else sh0)
       // EAGER (r13): every consumer embeds this frame at several plan
       // sites at once (candidate probe + verify + size/df aggregates,

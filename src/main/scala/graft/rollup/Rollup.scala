@@ -89,6 +89,7 @@ object Rollup {
   def histogramCascadeAlignedTop(measurements: DataFrame,
                                  tiers: Seq[Long] = StandardTiers): DataFrame = {
     ensureRegistered(measurements.sparkSession)
+    require(tiers.nonEmpty, "tiers must be non-empty")
     val top = tiers.last
     require(tiers.forall(top % _ == 0) && top % RawGroupMs == 0,
       s"every tier duration must divide the top tier ($top ms) for the " +
@@ -115,6 +116,7 @@ object Rollup {
     * filter — counter increments pass through like [[counterTier]]. */
   def counterCascadeAlignedTop(measurements: DataFrame,
                                tiers: Seq[Long]): DataFrame = {
+    require(tiers.nonEmpty, "tiers must be non-empty")
     val top = tiers.last
     require(tiers.forall(top % _ == 0) && top % RawGroupMs == 0,
       s"every tier duration must divide the top tier ($top ms): $tiers")

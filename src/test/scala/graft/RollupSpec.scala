@@ -44,12 +44,23 @@ class RollupSpec extends SparkSpec {
       Rollup.histogramCascadeAlignedTop(meas))
       .orderBy("metric", "bucket_start").collect().toSeq
     assert(aligned == plain)
-    // ONE real exchange in the aligned tier plan (the repartition;
-    // summaries/orderBy excluded by planning just the tier): the plain
-    // chain pays 1 + |tiers|
+    // ONE real shuffle exchange in the aligned tier plan (the
+    // repartition; summaries/orderBy excluded by planning just the
+    // tier): the plain chain pays 1 + |tiers|. Counted on the plan TREE
+    // (not a string grep, which would also match BroadcastExchange /
+    // ReusedExchange and is brittle across AQE formatting).
     val tierPlan = Rollup.histogramCascadeAlignedTop(meas)
-      .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(tierPlan).size == 1, tierPlan)
+      .queryExecution.executedPlan
+    // the AQE wrapper is a leaf to collect(); count inside its input plan
+    val inner = tierPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val nShuffles = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(nShuffles == 1, inner.toString)
     // counter: 5 s → 30 s → 1 m chain
     val counts = Tables.events(spark, sf).select(
       col("event_type").as("metric"), col("ts_ms"), lit(1L).as("value"))
